@@ -1,38 +1,317 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship extraction over sf0.001 (smoke; rows > 0).
+queries()      — one entry per implemented operator from SURVEY.md §2,
+                 each (spark, sf_dir) -> DataFrame over the driver parquet.
+oracle_sql()   — DuckDB-ANSI twins over the same tables (pre-registered
+                 views: region nation customer supplier part orders lineitem
+                 events documents embeddings). Column names are aliased
+                 identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text as TX
+
+# Ordered literal replacement rules used by the flagship pipeline and the
+# rule-based queries (reference-derived tokens, T5 semantics).
+RULES = [
+    ["hte", "the"],
+    ["wrold", "world"],
+    ["Orchestratr", "Orchestrator"],
+    ["dumy", "dummy"],
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-spans view of the driver `documents` table: each document's
+    text split into paragraph spans (kind='text'), built with native
+    expressions only (split + transform with index) — no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    paras = F.split(F.col("text"), "\n\n")
+    spans = F.transform(
+        paras,
+        lambda p, i: F.struct(
+            F.lit("text").alias("kind"),
+            p.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over sf0.001 (text kinds from the
+    driver table; the synthetic interleaved corpus exercises the rest in
+    tests/bench)."""
+    from ocr_spark.pipeline import extract_documents
+
+    df = _docs_spans(spark, "/root/testdata/sf0.001")
+    return extract_documents(df, rules=RULES)
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries (SURVEY.md §2 inventory)
+# ---------------------------------------------------------------------------
+
+
+def q_clean_whitespace(spark, sf_dir):
+    """T1-T4 whitespace canonicalization (ref postprocessing_module.py:45-82)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.clean_whitespace(F.col("text")).alias("cleaned")
+    )
+
+
+def q_custom_rules(spark, sf_dir):
+    """T5 ordered literal replacements (ref postprocessing_module.py:84-107)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.apply_rules(F.col("text"), RULES).alias("replaced")
+    )
+
+
+def q_process_output(spark, sf_dir):
+    """T1-T5 composed in reference order: clean THEN rules (ref :130-146)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.process_output(F.col("text"), RULES).alias("processed")
+    )
+
+
+def q_hyphen_repair(spark, sf_dir):
+    """T7 hyphenation repair (north-star op)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.repair_hyphenation(TX.normalize_newlines(F.col("text"))).alias("repaired")
+    )
+
+
+def q_extract_text(spark, sf_dir):
+    """Full text-kind extraction T1→T7→T2/T3/T4→T5."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TX.extract_text(F.col("text"), RULES).alias("extracted")
+    )
+
+
+def q_error_filter(spark, sf_dir):
+    """F7 error-text filter (ref local_ocr_engine.py:463)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.where(
+        ~F.col("text").startswith("Error:") & (F.col("text") != "REC_FAIL")
+    ).select("doc_id", "n_chars")
+
+
+def q_confidence_mean(spark, sf_dir):
+    """A2/F8: mean of positive values per group, 0.0 when none
+    (ref local_ocr_engine.py:459-464) — events.value as the confidence proxy."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.coalesce(
+            F.avg(F.when(F.col("value") > 0, F.col("value"))), F.lit(0.0)
+        ).alias("mean_conf"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_fulltext_assembly(spark, sf_dir):
+    """A1 full-text assembly: '\\n'.join in deterministic order
+    (ref local_ocr_engine.py:450,463) — per-lang concat of doc texts."""
+    d = _t(spark, sf_dir, "documents")
+    assembled = d.groupBy("lang").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                lambda s: s["text"],
+            ),
+        ).alias("full_text")
+    )
+    return assembled.select("lang", F.length("full_text").cast("long").alias("text_len"))
+
+
+def q_span_reassembly(spark, sf_dir):
+    """A6 span-sequence reassembly: ordered (by ts, id) event_type sequence
+    per user (the groupBy+sort_array(collect_list) pattern of the pipeline)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("seq")
+    )
+
+
+def q_dispatch_case(spark, sf_dir):
+    """J1 3-level dispatch fallback as CASE (ref ocr_workflow_orchestrator.py:272-294)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.col("source") == "web", F.lit("html_extractor"))
+        .when(F.col("source") == "pdf", F.lit("pdf_extractor"))
+        .when(F.col("lang") == "en", F.lit("ocr_local"))
+        .otherwise(F.lit("dummy_engine"))
+        .alias("engine"),
+    )
+
+
+def q_window_order(spark, sf_dir):
+    """W2 span ordering: row_number over (partition, order) window."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", F.row_number().over(w).cast("long").alias("rn")
+    ).where(F.col("rn") <= 5)
+
+
+def q_topk_slice(spark, sf_dir):
+    """F5/W4 candidate cap: first K elements of the ordered per-group list."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.slice(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "value"))),
+                lambda s: s["event_id"],
+            ),
+            1,
+            10,
+        ).alias("first_ids")
+    )
+
+
+def q_join_broadcast(spark, sf_dir):
+    """J3 broadcast equi join: orders ⨝ customer ⨝ nation (small dims forced
+    broadcast — the media-sidecar join pattern)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    return j
+
+
+def q_left_anti_resume(spark, sf_dir):
+    """J3 resume-from-checkpoint pattern: left_anti of inputs vs 'completed'."""
+    li = _t(spark, sf_dir, "lineitem")
+    done = li.where(F.col("l_orderkey") % 3 == 0).select("l_orderkey").distinct()
+    remaining = li.join(done, "l_orderkey", "left_anti")
+    return remaining.groupBy("l_returnflag").agg(F.count("*").alias("n_items"))
+
+
+def q_exceptall_diff(spark, sf_dir):
+    """Set op (§2.6): golden diff via EXCEPT ALL — rows in lineitem projection
+    not in its filtered twin."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    filtered = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 10).select(
+        "l_orderkey", "l_linenumber"
+    )
+    return li.exceptAll(filtered)
+
+
+def q_segment_counts(spark, sf_dir):
+    """A4 segment/box counts per doc-group (ref local_ocr_engine.py:267,466)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.count("*").alias("n_segments"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "clean_whitespace": q_clean_whitespace,
+        "custom_rules": q_custom_rules,
+        "process_output": q_process_output,
+        "hyphen_repair": q_hyphen_repair,
+        "extract_text": q_extract_text,
+        "error_filter": q_error_filter,
+        "confidence_mean": q_confidence_mean,
+        "fulltext_assembly": q_fulltext_assembly,
+        "span_reassembly": q_span_reassembly,
+        "dispatch_case": q_dispatch_case,
+        "window_order": q_window_order,
+        "topk_slice": q_topk_slice,
+        "join_broadcast": q_join_broadcast,
+        "left_anti_resume": q_left_anti_resume,
+        "exceptall_diff": q_exceptall_diff,
+        "segment_counts": q_segment_counts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _rules_sql(expr: str) -> str:
+    return TX.apply_rules_sql(expr, RULES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cw = TX.clean_whitespace_sql("text")
+    return {
+        "clean_whitespace": f"SELECT doc_id, {cw} AS cleaned FROM documents",
+        "custom_rules": f"SELECT doc_id, {_rules_sql('text')} AS replaced FROM documents",
+        "process_output": f"SELECT doc_id, {_rules_sql(cw)} AS processed FROM documents",
+        "hyphen_repair": (
+            "SELECT doc_id, "
+            + TX.repair_hyphenation_sql(TX.normalize_newlines_sql("text"))
+            + " AS repaired FROM documents"
+        ),
+        "extract_text": f"SELECT doc_id, {TX.extract_text_sql('text', RULES)} AS extracted FROM documents",
+        "error_filter": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE NOT starts_with(text, 'Error:') AND text <> 'REC_FAIL'"
+        ),
+        "confidence_mean": (
+            "SELECT user_id, coalesce(avg(value) FILTER (WHERE value > 0), 0.0) AS mean_conf, "
+            "count(*) AS n_events FROM events GROUP BY user_id"
+        ),
+        "fulltext_assembly": (
+            "SELECT lang, length(string_agg(text, chr(10) ORDER BY doc_id)) AS text_len "
+            "FROM documents GROUP BY lang"
+        ),
+        "span_reassembly": (
+            "SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq "
+            "FROM events GROUP BY user_id"
+        ),
+        "dispatch_case": (
+            "SELECT doc_id, CASE WHEN source = 'web' THEN 'html_extractor' "
+            "WHEN source = 'pdf' THEN 'pdf_extractor' "
+            "WHEN lang = 'en' THEN 'ocr_local' ELSE 'dummy_engine' END AS engine "
+            "FROM documents"
+        ),
+        "window_order": (
+            "SELECT event_id, user_id, rn FROM (SELECT event_id, user_id, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+            "FROM events) WHERE rn <= 5"
+        ),
+        "topk_slice": (
+            "SELECT event_type, (list(event_id ORDER BY event_id, value))[1:10] AS first_ids "
+            "FROM events GROUP BY event_type"
+        ),
+        "join_broadcast": (
+            "SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "left_anti_resume": (
+            "SELECT l_returnflag, count(*) AS n_items FROM lineitem "
+            "WHERE l_orderkey NOT IN (SELECT DISTINCT l_orderkey FROM lineitem "
+            "WHERE l_orderkey % 3 = 0) GROUP BY l_returnflag"
+        ),
+        "exceptall_diff": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem "
+            "EXCEPT ALL "
+            "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 10"
+        ),
+        "segment_counts": "SELECT event_type, count(*) AS n_segments FROM events GROUP BY event_type",
+    }

@@ -1,0 +1,174 @@
+"""Scalar text operators T1-T7 (SURVEY.md §2.7) as native Catalyst expressions.
+
+Each operator reproduces the reference's Python semantics bit-for-bit:
+
+  T1 newline normalization  — ref ocr_components/postprocessing_module.py:66
+  T2 strip (ALL whitespace) — ref ocr_components/postprocessing_module.py:69
+  T3 space/tab squeeze      — ref ocr_components/postprocessing_module.py:72
+  T4 blank-line collapse    — ref ocr_components/postprocessing_module.py:77
+  T5 ordered literal rules  — ref ocr_components/postprocessing_module.py:104-105
+  T7 hyphenation repair     — north-star op (BASELINE.json); reference expresses
+                              it only through T5's rule mechanism
+
+Application order is load-bearing: clean whitespace FIRST, custom rules SECOND
+(ref postprocessing_module.py:130-146); inside cleaning the order is
+normalize newlines → strip → squeeze spaces/tabs → collapse newline runs.
+
+Everything here is a pure Column expression — whole-stage-codegen'd, no UDFs.
+Each Spark expression has a DuckDB-SQL twin (``*_sql``) used by the oracle in
+``__spark_entry__.py`` so the two can never drift apart silently.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# T1 — newline normalization: CRLF then lone CR -> LF
+# ---------------------------------------------------------------------------
+
+
+def normalize_newlines(col: Column) -> Column:
+    return F.regexp_replace(col, r"\r\n|\r", "\n")
+
+
+def normalize_newlines_sql(expr: str) -> str:
+    return rf"regexp_replace({expr}, '\r\n|\r', chr(10), 'g')"
+
+
+# ---------------------------------------------------------------------------
+# T2 — strip: Python str.strip() strips ALL leading/trailing whitespace
+# (space, tab, newline, CR, FF, VT) — NOT Spark `trim` (space only).
+# ---------------------------------------------------------------------------
+
+
+def strip_all(col: Column) -> Column:
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
+def strip_all_sql(expr: str) -> str:
+    return rf"regexp_replace({expr}, '^\s+|\s+$', '', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# T3 — squeeze runs of spaces/tabs to one space; newlines untouched
+# ---------------------------------------------------------------------------
+
+
+def squeeze_spaces(col: Column) -> Column:
+    return F.regexp_replace(col, r"[ \t]+", " ")
+
+
+def squeeze_spaces_sql(expr: str) -> str:
+    return rf"regexp_replace({expr}, '[ \t]+', ' ', 'g')"
+
+
+# ---------------------------------------------------------------------------
+# T4 — collapse runs of >=2 newlines to one (no blank lines survive)
+# ---------------------------------------------------------------------------
+
+
+def collapse_blank_lines(col: Column) -> Column:
+    return F.regexp_replace(col, r"\n{2,}", "\n")
+
+
+def collapse_blank_lines_sql(expr: str) -> str:
+    return rf"regexp_replace({expr}, '\n{{2,}}', chr(10), 'g')"
+
+
+# ---------------------------------------------------------------------------
+# composed whitespace cleaner (ref _clean_whitespace, exact order)
+# ---------------------------------------------------------------------------
+
+
+def clean_whitespace(col: Column) -> Column:
+    return collapse_blank_lines(squeeze_spaces(strip_all(normalize_newlines(col))))
+
+
+def clean_whitespace_sql(expr: str) -> str:
+    return collapse_blank_lines_sql(squeeze_spaces_sql(strip_all_sql(normalize_newlines_sql(expr))))
+
+
+# ---------------------------------------------------------------------------
+# T5 — ordered literal replacements: for each (find, replace) IN CONFIG ORDER,
+# literal case-sensitive replace-all; later rules see earlier rules' output.
+# Uses F.replace (literal, Spark >= 3.5) — NOT regexp_replace (metachar hazard).
+# ---------------------------------------------------------------------------
+
+
+def apply_rules(col: Column, rules: Sequence[tuple[str, str]]) -> Column:
+    out = col
+    for find, repl in validate_rules(rules):
+        out = F.replace(out, F.lit(find), F.lit(repl))
+    return out
+
+
+def apply_rules_sql(expr: str, rules: Sequence[tuple[str, str]]) -> str:
+    out = expr
+    for find, repl in validate_rules(rules):
+        f = find.replace("'", "''")
+        r = repl.replace("'", "''")
+        out = f"replace({out}, '{f}', '{r}')"
+    return out
+
+
+def validate_rules(rules: Sequence) -> list[tuple[str, str]]:
+    """Rule validation mirroring the reference: keep only 2-string pairs,
+    skip (don't fail on) anything else — ref postprocessing_module.py:29-38."""
+    valid: list[tuple[str, str]] = []
+    if not isinstance(rules, (list, tuple)):
+        return valid
+    for rule in rules:
+        if (
+            isinstance(rule, (list, tuple))
+            and len(rule) == 2
+            and all(isinstance(x, str) for x in rule)
+        ):
+            valid.append((rule[0], rule[1]))
+    return valid
+
+
+# ---------------------------------------------------------------------------
+# full postprocess = clean whitespace THEN rules (ref process_output order)
+# ---------------------------------------------------------------------------
+
+
+def process_output(col: Column, rules: Sequence[tuple[str, str]] = ()) -> Column:
+    return apply_rules(clean_whitespace(col), rules)
+
+
+def process_output_sql(expr: str, rules: Sequence[tuple[str, str]] = ()) -> str:
+    return apply_rules_sql(clean_whitespace_sql(expr), rules)
+
+
+# ---------------------------------------------------------------------------
+# T7 — hyphenation repair: join "exam-\nple" -> "example" (letter-hyphen-
+# newline-letter). Must run BEFORE T4 collapses the newline context away is
+# NOT required — the pattern needs the newline, so we apply it after T1
+# (newlines normalized) and before the rest of cleaning when used in the
+# extraction pipeline.
+# ---------------------------------------------------------------------------
+
+
+def repair_hyphenation(col: Column) -> Column:
+    return F.regexp_replace(col, r"(\p{L})-\n(\p{L})", "$1$2")
+
+
+def repair_hyphenation_sql(expr: str) -> str:
+    return rf"regexp_replace({expr}, '(\p{{L}})-\n(\p{{L}})', '\1\2', 'g')"
+
+
+def extract_text(col: Column, rules: Sequence[tuple[str, str]] = ()) -> Column:
+    """Full text-kind extraction: T1 → T7 → T2/T3/T4 → T5."""
+    out = repair_hyphenation(normalize_newlines(col))
+    out = collapse_blank_lines(squeeze_spaces(strip_all(out)))
+    return apply_rules(out, rules)
+
+
+def extract_text_sql(expr: str, rules: Sequence[tuple[str, str]] = ()) -> str:
+    out = repair_hyphenation_sql(normalize_newlines_sql(expr))
+    out = collapse_blank_lines_sql(squeeze_spaces_sql(strip_all_sql(out)))
+    return apply_rules_sql(out, rules)

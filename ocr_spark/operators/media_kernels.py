@@ -1,0 +1,297 @@
+"""Numpy image/array kernels for the `ocr`/`media` span kinds.
+
+Re-derivations of the reference's kernel semantics (SURVEY.md §2.8) in pure
+numpy — the sandbox has no cv2/onnxruntime, and the container deliberately
+treats model inference as a deterministic fake (task directive: "make the
+Spark-side plumbing real and tested; stub the decode").
+
+The chain mirrors the reference LocalOCREngine stages:
+
+  bytes → image          (S1 load;   ref ocr_workflow_orchestrator.py:153-178)
+  grayscale              (K1;        ref ocr_components/preprocessing_module.py:231-248)
+  otsu threshold          (K2 part;   ref preprocessing_module.py:73-78 uses cv2 THRESH_OTSU)
+  skew estimate           (K2;        ref preprocessing_module.py:32-102)
+  binarize                (K4;        ref preprocessing_module.py:158-202)
+  band detection          (K7/K8 fake; ref local_ocr_engine.py:181-268 — DBNet
+                           replaced by a deterministic horizontal-band proposer
+                           with the SAME filter semantics F2-F5)
+  crop + block-mean resize (K9/K10;   ref local_ocr_engine.py:270-342)
+  fake logits + CTC decode (K11/T6;   ref local_ocr_engine.py:344-396)
+  assembly                 (K12/A1/A2; ref local_ocr_engine.py:443-464)
+
+Every function is pure and deterministic so golden fixtures are stable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+# ---- fake-engine spec constants (shared with tests/reference_impl) ----------
+IMG_SIDE = 32
+CHARSET = list("abcdefghijklmnopqrstuvwxyz ")  # blank index == len(CHARSET)
+DET_DB_THRESH = 0.3  # F2 (ref local_ocr_engine.py:41)
+DET_DB_BOX_THRESH = 0.6  # F3 (ref :42)
+DET_MIN_BOX_SIZE = 3  # F4 (ref :45)
+DET_MAX_CANDIDATES = 4  # F5 analogue at fake scale (ref :44 uses 1000)
+REC_T = 8  # fake recognition sequence length
+
+
+def bytes_to_image(payload: bytes) -> np.ndarray:
+    """S1: payload bytes → (32,32) uint8 'image'. Raises on short payloads
+    (mirrors the reference's corrupt-image ValueError)."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    need = IMG_SIDE * IMG_SIDE
+    if arr.size < need:
+        raise ValueError(f"media payload too small: {arr.size} < {need}")
+    return arr[:need].reshape(IMG_SIDE, IMG_SIDE).copy()
+
+
+def to_grayscale(img: np.ndarray) -> np.ndarray:
+    """K1: BT.601 luma for 3-channel input; squeeze/copy otherwise
+    (ref preprocessing_module.py:231-248)."""
+    if img.ndim == 3 and img.shape[2] == 3:
+        w = np.array([0.299, 0.587, 0.114])
+        return (img.astype(np.float64) @ w).round().astype(np.uint8)
+    if img.ndim == 3 and img.shape[2] == 1:
+        return img[:, :, 0].copy()
+    if img.ndim == 2:
+        return img.copy()
+    raise ValueError(f"unsupported image ndim {img.ndim}")
+
+
+def otsu_threshold(gray: np.ndarray) -> int:
+    """Otsu's method over a 256-bin histogram (numpy re-derivation of
+    cv2.THRESH_OTSU used at ref preprocessing_module.py:73-78)."""
+    hist = np.bincount(gray.ravel(), minlength=256).astype(np.float64)
+    total = gray.size
+    omega = np.cumsum(hist) / total
+    mu = np.cumsum(hist * np.arange(256)) / total
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sigma_b = np.where(denom > 0, (mu_t * omega - mu) ** 2 / denom, 0.0)
+    return int(np.argmax(sigma_b))
+
+
+def estimate_skew_angle(gray: np.ndarray) -> float:
+    """K2: skew from the second moments of foreground pixels.
+
+    Reference uses invert → Otsu → minAreaRect angle with reliability guards
+    (ref preprocessing_module.py:32-102): <50 fg pixels → 0; |angle|>45 → 0;
+    |angle|<0.1 → 0. We keep the guards and estimate orientation via the
+    principal axis of the foreground point cloud (same quantity minAreaRect
+    approximates for elongated text masses).
+    """
+    inv = 255 - gray
+    t = otsu_threshold(inv)
+    ys, xs = np.nonzero(inv > t)
+    if ys.size < 50:
+        return 0.0
+    x = xs - xs.mean()
+    y = ys - ys.mean()
+    cov_xy = float((x * y).mean())
+    var_x = float((x * x).mean())
+    var_y = float((y * y).mean())
+    angle = 0.5 * np.degrees(np.arctan2(2.0 * cov_xy, var_x - var_y))
+    if abs(angle) > 45.0:
+        return 0.0
+    if abs(angle) < 0.1:
+        return 0.0
+    return float(angle)
+
+
+def rotate_image(gray: np.ndarray, angle_deg: float, border_white: bool) -> np.ndarray:
+    """K3: rotate about center by -angle (deskew), nearest-neighbor sampling,
+    border filled white/black by the corner vote (A5,
+    ref preprocessing_module.py:104-156)."""
+    if angle_deg == 0.0:
+        return gray.copy()
+    h, w = gray.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    theta = np.radians(-angle_deg)
+    cos_t, sin_t = np.cos(theta), np.sin(theta)
+    yy, xx = np.mgrid[0:h, 0:w]
+    # inverse map: output pixel ← source pixel
+    xs = cos_t * (xx - cx) + sin_t * (yy - cy) + cx
+    ys = -sin_t * (xx - cx) + cos_t * (yy - cy) + cy
+    xi = np.rint(xs).astype(np.int64)
+    yi = np.rint(ys).astype(np.int64)
+    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    fill = 255 if border_white else 0
+    out = np.full_like(gray, fill)
+    out[valid] = gray[yi[valid], xi[valid]]
+    return out
+
+
+def corner_border_white(gray: np.ndarray) -> bool:
+    """A5: mean of the 4 corner pixels > 128 → white border
+    (ref preprocessing_module.py:142-144)."""
+    h, w = gray.shape
+    corners = np.array(
+        [gray[0, 0], gray[0, w - 1], gray[h - 1, 0], gray[h - 1, w - 1]],
+        dtype=np.float64,
+    )
+    return bool(corners.mean() > 128)
+
+
+def binarize_adaptive(gray: np.ndarray, block_size: int = 11, c: int = 7) -> np.ndarray:
+    """K4: gaussian-free adaptive threshold — local mean over a (block×block)
+    window minus C (numpy stand-in for cv2.adaptiveThreshold GAUSSIAN_C,
+    ref preprocessing_module.py:158-202; block forced odd, same as :178-190).
+    Returns 0/255 uint8."""
+    if block_size % 2 == 0:
+        block_size += 1
+    pad = block_size // 2
+    padded = np.pad(gray.astype(np.float64), pad, mode="edge")
+    # integral image local mean
+    ii = np.cumsum(np.cumsum(padded, axis=0), axis=1)
+    ii = np.pad(ii, ((1, 0), (1, 0)))
+    h, w = gray.shape
+    k = block_size
+    s = ii[k:, k:] - ii[:-k, k:] - ii[k:, :-k] + ii[:-k, :-k]
+    local_mean = s[:h, :w] / (k * k)
+    return np.where(gray.astype(np.float64) > local_mean - c, 255, 0).astype(np.uint8)
+
+
+def preprocess_pipeline(img: np.ndarray) -> np.ndarray:
+    """K5: gray → deskew → binarize, fixed order
+    (ref preprocessing_module.py:205-259)."""
+    if not isinstance(img, np.ndarray) or img.ndim not in (2, 3):
+        raise ValueError("preprocess_pipeline expects a 2-D or 3-D ndarray")
+    gray = to_grayscale(img)
+    angle = estimate_skew_angle(gray)
+    rotated = rotate_image(gray, angle, corner_border_white(gray))
+    return binarize_adaptive(rotated)
+
+
+# ---------------------------------------------------------------------------
+# fake detection: horizontal-band proposer with the reference's filters
+# ---------------------------------------------------------------------------
+
+
+def detect_bands(gray: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """Fake DBNet (K7/K8): propose up to DET_MAX_CANDIDATES horizontal bands.
+
+    seg_map = gray/255 (stand-in for the model's probability map).
+    Band rows where the row-mean of (seg_map > DET_DB_THRESH) exceeds 0.5
+    are foreground; contiguous foreground row-runs become boxes (x,y,w,h).
+    Filters preserved from the reference:
+      F3 box-score:  mean seg_map inside the band >= DET_DB_BOX_THRESH
+      F4 min size:   min(w,h) >= DET_MIN_BOX_SIZE
+      F5 cap:        first DET_MAX_CANDIDATES runs in scan order
+    """
+    seg = gray.astype(np.float64) / 255.0
+    fg_rows = (seg > DET_DB_THRESH).mean(axis=1) > 0.5
+    boxes: list[tuple[int, int, int, int]] = []
+    h, w = gray.shape
+    y = 0
+    while y < h and len(boxes) < DET_MAX_CANDIDATES:
+        if not fg_rows[y]:
+            y += 1
+            continue
+        y0 = y
+        while y < h and fg_rows[y]:
+            y += 1
+        band = seg[y0:y, :]
+        mask = band > DET_DB_THRESH
+        # masked mean — the reference scores mean probability under the
+        # contour mask, not over the whole bounding rect (ref :218-220)
+        score = float(band[mask].mean()) if mask.any() else 0.0
+        if score < DET_DB_BOX_THRESH:
+            continue
+        bw, bh = w, y - y0
+        if min(bw, bh) < DET_MIN_BOX_SIZE:
+            continue
+        boxes.append((0, y0, bw, bh))
+    return boxes
+
+
+def block_mean_resize(crop: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """K9/K10 stand-in: resize by block averaging (area interpolation)."""
+    h, w = crop.shape
+    ys = (np.arange(out_h + 1) * h / out_h).astype(np.int64)
+    xs = (np.arange(out_w + 1) * w / out_w).astype(np.int64)
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        row = crop[y0:y1, :].astype(np.float64)
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = row[:, x0:x1].mean()
+    return out
+
+
+def crop_to_logits(gray: np.ndarray, box: tuple[int, int, int, int]) -> np.ndarray:
+    """K10/K11 fake: crop → block-mean resize to (REC_T, C) → centered/scaled
+    'logits'. Deterministic projection standing in for the ONNX rec model."""
+    x, y, w, h = box
+    crop = gray[y : y + h, x : x + w]
+    n_classes = len(CHARSET) + 1
+    resized = block_mean_resize(crop, REC_T, n_classes)
+    return (resized - 128.0) / 16.0
+
+
+def ctc_greedy_decode(logits: np.ndarray) -> tuple[str, float]:
+    """T6: softmax → greedy path → blank/repeat collapse → mean-prob conf
+    (ref local_ocr_engine.py:344-379). Single (T, C) sequence."""
+    blank = len(CHARSET)
+    exp = np.exp(logits - logits.max(axis=1, keepdims=True))
+    probs = exp / exp.sum(axis=1, keepdims=True)
+    idxs = np.argmax(probs, axis=1)
+    chars: list[str] = []
+    confs: list[float] = []
+    last = -1
+    for t, ci in enumerate(idxs):
+        if ci == blank:
+            last = -1
+            continue
+        if ci == last:
+            continue
+        if ci < len(CHARSET):
+            chars.append(CHARSET[ci])
+            confs.append(float(probs[t, ci]))
+        last = int(ci)
+    return "".join(chars), (float(np.mean(confs)) if confs else 0.0)
+
+
+def recognize_image(payload: bytes) -> tuple[str, float]:
+    """Full per-media-span pipeline: K-chain + T6 + K12/A1/A2 assembly.
+
+    Returns (full_text, overall_confidence) with the reference's assembly
+    semantics: error parts excluded from text, conf zeroed for error parts,
+    overall conf = mean of conf>0 parts else 0.0 (ref local_ocr_engine.py:443-464).
+    """
+    img = bytes_to_image(payload)
+    gray = to_grayscale(img)
+    boxes = detect_bands(gray)
+    if not boxes:
+        return "", 0.0
+    parts: list[tuple[str, float]] = []
+    for b in boxes:
+        text, conf = ctc_greedy_decode(crop_to_logits(gray, b))
+        # deterministic failure injection so F7/F8 paths are exercised:
+        # a box whose mean intensity is an exact multiple of 13 "fails".
+        x, y, w, h = b
+        mean_i = int(gray[y : y + h, x : x + w].mean())
+        if mean_i % 13 == 0:
+            text, conf = "Error: Rec Inference Failed", 0.0
+        elif mean_i % 17 == 0:
+            text, conf = "REC_FAIL", 0.0
+        parts.append((text, conf))
+    total, n = 0.0, 0
+    texts = []
+    for text, conf in parts:
+        if text.startswith("Error:") or text == "REC_FAIL":
+            conf = 0.0
+        else:
+            texts.append(text)
+        if conf > 0.0:
+            total += conf
+            n += 1
+    return "\n".join(texts), (total / n) if n else 0.0
+
+
+def media_sha_seed(media_ref: str) -> int:
+    return int.from_bytes(hashlib.sha256(media_ref.encode()).digest()[:8], "big")

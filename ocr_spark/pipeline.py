@@ -1,0 +1,111 @@
+"""The flagship extraction pipeline (SURVEY.md §3.1 Spark restatement).
+
+    read spans table
+      → native per-span text normalization (T1-T5, T7) inside the nested
+        array — F.transform + CASE on kind; no explode, no shuffle, fully
+        whole-stage-codegen'd
+      → ONE mapInPandas stage for the heavy kinds (html boilerplate strip,
+        pdf XY-cut, ocr media kernels) that branches on kind INSIDE the UDF
+        (J1 dispatch, ref ocr_workflow_orchestrator.py:272-294) — avoids one
+        shuffle per kind
+      → span-sequence reassembly (A6): array_sort by offset, per-row
+      → output schema + error envelope
+
+Scale notes (north rule):
+  * Only docs that actually contain heavy kinds enter the Python stage; pure
+    text docs never cross the JVM↔Arrow boundary.
+  * Media-heavy skew (5% of docs carry 256-1024 media spans) is defeated by a
+    salted repartition on xxhash64(doc_id, salt) before the UDF stage —
+    opt-in via `salt_partitions` since it IS a shuffle and only pays for
+    itself when the UDF stage dominates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ocr_spark.functions import text as TX
+
+EXTRACTOR_NAME = "ocr_spark"
+
+HEAVY_KINDS = ("html", "pdf", "ocr", "media")
+
+
+def _process_span(s: Column, rules: Sequence[tuple[str, str]]) -> Column:
+    """Native (codegen) processing for text-bearing spans; heavy kinds pass
+    through untouched for the pandas stage."""
+    new_text = F.when(s["kind"] == "text", TX.extract_text(s["text"], rules)).otherwise(
+        s["text"]
+    )
+    return F.struct(
+        s["kind"].alias("kind"),
+        new_text.alias("text"),
+        s["media_ref"].alias("media_ref"),
+        s["offset"].alias("offset"),
+    )
+
+
+def _sort_spans(col: Column) -> Column:
+    """A6 span-sequence order: stable sort by offset (W2) without exploding."""
+    return F.array_sort(
+        col,
+        lambda l, r: F.when(l["offset"] < r["offset"], F.lit(-1))
+        .when(l["offset"] > r["offset"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
+def has_heavy_spans(col: Column) -> Column:
+    return F.exists(col, lambda s: s["kind"].isin(*HEAVY_KINDS))
+
+
+def extract_documents(
+    df: DataFrame,
+    rules: Sequence[tuple[str, str]] = (),
+    salt_partitions: int | None = None,
+    media_resolver: str = "synthetic",
+) -> DataFrame:
+    """Run the full extraction. Returns OUTPUT_SCHEMA-shaped DataFrame.
+
+    rules: ordered literal replacement pairs (T5), applied to text-bearing
+    output spans after whitespace canonicalization, exactly like the
+    reference postprocessor.
+    """
+    from ocr_spark.operators.dispatch import apply_heavy_kinds
+
+    rules = TX.validate_rules(rules)
+
+    # 1. native text-kind normalization inside the nested array
+    out = df.withColumn("spans", F.transform("spans", lambda s: _process_span(s, rules)))
+
+    # 2. split: docs with heavy spans go through the single pandas stage
+    heavy_flag = has_heavy_spans(F.col("spans"))
+    light = (
+        out.where(~heavy_flag)
+        .withColumn("confidence", F.lit(None).cast("double"))
+        .withColumn("error", F.lit(None).cast("string"))
+        .withColumn("error_source", F.lit(None).cast("string"))
+    )
+    heavy = out.where(heavy_flag)
+
+    if salt_partitions:
+        # defeat media-heavy doc skew: spread docs across partitions by
+        # hashed doc_id (uniform), independent of input file layout
+        heavy = heavy.repartition(salt_partitions, F.xxhash64("doc_id"))
+
+    heavy_done = apply_heavy_kinds(heavy, rules, media_resolver=media_resolver)
+
+    merged = light.unionByName(heavy_done)
+
+    # 3. reassembly: enforce span order per doc, attach extractor
+    return merged.select(
+        "doc_id",
+        _sort_spans(F.col("spans")).alias("spans"),
+        F.col("confidence").cast("double").alias("confidence"),
+        F.lit(EXTRACTOR_NAME).alias("extractor"),
+        "error",
+        "error_source",
+    )
