@@ -1,0 +1,108 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Headline = the flagship span-extraction pipeline over the deterministic
+synthetic interleaved corpus (sized to the sf), plus the heavier operator
+queries from __spark_entry__ over the driver tables. All timed executions
+force full computation via the `noop` sink (no output-write cost, no
+collect-to-driver bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# docs per unit scale-factor for the synthetic interleaved corpus;
+# at sf0.1 → 5000 docs (~5% media-heavy with 256-1024 media spans each)
+DOCS_PER_SF = 50_000
+
+BENCH_ENTRY_QUERIES = [
+    "process_output",
+    "extract_text",
+    "fulltext_assembly",
+    "span_reassembly",
+    "join_broadcast",
+    "exceptall_diff",
+    "window_order",
+    "confidence_mean",
+]
+
+
+def _force(df) -> int:
+    """Force full computation without sink or driver-collect cost."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _corpus_path(n_docs: int) -> str:
+    cache_dir = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/ocr_spark_bench")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"docs_spans_{n_docs}.parquet")
+    if not os.path.exists(path):
+        from ocr_spark.fixtures import write_docs_parquet
+
+        write_docs_parquet(path, n_docs)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_docs = max(200, int(DOCS_PER_SF * sf))
+
+    import __spark_entry__ as E
+    from ocr_spark.pipeline import extract_documents
+    from ocr_spark.session import get_spark
+
+    corpus = _corpus_path(n_docs)
+
+    spark = get_spark("ocr_spark_bench", cpus=cpus)
+    timings: dict[str, float] = {}
+
+    # warm the JVM/Python workers so the first timed query isn't paying startup
+    spark.read.parquet(corpus).limit(8).count()
+
+    # --- headline: flagship extraction over the interleaved corpus ---------
+    docs = spark.read.parquet(corpus)
+    t0 = time.perf_counter()
+    _force(extract_documents(docs, rules=E.RULES, salt_partitions=cpus * 4))
+    extract_sec = time.perf_counter() - t0
+    timings["extract"] = round(extract_sec, 3)
+
+    # --- operator queries over the driver tables ---------------------------
+    qs = E.queries()
+    for name in BENCH_ENTRY_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "extraction_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "docs_per_sec": round(n_docs / extract_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

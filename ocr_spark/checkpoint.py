@@ -1,0 +1,132 @@
+"""Resumable batch protocol: per-partition checkpoint manifests + anti-join
+resume (SURVEY.md §4 "resumability"; north rule: "resumable from checkpoint
+with per-partition lineage + metrics").
+
+Protocol
+--------
+Output is hash-bucketed by doc_id: ``bucket = pmod(xxhash64(doc_id), N)`` and
+written with ``partitionBy('bucket')`` in dynamic-overwrite mode. A bucket is
+COMPLETE iff its manifest JSON exists in ``<out>/_manifests/``. Manifests are
+written only after the Spark write job commits, from a stats scan of the
+data actually on disk — so a crash mid-write leaves partial bucket dirs
+*without* manifests, and the next run simply rewrites those buckets
+(dynamic overwrite replaces partial data; no dups, no loss, at-least-once).
+
+Resume = left_anti join of the input against the completed-bucket manifest
+frame (J3, SURVEY.md §2.3) — Spark broadcasts the tiny manifest side.
+
+Each manifest carries lineage + metrics: run id, bucket, doc counts, error
+counts, doc_id range, wall seconds and docs/sec for its run — the
+per-partition observability the north rule asks for.
+
+At 100 TB: N buckets is chosen so one bucket ≈ a few hundred GB (e.g. 4096);
+manifests stay a driver-trivial 4096 small JSON files, and a resume after a
+partial cluster loss re-reads nothing but the missing buckets' inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_SUBDIR = "_manifests"
+
+
+def bucket_col(n_buckets: int):
+    return F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+
+
+def completed_buckets(out_dir: str) -> list[dict]:
+    mdir = os.path.join(out_dir, MANIFEST_SUBDIR)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for fn in sorted(os.listdir(mdir)):
+        if fn.endswith(".json"):
+            with open(os.path.join(mdir, fn)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def remaining_input(spark: SparkSession, docs: DataFrame, out_dir: str, n_buckets: int) -> DataFrame:
+    """Anti-join the input against completed buckets (broadcast, no shuffle
+    of the big side beyond the bucket hash already needed for the write)."""
+    done = completed_buckets(out_dir)
+    with_bucket = docs.withColumn("bucket", bucket_col(n_buckets))
+    if not done:
+        return with_bucket
+    done_df = spark.createDataFrame(
+        [(int(m["bucket"]),) for m in done], "bucket int"
+    )
+    return with_bucket.join(F.broadcast(done_df), "bucket", "left_anti")
+
+
+def run_resumable(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    run_id: str = "run-0",
+    extract=None,
+) -> dict:
+    """Execute `extract` (df -> OUTPUT_SCHEMA df) over the not-yet-complete
+    buckets and commit data + manifests. Returns run stats."""
+    from ocr_spark.pipeline import extract_documents
+
+    extract = extract or (lambda d: extract_documents(d))
+
+    todo = remaining_input(spark, docs, out_dir, n_buckets)
+    t0 = time.perf_counter()
+
+    result = extract(todo.drop("bucket")).withColumn("bucket", bucket_col(n_buckets))
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    result.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+    wall = time.perf_counter() - t0
+
+    # stats scan over what is actually on disk, restricted to buckets we wrote
+    already = {int(m["bucket"]) for m in completed_buckets(out_dir)}
+    written = spark.read.parquet(out_dir)
+    stats = (
+        written.where(~F.col("bucket").isin(sorted(already)) if already else F.lit(True))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .collect()
+    )
+
+    mdir = os.path.join(out_dir, MANIFEST_SUBDIR)
+    os.makedirs(mdir, exist_ok=True)
+    total_docs = sum(r["n_docs"] for r in stats) or 1
+    for r in stats:
+        manifest = {
+            "bucket": int(r["bucket"]),
+            "run_id": run_id,
+            "n_docs": int(r["n_docs"]),
+            "n_errors": int(r["n_errors"]),
+            "min_doc_id": r["min_doc_id"],
+            "max_doc_id": r["max_doc_id"],
+            "wall_sec_run": round(wall, 3),
+            "docs_per_sec_run": round(total_docs / wall, 2),
+        }
+        tmp = os.path.join(mdir, f".bucket-{manifest['bucket']:05d}.json.tmp")
+        dst = os.path.join(mdir, f"bucket-{manifest['bucket']:05d}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, dst)  # atomic manifest commit
+
+    return {
+        "run_id": run_id,
+        "buckets_written": [int(r["bucket"]) for r in stats],
+        "n_docs": int(sum(r["n_docs"] for r in stats)),
+        "n_errors": int(sum(r["n_errors"] for r in stats)),
+        "wall_sec": round(wall, 3),
+    }

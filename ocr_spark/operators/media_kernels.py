@@ -209,18 +209,23 @@ def detect_bands(gray: np.ndarray) -> list[tuple[int, int, int, int]]:
 
 
 def block_mean_resize(crop: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """K9/K10 stand-in: resize by block averaging (area interpolation)."""
+    """K9/K10 stand-in: resize by block averaging (area interpolation).
+
+    Fully vectorized (np.add.reduceat over both axes) — this sits on the
+    per-span hot path, so no Python-level loops. Semantics: cell (i,j) is the
+    mean of crop[ys[i]:max(ys[i+1],ys[i]+1), xs[j]:max(xs[j+1],xs[j]+1)] with
+    ys/xs = floor(k*len/out) — identical to the loop formulation (reduceat
+    with idx[i] >= idx[i+1] yields exactly arr[idx[i]], the single-row case).
+    """
     h, w = crop.shape
-    ys = (np.arange(out_h + 1) * h / out_h).astype(np.int64)
-    xs = (np.arange(out_w + 1) * w / out_w).astype(np.int64)
-    out = np.empty((out_h, out_w), dtype=np.float64)
-    for i in range(out_h):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        row = crop[y0:y1, :].astype(np.float64)
-        for j in range(out_w):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            out[i, j] = row[:, x0:x1].mean()
-    return out
+    ys = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
+    c = crop.astype(np.float64)
+    row_sum = np.add.reduceat(c, ys[:-1], axis=0)
+    cell_sum = np.add.reduceat(row_sum, xs[:-1], axis=1)
+    dy = np.maximum(ys[1:] - ys[:-1], 1).astype(np.float64)
+    dx = np.maximum(xs[1:] - xs[:-1], 1).astype(np.float64)
+    return cell_sum / np.outer(dy, dx)
 
 
 def crop_to_logits(gray: np.ndarray, box: tuple[int, int, int, int]) -> np.ndarray:

@@ -1,0 +1,85 @@
+"""Resume protocol test (SURVEY.md §5.2 item: kill after partial write,
+restart, assert no dup/no loss via manifest anti-join)."""
+
+import os
+import shutil
+
+import pytest
+
+from ocr_spark.checkpoint import completed_buckets, remaining_input, run_resumable
+from ocr_spark.fixtures import generate_docs
+from ocr_spark.schema import DOC_SCHEMA
+
+N_DOCS = 60
+N_BUCKETS = 8
+
+
+@pytest.fixture()
+def docs_df(spark):
+    return spark.createDataFrame(generate_docs(N_DOCS), DOC_SCHEMA)
+
+
+def test_full_run_then_resume_noop(spark, docs_df, tmp_path):
+    out = str(tmp_path / "out")
+    stats = run_resumable(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    assert stats["n_docs"] == N_DOCS
+    assert len(completed_buckets(out)) == len(stats["buckets_written"])
+
+    # all buckets complete → resume processes nothing
+    todo = remaining_input(spark, docs_df, out, N_BUCKETS)
+    assert todo.count() == 0
+
+    stats2 = run_resumable(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r2")
+    assert stats2["n_docs"] == 0
+
+    final = spark.read.parquet(out)
+    assert final.count() == N_DOCS
+    assert final.select("doc_id").distinct().count() == N_DOCS
+
+
+def test_crash_resume_no_dup_no_loss(spark, docs_df, tmp_path):
+    out = str(tmp_path / "out")
+    run_resumable(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    golden = {
+        (r["doc_id"], tuple((s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]))
+        for r in spark.read.parquet(out).collect()
+    }
+
+    # simulate a crash: two buckets lose their manifest, one of them also has
+    # partial (truncated) data on disk
+    manifests = sorted(os.listdir(os.path.join(out, "_manifests")))
+    victims = [int(m.split("-")[1].split(".")[0]) for m in manifests[:2]]
+    for b in victims:
+        os.remove(os.path.join(out, "_manifests", f"bucket-{b:05d}.json"))
+    part_dir = os.path.join(out, f"bucket={victims[0]}")
+    # truncate: delete the data files of one victim bucket entirely
+    shutil.rmtree(part_dir)
+
+    # resume must process exactly the two victim buckets
+    todo = remaining_input(spark, docs_df, out, N_BUCKETS)
+    todo_buckets = {r["bucket"] for r in todo.select("bucket").distinct().collect()}
+    assert todo_buckets == set(victims)
+
+    stats = run_resumable(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r2")
+    assert set(stats["buckets_written"]) == set(victims)
+
+    final = spark.read.parquet(out)
+    assert final.count() == N_DOCS  # no loss
+    assert final.select("doc_id").distinct().count() == N_DOCS  # no dups
+    got = {
+        (r["doc_id"], tuple((s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]))
+        for r in final.collect()
+    }
+    assert got == golden  # bit-identical content after resume
+
+
+def test_manifest_lineage_fields(spark, docs_df, tmp_path):
+    out = str(tmp_path / "out")
+    run_resumable(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="runX")
+    for m in completed_buckets(out):
+        assert m["run_id"] == "runX"
+        assert m["n_docs"] > 0
+        assert m["n_errors"] == 0
+        assert m["min_doc_id"] <= m["max_doc_id"]
+        assert m["wall_sec_run"] > 0
+        assert m["docs_per_sec_run"] > 0
