@@ -230,6 +230,123 @@ def q_segment_counts(spark, sf_dir):
     return e.groupBy("event_type").agg(F.count("*").alias("n_segments"))
 
 
+# --- training-data pipeline operators (task directive) ----------------------
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex."""
+    from ocr_spark.operators import text_analysis as TA
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        TA.ws_token_count(F.col("text")).alias("ws_tokens"),
+        TA.bpe_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Document quality heuristics (alpha/punct/stopword ratios)."""
+    from ocr_spark.operators import text_analysis as TA
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TA.quality_score(F.col("text")).alias("quality")
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Language ID via stopword-marker counts, deterministic tie-break."""
+    from ocr_spark.operators import text_analysis as TA
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TA.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    """Canonical document fingerprint (md5 of normalized text)."""
+    from ocr_spark.operators import text_analysis as TA
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", TA.fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: keep min-doc_id per fingerprint."""
+    from ocr_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id", "fp")
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (threshold 0.3 so the synthetic corpus
+    yields a non-trivial result set)."""
+    from ocr_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def q_simhash(spark, sf_dir):
+    """32-bit SimHash signatures (cross-engine md5-derived token hashes)."""
+    from ocr_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole chunk join; the oracle is the
+    O(n²) brute force — equality proves the chunked LSH join is lossless."""
+    from ocr_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def _query_vec() -> list[float]:
+    """Deterministic query vector: embeddings row vec_id=0 at sf0.01 (the
+    oracle sf), shared as literals by BOTH engines."""
+    global _QV
+    try:
+        return _QV
+    except NameError:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        d = {int(i): list(map(float, e)) for i, e in zip(tbl["vec_id"].to_pylist()[:5], tbl["embedding"].to_pylist()[:5])}
+        _QV = [round(x, 6) for x in d[0]]
+        return _QV
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (xxhash64 family — no DuckDB twin,
+    rows-only check; the jaccard/simhash oracles cover the same semantics)."""
+    from ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dups via sign-LSH buckets + exact cosine."""
+    from ocr_spark.operators.similarity import embedding_near_dups
+
+    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.2)
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k (similarity-search baseline)."""
+    from ocr_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), _query_vec(), k=10)
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed approximate top-k (similarity scale path)."""
+    from ocr_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(_t(spark, sf_dir, "embeddings"), _query_vec(), k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "clean_whitespace": q_clean_whitespace,
@@ -248,6 +365,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_anti_resume": q_left_anti_resume,
         "exceptall_diff": q_exceptall_diff,
         "segment_counts": q_segment_counts,
+        "token_counts": q_token_counts,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk": q_cosine_topk,
+        "lsh_topk": q_lsh_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -314,4 +443,63 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 10"
         ),
         "segment_counts": "SELECT event_type, count(*) AS n_segments FROM events GROUP BY event_type",
+        **_training_oracles(),
     }
+
+
+def _training_oracles() -> dict[str, str]:
+    from ocr_spark.operators import text_analysis as TA
+    from ocr_spark.operators.dedup import exact_dedup_sql, jaccard_pairs_sql, simhash_sql
+    from ocr_spark.operators.similarity import cosine_topk_sql, lsh_topk_sql
+
+    return {
+        "token_counts": (
+            f"SELECT doc_id, {TA.ws_token_count_sql('text')} AS ws_tokens, "
+            f"{TA.bpe_token_count_sql('text')} AS bpe_tokens FROM documents"
+        ),
+        "quality_score": (
+            f"SELECT doc_id, {TA.quality_score_sql('text')} AS quality FROM documents"
+        ),
+        "lang_id": f"SELECT doc_id, {TA.lang_id_sql('text')} AS lang_pred FROM documents",
+        "fingerprint": f"SELECT doc_id, {TA.fingerprint_sql('text')} AS fp FROM documents",
+        "dedup_exact": f"SELECT doc_id, fp FROM ({exact_dedup_sql()})",
+        "jaccard_pairs": jaccard_pairs_sql(threshold=0.3),
+        "simhash": f"SELECT id, simhash FROM ({simhash_sql()})",
+        "simhash_pairs": (
+            # brute-force O(n²) hamming — proves the engine's pigeonhole
+            # chunk join loses no pairs
+            f"WITH sig AS ({simhash_sql()}) "
+            f"SELECT a.id AS id_a, b.id AS id_b, "
+            f"bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming "
+            f"FROM sig a JOIN sig b ON a.id < b.id "
+            f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"
+        ),
+        "cosine_topk": cosine_topk_sql(_query_vec(), k=10),
+        "lsh_topk": lsh_topk_sql(_query_vec(), k=10),
+        "embedding_near_dups": _embedding_near_dups_sql(threshold=0.2),
+    }
+
+
+def _embedding_near_dups_sql(threshold: float, n_planes: int = 8) -> str:
+    from ocr_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(n_planes)
+
+    def lit(arr):
+        return "[" + ", ".join(f"{float(x)!r}" for x in arr) + "]::DOUBLE[]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return (
+        f"WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, ({bucket}) AS bucket "
+        f"FROM embeddings) "
+        f"SELECT a.id AS id_a, bb.id AS id_b, "
+        f"round(list_dot_product(a.v, bb.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+        f"sqrt(list_dot_product(bb.v, bb.v))), 6) AS cos_sim "
+        f"FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id "
+        f"WHERE round(list_dot_product(a.v, bb.v) / (sqrt(list_dot_product(a.v, a.v)) * "
+        f"sqrt(list_dot_product(bb.v, bb.v))), 6) >= {threshold}"
+    )

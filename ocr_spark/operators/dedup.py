@@ -1,0 +1,318 @@
+"""Deduplication operators for web-scale training corpora (task directive):
+exact (fingerprint groupBy), n-gram Jaccard near-dup pairs, MinHash+LSH,
+SimHash hamming candidates. Spark-first — every stage is DataFrame built-ins;
+no Python in any hot path.
+
+Scale notes (100 TB / 10^12 docs):
+  * Exact dedup: one shuffle on the 16-byte fingerprint; AQE coalesces.
+  * Shingle self-joins are quadratic per shingle — the `shingle_freq_cap`
+    drops ultra-common shingles (stopword runs) which would otherwise create
+    skewed join keys; that is the salting story for this operator.
+  * MinHash: K independent min-aggregations (map-side partial agg, one
+    shuffle); LSH banding turns the O(n²) pair space into per-band buckets;
+    a second exact-Jaccard pass verifies candidates (no false positives).
+  * All hashes are the cross-engine h32 (md5-derived) or xxhash64 with an
+    explicit seed, so results are deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.text_analysis import fingerprint, h32
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per normalized-text fingerprint."""
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def exact_dedup_sql(text_expr: str = "text", id_col: str = "doc_id") -> str:
+    from ocr_spark.operators.text_analysis import fingerprint_sql
+
+    fp = fingerprint_sql(text_expr)
+    return (
+        f"SELECT * EXCLUDE (rn) FROM (SELECT *, {fp} AS fp, "
+        f"row_number() OVER (PARTITION BY {fp} ORDER BY {id_col}) AS rn "
+        f"FROM documents) WHERE rn = 1"
+    )
+
+
+# ---------------------------------------------------------------------------
+# word shingles (shared by jaccard / minhash)
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). Pure built-ins:
+    split → transform over index range → explode → distinct."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(
+            F.when(k > 0, grams).otherwise(F.array())
+        ).alias("shingle")).distinct()
+    )
+
+
+def _shingles_sql(n: int = 3, text_expr: str = "text", id_col: str = "doc_id") -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return (
+        f"SELECT DISTINCT {id_col} AS id, unnest(grams) AS shingle FROM ("
+        f"SELECT {id_col}, list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1), "
+        f"i -> {gram}) AS grams FROM ("
+        f"SELECT {id_col}, list_filter(regexp_split_to_array(lower({text_expr}), "
+        f"'[^a-z0-9]+'), x -> x <> '') AS w FROM documents))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    shingle_freq_cap: int | None = 1000,
+) -> DataFrame:
+    """All doc pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    shingle_freq_cap drops shingles appearing in more than that many docs —
+    the skew guard: one viral shingle otherwise yields cap² join rows.
+    """
+    sh = shingles(docs, n=n)
+    if shingle_freq_cap:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            F.broadcast(freq.where(F.col("df") > shingle_freq_cap)),
+            "shingle",
+            "left_anti",
+        )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs_sql(threshold: float = 0.8, n: int = 3, shingle_freq_cap: int | None = 1000) -> str:
+    cap_clause = (
+        f"WHERE shingle NOT IN (SELECT shingle FROM sh GROUP BY shingle "
+        f"HAVING count(*) > {shingle_freq_cap})"
+        if shingle_freq_cap
+        else ""
+    )
+    return f"""
+WITH sh AS ({_shingles_sql(n)}),
+shc AS (SELECT * FROM sh {cap_clause}),
+sizes AS (SELECT id, count(*) AS sz FROM shc GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT id_a, id_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.id JOIN sizes sb ON id_b = sb.id
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, k: int = 32, n: int = 3) -> DataFrame:
+    """(id, sig:array<bigint>) — k min-hash values over word shingles.
+    Hash family: xxhash64(shingle, seed=i); k min-aggs = one shuffle with
+    map-side partial aggregation."""
+    sh = shingles(docs, n=n)
+    mins = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(k)]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, verified by signature-estimated
+    Jaccard (fraction of equal minhashes) >= threshold.
+
+    bands×rows = k; a pair lands in a bucket iff one full band matches.
+    """
+    rows = k // bands
+    sig = minhash_signatures(docs, k=k, n=n)
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(*[F.element_at("sig", bi * rows + r + 1) for r in range(rows)]).alias("bh"),
+                )
+                for bi in range(bands)
+            ]
+        )
+    ).alias("bb")
+    buckets = sig.select("id", "sig", band_cols).select(
+        "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(k))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit from two md5-derived 32-bit halves — cross-engine exact)
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(id, simhash:bigint) — per-bit majority vote over token h32 hashes.
+
+    bits<=32 keeps the cross-engine md5 hash exact; one explode + one
+    groupBy(sum) shuffle; the per-bit sums are a single array aggregate.
+    """
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
+    )
+    tok = docs.select(F.col(id_col).alias("id"), F.explode(tokens).alias("t"))
+    h = h32(F.col("t"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else (sig + bit)
+    return agg.select("id", sig.alias("simhash"))
+
+
+def simhash_sql(bits: int = 32, id_col: str = "doc_id", text_expr: str = "text") -> str:
+    from ocr_spark.operators.text_analysis import h32_sql
+
+    h = h32_sql("t")
+    votes = ", ".join(
+        f"sum(CASE WHEN (({h} >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN b{i} > 0 THEN {2 ** i}::BIGINT ELSE 0 END" for i in range(bits))
+    return (
+        f"SELECT id, ({sig}) AS simhash FROM ("
+        f"SELECT id, {votes} FROM ("
+        f"SELECT {id_col} AS id, unnest(list_filter(regexp_split_to_array("
+        f"lower({text_expr}), '[^a-z0-9]+'), x -> x <> '')) AS t FROM documents) "
+        f"GROUP BY id)"
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+    """Near-dup candidates: split the signature into (max_hamming+1) chunks —
+    any pair within hamming distance must share one exact chunk (pigeonhole);
+    equi-join per chunk, then verify with bit_count(xor)."""
+    n_chunks = max_hamming + 1
+    sig = simhash(docs, bits=bits)
+    # chunk sizes partition ALL bits (pigeonhole requires full coverage):
+    # first (bits % n_chunks) chunks get one extra bit
+    base, extra = divmod(bits, n_chunks)
+    starts, sizes, pos = [], [], 0
+    for ci in range(n_chunks):
+        sz = base + (1 if ci < extra else 0)
+        starts.append(pos)
+        sizes.append(sz)
+        pos += sz
+    chunks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(ci).alias("chunk"),
+                    F.shiftright(F.col("simhash"), starts[ci])
+                    .bitwiseAND(F.lit((1 << sizes[ci]) - 1))
+                    .alias("cv"),
+                )
+                for ci in range(n_chunks)
+            ]
+        )
+    ).alias("cc")
+    keyed = sig.select("id", "simhash", chunks).select(
+        "id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

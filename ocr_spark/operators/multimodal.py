@@ -1,0 +1,148 @@
+"""Multimodal (image/audio/video) column handling (task directive).
+
+Media are opaque `binary` columns with typed metadata. The Spark-side
+plumbing — schema, Arrow batch shape, partitioning, UDF signatures — is real
+and tested; actual codec decode is STUBBED (no image/audio libs in this
+container): `decode_image`/`decode_audio` raise NotImplementedError for real
+codecs and fall back to the deterministic synthetic decoder for the
+`media://` refs the fixture corpus uses.
+
+Operators:
+  media_assets_df   — (media_ref, media_type, content, meta) from the spans
+                      table, payloads resolved executor-side.
+  image_features    — mapInPandas: decode → grayscale stats + band count
+                      (reuses the real numpy kernels) as typed columns.
+  frame_sample      — video stub: deterministic frame offsets (plumbing only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("codec", T.StringType(), True),
+    ]
+)
+
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+        T.StructField("std_intensity", T.DoubleType(), True),
+        T.StructField("n_bands", T.IntegerType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def decode_image(content: bytes, codec: str = "synthetic") -> np.ndarray:
+    """Decode a binary payload to an ndarray. Real codecs are stubbed —
+    the container has no image libraries; the seam is the function contract."""
+    if codec == "synthetic":
+        from ocr_spark.operators.media_kernels import bytes_to_image
+
+        return bytes_to_image(content)
+    raise NotImplementedError(
+        f"codec {codec!r}: real decode requires an image library not present "
+        "in this container; wire Pillow/libvips here in production"
+    )
+
+
+def decode_audio(content: bytes, codec: str = "pcm") -> np.ndarray:
+    raise NotImplementedError(
+        "audio decode requires an audio library not present in this container"
+    )
+
+
+def media_assets_df(docs: DataFrame, backend: str = "synthetic") -> DataFrame:
+    """Distinct media assets referenced by a spans table, payload resolved
+    inside an Arrow-batched stage (never on the driver)."""
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .where(F.col("s.media_ref").isNotNull())
+        .select(F.col("s.media_ref").alias("media_ref"), F.col("s.kind").alias("media_type"))
+        .distinct()
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.sources.media import resolve_batch
+
+        for pdf in batches:
+            payloads = resolve_batch(list(pdf["media_ref"]), backend)
+            metas = [
+                {"width": 32, "height": 32, "n_bytes": len(p or b""), "codec": "synthetic"}
+                for p in payloads
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "content": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return refs.mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+def image_features(assets: DataFrame) -> DataFrame:
+    """Decode + feature-extract per asset (vectorized batch; per-asset error
+    envelope instead of batch death)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.operators.media_kernels import detect_bands, to_grayscale
+
+        for pdf in batches:
+            out = {k.name: [] for k in FEATURE_SCHEMA.fields}
+            for ref, content, meta in zip(pdf["media_ref"], pdf["content"], pdf["meta"]):
+                row = dict(
+                    media_ref=ref, width=None, height=None, mean_intensity=None,
+                    std_intensity=None, n_bands=None, error=None,
+                )
+                try:
+                    img = decode_image(content, (meta or {}).get("codec", "synthetic"))
+                    gray = to_grayscale(img)
+                    row.update(
+                        width=int(gray.shape[1]),
+                        height=int(gray.shape[0]),
+                        mean_intensity=float(gray.mean()),
+                        std_intensity=float(gray.std()),
+                        n_bands=len(detect_bands(gray)),
+                    )
+                except Exception as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(gen, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling stub: emits deterministic frame indices per asset
+    (real decoder not present). Plumbing: one row per sampled frame."""
+    return assets.select(
+        "media_ref",
+        F.explode(F.sequence(F.lit(0), F.lit(every_n * 3), F.lit(every_n))).alias("frame_idx"),
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (task directive): brute-force
+cosine top-k baseline + LSH-bucketed (random hyperplane) scale path.
+
+Spark-first: dot products via F.zip_with/F.aggregate (JVM codegen, no UDF);
+hyperplanes are deterministic literal arrays (seeded numpy on the driver),
+so both the Spark plan and the DuckDB oracle use the exact same planes.
+
+Scale notes: brute-force is a broadcast of the query vector into a narrow
+map — linear scan, no shuffle, fine as the exactness baseline at any scale
+fan-out. The hyperplane variant buckets the corpus once (one narrow map +
+one shuffle for the bucket join) and only scores within matching buckets —
+the standard sign-LSH trade: recall < 1, cost ~ corpus/2^planes per bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMB_DIM = 64  # driver embeddings table dimension (validated at runtime)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k by cosine to a literal query vector."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def cosine_topk_sql(query_vec: list[float], k: int = 10) -> str:
+    q = "[" + ", ".join(f"{float(v)!r}" for v in query_vec) + "]::DOUBLE[]"
+    return (
+        f"SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], {q}) / "
+        f"(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
+        f"sqrt(list_dot_product({q}, {q}))), 6) AS cos_sim "
+        f"FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT {k}"
+    )
+
+
+def hyperplanes(n_planes: int = 8, dim: int = EMB_DIM, seed: int = 7) -> np.ndarray:
+    """Deterministic random hyperplanes shared by engine and oracle."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6)
+
+
+def lsh_bucket_expr(vec_col, planes: np.ndarray):
+    """Sign-LSH bucket id: bit i = (v · plane_i > 0)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (_dot(vec_col, lit_plane) > 0).cast("long") * F.lit(2 ** i).cast("long")
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket."""
+    planes = hyperplanes(n_planes, dim=len(query_vec))
+    qv = np.array(query_vec, dtype=np.float64)
+    q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
+    v = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.withColumn("bucket", lsh_bucket_expr(v, planes))
+        .where(F.col("bucket") == q_bucket)
+        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def lsh_topk_sql(query_vec: list[float], k: int = 10, n_planes: int = 8) -> str:
+    planes = hyperplanes(n_planes, dim=len(query_vec))
+    qv = np.array(query_vec, dtype=np.float64)
+    q_bucket = int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
+
+    def lit(arr):
+        return "[" + ", ".join(f"{float(x)!r}" for x in arr) + "]::DOUBLE[]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    q = lit(query_vec)
+    return (
+        f"SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], {q}) / "
+        f"(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
+        f"sqrt(list_dot_product({q}, {q}))), 6) AS cos_sim "
+        f"FROM embeddings WHERE ({bucket}) = {q_bucket} "
+        f"ORDER BY cos_sim DESC, vec_id LIMIT {k}"
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: bucket by sign-LSH, exact cosine
+    within buckets (the near-dup variant of lsh_topk; one shuffle)."""
+    planes = hyperplanes(n_planes, dim=EMB_DIM)
+    v = F.col(vec_col).cast("array<double>")
+    bucketed = emb.select(
+        F.col(id_col).alias("id"), v.alias("v"), lsh_bucket_expr(v, planes).alias("bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

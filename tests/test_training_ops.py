@@ -1,0 +1,164 @@
+"""Tests for the training-data pipeline operators: dedup family, similarity
+search, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DOC_ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 1
+    (3, "completely different text about spark catalyst optimizer and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (5, "El veloz zorro marrón salta sobre el perro perezoso junto al río"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.createDataFrame(DOC_ROWS, "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    return df
+
+
+def test_exact_dedup(spark, docs):
+    from ocr_spark.operators.dedup import exact_dedup
+
+    kept = exact_dedup(docs).select("doc_id").orderBy("doc_id").collect()
+    ids = [r.doc_id for r in kept]
+    assert 1 in ids and 4 not in ids  # doc 4 is an exact dup of doc 1
+    assert set(ids) == {1, 2, 3, 5}
+
+
+def test_jaccard_pairs_finds_near_dup(spark, docs):
+    from ocr_spark.operators.dedup import jaccard_pairs
+
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs or (1, 4) in pairs
+    assert pairs[(1, 4)] == 1.0  # exact dup → jaccard 1
+    assert not any({a, b} == {1, 3} for a, b in pairs)
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    from ocr_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r.id_a, r.id_b): r.est_jaccard for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert not any({a, b} == {1, 5} for a, b in pairs)
+
+
+def test_simhash_near_pairs_matches_bruteforce(spark, docs):
+    from ocr_spark.operators.dedup import simhash, simhash_near_pairs
+
+    sig = {r.id: r.simhash for r in simhash(docs).collect()}
+    brute = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 6
+    }
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(docs, max_hamming=6).collect()}
+    assert got == brute  # pigeonhole chunk join is lossless
+    assert (1, 4) in got and got[(1, 4)] == 0
+
+
+def test_cosine_topk_matches_numpy(spark):
+    from ocr_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    q = vecs[7].astype(float).tolist()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = [r.vec_id for r in cosine_topk(df, q, k=5).collect()]
+    sims = vecs.astype(np.float64) @ np.array(q)
+    sims = sims / (np.linalg.norm(vecs.astype(np.float64), axis=1) * np.linalg.norm(q))
+    expected = list(np.argsort(-np.round(sims, 6), kind="stable")[:5])
+    assert got[0] == 7  # self is most similar
+    assert got == [int(x) for x in expected]
+
+
+def test_lsh_topk_returns_bucket_subset_exact_scores(spark):
+    from ocr_spark.operators.similarity import cosine_topk, lsh_topk
+
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((200, 64))
+    q = vecs[11].tolist()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    approx = {r.vec_id: r.cos_sim for r in lsh_topk(df, q, k=10).collect()}
+    exact = {r.vec_id: r.cos_sim for r in cosine_topk(df, q, k=200).collect()}
+    assert 11 in approx  # query's own vector shares its bucket
+    for vid, s in approx.items():
+        assert exact[vid] == pytest.approx(s, abs=2e-6)  # scores are exact cosines
+
+
+def test_text_analysis_edges(spark):
+    from ocr_spark.operators import text_analysis as TA
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one"), (4, "der die und das ist nicht mit haus")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            TA.ws_token_count(F.col("text")).alias("ws"),
+            TA.bpe_token_count(F.col("text")).alias("bpe"),
+            TA.lang_id(F.col("text")).alias("lang"),
+            TA.quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert rows[1].ws == 0 and rows[2].ws == 0 and rows[3].ws == 1
+    assert rows[4].lang == "de"
+    assert rows[3].lang == "und"
+    assert 0.0 <= rows[4].q <= 1.0
+
+
+def test_multimodal_plumbing(spark):
+    from ocr_spark.fixtures import generate_docs
+    from ocr_spark.operators.multimodal import (
+        decode_audio,
+        decode_image,
+        frame_sample,
+        image_features,
+        media_assets_df,
+    )
+    from ocr_spark.schema import DOC_SCHEMA
+
+    docs = spark.createDataFrame(generate_docs(30), DOC_SCHEMA)
+    assets = media_assets_df(docs)
+    a = assets.collect()
+    assert len(a) > 5
+    assert all(r.content is not None and r.meta.n_bytes == 1024 for r in a)
+
+    feats = image_features(assets).collect()
+    assert len(feats) == len(a)
+    ok = [f for f in feats if f.error is None]
+    assert len(ok) == len(feats)
+    assert all(f.width == 32 and f.height == 32 and f.n_bands >= 0 for f in ok)
+    assert all(0.0 <= f.mean_intensity <= 255.0 for f in ok)
+
+    frames = frame_sample(assets.limit(3), every_n=5)
+    assert frames.count() == 3 * 4
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00" * 2048, codec="jpeg")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"\x00")
+
+
+def test_shingle_freq_cap_drops_viral_shingles(spark):
+    from ocr_spark.operators.dedup import jaccard_pairs
+
+    # every doc shares one viral phrase; cap=3 drops its shingles so the
+    # unrelated docs don't pair up
+    rows = [(i, f"common viral phrase here plus unique token{i} tail{i} end{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = jaccard_pairs(df, threshold=0.3, shingle_freq_cap=3).collect()
+    assert pairs == []
