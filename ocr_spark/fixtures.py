@@ -157,11 +157,14 @@ def _arrow_table(docs: list[dict]) -> pa.Table:
     )
 
 
-def write_docs_parquet(path: str, n_docs: int, seed: int = SEED, row_group_docs: int = 2000) -> str:
+def write_docs_parquet(path: str, n_docs: int, seed: int = SEED, row_group_docs: int = 250) -> str:
     """Write the synthetic corpus as parquet (Iceberg-layout stand-in).
 
     Bounded memory: generate + write in chunks so bench-scale corpora don't
-    materialize fully on the driver.
+    materialize fully on the driver. Row groups are kept small (250 docs) so
+    Spark's byte-ranged split planning can parallelize the scan even for a
+    single small file — a 2000-doc row group capped scan parallelism at ~10
+    tasks and serialized the shuffle-write side of the salted repartition.
     """
     writer = None
     try:

@@ -53,6 +53,10 @@ HEAVY = ("html", "pdf", "ocr", "media")
 MEDIA_KINDS = ("ocr", "media")
 
 
+_SQUEEZE = re.compile(r"[ \t]+")
+_BLANKS = re.compile(r"\n{2,}")
+
+
 def _postprocess_text(text: str, rules) -> str:
     """Reference postprocessor on extracted heavy-kind text: clean whitespace
     then ordered rules (ref postprocessing_module.py:130-146). Runs on the
@@ -60,11 +64,26 @@ def _postprocess_text(text: str, rules) -> str:
     path uses the native-expression twin in functions/text.py."""
     t = text.replace("\r\n", "\n").replace("\r", "\n")
     t = t.strip()
-    t = re.sub(r"[ \t]+", " ", t)
-    t = re.sub(r"\n{2,}", "\n", t)
+    t = _SQUEEZE.sub(" ", t)
+    t = _BLANKS.sub("\n", t)
     for find, repl in rules:
         t = t.replace(find, repl)
     return t
+
+
+def _postprocess_array(arr: pa.Array, rules) -> pa.Array:
+    """Arrow-compute twin of _postprocess_text over a whole string array —
+    the media-span outputs are ASCII ([a-z \\n] + injected markers), where
+    RE2 and Python `re` agree on these patterns; equality with the scalar
+    path is asserted in tests/test_heavy_operators.py."""
+    a = pc.replace_substring(arr, pattern="\r\n", replacement="\n")
+    a = pc.replace_substring(a, pattern="\r", replacement="\n")
+    a = pc.utf8_trim_whitespace(a)
+    a = pc.replace_substring_regex(a, pattern=r"[ \t]+", replacement=" ")
+    a = pc.replace_substring_regex(a, pattern=r"\n{2,}", replacement="\n")
+    for find, repl in rules:
+        a = pc.replace_substring(a, pattern=find, replacement=repl)
+    return a
 
 
 def _process_batch(batch: pa.RecordBatch, rules, backend: str) -> pa.RecordBatch:
@@ -130,8 +149,8 @@ def _process_batch(batch: pa.RecordBatch, rules, backend: str) -> pa.RecordBatch
                 record_error(int(doc_of_span[m_idx[j]]), e, kinds_m[j])
         texts_m, confs_m = recognize_gray_batch(grays[ok])
         good_pos = m_idx[ok]
-        for pos, t in zip(good_pos, texts_m):
-            repl[pos] = _postprocess_text(t, rules)
+        processed = _postprocess_array(pa.array(texts_m, type=pa.string()), rules)
+        repl[good_pos] = np.asarray(processed.to_pylist(), dtype=object)
         replaced[good_pos] = True
         # A2 contributions, vectorized per doc
         docs_m = doc_of_span[good_pos]

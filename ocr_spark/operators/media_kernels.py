@@ -349,13 +349,19 @@ def _recognize_gray_chunk(grays: np.ndarray) -> tuple[list[str], np.ndarray]:
     n_img = grays.shape[0]
     if n_img == 0:
         return [], np.empty(0, dtype=np.float64)
-    g = grays.astype(np.float64)  # exact integer values
-    seg = g / 255.0
+    # Integer-domain everywhere until the final small per-band arrays: the
+    # uint8→float64 image copy tripled this kernel's memory traffic and the
+    # 32-core aggregate is bandwidth-bound (see _REC_CHUNK note). All sums
+    # below are exact integers, so results match the float64 formulation.
     # seg > 0.3 ⇔ integer pixel ≥ 77 — same mask, no float compare pass
     fgmask = grays >= int(np.floor(DET_DB_THRESH * 255.0)) + 1
 
     # --- band detection (K7/K8 fake, filters F2-F5) -------------------------
-    fg_rows = fgmask.mean(axis=2) > 0.5  # (N, 32)
+    # masked per-row sums/counts (uint8 multiply, int64 accumulate — exact)
+    mrow_sum = np.sum(grays * fgmask, axis=2, dtype=np.int64)  # (N, 32)
+    mrow_cnt = fgmask.sum(axis=2, dtype=np.int64)
+    # row is foreground iff mask-fraction > 0.5 ⇔ count > IMG_SIDE/2 (exact)
+    fg_rows = mrow_cnt > IMG_SIDE // 2
     padded = np.zeros((n_img, IMG_SIDE + 2), dtype=bool)
     padded[:, 1:-1] = fg_rows
     d = np.diff(padded.astype(np.int8), axis=1)
@@ -365,15 +371,21 @@ def _recognize_gray_chunk(grays: np.ndarray) -> tuple[list[str], np.ndarray]:
     y0 = starts[:, 1]
     y1 = ends_y
 
-    # F3 box-score: masked mean of seg inside the band (full width)
-    msum = np.zeros((n_img, IMG_SIDE + 1))
-    np.cumsum(np.where(fgmask, seg, 0.0).sum(axis=2), axis=1, out=msum[:, 1:])
+    # F3 box-score: masked mean of seg inside the band (full width).
+    # score = (Σ pixel)/255/count — algebraically the scalar Σ(pixel/255)/count;
+    # float64 rounding differs by O(1e-16), which only matters if a band mean
+    # lands within an ulp of the 0.6 threshold (deterministic corpus: none do,
+    # asserted batch-vs-scalar in tests).
+    msum = np.zeros((n_img, IMG_SIDE + 1), dtype=np.int64)
+    np.cumsum(mrow_sum, axis=1, out=msum[:, 1:])
     mcnt = np.zeros((n_img, IMG_SIDE + 1), dtype=np.int64)
-    np.cumsum(fgmask.sum(axis=2), axis=1, out=mcnt[:, 1:])
+    np.cumsum(mrow_cnt, axis=1, out=mcnt[:, 1:])
     band_cnt = mcnt[run_img, y1] - mcnt[run_img, y0]
     with np.errstate(invalid="ignore"):
         score = np.where(
-            band_cnt > 0, (msum[run_img, y1] - msum[run_img, y0]) / np.maximum(band_cnt, 1), 0.0
+            band_cnt > 0,
+            ((msum[run_img, y1] - msum[run_img, y0]) / 255.0) / np.maximum(band_cnt, 1),
+            0.0,
         )
     h = y1 - y0
     ok = (score >= DET_DB_BOX_THRESH) & (np.minimum(IMG_SIDE, h) >= DET_MIN_BOX_SIZE)
@@ -398,9 +410,9 @@ def _recognize_gray_chunk(grays: np.ndarray) -> tuple[list[str], np.ndarray]:
     # --- K9/K10: block-mean resize of every band to (REC_T, C) --------------
     n_classes = len(CHARSET) + 1
     xs = (np.arange(n_classes + 1) * IMG_SIDE // n_classes).astype(np.int64)
-    # exact integer column-segment sums (reduceat; integers < 2^53 in float64)
-    col_seg = np.add.reduceat(g, xs[:-1], axis=2)  # (N, 32, C)
-    rc = np.zeros((n_img, IMG_SIDE + 1, n_classes))
+    # exact integer column-segment sums (int32: max 255·32·32 < 2^31)
+    col_seg = np.add.reduceat(grays.astype(np.int32), xs[:-1], axis=2)  # (N, 32, C)
+    rc = np.zeros((n_img, IMG_SIDE + 1, n_classes), dtype=np.int32)
     np.cumsum(col_seg, axis=1, out=rc[:, 1:, :])  # (N, 33, C)
     dx = (xs[1:] - xs[:-1]).astype(np.float64)
 
@@ -413,18 +425,22 @@ def _recognize_gray_chunk(grays: np.ndarray) -> tuple[list[str], np.ndarray]:
         imgs = band_img[sel]
         rows0 = by0[sel][:, None] + r0[None, :]
         rows1 = by0[sel][:, None] + r1[None, :]
-        sums = rc[imgs[:, None], rows1, :] - rc[imgs[:, None], rows0, :]
+        # int32 gather-diff → float64 (exact); arithmetic matches the scalar
+        # float64 chain bit-for-bit
+        sums = (rc[imgs[:, None], rows1, :] - rc[imgs[:, None], rows0, :]).astype(np.float64)
         area = (r1 - r0).astype(np.float64)[None, :, None] * dx[None, None, :]
         logits[sel] = (sums / area - 128.0) / 16.0
 
     # --- T6: batched CTC greedy decode --------------------------------------
+    # softmax prob AT the argmax step is exp(max-max)/Σexp = 1/Σexp, so the
+    # full probs tensor is never materialized; softmax is monotone, so
+    # argmax(logits) == argmax(probs) with identical first-max tie-breaks.
     blank = len(CHARSET)
+    path = logits.argmax(axis=2)  # (B, T)
     e = np.exp(logits - logits.max(axis=2, keepdims=True))
-    probs = e / e.sum(axis=2, keepdims=True)
-    path = probs.argmax(axis=2)  # (B, T)
+    pk = 1.0 / e.sum(axis=2)  # (B, T): prob of the argmax class per step
     keep = path != blank
     keep[:, 1:] &= path[:, 1:] != path[:, :-1]
-    pk = np.take_along_axis(probs, path[:, :, None], axis=2)[:, :, 0]
     kept_cnt = keep.sum(axis=1)
     with np.errstate(invalid="ignore"):
         band_conf = np.where(kept_cnt > 0, (pk * keep).sum(axis=1) / np.maximum(kept_cnt, 1), 0.0)
@@ -440,9 +456,12 @@ def _recognize_gray_chunk(grays: np.ndarray) -> tuple[list[str], np.ndarray]:
     texts = [big[s:t] for s, t in zip(starts_s, ends)]
 
     # --- deterministic failure injection (F7/F8 paths) ----------------------
-    rs = np.zeros((n_img, IMG_SIDE + 1))
-    np.cumsum(g.sum(axis=2), axis=1, out=rs[:, 1:])
-    mean_i = ((rs[band_img, by1] - rs[band_img, by0]) / (bh * IMG_SIDE)).astype(np.int64)
+    rs = np.zeros((n_img, IMG_SIDE + 1), dtype=np.int64)
+    np.cumsum(grays.sum(axis=2, dtype=np.int64), axis=1, out=rs[:, 1:])
+    # int(float_mean) == integer floor division here: the quotient is a
+    # rational with denominator ≤ 2^15, so float64 division can't round
+    # across an integer boundary
+    mean_i = (rs[band_img, by1] - rs[band_img, by0]) // (bh * IMG_SIDE)
     fail13 = mean_i % 13 == 0
     fail17 = (~fail13) & (mean_i % 17 == 0)
     failed = fail13 | fail17

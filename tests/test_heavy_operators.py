@@ -193,3 +193,37 @@ def test_deskew_guards():
     # blank image → no foreground → angle 0 (reliability guard, F9)
     blank = np.full((32, 32), 255, dtype=np.uint8)
     assert MK.estimate_skew_angle(blank) == 0.0
+
+
+def test_postprocess_array_matches_scalar():
+    """Arrow-compute postprocess twin == Python scalar twin on media-shaped
+    and adversarial strings (dispatch._postprocess_array contract)."""
+    import pyarrow as pa
+
+    from ocr_spark.operators.dispatch import _postprocess_array, _postprocess_text
+
+    rules = [["hte", "the"], ["ab", "XY"]]
+    samples = [
+        "",
+        "plain text",
+        "a  b\t\tc",
+        "line1\n\n\nline2",
+        "\r\nleading\rmixed\r\n",
+        "  padded  ",
+        "hte quick hte",
+        "abab",  # overlapping rule application order
+        "multi\nline\n\n with  spaces \t",
+        "\n\n\n",
+        " \t ",
+    ]
+    # plus deterministic media outputs
+    from ocr_spark.operators.media_kernels import recognize_gray_batch
+    from ocr_spark.sources.media import synth_media_batch
+
+    refs = [f"media://pp/{i}" for i in range(500)]
+    texts, _ = recognize_gray_batch(synth_media_batch(refs))
+    samples += texts
+
+    got = _postprocess_array(pa.array(samples, type=pa.string()), rules).to_pylist()
+    want = [_postprocess_text(s, rules) for s in samples]
+    assert got == want
