@@ -224,6 +224,105 @@ def q_exceptall_diff(spark, sf_dir):
     return li.exceptAll(filtered)
 
 
+def q_first_conf(spark, sf_dir):
+    """A3 Google overall confidence: FIRST value in document order, not the
+    mean (ref google_ocr_engine.py:149-150) — first event value per user."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("value").alias("first_conf"))
+    )
+
+
+def q_bbox_project(spark, sf_dir):
+    """F10 bbox projection: quad corner coords → [min_x, min_y, w, h]
+    (ref local_ocr_engine.py:452-454) — quad synthesized from lineitem
+    numerics, projected with least/greatest (pure codegen, no UDF)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x1, x2 = F.col("l_quantity"), F.col("l_extendedprice") / 1000.0
+    y1, y2 = F.col("l_discount") * 100.0, F.col("l_tax") * 100.0
+    min_x, max_x = F.least(x1, x2), F.greatest(x1, x2)
+    min_y, max_y = F.least(y1, y2), F.greatest(y1, y2)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(min_x, 6).alias("bb_x"),
+        F.round(min_y, 6).alias("bb_y"),
+        F.round(max_x - min_x, 6).alias("bb_w"),
+        F.round(max_y - min_y, 6).alias("bb_h"),
+    )
+
+
+def q_bbox_clip(spark, sf_dir):
+    """F11 Google word-bbox: normalized vertices → denormalize ×(img_w,img_h)
+    → axis-aligned, clipped to the image (ref google_ocr_engine.py:184-205)."""
+    li = _t(spark, sf_dir, "lineitem")
+    img_w, img_h = F.lit(640.0), F.lit(480.0)
+    # "normalized" coords in [0,1]-ish derived from numerics (may overshoot —
+    # that's the point of the clip)
+    nx1, nx2 = F.col("l_discount") * 12.0, F.col("l_tax") * 14.0
+    ny1, ny2 = F.col("l_quantity") / 40.0, F.col("l_extendedprice") / 40000.0
+    x1 = F.least(F.greatest(F.least(nx1, nx2) * img_w, F.lit(0.0)), img_w)
+    y1 = F.least(F.greatest(F.least(ny1, ny2) * img_h, F.lit(0.0)), img_h)
+    x2 = F.least(F.greatest(F.greatest(nx1, nx2) * img_w, F.lit(0.0)), img_w)
+    y2 = F.least(F.greatest(F.greatest(ny1, ny2) * img_h, F.lit(0.0)), img_h)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(x1, 4).alias("x1"),
+        F.round(y1, 4).alias("y1"),
+        F.round(x2, 4).alias("x2"),
+        F.round(y2, 4).alias("y2"),
+    )
+
+
+def q_box_filter(spark, sf_dir):
+    """F3/F4/F5 as nested-array ops: per event_type, sort the box structs,
+    filter by score (F3) and min-dimension (F4), cap at 5 (F5), all with
+    array expressions (filter/slice/aggregate — no explode, no UDF)."""
+    e = _t(spark, sf_dir, "events")
+    box = F.struct(
+        F.col("value").alias("score"),
+        (F.col("event_id") % 7 + 1).alias("w"),
+        (F.col("event_id") % 5 + 1).alias("h"),
+        F.col("event_id").alias("event_id"),
+    )
+    boxes = F.array_sort(F.collect_list(box))
+    kept = F.slice(
+        F.filter(
+            boxes,
+            lambda b: (b["score"] >= 100.0) & (F.least(b["w"], b["h"]) >= 3),
+        ),
+        1,
+        5,
+    )
+    agg = e.groupBy("event_type").agg(kept.alias("kept"))
+    return agg.where(F.size("kept") > 0).select(
+        "event_type",
+        F.size("kept").cast("long").alias("n_kept"),
+        F.round(
+            F.aggregate(F.col("kept"), F.lit(0.0), lambda acc, b: acc + b["score"]), 6
+        ).alias("score_sum"),
+    )
+
+
+def q_dummy_engine(spark, sf_dir):
+    """T9 dummy-engine canned result (ref stubs/dummy_engine.py:39-48)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Dummy OCR result from DummyOCREngine for doc "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+        F.lit(0.99).alias("confidence"),
+    )
+
+
 def q_segment_counts(spark, sf_dir):
     """A4 segment/box counts per doc-group (ref local_ocr_engine.py:267,466)."""
     e = _t(spark, sf_dir, "events")
@@ -318,6 +417,35 @@ def _query_vec() -> list[float]:
         return _QV
 
 
+def _ivf_centroids():
+    """Deterministic IVF codebook: the first 16 vectors of the sf0.01
+    embeddings table (kmeans-init style), rounded to 6dp — shared as literals
+    by BOTH engines (a real IVF codebook is likewise trained offline)."""
+    global _IVF_C
+    try:
+        return _IVF_C
+    except NameError:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        vecs = tbl["embedding"].to_pylist()[:16]
+        _IVF_C = np.round(np.array(vecs, dtype=np.float64), 6)
+        return _IVF_C
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k: coarse-quantize to the nearest codebook
+    centroid, probe the query's 4 nearest lists, exact-cosine re-rank."""
+    from ocr_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(), _ivf_centroids(), k=10, nprobe=4
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (xxhash64 family — no DuckDB twin,
     rows-only check; the jaccard/simhash oracles cover the same semantics)."""
@@ -365,6 +493,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_anti_resume": q_left_anti_resume,
         "exceptall_diff": q_exceptall_diff,
         "segment_counts": q_segment_counts,
+        "first_conf": q_first_conf,
+        "bbox_project": q_bbox_project,
+        "bbox_clip": q_bbox_clip,
+        "box_filter": q_box_filter,
+        "dummy_engine": q_dummy_engine,
+        "ivf_topk": q_ivf_topk,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -443,6 +577,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_quantity > 10"
         ),
         "segment_counts": "SELECT event_type, count(*) AS n_segments FROM events GROUP BY event_type",
+        "first_conf": (
+            "SELECT user_id, value AS first_conf FROM ("
+            "SELECT user_id, value, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+            "WHERE rn = 1"
+        ),
+        "bbox_project": (
+            "SELECT l_orderkey, l_linenumber, "
+            "round(least(l_quantity, l_extendedprice/1000.0), 6) AS bb_x, "
+            "round(least(l_discount*100.0, l_tax*100.0), 6) AS bb_y, "
+            "round(greatest(l_quantity, l_extendedprice/1000.0) "
+            "- least(l_quantity, l_extendedprice/1000.0), 6) AS bb_w, "
+            "round(greatest(l_discount*100.0, l_tax*100.0) "
+            "- least(l_discount*100.0, l_tax*100.0), 6) AS bb_h "
+            "FROM lineitem"
+        ),
+        "bbox_clip": (
+            "SELECT l_orderkey, l_linenumber, "
+            "round(least(greatest(least(l_discount*12.0, l_tax*14.0)*640.0, 0.0), 640.0), 4) AS x1, "
+            "round(least(greatest(least(l_quantity/40.0, l_extendedprice/40000.0)*480.0, 0.0), 480.0), 4) AS y1, "
+            "round(least(greatest(greatest(l_discount*12.0, l_tax*14.0)*640.0, 0.0), 640.0), 4) AS x2, "
+            "round(least(greatest(greatest(l_quantity/40.0, l_extendedprice/40000.0)*480.0, 0.0), 480.0), 4) AS y2 "
+            "FROM lineitem"
+        ),
+        "box_filter": (
+            "WITH boxes AS (SELECT event_type, value AS score, "
+            "event_id % 7 + 1 AS w, event_id % 5 + 1 AS h, event_id FROM events), "
+            "flt AS (SELECT event_type, score, row_number() OVER "
+            "(PARTITION BY event_type ORDER BY score, w, h, event_id) AS rn "
+            "FROM boxes WHERE score >= 100.0 AND least(w, h) >= 3) "
+            "SELECT event_type, count(*) AS n_kept, round(sum(score), 6) AS score_sum "
+            "FROM flt WHERE rn <= 5 GROUP BY event_type"
+        ),
+        "dummy_engine": (
+            "SELECT doc_id, 'Dummy OCR result from DummyOCREngine for doc ' || doc_id AS text, "
+            "CAST(0.99 AS DOUBLE) AS confidence FROM documents"
+        ),
         **_training_oracles(),
     }
 
@@ -450,7 +621,7 @@ def oracle_sql() -> dict[str, str]:
 def _training_oracles() -> dict[str, str]:
     from ocr_spark.operators import text_analysis as TA
     from ocr_spark.operators.dedup import exact_dedup_sql, jaccard_pairs_sql, simhash_sql
-    from ocr_spark.operators.similarity import cosine_topk_sql, lsh_topk_sql
+    from ocr_spark.operators.similarity import cosine_topk_sql, ivf_topk_sql, lsh_topk_sql
 
     return {
         "token_counts": (
@@ -476,6 +647,7 @@ def _training_oracles() -> dict[str, str]:
         ),
         "cosine_topk": cosine_topk_sql(_query_vec(), k=10),
         "lsh_topk": lsh_topk_sql(_query_vec(), k=10),
+        "ivf_topk": ivf_topk_sql(_query_vec(), _ivf_centroids(), k=10, nprobe=4),
         "embedding_near_dups": _embedding_near_dups_sql(threshold=0.2),
     }
 

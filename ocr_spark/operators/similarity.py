@@ -125,6 +125,88 @@ def lsh_topk_sql(query_vec: list[float], k: int = 10, n_planes: int = 8) -> str:
     )
 
 
+def ivf_assign(v, centroids: "np.ndarray"):
+    """IVF coarse quantization: 1-based index of the nearest centroid by
+    cosine, rounded to 6dp before the argmax so the Spark and DuckDB plans
+    (different summation orders) agree bit-for-bit; ties break to the first
+    index in both engines (array_position / list_indexof)."""
+    cos_arr = F.array(
+        *[
+            F.round(cosine(v, F.array(*[F.lit(float(x)) for x in c])), 6)
+            for c in centroids
+        ]
+    )
+    return F.array_position(cos_arr, F.array_max(cos_arr))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: "np.ndarray",
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest centroid
+    (coarse quantizer — a fixed codebook, trained offline like a real IVF
+    index), probe the query's `nprobe` closest lists, exact-cosine re-rank
+    inside them. One narrow map + a filter — no shuffle until the global
+    top-k (which is a tree-reduce of per-partition top-k under the hood)."""
+    qv = np.array(query_vec, dtype=np.float64)
+
+    def cos_np(c):
+        return round(float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv))), 6)
+
+    probe = sorted(
+        range(1, len(centroids) + 1), key=lambda i: (-cos_np(centroids[i - 1]), i)
+    )[:nprobe]
+    v = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.withColumn("ivf_list", ivf_assign(v, centroids))
+        .where(F.col("ivf_list").isin(*probe))
+        .select(F.col(id_col), F.round(cosine(v, q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _sql_lit(arr) -> str:
+    return "[" + ", ".join(f"{float(x)!r}" for x in arr) + "]::DOUBLE[]"
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def ivf_topk_sql(
+    query_vec: list[float], centroids: "np.ndarray", k: int = 10, nprobe: int = 4
+) -> str:
+    qv = np.array(query_vec, dtype=np.float64)
+
+    def cos_np(c):
+        return round(float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv))), 6)
+
+    probe = sorted(
+        range(1, len(centroids) + 1), key=lambda i: (-cos_np(centroids[i - 1]), i)
+    )[:nprobe]
+    cos_list = ", ".join(
+        f"round({_sql_cos('embedding::DOUBLE[]', _sql_lit(c))}, 6)" for c in centroids
+    )
+    q = _sql_lit(query_vec)
+    return (
+        f"WITH a AS (SELECT vec_id, embedding, list_value({cos_list}) AS cl FROM embeddings) "
+        f"SELECT vec_id, round({_sql_cos('embedding::DOUBLE[]', q)}, 6) AS cos_sim "
+        f"FROM a WHERE list_indexof(cl, list_aggregate(cl, 'max')) IN "
+        f"({', '.join(map(str, probe))}) "
+        f"ORDER BY cos_sim DESC, vec_id LIMIT {k}"
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,
