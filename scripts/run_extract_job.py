@@ -1,0 +1,57 @@
+"""Production-style job entrypoint for spark-submit (north rule: "launched
+via spark-submit --py-files on multi-executor clusters").
+
+Local sandbox example (packaging the engine exactly as a cluster run would):
+
+    cd /root/repo && zip -qr /tmp/ocr_spark.zip ocr_spark
+    spark-submit --py-files /tmp/ocr_spark.zip scripts/run_extract_job.py \
+        --input /root/testdata/sf0.001_spans.parquet \
+        --output /tmp/extract_out --buckets 64
+
+On a real cluster the same command drops `local[*]` (session.get_spark honors
+the submitted master), `--input` is the Iceberg table location, and
+`--buckets` is sized so one bucket ≈ a few hundred GB (e.g. 4096 at 100 TB).
+
+The job is resumable: re-running with the same `--output` anti-joins the
+input against completed-bucket manifests and processes only what's missing
+(ocr_spark.checkpoint protocol — at-least-once, no dups, no loss).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="spans parquet/Iceberg path")
+    ap.add_argument("--output", required=True, help="output table root")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--salt-partitions", type=int, default=None)
+    ap.add_argument("--rules", default=None, help="JSON list of [find, replace] pairs")
+    args = ap.parse_args()
+
+    from ocr_spark.checkpoint import run_resumable
+    from ocr_spark.pipeline import extract_documents
+    from ocr_spark.session import get_spark
+
+    rules = json.loads(args.rules) if args.rules else []
+    spark = get_spark("ocr_spark_extract")
+
+    docs = spark.read.parquet(args.input)
+    stats = run_resumable(
+        spark,
+        docs,
+        args.output,
+        n_buckets=args.buckets,
+        extract=lambda df: extract_documents(
+            df, rules=rules, salt_partitions=args.salt_partitions
+        ),
+    )
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()
