@@ -17,6 +17,13 @@ normalize newlines → strip → squeeze spaces/tabs → collapse newline runs.
 Everything here is a pure Column expression — whole-stage-codegen'd, no UDFs.
 Each Spark expression has a DuckDB-SQL twin (``*_sql``) used by the oracle in
 ``__spark_entry__.py`` so the two can never drift apart silently.
+
+Whitespace-domain contract: bit-parity with Python's ``str.strip()`` (T2) is
+guaranteed over the whitespace the reference emits — {space, \\t, \\r, \\n}.
+Exotic whitespace diverges by engine (Python strips \\v \\f \\xa0 and other
+Unicode spaces; Java regex ``\\s`` is ASCII ``[ \\t\\n\\x0B\\f\\r]``; RE2
+``\\s`` is ``[ \\t\\n\\f\\r]``), so no single pattern matches all three —
+property-tested over the contractual domain in tests/test_property_text.py.
 """
 
 from __future__ import annotations

@@ -139,6 +139,47 @@ def image_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(gen, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(assets: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """Resize every image asset to (out_h, out_w) by area (block-mean)
+    interpolation — the same vectorized kernel the recognition chain uses
+    (media_kernels.block_mean_resize) — emitting uint8 payloads. Per-asset
+    error envelope; decode stubbed to the synthetic codec (task directive)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.operators.media_kernels import block_mean_resize, to_grayscale
+
+        for pdf in batches:
+            out = {k.name: [] for k in RESIZED_SCHEMA.fields}
+            for ref, content, meta in zip(pdf["media_ref"], pdf["content"], pdf["meta"]):
+                row = dict(media_ref=ref, width=None, height=None, content=None, error=None)
+                try:
+                    img = decode_image(content, (meta or {}).get("codec", "synthetic"))
+                    small = block_mean_resize(to_grayscale(img), out_h, out_w)
+                    row.update(
+                        width=out_w,
+                        height=out_h,
+                        content=np.clip(np.rint(small), 0, 255).astype(np.uint8).tobytes(),
+                    )
+                except Exception as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(gen, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling stub: emits deterministic frame indices per asset
     (real decoder not present). Plumbing: one row per sampled frame."""

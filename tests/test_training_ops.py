@@ -162,3 +162,26 @@ def test_shingle_freq_cap_drops_viral_shingles(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = jaccard_pairs(df, threshold=0.3, shingle_freq_cap=3).collect()
     assert pairs == []
+
+
+def test_resize_images(spark):
+    """Multimodal resize: block-mean downsample of assets to 8x8 uint8,
+    matching the scalar kernel per asset."""
+    import numpy as np
+
+    from ocr_spark.fixtures import generate_docs
+    from ocr_spark.operators.media_kernels import block_mean_resize, bytes_to_image
+    from ocr_spark.operators.multimodal import media_assets_df, resize_images
+    from ocr_spark.schema import DOC_SCHEMA
+    from ocr_spark.sources.media import synth_media_bytes
+
+    docs = spark.createDataFrame(generate_docs(40), DOC_SCHEMA)
+    assets = media_assets_df(docs)
+    out = {r.media_ref: r for r in resize_images(assets, 8, 8).collect()}
+    assert out, "corpus should reference media assets"
+    for ref, r in list(out.items())[:10]:
+        assert r.error is None
+        assert (r.height, r.width) == (8, 8)
+        img = bytes_to_image(synth_media_bytes(ref))
+        want = np.clip(np.rint(block_mean_resize(img, 8, 8)), 0, 255).astype(np.uint8)
+        assert r.content == want.tobytes()
