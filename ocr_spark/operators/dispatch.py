@@ -87,10 +87,13 @@ def _postprocess_array(arr: pa.Array, rules) -> pa.Array:
 
 
 def _process_batch(batch: pa.RecordBatch, rules, backend: str) -> pa.RecordBatch:
-    from ocr_spark.operators.html_extract import extract_main_text
     from ocr_spark.operators.media_kernels import recognize_gray_batch
-    from ocr_spark.operators.pdf_layout import extract_pdf_text
+    from ocr_spark.operators.registry import get_extractor
     from ocr_spark.sources.media import resolve_gray_batch
+
+    # J2 registry lookup — executor-local lazy singletons (S4 analogue)
+    extract_main_text = get_extractor("html_density")
+    extract_pdf_text = get_extractor("pdf_xycut")
 
     doc_id = batch.column("doc_id")
     spans = batch.column("spans")
