@@ -34,6 +34,15 @@ BENCH_ENTRY_QUERIES = [
     "exceptall_diff",
     "window_order",
     "confidence_mean",
+    # training-data ops (task directive): dedup family + similarity + analysis
+    "dedup_exact",
+    "jaccard_pairs",
+    "minhash_lsh",
+    "simhash_pairs",
+    "cosine_topk",
+    "ivf_topk",
+    "token_counts",
+    "quality_score",
 ]
 
 

@@ -54,9 +54,22 @@ def exact_dedup_sql(text_expr: str = "text", id_col: str = "doc_id") -> str:
 # ---------------------------------------------------------------------------
 
 
-def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle). Pure built-ins:
-    split → transform over index range → explode → distinct."""
+def _ensure_parallel(docs: DataFrame) -> DataFrame:
+    """Input-layout independence: a source with fewer splits than cores (one
+    fat row group, a single gzip part…) would serialize every downstream
+    explode/agg on a handful of tasks. One cheap round-robin repartition of
+    the raw docs unlocks the cluster; skipped when the scan already has
+    enough splits (the normal case at production scale)."""
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target * 2)
+    return docs
+
+
+def _exploded_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) with duplicates — shared base for the distinct variants."""
+    docs = _ensure_parallel(docs)
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
     )
@@ -65,10 +78,31 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
         F.sequence(F.lit(0), k - 1),
         lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
     )
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.when(k > 0, grams).otherwise(F.array())).alias("shingle"),
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle). Pure built-ins:
+    split → transform over index range → explode → distinct."""
+    return _exploded_shingles(docs, n, id_col, text_col).distinct()
+
+
+def shingles_hashed(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, sh:long) — shingles keyed by the 60-bit cross-engine hash.
+
+    The self-join/shuffle keys shrink from ~25-byte strings to 8-byte longs;
+    60 bits keeps collisions negligible at corpus scale (birthday bound
+    ~3e-9 per pair at 10^6 distinct shingles per neighborhood), and both
+    engines hash identically (md5 prefix) so the oracle stays exact."""
+    from ocr_spark.operators.text_analysis import h60
+
     return (
-        docs.select(F.col(id_col).alias("id"), F.explode(
-            F.when(k > 0, grams).otherwise(F.array())
-        ).alias("shingle")).distinct()
+        _exploded_shingles(docs, n, id_col, text_col)
+        .select("id", h60(F.col("shingle")).alias("sh"))
+        .distinct()
     )
 
 
@@ -98,19 +132,23 @@ def jaccard_pairs(
 
     shingle_freq_cap drops shingles appearing in more than that many docs —
     the skew guard: one viral shingle otherwise yields cap² join rows.
+
+    Shingles are keyed by their 60-bit hash (shingles_hashed): 8-byte join/
+    shuffle keys instead of ~25-byte strings, identical results modulo a
+    ~3e-9/pair collision bound, exact vs the oracle (same hash both sides).
     """
-    sh = shingles(docs, n=n)
+    sh = shingles_hashed(docs, n=n)
     if shingle_freq_cap:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
         sh = sh.join(
             F.broadcast(freq.where(F.col("df") > shingle_freq_cap)),
-            "shingle",
+            "sh",
             "left_anti",
         )
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
@@ -127,19 +165,22 @@ def jaccard_pairs(
 
 
 def jaccard_pairs_sql(threshold: float = 0.8, n: int = 3, shingle_freq_cap: int | None = 1000) -> str:
+    from ocr_spark.operators.text_analysis import h60_sql
+
     cap_clause = (
-        f"WHERE shingle NOT IN (SELECT shingle FROM sh GROUP BY shingle "
+        f"WHERE sh NOT IN (SELECT sh FROM shh GROUP BY sh "
         f"HAVING count(*) > {shingle_freq_cap})"
         if shingle_freq_cap
         else ""
     )
     return f"""
-WITH sh AS ({_shingles_sql(n)}),
-shc AS (SELECT * FROM sh {cap_clause}),
+WITH sh0 AS ({_shingles_sql(n)}),
+shh AS (SELECT DISTINCT id, {h60_sql('shingle')} AS sh FROM sh0),
+shc AS (SELECT * FROM shh {cap_clause}),
 sizes AS (SELECT id, count(*) AS sz FROM shc GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+  FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
   GROUP BY a.id, b.id)
 SELECT id_a, id_b,
        round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
@@ -155,10 +196,11 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}
 
 def minhash_signatures(docs: DataFrame, k: int = 32, n: int = 3) -> DataFrame:
     """(id, sig:array<bigint>) — k min-hash values over word shingles.
-    Hash family: xxhash64(shingle, seed=i); k min-aggs = one shuffle with
-    map-side partial aggregation."""
-    sh = shingles(docs, n=n)
-    mins = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(k)]
+    Hash family: xxhash64(shingle_hash, seed=i) over the 8-byte shingle key
+    (k hashes of a long beat k hashes of a ~25-byte string); k min-aggs =
+    one shuffle with map-side partial aggregation."""
+    sh = shingles_hashed(docs, n=n)
+    mins = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(k)]
     agg = sh.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
@@ -224,17 +266,21 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
-    """(id, simhash:bigint) — per-bit majority vote over token h32 hashes.
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60) -> DataFrame:
+    """(id, simhash:bigint) — per-bit majority vote over token hashes.
 
-    bits<=32 keeps the cross-engine md5 hash exact; one explode + one
-    groupBy(sum) shuffle; the per-bit sums are a single array aggregate.
+    Token hash is the cross-engine md5 prefix: h32 for bits<=32, h60 above
+    (60-bit default — the pigeonhole chunk join needs wide signatures, else
+    chunks are 4-5 bits and candidate buckets explode). One explode + one
+    groupBy(sum) shuffle.
     """
     tokens = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
     )
-    tok = docs.select(F.col(id_col).alias("id"), F.explode(tokens).alias("t"))
-    h = h32(F.col("t"))
+    tok = _ensure_parallel(docs).select(F.col(id_col).alias("id"), F.explode(tokens).alias("t"))
+    from ocr_spark.operators.text_analysis import h60
+
+    h = (h32 if bits <= 32 else h60)(F.col("t"))
     votes = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -249,10 +295,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return agg.select("id", sig.alias("simhash"))
 
 
-def simhash_sql(bits: int = 32, id_col: str = "doc_id", text_expr: str = "text") -> str:
-    from ocr_spark.operators.text_analysis import h32_sql
+def simhash_sql(bits: int = 60, id_col: str = "doc_id", text_expr: str = "text") -> str:
+    from ocr_spark.operators.text_analysis import h32_sql, h60_sql
 
-    h = h32_sql("t")
+    h = (h32_sql if bits <= 32 else h60_sql)("t")
     votes = ", ".join(
         f"sum(CASE WHEN (({h} >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(bits)
@@ -267,7 +313,7 @@ def simhash_sql(bits: int = 32, id_col: str = "doc_id", text_expr: str = "text")
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 60) -> DataFrame:
     """Near-dup candidates: split the signature into (max_hamming+1) chunks —
     any pair within hamming distance must share one exact chunk (pigeonhole);
     equi-join per chunk, then verify with bit_count(xor)."""

@@ -26,6 +26,16 @@ def h32_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
 
 
+def h60(col: Column) -> Column:
+    """60-bit cross-engine hash (15 md5 hex chars — fits a signed BIGINT).
+    Used where 32 bits would collide at corpus scale (shingle keys)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
 # ---------------------------------------------------------------------------
 # token counting: whitespace tokens + a BPE-ish word/punct regex
 # ---------------------------------------------------------------------------
