@@ -44,6 +44,10 @@ STAGE_SCHEMA = T.StructType(
         T.StructField("doc_id", T.StringType(), False),
         T.StructField("spans", T.ArrayType(SPAN_STRUCT, False), False),
         T.StructField("confidence", T.DoubleType(), True),
+        # mergeable A2 parts: giant-doc chunking (pipeline span_chunk_threshold)
+        # recombines confidence across chunks as sum(conf_sum)/sum(conf_cnt)
+        T.StructField("conf_sum", T.DoubleType(), True),
+        T.StructField("conf_cnt", T.LongType(), True),
         T.StructField("error", T.StringType(), True),
         T.StructField("error_source", T.StringType(), True),
     ]
@@ -86,7 +90,9 @@ def _postprocess_array(arr: pa.Array, rules) -> pa.Array:
     return a
 
 
-def _process_batch(batch: pa.RecordBatch, rules, backend: str) -> pa.RecordBatch:
+def _process_batch(
+    batch: pa.RecordBatch, rules, backend: str, passthrough: tuple[str, ...] = ()
+) -> pa.RecordBatch:
     from ocr_spark.operators.media_kernels import recognize_gray_batch
     from ocr_spark.operators.registry import get_extractor
     from ocr_spark.sources.media import resolve_gray_batch
@@ -179,29 +185,44 @@ def _process_batch(batch: pa.RecordBatch, rules, backend: str) -> pa.RecordBatch
     conf_obj = [
         (conf_np[i] if has_media[i] else None) for i in range(n_docs)
     ]
-    return pa.RecordBatch.from_arrays(
-        [
-            doc_id,
-            new_spans,
-            pa.array(conf_obj, type=pa.float64()),
-            pa.array(err, type=pa.string()),
-            pa.array(err_src, type=pa.string()),
-        ],
-        names=["doc_id", "spans", "confidence", "error", "error_source"],
-    )
+    conf_sum_obj = [(conf_sum[i] if has_media[i] else None) for i in range(n_docs)]
+    conf_cnt_obj = [(int(conf_cnt[i]) if has_media[i] else None) for i in range(n_docs)]
+    arrays = [
+        doc_id,
+        new_spans,
+        pa.array(conf_obj, type=pa.float64()),
+        pa.array(conf_sum_obj, type=pa.float64()),
+        pa.array(conf_cnt_obj, type=pa.int64()),
+        pa.array(err, type=pa.string()),
+        pa.array(err_src, type=pa.string()),
+    ]
+    names = ["doc_id", "spans", "confidence", "conf_sum", "conf_cnt", "error", "error_source"]
+    for c in passthrough:
+        arrays.append(batch.column(c))
+        names.append(c)
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-def apply_heavy_kinds(df, rules: Sequence[tuple[str, str]], media_resolver: str = "synthetic"):
+def apply_heavy_kinds(
+    df,
+    rules: Sequence[tuple[str, str]],
+    media_resolver: str = "synthetic",
+    passthrough: tuple[str, ...] = (),
+):
     """mapInArrow stage handling html/pdf/ocr/media spans of each doc.
 
-    Input:  doc_id, spans (text-kinds already normalized natively).
-    Output: STAGE_SCHEMA (extractor column added by the caller).
+    Input:  doc_id, spans (text-kinds already normalized natively), plus any
+            `passthrough` columns copied verbatim to the output (used by the
+            giant-doc chunking path to carry the chunk index through).
+    Output: STAGE_SCHEMA (+ passthrough); extractor column added by caller.
     """
     rules = list(rules)
     backend = media_resolver
 
+    schema = T.StructType(list(STAGE_SCHEMA.fields) + [df.schema[c] for c in passthrough])
+
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            yield _process_batch(batch, rules, backend)
+            yield _process_batch(batch, rules, backend, passthrough)
 
-    return df.mapInArrow(gen, schema=STAGE_SCHEMA)
+    return df.mapInArrow(gen, schema=schema)

@@ -62,12 +62,63 @@ def has_heavy_spans(col: Column) -> Column:
     return F.exists(col, lambda s: s["kind"].isin(*HEAVY_KINDS))
 
 
+def _extract_chunked(
+    big: DataFrame,
+    rules,
+    media_resolver: str,
+    salt_partitions: int | None,
+    threshold: int,
+) -> DataFrame:
+    """Giant-doc escape hatch: salting spreads DOCS across partitions, but a
+    single row cannot split — one doc with 10⁴ media spans would still
+    straggle its task (SURVEY.md §7 'hard parts'). Here oversized span arrays
+    are sliced into ≤threshold chunks, each chunk flows through the same
+    Arrow stage as an independent row, and the doc is reassembled natively:
+    spans by global offset (A6 sort), confidence from the stage's mergeable
+    (conf_sum, conf_cnt) parts, error = first errored chunk (min by index)."""
+    from ocr_spark.operators.dispatch import apply_heavy_kinds
+
+    n_chunks = F.ceil(F.size("spans") / F.lit(threshold)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("spans"), i * threshold + 1, threshold),
+    )
+    exploded = big.select("doc_id", F.posexplode(chunks).alias("chunk", "spans"))
+    if salt_partitions:
+        exploded = exploded.repartition(salt_partitions, F.xxhash64("doc_id", "chunk"))
+    done = apply_heavy_kinds(exploded, rules, media_resolver, passthrough=("chunk",))
+
+    total_cnt = F.sum("conf_cnt")
+    confidence = F.when(
+        F.count("conf_cnt") > 0,  # some chunk saw media spans
+        F.when(total_cnt > 0, F.sum("conf_sum") / total_cnt).otherwise(F.lit(0.0)),
+    )
+    first_err = F.min(
+        F.when(
+            F.col("error").isNotNull(),
+            F.struct(F.col("chunk"), F.col("error"), F.col("error_source")),
+        )
+    ).alias("fe")
+    return done.groupBy("doc_id").agg(
+        F.flatten(F.collect_list("spans")).alias("spans"),  # order restored by A6 sort
+        confidence.alias("confidence"),
+        first_err,
+    ).select(
+        "doc_id",
+        "spans",
+        "confidence",
+        F.col("fe.error").alias("error"),
+        F.col("fe.error_source").alias("error_source"),
+    )
+
+
 def extract_documents(
     df: DataFrame,
     rules: Sequence[tuple[str, str]] = (),
     salt_partitions: int | None = None,
     media_resolver: str = "synthetic",
     split_light: bool = False,
+    span_chunk_threshold: int | None = None,
 ) -> DataFrame:
     """Run the full extraction. Returns OUTPUT_SCHEMA-shaped DataFrame.
 
@@ -82,6 +133,11 @@ def extract_documents(
     near-zero-cost columnar passthrough. Keep split_light for sources where a
     second pruned scan is cheaper than Arrow-transferring the light bytes
     (e.g. heavy kinds concentrated in a partition-prunable subset).
+
+    span_chunk_threshold: giant-doc skew escape hatch — docs with more spans
+    than this are split into chunks that process as independent rows and
+    re-merge (see _extract_chunked). Costs a groupBy shuffle for those docs
+    only; single-pass mode only.
     """
     from ocr_spark.operators.dispatch import apply_heavy_kinds
 
@@ -91,6 +147,8 @@ def extract_documents(
     out = df.withColumn("spans", F.transform("spans", lambda s: _process_span(s, rules)))
 
     if split_light:
+        if span_chunk_threshold:
+            raise ValueError("span_chunk_threshold requires single-pass mode")
         # 2a. split: only docs with heavy spans cross the Arrow boundary
         heavy_flag = has_heavy_spans(F.col("spans"))
         light = (
@@ -104,12 +162,29 @@ def extract_documents(
             # defeat media-heavy doc skew: spread docs across partitions by
             # hashed doc_id (uniform), independent of input file layout
             heavy = heavy.repartition(salt_partitions, F.xxhash64("doc_id"))
-        merged = light.unionByName(apply_heavy_kinds(heavy, rules, media_resolver))
+        heavy_done = apply_heavy_kinds(heavy, rules, media_resolver).drop(
+            "conf_sum", "conf_cnt"
+        )
+        merged = light.unionByName(heavy_done)
+    elif span_chunk_threshold:
+        # 2b'. giant docs chunked + re-merged; normal docs single-pass
+        n = F.size("spans")
+        big = out.where(n > span_chunk_threshold)
+        rest = out.where(n <= span_chunk_threshold)
+        if salt_partitions:
+            rest = rest.repartition(salt_partitions, F.xxhash64("doc_id"))
+        rest_done = apply_heavy_kinds(rest, rules, media_resolver).drop(
+            "conf_sum", "conf_cnt"
+        )
+        big_done = _extract_chunked(
+            big, rules, media_resolver, salt_partitions, span_chunk_threshold
+        )
+        merged = rest_done.unionByName(big_done)
     else:
         # 2b. single pass: one scan, one Arrow stage for all docs
         if salt_partitions:
             out = out.repartition(salt_partitions, F.xxhash64("doc_id"))
-        merged = apply_heavy_kinds(out, rules, media_resolver)
+        merged = apply_heavy_kinds(out, rules, media_resolver).drop("conf_sum", "conf_cnt")
 
     # 3. reassembly: enforce span order per doc, attach extractor
     return merged.select(
