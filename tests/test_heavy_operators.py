@@ -227,3 +227,36 @@ def test_postprocess_array_matches_scalar():
     got = _postprocess_array(pa.array(samples, type=pa.string()), rules).to_pylist()
     want = [_postprocess_text(s, rules) for s in samples]
     assert got == want
+
+
+def test_recognize_batch_matches_scalar_on_random_images():
+    """Property check: the vectorized batch recognizer is bit-identical in
+    text (and 1e-12-close in confidence) to the scalar chain over ARBITRARY
+    uint8 images — not just the band-structured synthetic corpus. Includes
+    degenerate all-dark / all-bright / striped / noise images."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    imgs = [
+        np.zeros((32, 32), np.uint8),
+        np.full((32, 32), 255, np.uint8),
+        np.full((32, 32), 77, np.uint8),   # exactly at the F2 mask boundary
+        np.full((32, 32), 76, np.uint8),   # just below it
+        np.tile(np.array([0, 255], np.uint8), (32, 16)),  # vertical stripes
+        np.repeat(np.arange(32, dtype=np.uint8)[:, None] * 8, 32, axis=1),  # gradient
+    ]
+    imgs += [rng.integers(0, 256, (32, 32), dtype=np.uint8) for _ in range(400)]
+    # half-bright rows (band-like) with random noise rows interleaved
+    for _ in range(100):
+        im = rng.integers(0, 70, (32, 32), dtype=np.uint8)
+        y = int(rng.integers(0, 25))
+        h = int(rng.integers(1, 8))
+        im[y : y + h] = rng.integers(140, 256, (min(h, 32 - y), 32), dtype=np.uint8)
+        imgs.append(im)
+
+    grays = np.stack(imgs)
+    texts, confs = MK.recognize_gray_batch(grays)
+    for i, im in enumerate(imgs):
+        st, sc = MK.recognize_image(im.tobytes())
+        assert texts[i] == st, i
+        assert abs(confs[i] - sc) < 1e-12, i
