@@ -52,13 +52,17 @@ def _docs_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full extraction pipeline over sf0.001 (text kinds from the
-    driver table; the synthetic interleaved corpus exercises the rest in
-    tests/bench)."""
+    """Flagship: full extraction pipeline over sf0.001 driver text docs PLUS
+    a deterministic slice of the synthetic interleaved corpus, so the smoke
+    check exercises every span kind (text/html/pdf/ocr/media), the error
+    envelope, and the Arrow dispatch stage — not just the native text path."""
+    from ocr_spark.fixtures import generate_docs
     from ocr_spark.pipeline import extract_documents
+    from ocr_spark.schema import DOC_SCHEMA
 
-    df = _docs_spans(spark, "/root/testdata/sf0.001")
-    return extract_documents(df, rules=RULES)
+    text_docs = _docs_spans(spark, "/root/testdata/sf0.001")
+    interleaved = spark.createDataFrame(generate_docs(100), DOC_SCHEMA)
+    return extract_documents(text_docs.unionByName(interleaved), rules=RULES)
 
 
 # ---------------------------------------------------------------------------
