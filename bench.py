@@ -85,9 +85,11 @@ def main() -> None:
     _force(extract_documents(docs, rules=E.RULES, salt_partitions=cpus * 4))
 
     # --- headline: flagship extraction over the interleaved corpus ---------
-    t0 = time.perf_counter()
-    _force(extract_documents(docs, rules=E.RULES, salt_partitions=cpus * 4))
-    extract_sec = time.perf_counter() - t0
+    extract_sec = float("inf")
+    for _ in range(2):  # best-of-2 (see query-loop note on host load swings)
+        t0 = time.perf_counter()
+        _force(extract_documents(docs, rules=E.RULES, salt_partitions=cpus * 4))
+        extract_sec = min(extract_sec, time.perf_counter() - t0)
     timings["extract"] = round(extract_sec, 3)
 
     # --- operator queries over the driver tables ---------------------------
