@@ -143,12 +143,17 @@ def q_fulltext_assembly(spark, sf_dir):
 
 def q_span_reassembly(spark, sf_dir):
     """A6 span-sequence reassembly: ordered (by ts, id) event_type sequence
-    per user (the groupBy+sort_array(collect_list) pattern of the pipeline)."""
+    per user (the groupBy+sort_array(collect_list) pattern of the pipeline).
+    Emitted as a '|'-joined scalar so the driver canonicalizer can hash it
+    (array columns are pandas-unhashable)."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
-            lambda s: s["event_type"],
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            "|",
         ).alias("seq")
     )
 
@@ -178,16 +183,23 @@ def q_window_order(spark, sf_dir):
 
 
 def q_topk_slice(spark, sf_dir):
-    """F5/W4 candidate cap: first K elements of the ordered per-group list."""
+    """F5/W4 candidate cap: first K elements of the ordered per-group list.
+    '|'-joined scalar output (driver canonicalizer can't hash arrays)."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.slice(
+        F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("event_id", "value"))),
-                lambda s: s["event_id"],
+                F.slice(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("event_id", "value"))),
+                        lambda s: s["event_id"],
+                    ),
+                    1,
+                    10,
+                ),
+                lambda x: x.cast("string"),
             ),
-            1,
-            10,
+            "|",
         ).alias("first_ids")
     )
 
@@ -451,8 +463,9 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (xxhash64 family — no DuckDB twin,
-    rows-only check; the jaccard/simhash oracles cover the same semantics)."""
+    """MinHash+LSH near-dup candidates. The hash family is the cross-engine
+    md5-h60('<shingle_hash>:<seed>'), so the full operator — signatures,
+    banding, estimated-Jaccard verify — has an exact DuckDB twin."""
     from ocr_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
@@ -547,7 +560,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents GROUP BY lang"
         ),
         "span_reassembly": (
-            "SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq "
+            "SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS seq "
             "FROM events GROUP BY user_id"
         ),
         "dispatch_case": (
@@ -562,8 +575,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) WHERE rn <= 5"
         ),
         "topk_slice": (
-            "SELECT event_type, (list(event_id ORDER BY event_id, value))[1:10] AS first_ids "
-            "FROM events GROUP BY event_type"
+            "SELECT event_type, array_to_string((list(event_id ORDER BY event_id, value))[1:10], '|') "
+            "AS first_ids FROM events GROUP BY event_type"
         ),
         "join_broadcast": (
             "SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price "
@@ -624,7 +637,12 @@ def oracle_sql() -> dict[str, str]:
 
 def _training_oracles() -> dict[str, str]:
     from ocr_spark.operators import text_analysis as TA
-    from ocr_spark.operators.dedup import exact_dedup_sql, jaccard_pairs_sql, simhash_sql
+    from ocr_spark.operators.dedup import (
+        exact_dedup_sql,
+        jaccard_pairs_sql,
+        minhash_lsh_sql,
+        simhash_sql,
+    )
     from ocr_spark.operators.similarity import cosine_topk_sql, ivf_topk_sql, lsh_topk_sql
 
     return {
@@ -649,6 +667,7 @@ def _training_oracles() -> dict[str, str]:
             f"FROM sig a JOIN sig b ON a.id < b.id "
             f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"
         ),
+        "minhash_lsh": minhash_lsh_sql(threshold=0.3),
         "cosine_topk": cosine_topk_sql(_query_vec(), k=10),
         "lsh_topk": lsh_topk_sql(_query_vec(), k=10),
         "ivf_topk": ivf_topk_sql(_query_vec(), _ivf_centroids(), k=10, nprobe=4),

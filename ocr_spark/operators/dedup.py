@@ -59,10 +59,21 @@ def _ensure_parallel(docs: DataFrame) -> DataFrame:
     fat row group, a single gzip part…) would serialize every downstream
     explode/agg on a handful of tasks. One cheap round-robin repartition of
     the raw docs unlocks the cluster; skipped when the scan already has
-    enough splits (the normal case at production scale)."""
+    enough splits (the normal case at production scale).
+
+    Probes `inputFiles()` (driver-side file-listing metadata) instead of
+    `.rdd.getNumPartitions()` — the RDD probe materializes the pre-AQE
+    physical plan for arbitrary upstream DataFrames, which is both costly
+    and reports pre-AQE counts. Non-file inputs (in-memory test frames,
+    post-shuffle plans) are left untouched: they either already carry the
+    session's default parallelism or have a shuffle upstream."""
     sc = docs.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:
+        return docs
+    if 0 < n_files < target:
         return docs.repartition(target * 2)
     return docs
 
@@ -194,13 +205,28 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}
 # ---------------------------------------------------------------------------
 
 
+def _mh_hash(col, seed: int):
+    """Seeded member of the MinHash family: md5-derived 60-bit hash of
+    '<shingle_hash>:<seed>'. Cross-engine (DuckDB twin in minhash_lsh_sql)
+    so the whole MinHash+LSH operator is oracle-checkable, unlike xxhash64."""
+    from ocr_spark.operators.text_analysis import h60
+
+    return h60(F.concat_ws(":", col.cast("string"), F.lit(str(seed))))
+
+
+def _mh_hash_sql(expr: str, seed: int) -> str:
+    from ocr_spark.operators.text_analysis import h60_sql
+
+    return h60_sql(f"{expr}::VARCHAR || ':{seed}'")
+
+
 def minhash_signatures(docs: DataFrame, k: int = 32, n: int = 3) -> DataFrame:
     """(id, sig:array<bigint>) — k min-hash values over word shingles.
-    Hash family: xxhash64(shingle_hash, seed=i) over the 8-byte shingle key
-    (k hashes of a long beat k hashes of a ~25-byte string); k min-aggs =
-    one shuffle with map-side partial aggregation."""
+    Hash family: md5-h60('<shingle_hash>:<seed>') over the 8-byte shingle key
+    (k hashes of a short string beat k hashes of a ~25-byte shingle); k
+    min-aggs = one shuffle with map-side partial aggregation."""
     sh = shingles_hashed(docs, n=n)
-    mins = [F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}") for i in range(k)]
+    mins = [F.min(_mh_hash(F.col("sh"), i)).alias(f"h{i}") for i in range(k)]
     agg = sh.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
@@ -216,7 +242,12 @@ def minhash_lsh_pairs(
     Jaccard (fraction of equal minhashes) >= threshold.
 
     bands×rows = k; a pair lands in a bucket iff one full band matches.
+    Band bucket key = h60 of the band's comma-joined minhashes — an 8-byte
+    join key with a DuckDB twin (minhash_lsh_sql), so the operator is
+    oracle-checkable end to end.
     """
+    from ocr_spark.operators.text_analysis import h60
+
     rows = k // bands
     sig = minhash_signatures(docs, k=k, n=n)
     band_cols = F.explode(
@@ -224,7 +255,15 @@ def minhash_lsh_pairs(
             *[
                 F.struct(
                     F.lit(bi).alias("band"),
-                    F.xxhash64(*[F.element_at("sig", bi * rows + r + 1) for r in range(rows)]).alias("bh"),
+                    h60(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", bi * rows + r + 1).cast("string")
+                                for r in range(rows)
+                            ],
+                        )
+                    ).alias("bh"),
                 )
                 for bi in range(bands)
             ]
@@ -259,6 +298,35 @@ def minhash_lsh_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def minhash_lsh_sql(
+    threshold: float = 0.7, k: int = 32, bands: int = 8, n: int = 3
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs — same md5-h60 hash family, same
+    banding, same signature-estimated Jaccard verify."""
+    from ocr_spark.operators.text_analysis import h60_sql
+
+    rows = k // bands
+    mins = ", ".join(f"min({_mh_hash_sql('sh', i)}) AS h{i}" for i in range(k))
+    sig = ", ".join(f"h{i}" for i in range(k))
+    band_hash = h60_sql("array_to_string(sig[(t.bi*" + str(rows) + "+1):(t.bi*" + str(rows) + f"+{rows})], ',')")
+    return f"""
+WITH sh0 AS ({_shingles_sql(n)}),
+shh AS (SELECT DISTINCT id, {h60_sql('shingle')} AS sh FROM sh0),
+mh AS (SELECT id, list_value({sig}) AS sig FROM (
+  SELECT id, {mins} FROM shh GROUP BY id)),
+bnd AS (SELECT id, sig, t.bi AS band, {band_hash} AS bh
+        FROM mh, range(0, {bands}) t(bi)),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+         FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+SELECT id_a, id_b,
+       round(len(list_filter(range(1, {k + 1}), i -> sig_a[i] = sig_b[i])) / {float(k)}, 6)
+         AS est_jaccard
+FROM cand
+WHERE round(len(list_filter(range(1, {k + 1}), i -> sig_a[i] = sig_b[i])) / {float(k)}, 6)
+      >= {threshold}
+"""
 
 
 # ---------------------------------------------------------------------------
