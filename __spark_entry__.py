@@ -345,6 +345,110 @@ def q_segment_counts(spark, sf_dir):
     return e.groupBy("event_type").agg(F.count("*").alias("n_segments"))
 
 
+def q_cloud_flatten(spark, sf_dir):
+    """K14 cloud-response flatten (ref google_ocr_engine.py:149-211) + A3
+    first-page confidence (:149-150) + F11 denorm/clip bboxes (:184-205).
+
+    A deterministic nested pages→blocks→paragraphs→words→symbols response is
+    synthesized from each document's first 12 tokens with native expressions
+    (2 pages × 1 block × 2 paragraphs × 3 words; every 5th-ish word carries
+    no vertices and is skipped, per the reference), then flattened by the
+    real operator (cloud_engine.flatten_response_df — a pure posexplode
+    chain, no shuffle, no UDF)."""
+    from ocr_spark.operators.cloud_engine import flatten_response_df
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.slice(
+        F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""),
+        1,
+        12,
+    )
+    vert_t = "array<struct<x:double,y:double>>"
+
+    def word_struct(t, g):
+        # g = global word index (Column, int); geometry/conf derived from it
+        skip = (g % 5) == F.lit(3)
+        x0 = g / F.lit(12.0)
+        xr = (g + 1) / F.lit(12.0)
+        page = F.floor(g / F.lit(6))
+        y0 = page * F.lit(0.5)
+        yr = y0 + F.lit(0.4)
+
+        def vert(x, y):
+            return F.struct(x.cast("double").alias("x"), y.cast("double").alias("y"))
+
+        verts = F.when(skip, F.array().cast(vert_t)).otherwise(
+            F.array(vert(x0, y0), vert(xr, y0), vert(xr, yr), vert(x0, yr))
+        )
+        conf = ((F.col("doc_id") * 31 + g * 17) % 100) / F.lit(100.0)
+        symbols = F.transform(
+            F.filter(F.split(t, ""), lambda c: c != ""),
+            lambda c: F.struct(c.alias("text")),
+        )
+        return F.struct(
+            symbols.alias("symbols"),
+            verts.alias("vertices"),
+            conf.cast("double").alias("confidence"),
+        )
+
+    def mk_page(p: int):
+        pw = F.transform(
+            F.slice(toks, p * 6 + 1, 6),
+            lambda t, i: word_struct(t, F.lit(p * 6) + i),
+        )
+        paras = F.filter(
+            F.array(
+                F.struct(F.slice(pw, 1, 3).alias("words")),
+                F.struct(F.slice(pw, 4, 3).alias("words")),
+            ),
+            lambda pr: F.size(pr["words"]) > 0,
+        )
+        blocks = F.filter(
+            F.array(F.struct(paras.alias("paragraphs"))),
+            lambda b: F.size(b["paragraphs"]) > 0,
+        )
+        conf = ((F.col("doc_id") * 13 + F.lit(p * 7)) % 89) / F.lit(89.0)
+        return F.struct(conf.cast("double").alias("confidence"), blocks.alias("blocks"))
+
+    resp = F.struct(
+        F.lit(None).cast("string").alias("text"),
+        F.array(mk_page(0), mk_page(1)).alias("pages"),
+    )
+    nested = d.select("doc_id", resp.alias("response"))
+    return flatten_response_df(nested, img_w=640, img_h=480)
+
+
+_CLOUD_FLATTEN_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         (list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      x -> x <> ''))[1:12] AS toks
+  FROM documents),
+wrd AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)+1),
+                i -> struct_pack(widx := i-1, tok := toks[i]))) AS u
+  FROM base),
+w2 AS (SELECT doc_id, u.widx AS widx, u.tok AS tok FROM wrd),
+f AS (SELECT doc_id, widx, tok,
+        (widx // 6)::INTEGER AS page,
+        0::INTEGER AS block,
+        ((widx % 6) // 3)::INTEGER AS para,
+        (widx % 3)::INTEGER AS word,
+        widx/12.0 AS x0, (widx+1)/12.0 AS xr,
+        (widx // 6)*0.5 AS y0, (widx // 6)*0.5 + 0.4 AS yr
+      FROM w2 WHERE widx % 5 <> 3)
+SELECT doc_id, page, block, para, word, tok AS word_text,
+  greatest(0, floor(x0*640.0))::INTEGER AS x1,
+  greatest(0, floor(y0*480.0))::INTEGER AS y1,
+  least(640, floor(xr*640.0)::INTEGER) AS x2,
+  least(480, floor(yr*480.0)::INTEGER) AS y2,
+  ((doc_id*31 + widx*17) % 100)/100.0 AS word_conf,
+  ((doc_id*13) % 89)/89.0 AS overall_conf
+FROM f
+"""
+
+
 # --- training-data pipeline operators (task directive) ----------------------
 
 
@@ -515,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_clip": q_bbox_clip,
         "box_filter": q_box_filter,
         "dummy_engine": q_dummy_engine,
+        "cloud_flatten": q_cloud_flatten,
         "ivf_topk": q_ivf_topk,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
@@ -631,6 +736,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, 'Dummy OCR result from DummyOCREngine for doc ' || doc_id AS text, "
             "CAST(0.99 AS DOUBLE) AS confidence FROM documents"
         ),
+        "cloud_flatten": _CLOUD_FLATTEN_SQL,
         **_training_oracles(),
     }
 

@@ -1,0 +1,269 @@
+"""Cloud-OCR engine analogue: K13 PNG encode, K14 nested-response flatten,
+A3 first-page confidence (ref ocr_components/google_ocr_engine.py).
+
+The reference's cloud path PNG-encodes the image (ref :77-87), calls the
+Vision API, and flattens the nested pages→blocks→paragraphs→words→symbols
+response into (full_text, segments, overall_confidence) (ref :149-211) with
+these load-bearing semantics, all mirrored here exactly:
+
+  * overall confidence = pages[0].confidence — the FIRST page's value, not a
+    mean (ref :149-150, A3);
+  * word text = ''.join(symbol.text) (ref :160);
+  * words without bounding-box vertices are skipped (ref :162-164);
+  * F11 bbox: normalized vertices ×(img_w,img_h) → axis-aligned
+    [max(0,int(x1)), max(0,int(y1)), min(img_w,int(x2)), min(img_h,int(y2))]
+    (ref :184-205 — int() truncation THEN clamp, x2/y2 clamped to the full
+    width/height, not width-1);
+  * full_text is the annotation's own text — it INCLUDES vertex-less words
+    that never become segments (ref :145 vs :162).
+
+No cloud SDK exists in the sandbox, so the API call is a deterministic fake
+(`fake_cloud_response`) keyed on the PNG bytes; the encode (a real,
+spec-conformant PNG writer — stdlib zlib, no imaging libs) and the flatten
+are the real operators. The per-image Python loop is deliberate: the cloud
+path models a 1-5 s/page remote API (BASELINE.md), so per-image orchestration
+cost is noise; the batch math stays numpy.
+
+Spark-side, `flatten_response_df` is the same K14 traversal as native
+DataFrame expressions — a posexplode chain (generate-only: no shuffle, no
+UDF), so at 100 TB the flatten is pure whole-stage-codegen over the nested
+columns and Catalyst prunes unused response fields from the scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import numpy as np
+
+LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+# ---------------------------------------------------------------------------
+# K13: PNG encode (ref google_ocr_engine.py:77-87 — cv2.imencode('.png'))
+# ---------------------------------------------------------------------------
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """Spec-conformant PNG: 8-bit grayscale (2-D) or RGB (H,W,3), filter 0
+    scanlines, one zlib IDAT. Deterministic (fixed compression level)."""
+    if img.dtype != np.uint8:
+        raise ValueError(f"png_encode expects uint8, got {img.dtype}")
+    if img.ndim == 2:
+        color_type, h, w = 0, img.shape[0], img.shape[1]
+        flat = img
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, h, w = 2, img.shape[0], img.shape[1]
+        flat = img.reshape(h, w * 3)
+    else:
+        raise ValueError(f"png_encode expects (H,W) or (H,W,3), got {img.shape}")
+    # filter byte 0 prepended to every scanline
+    scanlines = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), flat], axis=1
+    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scanlines, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fake cloud API (sandbox stand-in for the Vision call)
+# ---------------------------------------------------------------------------
+
+_LCG_A = 6364136223846793005
+_LCG_C = 1442695040888963407
+_M64 = (1 << 64) - 1
+
+
+def fake_cloud_response(gray: np.ndarray) -> dict:
+    """Deterministic nested response for a grayscale image: one page whose
+    blocks are the image's bright text bands (the same structure the local
+    detector sees), words/confidences drawn from an LCG seeded by the PNG
+    bytes. Some words carry no vertices — exercising the reference's
+    skip-word path (ref :162-164) — yet still appear in full_text."""
+    png = png_encode(gray)
+    seed = int.from_bytes(hashlib.sha256(png).digest()[:8], "big")
+    h, w = gray.shape
+    bright = (gray.mean(axis=1) >= 100.0).astype(np.int8)
+    edges = np.flatnonzero(np.diff(np.concatenate(([0], bright, [0]))))
+    # plain-python ints: the response dict feeds json-ish consumers
+    # (createDataFrame in tests) that reject numpy scalars
+    runs = edges.reshape(-1, 2).tolist()  # (start_row, stop_row) per band
+
+    page_conf = round((seed % 1000) / 1000.0, 3)
+    rng = seed
+    blocks = []
+    for bi, (r0, r1) in enumerate(runs):
+        n_words = 2 + ((seed >> (7 * (bi % 8))) % 3)
+        words = []
+        for wi in range(n_words):
+            rng = (rng * _LCG_A + _LCG_C) & _M64
+            ln = 2 + ((rng >> 5) % 5)
+            txt = "".join(LETTERS[(rng >> (3 * (j + 1))) % 26] for j in range(ln))
+            conf = round(((rng >> 17) % 100) / 100.0, 2)
+            if rng % 7 == 0:
+                verts = []  # vertex-less word: skipped by the flatten
+            else:
+                verts = [
+                    {"x": wi / n_words, "y": r0 / h},
+                    {"x": (wi + 1) / n_words, "y": r0 / h},
+                    {"x": (wi + 1) / n_words, "y": r1 / h},
+                    {"x": wi / n_words, "y": r1 / h},
+                ]
+            words.append(
+                {
+                    "symbols": [{"text": c} for c in txt],
+                    "vertices": verts,
+                    "confidence": conf,
+                }
+            )
+        blocks.append({"paragraphs": [{"words": words}]})
+    full_text = "\n".join(
+        " ".join(
+            "".join(s["text"] for s in wd["symbols"])
+            for wd in blk["paragraphs"][0]["words"]
+        )
+        for blk in blocks
+    )
+    return {"text": full_text, "pages": [{"confidence": page_conf, "blocks": blocks}]}
+
+
+# ---------------------------------------------------------------------------
+# K14: response flatten (ref google_ocr_engine.py:149-211)
+# ---------------------------------------------------------------------------
+
+
+def flatten_response(
+    resp: dict, img_w: int, img_h: int
+) -> tuple[str, list[dict], float]:
+    """Reference traversal, exactly: returns (full_text, segments, overall).
+
+    overall = pages[0].confidence (A3, ref :149-150); segments carry F11
+    bboxes [x1,y1,x2,y2] with int-truncate-then-clamp (ref :196-201)."""
+    full_text = resp.get("text") or ""
+    pages = resp.get("pages") or []
+    overall = float(pages[0].get("confidence") or 0.0) if pages else 0.0
+    segments: list[dict] = []
+    for page in pages:
+        for block in page.get("blocks") or []:
+            for para in block.get("paragraphs") or []:
+                for word in para.get("words") or []:
+                    word_text = "".join(
+                        s["text"] for s in (word.get("symbols") or [])
+                    )
+                    verts = word.get("vertices") or []
+                    if not verts:
+                        continue  # ref :162-164
+                    xs = [v["x"] * img_w for v in verts]
+                    ys = [v["y"] * img_h for v in verts]
+                    bbox = [
+                        max(0, int(min(xs))),
+                        max(0, int(min(ys))),
+                        min(img_w, int(max(xs))),
+                        min(img_h, int(max(ys))),
+                    ]
+                    segments.append(
+                        {
+                            "text": word_text,
+                            "bounding_box": bbox,
+                            "confidence": float(word.get("confidence") or 0.0),
+                        }
+                    )
+    return full_text, segments, overall
+
+
+def recognize_cloud_batch(grays: np.ndarray) -> tuple[list[str], np.ndarray]:
+    """Cloud-engine twin of media_kernels.recognize_gray_batch: per image,
+    PNG-encode (K13) → (fake) API → flatten (K14). Returns (texts, confs)
+    where text is the annotation full_text and conf the A3 first-page value."""
+    texts: list[str] = []
+    confs = np.zeros(len(grays), dtype=np.float64)
+    for i, g in enumerate(grays):
+        resp = fake_cloud_response(g)
+        full_text, _segments, overall = flatten_response(
+            resp, g.shape[1], g.shape[0]
+        )
+        texts.append(full_text)
+        confs[i] = overall
+    return texts, confs
+
+
+# ---------------------------------------------------------------------------
+# Spark-native K14: posexplode chain over a nested response column
+# ---------------------------------------------------------------------------
+
+
+def flatten_response_df(df, img_w: float, img_h: float, resp_col: str = "response"):
+    """K14 as native DataFrame expressions over
+    response: struct<text, pages: array<struct<confidence,
+        blocks: array<struct<paragraphs: array<struct<words: array<struct<
+            symbols: array<struct<text>>, vertices: array<struct<x,y>>,
+            confidence>>>>>>>>>.
+
+    One row per word WITH vertices: positional indexes (page, block, para,
+    word), word_text = join(symbol texts), F11 denorm+clip bbox (floor ==
+    int-truncate for the non-negative normalized coords), word confidence,
+    and overall_conf = pages[0].confidence (A3). Generate-only plan: four
+    posexplodes, zero shuffles, fully codegen'd; Catalyst prunes any response
+    field not referenced here from the scan.
+    """
+    from pyspark.sql import functions as F
+
+    keep = [c for c in df.columns if c != resp_col]
+    overall = F.element_at(F.col(f"{resp_col}.pages"), 1)["confidence"].alias(
+        "overall_conf"
+    )
+    pg = df.select(
+        *keep, overall, F.posexplode(f"{resp_col}.pages").alias("page", "_pg")
+    )
+    bl = pg.select(
+        *keep, "overall_conf", "page", F.posexplode("_pg.blocks").alias("block", "_bl")
+    )
+    pr = bl.select(
+        *keep,
+        "overall_conf",
+        "page",
+        "block",
+        F.posexplode("_bl.paragraphs").alias("para", "_pr"),
+    )
+    wd = pr.select(
+        *keep,
+        "overall_conf",
+        "page",
+        "block",
+        "para",
+        F.posexplode("_pr.words").alias("word", "_wd"),
+    ).where(F.size("_wd.vertices") > 0)
+
+    xs = F.transform("_wd.vertices", lambda v: v["x"] * F.lit(float(img_w)))
+    ys = F.transform("_wd.vertices", lambda v: v["y"] * F.lit(float(img_h)))
+    return wd.select(
+        *keep,
+        F.col("page").cast("int").alias("page"),
+        F.col("block").cast("int").alias("block"),
+        F.col("para").cast("int").alias("para"),
+        F.col("word").cast("int").alias("word"),
+        F.array_join(F.transform("_wd.symbols", lambda s: s["text"]), "").alias(
+            "word_text"
+        ),
+        F.greatest(F.lit(0), F.floor(F.array_min(xs))).cast("int").alias("x1"),
+        F.greatest(F.lit(0), F.floor(F.array_min(ys))).cast("int").alias("y1"),
+        F.least(F.lit(int(img_w)), F.floor(F.array_max(xs)).cast("int")).alias("x2"),
+        F.least(F.lit(int(img_h)), F.floor(F.array_max(ys)).cast("int")).alias("y2"),
+        F.col("_wd.confidence").cast("double").alias("word_conf"),
+        F.col("overall_conf").cast("double").alias("overall_conf"),
+    )

@@ -91,11 +91,24 @@ def _postprocess_array(arr: pa.Array, rules) -> pa.Array:
 
 
 def _process_batch(
-    batch: pa.RecordBatch, rules, backend: str, passthrough: tuple[str, ...] = ()
+    batch: pa.RecordBatch,
+    rules,
+    backend: str,
+    passthrough: tuple[str, ...] = (),
+    media_engine: str = "local",
 ) -> pa.RecordBatch:
     from ocr_spark.operators.media_kernels import recognize_gray_batch
     from ocr_spark.operators.registry import get_extractor
     from ocr_spark.sources.media import resolve_gray_batch
+
+    # J1 media-engine selection: the local ONNX-analogue kernel chain or the
+    # cloud analogue (K13 PNG → fake API → K14 flatten). Same batch contract.
+    if media_engine == "cloud":
+        from ocr_spark.operators.cloud_engine import recognize_cloud_batch
+
+        recognize_gray_batch = recognize_cloud_batch
+    elif media_engine != "local":
+        raise ValueError(f"unknown media_engine {media_engine!r}")
 
     # J2 registry lookup — executor-local lazy singletons (S4 analogue)
     extract_main_text = get_extractor("html_density")
@@ -208,6 +221,7 @@ def apply_heavy_kinds(
     rules: Sequence[tuple[str, str]],
     media_resolver: str = "synthetic",
     passthrough: tuple[str, ...] = (),
+    media_engine: str = "local",
 ):
     """mapInArrow stage handling html/pdf/ocr/media spans of each doc.
 
@@ -215,6 +229,8 @@ def apply_heavy_kinds(
             `passthrough` columns copied verbatim to the output (used by the
             giant-doc chunking path to carry the chunk index through).
     Output: STAGE_SCHEMA (+ passthrough); extractor column added by caller.
+    media_engine: 'local' (DBNet/CRNN-analogue kernel chain) or 'cloud'
+            (PNG-encode → nested-response flatten, cloud_engine.py).
     """
     rules = list(rules)
     backend = media_resolver
@@ -223,6 +239,6 @@ def apply_heavy_kinds(
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            yield _process_batch(batch, rules, backend, passthrough)
+            yield _process_batch(batch, rules, backend, passthrough, media_engine)
 
     return df.mapInArrow(gen, schema=schema)

@@ -61,11 +61,30 @@ def _dummy_impl() -> Callable[[str], str]:
     return lambda text: f"Dummy OCR result from DummyExtractor for {text or 'input'}"
 
 
+def _cloud_impl() -> Callable[[str], str]:
+    """Cloud-engine analogue (ref google_ocr_engine.py): media_ref → resolved
+    grayscale → PNG encode (K13) → fake API → flatten (K14). Scalar form for
+    the registry/selection surface; the batch path is dispatch.py's
+    media_engine='cloud'."""
+    from ocr_spark.operators.cloud_engine import recognize_cloud_batch
+    from ocr_spark.sources.media import resolve_gray_batch
+
+    def extract(media_ref: str) -> str:
+        grays, ok = resolve_gray_batch([media_ref])
+        if not ok[0]:
+            raise ValueError(f"unresolvable media_ref: {media_ref!r}")
+        texts, _confs = recognize_cloud_batch(grays)
+        return texts[0]
+
+    return extract
+
+
 # the static registry: impl name → (kind, factory). Code ships via --py-files.
 KNOWN_IMPLS: dict[str, tuple[str, Callable[[], Callable[[str], str]]]] = {
     "html_density": ("html", _html_impl),
     "pdf_xycut": ("pdf", _pdf_impl),
     "dummy": ("text", _dummy_impl),
+    "cloud": ("media", _cloud_impl),
 }
 
 

@@ -68,6 +68,7 @@ def _extract_chunked(
     media_resolver: str,
     salt_partitions: int | None,
     threshold: int,
+    media_engine: str = "local",
 ) -> DataFrame:
     """Giant-doc escape hatch: salting spreads DOCS across partitions, but a
     single row cannot split — one doc with 10⁴ media spans would still
@@ -86,7 +87,9 @@ def _extract_chunked(
     exploded = big.select("doc_id", F.posexplode(chunks).alias("chunk", "spans"))
     if salt_partitions:
         exploded = exploded.repartition(salt_partitions, F.xxhash64("doc_id", "chunk"))
-    done = apply_heavy_kinds(exploded, rules, media_resolver, passthrough=("chunk",))
+    done = apply_heavy_kinds(
+        exploded, rules, media_resolver, passthrough=("chunk",), media_engine=media_engine
+    )
 
     total_cnt = F.sum("conf_cnt")
     confidence = F.when(
@@ -119,6 +122,7 @@ def extract_documents(
     media_resolver: str = "synthetic",
     split_light: bool = False,
     span_chunk_threshold: int | None = None,
+    media_engine: str = "local",
 ) -> DataFrame:
     """Run the full extraction. Returns OUTPUT_SCHEMA-shaped DataFrame.
 
@@ -133,6 +137,9 @@ def extract_documents(
     near-zero-cost columnar passthrough. Keep split_light for sources where a
     second pruned scan is cheaper than Arrow-transferring the light bytes
     (e.g. heavy kinds concentrated in a partition-prunable subset).
+
+    media_engine: 'local' or 'cloud' — J1 selection of the media-kind
+    engine (reference requested_engine_name analogue).
 
     span_chunk_threshold: giant-doc skew escape hatch — docs with more spans
     than this are split into chunks that process as independent rows and
@@ -162,9 +169,9 @@ def extract_documents(
             # defeat media-heavy doc skew: spread docs across partitions by
             # hashed doc_id (uniform), independent of input file layout
             heavy = heavy.repartition(salt_partitions, F.xxhash64("doc_id"))
-        heavy_done = apply_heavy_kinds(heavy, rules, media_resolver).drop(
-            "conf_sum", "conf_cnt"
-        )
+        heavy_done = apply_heavy_kinds(
+            heavy, rules, media_resolver, media_engine=media_engine
+        ).drop("conf_sum", "conf_cnt")
         merged = light.unionByName(heavy_done)
     elif span_chunk_threshold:
         # 2b'. giant docs chunked + re-merged; normal docs single-pass
@@ -173,18 +180,21 @@ def extract_documents(
         rest = out.where(n <= span_chunk_threshold)
         if salt_partitions:
             rest = rest.repartition(salt_partitions, F.xxhash64("doc_id"))
-        rest_done = apply_heavy_kinds(rest, rules, media_resolver).drop(
-            "conf_sum", "conf_cnt"
-        )
+        rest_done = apply_heavy_kinds(
+            rest, rules, media_resolver, media_engine=media_engine
+        ).drop("conf_sum", "conf_cnt")
         big_done = _extract_chunked(
-            big, rules, media_resolver, salt_partitions, span_chunk_threshold
+            big, rules, media_resolver, salt_partitions, span_chunk_threshold,
+            media_engine=media_engine,
         )
         merged = rest_done.unionByName(big_done)
     else:
         # 2b. single pass: one scan, one Arrow stage for all docs
         if salt_partitions:
             out = out.repartition(salt_partitions, F.xxhash64("doc_id"))
-        merged = apply_heavy_kinds(out, rules, media_resolver).drop("conf_sum", "conf_cnt")
+        merged = apply_heavy_kinds(
+            out, rules, media_resolver, media_engine=media_engine
+        ).drop("conf_sum", "conf_cnt")
 
     # 3. reassembly: enforce span order per doc, attach extractor
     return merged.select(

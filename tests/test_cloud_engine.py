@@ -1,0 +1,296 @@
+"""Cloud-engine analogue tests: K13 PNG encode, K14 response flatten, A3
+first-page confidence, Spark-native flatten parity, e2e dispatch.
+
+Golden semantics from ref ocr_components/google_ocr_engine.py:77-87 (PNG),
+:149-211 (flatten: symbol-join word text, vertex-less-word skip, F11
+denorm+clip with int truncation, pages[0].confidence)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators.cloud_engine import (
+    fake_cloud_response,
+    flatten_response,
+    flatten_response_df,
+    png_encode,
+    recognize_cloud_batch,
+)
+
+
+# ---------------------------------------------------------------------------
+# K13: PNG encode
+# ---------------------------------------------------------------------------
+
+
+def _parse_png(data: bytes):
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, chunks = 8, []
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        assert crc == zlib.crc32(tag + payload) & 0xFFFFFFFF, f"bad CRC in {tag}"
+        chunks.append((tag, payload))
+        pos += 12 + length
+    return chunks
+
+
+def test_png_grayscale_roundtrip():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+    chunks = _parse_png(png_encode(img))
+    assert [t for t, _ in chunks] == [b"IHDR", b"IDAT", b"IEND"]
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", chunks[0][1]
+    )
+    assert (w, h, depth, color, comp, filt, interlace) == (17, 24, 8, 0, 0, 0, 0)
+    raw = zlib.decompress(chunks[1][1])
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(24, 18)
+    assert (rows[:, 0] == 0).all()  # filter byte 0 per scanline
+    np.testing.assert_array_equal(rows[:, 1:], img)
+
+
+def test_png_rgb_roundtrip():
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    chunks = _parse_png(png_encode(img))
+    w, h, depth, color = struct.unpack(">IIBB", chunks[0][1][:10])
+    assert (w, h, depth, color) == (7, 5, 8, 2)
+    raw = zlib.decompress(chunks[1][1])
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(5, 22)
+    np.testing.assert_array_equal(rows[:, 1:].reshape(5, 7, 3), img)
+
+
+def test_png_rejects_bad_input():
+    with pytest.raises(ValueError):
+        png_encode(np.zeros((4, 4), dtype=np.float32))
+    with pytest.raises(ValueError):
+        png_encode(np.zeros((4, 4, 4), dtype=np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# K14: flatten golden (hand-built response, hand-computed expectations)
+# ---------------------------------------------------------------------------
+
+GOLDEN_RESP = {
+    "text": "hello big world\nskipped here",
+    "pages": [
+        {
+            "confidence": 0.91,
+            "blocks": [
+                {
+                    "paragraphs": [
+                        {
+                            "words": [
+                                {  # normal word
+                                    "symbols": [{"text": c} for c in "hello"],
+                                    "vertices": [
+                                        {"x": 0.10, "y": 0.20},
+                                        {"x": 0.30, "y": 0.20},
+                                        {"x": 0.30, "y": 0.25},
+                                        {"x": 0.10, "y": 0.25},
+                                    ],
+                                    "confidence": 0.8,
+                                },
+                                {  # overshooting vertices → clipped to image
+                                    "symbols": [{"text": c} for c in "big"],
+                                    "vertices": [
+                                        {"x": -0.05, "y": 0.9},
+                                        {"x": 1.20, "y": 1.10},
+                                    ],
+                                    "confidence": 0.5,
+                                },
+                                {  # vertex-less → skipped (ref :162-164)
+                                    "symbols": [{"text": c} for c in "world"],
+                                    "vertices": [],
+                                    "confidence": 0.99,
+                                },
+                            ]
+                        }
+                    ]
+                }
+            ],
+        },
+        {  # second page: its confidence must NOT become the overall (A3)
+            "confidence": 0.11,
+            "blocks": [
+                {
+                    "paragraphs": [
+                        {
+                            "words": [
+                                {
+                                    "symbols": [{"text": c} for c in "here"],
+                                    "vertices": [{"x": 0.5, "y": 0.5}],
+                                    "confidence": 0.7,
+                                }
+                            ]
+                        }
+                    ]
+                }
+            ],
+        },
+    ],
+}
+
+
+def test_flatten_golden():
+    full_text, segments, overall = flatten_response(GOLDEN_RESP, 200, 100)
+    assert full_text == "hello big world\nskipped here"
+    assert overall == 0.91  # pages[0].confidence — first value, not a mean
+    assert [s["text"] for s in segments] == ["hello", "big", "here"]
+    # hello: [0.1,0.2,0.3,0.25] × (200,100) → [20,20,60,25]
+    assert segments[0]["bounding_box"] == [20, 20, 60, 25]
+    # big: min x = -10 → int→-10 → clamp 0; max x = 240 → clamp 200;
+    #      min y = 90; max y = 110 → clamp 100
+    assert segments[1]["bounding_box"] == [0, 90, 200, 100]
+    assert segments[2]["bounding_box"] == [100, 50, 100, 50]
+    assert [s["confidence"] for s in segments] == [0.8, 0.5, 0.7]
+
+
+def test_flatten_empty_response():
+    assert flatten_response({}, 10, 10) == ("", [], 0.0)
+    assert flatten_response({"text": "x", "pages": []}, 10, 10) == ("x", [], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# fake API determinism + batch kernel
+# ---------------------------------------------------------------------------
+
+
+def _gray(seed: int) -> np.ndarray:
+    from ocr_spark.sources.media import synth_media_batch
+
+    return synth_media_batch([f"m{seed}"])[0]
+
+
+def test_fake_response_deterministic_and_structured():
+    g = _gray(3)
+    r1, r2 = fake_cloud_response(g), fake_cloud_response(g.copy())
+    assert r1 == r2
+    assert r1["pages"] and 0.0 <= r1["pages"][0]["confidence"] <= 1.0
+    # bright bands in the synthetic scan → at least one block of words
+    words = r1["pages"][0]["blocks"][0]["paragraphs"][0]["words"]
+    assert words and all(w["symbols"] for w in words)
+    # full_text includes every word, even vertex-less ones (annotation text)
+    n_words = sum(
+        len(p["words"])
+        for b in r1["pages"][0]["blocks"]
+        for p in b["paragraphs"]
+    )
+    assert len(r1["text"].split()) == n_words
+
+
+def test_recognize_cloud_batch_matches_scalar_path():
+    grays = np.stack([_gray(i) for i in range(8)])
+    texts, confs = recognize_cloud_batch(grays)
+    assert len(texts) == 8 and confs.shape == (8,)
+    for i in range(8):
+        resp = fake_cloud_response(grays[i])
+        ft, _, ov = flatten_response(resp, 32, 32)
+        assert texts[i] == ft
+        assert confs[i] == ov
+
+
+# ---------------------------------------------------------------------------
+# Spark-native flatten ≡ python flatten on the same nested fixture
+# ---------------------------------------------------------------------------
+
+
+def test_flatten_response_df_matches_python(spark):
+    img_w, img_h = 200, 100
+    rows = [("d0", GOLDEN_RESP), ("d1", fake_cloud_response(_gray(5)))]
+    schema = (
+        "doc_id string, response struct<text:string, pages:array<struct<"
+        "confidence:double, blocks:array<struct<paragraphs:array<struct<"
+        "words:array<struct<symbols:array<struct<text:string>>, "
+        "vertices:array<struct<x:double,y:double>>, confidence:double"
+        ">>>>>>>>>"
+    )
+    df = spark.createDataFrame(rows, schema=schema)
+    got = flatten_response_df(df, img_w=img_w, img_h=img_h)
+    got_rows = {
+        (r.doc_id, r.page, r.block, r.para, r.word): r
+        for r in got.collect()
+    }
+    for doc_id, resp in rows:
+        _ft, segments, overall = flatten_response(resp, img_w, img_h)
+        # reconstruct positional indexes the same way the posexplode does
+        idx = 0
+        for pi, page in enumerate(resp.get("pages") or []):
+            for bi, block in enumerate(page.get("blocks") or []):
+                for qi, para in enumerate(block.get("paragraphs") or []):
+                    for wi, word in enumerate(para.get("words") or []):
+                        if not (word.get("vertices") or []):
+                            continue
+                        r = got_rows[(doc_id, pi, bi, qi, wi)]
+                        seg = segments[idx]
+                        idx += 1
+                        assert r.word_text == seg["text"]
+                        assert [r.x1, r.y1, r.x2, r.y2] == seg["bounding_box"]
+                        assert r.word_conf == seg["confidence"]
+                        assert r.overall_conf == overall
+        assert idx == len(segments)
+    assert len(got_rows) == sum(
+        len(flatten_response(resp, img_w, img_h)[1]) for _, resp in rows
+    )
+
+
+# ---------------------------------------------------------------------------
+# e2e: media_engine='cloud' through the full pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_extract_documents_cloud_engine(spark):
+    from ocr_spark.fixtures import generate_docs
+    from ocr_spark.pipeline import extract_documents
+    from ocr_spark.schema import DOC_SCHEMA
+
+    docs = spark.createDataFrame(generate_docs(40), DOC_SCHEMA)
+    out = extract_documents(docs, rules=[["hte", "the"]], media_engine="cloud")
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 40
+    # docs with media spans get the cloud A3 confidence; reruns identical
+    rows2 = {r.doc_id: r for r in extract_documents(
+        docs, rules=[["hte", "the"]], media_engine="cloud"
+    ).collect()}
+    assert rows == rows2
+    # cloud and local engines disagree on media text (different engines)
+    local = {r.doc_id: r for r in extract_documents(
+        docs, rules=[["hte", "the"]], media_engine="local"
+    ).collect()}
+    media_docs = [
+        d for d, r in rows.items()
+        if any(s.kind in ("ocr", "media") for s in r.spans)
+    ]
+    assert media_docs, "fixture corpus should contain media spans"
+    assert any(rows[d].spans != local[d].spans for d in media_docs)
+    # non-media docs are engine-independent
+    for d, r in rows.items():
+        if d not in media_docs:
+            assert r == local[d]
+
+
+def test_unknown_media_engine_raises(spark):
+    from ocr_spark.fixtures import generate_docs
+    from ocr_spark.pipeline import extract_documents
+    from ocr_spark.schema import DOC_SCHEMA
+
+    docs = spark.createDataFrame(generate_docs(4), DOC_SCHEMA)
+    with pytest.raises(Exception):
+        extract_documents(docs, media_engine="nope").collect()
+
+
+def test_cloud_registry_impl():
+    from ocr_spark.operators.registry import get_extractor
+
+    fn = get_extractor("cloud")
+    t1, t2 = fn("media/abc"), fn("media/abc")
+    assert t1 == t2 and isinstance(t1, str)
+    with pytest.raises(ValueError):
+        fn("")
