@@ -418,6 +418,118 @@ def q_cloud_flatten(spark, sf_dir):
     return flatten_response_df(nested, img_w=640, img_h=480)
 
 
+def q_quad_order(spark, sf_dir):
+    """W1 quad point ordering (ref local_ocr_engine.py:258-264: TL=argmin(x+y),
+    BR=argmax(x+y), TR=argmin(y-x), BL=argmax(y-x)), F6 shoelace area filter
+    (:294-296), and K9 target-width math (:270-281) — all as pure codegen
+    array expressions over quads synthesized from lineitem numerics."""
+    li = _t(spark, sf_dir, "lineitem")
+    xs = F.array(
+        F.col("l_quantity").cast("double"),
+        (F.col("l_extendedprice") / 1000.0),
+        (F.col("l_quantity") + F.col("l_linenumber")).cast("double"),
+        (F.col("l_extendedprice") / 2000.0),
+    )
+    ys = F.array(
+        F.col("l_discount") * 100.0,
+        F.col("l_tax") * 100.0,
+        F.col("l_discount") * 50.0 + 5.0,
+        F.col("l_tax") * 50.0 + 2.0,
+    )
+    ss = F.zip_with(xs, ys, lambda a, b: a + b)
+    ds = F.zip_with(xs, ys, lambda a, b: b - a)
+    tl_i = F.array_position(ss, F.array_min(ss)).cast("int")
+    br_i = F.array_position(ss, F.array_max(ss)).cast("int")
+    tr_i = F.array_position(ds, F.array_min(ds)).cast("int")
+    bl_i = F.array_position(ds, F.array_max(ds)).cast("int")
+
+    def pt(i):
+        return F.element_at(xs, i), F.element_at(ys, i)
+
+    tlx, tly = pt(tl_i)
+    trx, try_ = pt(tr_i)
+    brx, bry = pt(br_i)
+    blx, bly = pt(bl_i)
+    area = 0.5 * F.abs(
+        tlx * try_ - trx * tly
+        + trx * bry - brx * try_
+        + brx * bly - blx * bry
+        + blx * tly - tlx * bly
+    )
+    dist = lambda ax, ay, bx, by: F.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+    avg_w = (dist(trx, try_, tlx, tly) + dist(brx, bry, blx, bly)) / 2.0
+    avg_h = (dist(blx, bly, tlx, tly) + dist(brx, bry, trx, try_)) / 2.0
+    target_w = F.when((avg_h == 0) | (avg_w == 0), F.lit(10)).otherwise(
+        F.greatest(F.lit(1), F.least(F.lit(320), F.floor(48.0 * avg_w / avg_h).cast("int")))
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(tlx, 6).alias("tl_x"),
+        F.round(tly, 6).alias("tl_y"),
+        F.round(trx, 6).alias("tr_x"),
+        F.round(try_, 6).alias("tr_y"),
+        F.round(brx, 6).alias("br_x"),
+        F.round(bry, 6).alias("br_y"),
+        F.round(blx, 6).alias("bl_x"),
+        F.round(bly, 6).alias("bl_y"),
+        # raw double, not rounded: both engines build the identical IEEE
+        # expression tree, while their round() implementations disagree on
+        # decimal-half boundaries (BigDecimal HALF_UP vs C-lib scaling)
+        area.alias("area"),
+        (area >= F.lit(9.0)).alias("keep"),
+        target_w.cast("int").alias("target_w"),
+    )
+
+
+_QUAD_ORDER_SQL = """
+WITH pts AS (
+  SELECT l_orderkey, l_linenumber,
+    list_value(l_quantity::DOUBLE, l_extendedprice/1000.0,
+               (l_quantity + l_linenumber)::DOUBLE, l_extendedprice/2000.0) AS xs,
+    list_value(l_discount*100.0, l_tax*100.0,
+               l_discount*50.0 + 5.0, l_tax*50.0 + 2.0) AS ys
+  FROM lineitem),
+idx AS (
+  SELECT *,
+    list_transform(range(1, 5), i -> xs[i] + ys[i]) AS ss,
+    list_transform(range(1, 5), i -> ys[i] - xs[i]) AS ds
+  FROM pts),
+o AS (
+  SELECT l_orderkey, l_linenumber, xs, ys,
+    list_indexof(ss, list_aggregate(ss, 'min')) AS tl_i,
+    list_indexof(ss, list_aggregate(ss, 'max')) AS br_i,
+    list_indexof(ds, list_aggregate(ds, 'min')) AS tr_i,
+    list_indexof(ds, list_aggregate(ds, 'max')) AS bl_i
+  FROM idx),
+c AS (
+  SELECT l_orderkey, l_linenumber,
+    xs[tl_i] AS tlx, ys[tl_i] AS tly, xs[tr_i] AS trx, ys[tr_i] AS trty,
+    xs[br_i] AS brx, ys[br_i] AS bry, xs[bl_i] AS blx, ys[bl_i] AS bly
+  FROM o),
+m AS (
+  SELECT *,
+    0.5*abs(tlx*trty - trx*tly + trx*bry - brx*trty
+            + brx*bly - blx*bry + blx*tly - tlx*bly) AS area,
+    (sqrt((trx-tlx)*(trx-tlx) + (trty-tly)*(trty-tly))
+     + sqrt((brx-blx)*(brx-blx) + (bry-bly)*(bry-bly))) / 2.0 AS avg_w,
+    (sqrt((blx-tlx)*(blx-tlx) + (bly-tly)*(bly-tly))
+     + sqrt((brx-trx)*(brx-trx) + (bry-trty)*(bry-trty))) / 2.0 AS avg_h
+  FROM c)
+SELECT l_orderkey, l_linenumber,
+  round(tlx, 6) AS tl_x, round(tly, 6) AS tl_y,
+  round(trx, 6) AS tr_x, round(trty, 6) AS tr_y,
+  round(brx, 6) AS br_x, round(bry, 6) AS br_y,
+  round(blx, 6) AS bl_x, round(bly, 6) AS bl_y,
+  area,
+  area >= 9.0 AS keep,
+  CASE WHEN avg_h = 0 OR avg_w = 0 THEN 10
+       ELSE greatest(1, least(320, floor(48.0*avg_w/avg_h)::INTEGER))
+  END::INTEGER AS target_w
+FROM m
+"""
+
+
 _CLOUD_FLATTEN_SQL = """
 WITH base AS (
   SELECT doc_id,
@@ -620,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_filter": q_box_filter,
         "dummy_engine": q_dummy_engine,
         "cloud_flatten": q_cloud_flatten,
+        "quad_order": q_quad_order,
         "ivf_topk": q_ivf_topk,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
@@ -737,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0.99 AS DOUBLE) AS confidence FROM documents"
         ),
         "cloud_flatten": _CLOUD_FLATTEN_SQL,
+        "quad_order": _QUAD_ORDER_SQL,
         **_training_oracles(),
     }
 

@@ -7,10 +7,13 @@ Protocol
 Output is hash-bucketed by doc_id: ``bucket = pmod(xxhash64(doc_id), N)`` and
 written with ``partitionBy('bucket')`` in dynamic-overwrite mode. A bucket is
 COMPLETE iff its manifest JSON exists in ``<out>/_manifests/``. Manifests are
-written only after the Spark write job commits, from a stats scan of the
-data actually on disk — so a crash mid-write leaves partial bucket dirs
-*without* manifests, and the next run simply rewrites those buckets
-(dynamic overwrite replaces partial data; no dups, no loss, at-least-once).
+written only after the Spark write job commits, from a verification scan of
+the data actually on disk — restricted to the buckets this run wrote (file
+pruning) and the two narrow manifest columns (column pruning); global totals
+ride with the write job via ``df.observe`` and are cross-checked against the
+committed rows. A crash mid-write leaves partial bucket dirs *without*
+manifests, and the next run simply rewrites those buckets (dynamic overwrite
+replaces partial data; no dups, no loss, at-least-once).
 
 Resume = left_anti join of the input against the completed-bucket manifest
 frame (J3, SURVEY.md §2.3) — Spark broadcasts the tiny manifest side.
@@ -79,33 +82,65 @@ def run_resumable(
 
     extract = extract or (lambda d: extract_documents(d))
 
+    from pyspark.sql import Observation
+
+    already = {int(m["bucket"]) for m in completed_buckets(out_dir)}
     todo = remaining_input(spark, docs, out_dir, n_buckets)
     t0 = time.perf_counter()
 
     result = extract(todo.drop("bucket")).withColumn("bucket", bucket_col(n_buckets))
+    # global totals ride along with the write job itself (df.observe —
+    # accumulator-backed, zero extra scan); per-bucket detail comes from the
+    # pruned verification scan below
+    obs = Observation(f"ckpt-{run_id}")
+    result = result.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("error").isNotNull().cast("long")).alias("n_errors"),
+    )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     result.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
     wall = time.perf_counter() - t0
+    totals = obs.get  # available immediately — the write action computed it
 
-    # stats scan over what is actually on disk, restricted to buckets we wrote
-    already = {int(m["bucket"]) for m in completed_buckets(out_dir)}
-    written = spark.read.parquet(out_dir)
-    stats = (
-        written.where(~F.col("bucket").isin(sorted(already)) if already else F.lit(True))
-        .groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
-            F.min("doc_id").alias("min_doc_id"),
-            F.max("doc_id").alias("max_doc_id"),
+    # Per-bucket stats: read back ONLY the buckets this run may have written
+    # (explicit bucket=<b> paths — file-level pruning by construction, never
+    # previous runs' buckets) and only the 2 narrow columns the manifest
+    # needs — a metadata-light fraction of the span-payload-dominated output.
+    # Reading what is actually on disk (rather than trusting the in-memory
+    # counts) is deliberate: the manifest asserts bucket completeness, so it
+    # must describe committed files, not the plan that produced them.
+    candidates = sorted(set(range(n_buckets)) - already)
+    paths = [
+        p
+        for b in candidates
+        if os.path.isdir(p := os.path.join(out_dir, f"bucket={b}"))
+    ]
+    stats = []
+    if paths:
+        written = (
+            spark.read.option("basePath", out_dir)
+            .parquet(*paths)
+            .select("doc_id", "error", "bucket")
         )
-        .collect()
+        stats = (
+            written.groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+                F.min("doc_id").alias("min_doc_id"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
+            .collect()
+        )
+    assert sum(r["n_docs"] for r in stats) == totals["n_docs"], (
+        "committed rows disagree with the write job's observed count"
     )
 
     mdir = os.path.join(out_dir, MANIFEST_SUBDIR)
     os.makedirs(mdir, exist_ok=True)
-    total_docs = sum(r["n_docs"] for r in stats) or 1
+    total_docs = totals["n_docs"] or 1
     for r in stats:
         manifest = {
             "bucket": int(r["bucket"]),

@@ -101,12 +101,17 @@ def _process_batch(
     from ocr_spark.operators.registry import get_extractor
     from ocr_spark.sources.media import resolve_gray_batch
 
-    # J1 media-engine selection: the local ONNX-analogue kernel chain or the
-    # cloud analogue (K13 PNG → fake API → K14 flatten). Same batch contract.
+    # J1 media-engine selection: the local ONNX-analogue kernel chain, the
+    # rotated-quad geometry path (W1/F6/K9/K10), or the cloud analogue
+    # (K13 PNG → fake API → K14 flatten). Same batch contract for all three.
     if media_engine == "cloud":
         from ocr_spark.operators.cloud_engine import recognize_cloud_batch
 
         recognize_gray_batch = recognize_cloud_batch
+    elif media_engine == "local_warp":
+        from ocr_spark.operators.quad_geometry import recognize_quad_batch
+
+        recognize_gray_batch = recognize_quad_batch
     elif media_engine != "local":
         raise ValueError(f"unknown media_engine {media_engine!r}")
 
