@@ -561,6 +561,96 @@ FROM f
 """
 
 
+def _media_spans_df(spark, sf_dir):
+    """One media span per document (media_ref = 'media://<doc_id>'), built
+    natively — the spans-table input the multimodal operators expect."""
+    d = _t(spark, sf_dir, "documents")
+    span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return d.select(F.col("doc_id").cast("string").alias("doc_id"), F.array(span).alias("spans"))
+
+
+def q_image_features(spark, sf_dir):
+    """Multimodal image features through the REAL mapInPandas plumbing
+    (media_assets_df → image_features): payload resolution, Arrow batching,
+    per-asset error envelopes. Oracle = a numpy-golden VALUES table computed
+    driver-side by the same deterministic kernels — it verifies the
+    distributed plumbing reproduces the direct computation exactly."""
+    from ocr_spark.operators.multimodal import image_features, media_assets_df
+
+    feats = image_features(media_assets_df(_media_spans_df(spark, sf_dir)))
+    return feats.select(
+        "media_ref", "width", "height", "mean_intensity", "std_intensity", "n_bands"
+    )
+
+
+def q_resize_images(spark, sf_dir):
+    """Multimodal block-mean resize through the real Arrow stage; output
+    reduced to an md5 of the resized payload (binary → hashable scalar)."""
+    from ocr_spark.operators.multimodal import media_assets_df, resize_images
+
+    rs = resize_images(media_assets_df(_media_spans_df(spark, sf_dir)))
+    return rs.select(
+        "media_ref", "width", "height", F.md5(F.col("content")).alias("content_md5")
+    )
+
+
+def _multimodal_goldens(sf_dir: str = "/root/testdata/sf0.01"):
+    """Driver-side numpy goldens for the multimodal oracles: the same
+    deterministic synth/decode/feature kernels run directly (no Spark), one
+    row per media ref."""
+    global _MM_GOLD
+    try:
+        return _MM_GOLD
+    except NameError:
+        import hashlib
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ocr_spark.operators.media_kernels import block_mean_resize, detect_bands
+        from ocr_spark.sources.media import synth_media_batch
+
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_pylist()
+        refs = [f"media://{i}" for i in ids]
+        grays = synth_media_batch(refs)
+        feat_rows, resize_rows = [], []
+        for ref, g in zip(refs, grays):
+            feat_rows.append(
+                (ref, 32, 32, float(g.mean()), float(g.std()), len(detect_bands(g)))
+            )
+            small = np.clip(np.rint(block_mean_resize(g, 8, 8)), 0, 255).astype(np.uint8)
+            resize_rows.append((ref, 8, 8, hashlib.md5(small.tobytes()).hexdigest()))
+        _MM_GOLD = (feat_rows, resize_rows)
+        return _MM_GOLD
+
+
+def _image_features_sql() -> str:
+    rows = ", ".join(
+        f"('{r}', {w}, {h}, {m!r}::DOUBLE, {s!r}::DOUBLE, {nb})"
+        for r, w, h, m, s, nb in _multimodal_goldens()[0]
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS t(media_ref, width, height, "
+        "mean_intensity, std_intensity, n_bands)"
+    )
+
+
+def _resize_images_sql() -> str:
+    rows = ", ".join(
+        f"('{r}', {w}, {h}, '{md}')" for r, w, h, md in _multimodal_goldens()[1]
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) AS t(media_ref, width, height, content_md5)"
+    )
+
+
 # --- training-data pipeline operators (task directive) ----------------------
 
 
@@ -625,11 +715,13 @@ def q_simhash(spark, sf_dir):
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs via pigeonhole chunk join; the oracle is the
-    O(n²) brute force — equality proves the chunked LSH join is lossless."""
+    """SimHash near-dup pairs via pigeonhole chunk join at the SCALE-SAFE
+    parameterization (max_hamming=3 over 60 bits → 15-bit chunk keys, 32k
+    buckets); the oracle is the O(n²) brute force — equality proves the
+    chunked LSH join is lossless."""
     from ocr_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def _query_vec() -> list[float]:
@@ -687,11 +779,25 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.3)
 
 
+def _emb_planes(sf_dir: str) -> int:
+    """Corpus-size-derived plane count, from parquet metadata (no scan) —
+    the same derivation embedded in the DuckDB twin."""
+    import pyarrow.parquet as pq
+
+    from ocr_spark.operators.similarity import derived_n_planes
+
+    n = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    return derived_n_planes(n)
+
+
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dups via sign-LSH buckets + exact cosine."""
+    """Embedding-cosine near-dups via sign-LSH buckets + exact cosine.
+    Plane count derived from corpus size (scale-safe bucket occupancy)."""
     from ocr_spark.operators.similarity import embedding_near_dups
 
-    return embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.2)
+    return embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"), threshold=0.2, n_planes=_emb_planes(sf_dir)
+    )
 
 
 def q_cosine_topk(spark, sf_dir):
@@ -733,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dummy_engine": q_dummy_engine,
         "cloud_flatten": q_cloud_flatten,
         "quad_order": q_quad_order,
+        "image_features": q_image_features,
+        "resize_images": q_resize_images,
         "ivf_topk": q_ivf_topk,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
@@ -851,6 +959,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cloud_flatten": _CLOUD_FLATTEN_SQL,
         "quad_order": _QUAD_ORDER_SQL,
+        "image_features": _image_features_sql(),
+        "resize_images": _resize_images_sql(),
         **_training_oracles(),
     }
 
@@ -885,13 +995,15 @@ def _training_oracles() -> dict[str, str]:
             f"SELECT a.id AS id_a, b.id AS id_b, "
             f"bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming "
             f"FROM sig a JOIN sig b ON a.id < b.id "
-            f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"
+            f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "minhash_lsh": minhash_lsh_sql(threshold=0.3),
         "cosine_topk": cosine_topk_sql(_query_vec(), k=10),
         "lsh_topk": lsh_topk_sql(_query_vec(), k=10),
         "ivf_topk": ivf_topk_sql(_query_vec(), _ivf_centroids(), k=10, nprobe=4),
-        "embedding_near_dups": _embedding_near_dups_sql(threshold=0.2),
+        "embedding_near_dups": _embedding_near_dups_sql(
+            threshold=0.2, n_planes=_emb_planes("/root/testdata/sf0.01")
+        ),
     }
 
 

@@ -106,20 +106,46 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "extraction_suite_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_docs": n_docs,
-                "docs_per_sec": round(n_docs / extract_sec, 1),
-                "cpus": cpus,
-            }
+    result = {
+        "metric": "extraction_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / extract_sec, 1),
+        "cpus": cpus,
+    }
+    _append_history(result)
+    print(json.dumps(result))
+
+
+def _append_history(result: dict) -> None:
+    """Persist per-run, per-query timings to BENCH/history.jsonl so
+    round-over-round regression checks are mechanical (diffable history,
+    independent of the driver's BENCH_r{N}.json snapshots)."""
+    import subprocess
+
+    entry = dict(result)
+    entry["ts"] = int(time.time())
+    try:
+        entry["commit"] = (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip()
+            or None
         )
-    )
+    except Exception:
+        entry["commit"] = None
+    try:
+        bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "history.jsonl"), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+    except OSError:
+        pass  # history is best-effort; the printed line is the contract
 
 
 if __name__ == "__main__":

@@ -384,8 +384,25 @@ def simhash_sql(bits: int = 60, id_col: str = "doc_id", text_expr: str = "text")
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 60) -> DataFrame:
     """Near-dup candidates: split the signature into (max_hamming+1) chunks —
     any pair within hamming distance must share one exact chunk (pigeonhole);
-    equi-join per chunk, then verify with bit_count(xor)."""
+    equi-join per chunk, then verify with bit_count(xor).
+
+    Scale guard: chunk-key cardinality is 2^(bits/(max_hamming+1)); narrow
+    chunks make within-bucket candidate counts grow O(N²/2^chunk_bits). The
+    default (max_hamming=3 over 60 bits → 15-bit chunks, 32k buckets) is the
+    scale-safe parameterization; wider radii at corpus scale should use
+    two-level chunk+verify instead."""
     n_chunks = max_hamming + 1
+    if bits // n_chunks < 12:
+        import warnings
+
+        warnings.warn(
+            f"simhash_near_pairs: {n_chunks} chunks over {bits} bits leaves "
+            f"~{bits // n_chunks}-bit chunk keys (≤{1 << (bits // n_chunks)} "
+            "distinct buckets); candidate pairs grow quadratically at corpus "
+            "scale — lower max_hamming or use two-level chunk+verify",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sig = simhash(docs, bits=bits)
     # chunk sizes partition ALL bits (pigeonhole requires full coverage):
     # first (bits % n_chunks) chunks get one extra bit

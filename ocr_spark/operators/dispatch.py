@@ -56,6 +56,43 @@ STAGE_SCHEMA = T.StructType(
 HEAVY = ("html", "pdf", "ocr", "media")
 MEDIA_KINDS = ("ocr", "media")
 
+# per-doc payload map column attached by the sidecar join (pipeline);
+# consumed (and dropped) by the Arrow stage when backend == "sidecar"
+MEDIA_SIDECAR_COL = "media_payloads"
+
+
+def _resolve_sidecar(
+    batch: pa.RecordBatch, refs, m_idx: np.ndarray, doc_of_span: np.ndarray
+):
+    """Resolve media spans from the doc's broadcast-joined payload map
+    (S1 binaryFile path): bytes → image → grayscale per span. Returns
+    (grays, ok, errs) where errs carries (media-span-ordinal, exception) for
+    missing refs and corrupt payloads — both degrade to per-doc envelopes."""
+    from ocr_spark.operators.media_kernels import (
+        IMG_SIDE,
+        bytes_to_image,
+        to_grayscale,
+    )
+
+    maps_raw = batch.column(MEDIA_SIDECAR_COL).to_pylist()
+    maps = [dict(m) if m else {} for m in maps_raw]
+    n = len(refs)
+    grays = np.zeros((n, IMG_SIDE, IMG_SIDE), dtype=np.uint8)
+    ok = np.zeros(n, dtype=bool)
+    errs: list[tuple[int, Exception]] = []
+    for j, ref in enumerate(refs):
+        doc = int(doc_of_span[m_idx[j]])
+        payload = maps[doc].get(ref) if ref else None
+        if payload is None:
+            errs.append((j, ValueError(f"unresolvable media_ref: {ref!r}")))
+            continue
+        try:
+            grays[j] = to_grayscale(bytes_to_image(payload))
+            ok[j] = True
+        except Exception as e:  # corrupt payload → per-doc envelope
+            errs.append((j, e))
+    return grays, ok, errs
+
 
 _SQUEEZE = re.compile(r"[ \t]+")
 _BLANKS = re.compile(r"\n{2,}")
@@ -143,9 +180,14 @@ def _process_batch(
     has_media = np.zeros(n_docs, dtype=bool)
     err: list[str | None] = [None] * n_docs
     err_src: list[str | None] = [None] * n_docs
+    # first-error = the failing span with the SMALLEST flat position (== span
+    # array order within the doc) — matching the reference's per-document
+    # sequential processing, independent of the kind-by-kind batch order here
+    err_pos = np.full(n_docs, np.iinfo(np.int64).max, dtype=np.int64)
 
-    def record_error(doc: int, e: Exception, src: str) -> None:
-        if err[doc] is None:
+    def record_error(doc: int, pos: int, e: Exception, src: str) -> None:
+        if pos < err_pos[doc]:
+            err_pos[doc] = pos
             err[doc] = f"{type(e).__name__}: {e}"
             err_src[doc] = src
 
@@ -160,7 +202,7 @@ def _process_batch(
                 repl[pos] = _postprocess_text(fn(t or ""), rules)
                 replaced[pos] = True
             except Exception as e:  # error envelope, keep flowing
-                record_error(int(doc_of_span[pos]), e, k)
+                record_error(int(doc_of_span[pos]), int(pos), e, k)
 
     # ---- media kinds (K1..K12 + T6 kernel chain over resolved payloads) ----
     m_mask = pc.is_in(kind, value_set=pa.array(MEDIA_KINDS)).to_numpy(zero_copy_only=False)
@@ -168,14 +210,44 @@ def _process_batch(
     if m_idx.size:
         np.bitwise_or.at(has_media, doc_of_span[m_idx], True)
         refs = media_ref.take(pa.array(m_idx)).to_pylist()
-        grays, ok = resolve_gray_batch(refs, backend)
-        if not ok.all():
+        if backend == "sidecar":
+            grays, ok, errs = _resolve_sidecar(batch, refs, m_idx, doc_of_span)
+        else:
+            grays, ok = resolve_gray_batch(refs, backend)
+            errs = [
+                (int(j), ValueError(f"unresolvable media_ref: {refs[j]!r}"))
+                for j in np.flatnonzero(~ok)
+            ]
+        if errs:
             kinds_m = kind.take(pa.array(m_idx)).to_pylist()
-            for j in np.flatnonzero(~ok):
-                e = ValueError(f"unresolvable media_ref: {refs[j]!r}")
-                record_error(int(doc_of_span[m_idx[j]]), e, kinds_m[j])
-        texts_m, confs_m = recognize_gray_batch(grays[ok])
+            for j, e in errs:
+                record_error(int(doc_of_span[m_idx[j]]), int(m_idx[j]), e, kinds_m[j])
         good_pos = m_idx[ok]
+        grays_ok = grays[ok]
+        try:
+            texts_m, confs_m = recognize_gray_batch(grays_ok)
+        except Exception:
+            # a poison payload must not kill the whole Spark task: retry per
+            # image so individual failures degrade to per-doc error envelopes
+            # (the scalar-path semantics) while the rest of the batch flows
+            n_ok = len(grays_ok)
+            texts_list: list[str] = []
+            confs_all = np.zeros(n_ok, dtype=np.float64)
+            rec_ok = np.zeros(n_ok, dtype=bool)
+            kinds_g = kind.take(pa.array(good_pos)).to_pylist()
+            for j in range(n_ok):
+                try:
+                    t1, c1 = recognize_gray_batch(grays_ok[j : j + 1])
+                except Exception as e:
+                    p = int(good_pos[j])
+                    record_error(int(doc_of_span[p]), p, e, kinds_g[j])
+                    continue
+                texts_list.append(t1[0])
+                confs_all[j] = c1[0]
+                rec_ok[j] = True
+            texts_m = texts_list
+            confs_m = confs_all[rec_ok]
+            good_pos = good_pos[rec_ok]
         processed = _postprocess_array(pa.array(texts_m, type=pa.string()), rules)
         repl[good_pos] = np.asarray(processed.to_pylist(), dtype=object)
         replaced[good_pos] = True

@@ -414,6 +414,11 @@ def _recognize_gray_chunk(grays: np.ndarray) -> tuple[list[str], np.ndarray]:
     col_seg = np.add.reduceat(grays.astype(np.int32), xs[:-1], axis=2)  # (N, 32, C)
     rc = np.zeros((n_img, IMG_SIDE + 1, n_classes), dtype=np.int32)
     np.cumsum(col_seg, axis=1, out=rc[:, 1:, :])  # (N, 33, C)
+    # dx skips the scalar block_mean_resize's max(...,1) clamp — safe ONLY
+    # while n_classes <= IMG_SIDE (every column diff >= 1). Guard it so a
+    # CHARSET grown past IMG_SIDE fails loudly instead of silently emitting
+    # div-by-zero logits that diverge from the scalar chain.
+    assert n_classes <= IMG_SIDE, "CHARSET+blank must fit in IMG_SIDE columns"
     dx = (xs[1:] - xs[:-1]).astype(np.float64)
 
     logits = np.empty((n_band, REC_T, n_classes))

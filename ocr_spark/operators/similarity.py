@@ -207,15 +207,43 @@ def ivf_topk_sql(
     )
 
 
+def derived_n_planes(
+    n_vectors: int,
+    target_bucket_size: int = 64,
+    min_planes: int = 4,
+    max_planes: int = 40,
+) -> int:
+    """Plane count that scales with corpus size: expected bucket occupancy
+    N/2^p ≈ target_bucket_size keeps the within-bucket exact-cosine pair work
+    ~linear in N (p = ceil(log2(N/target))). A fixed plane count is the
+    classic sign-LSH scale trap: 8 planes = 256 buckets = O(N²/256) pairs.
+    More planes lower recall for moderately-similar pairs — acceptable for
+    NEAR-DUP detection (near-identical vectors agree on almost every
+    hyperplane sign); use multi-table LSH when recall at lower similarity
+    matters."""
+    import math
+
+    if n_vectors <= 0:
+        return min_planes
+    p = math.ceil(math.log2(max(n_vectors / target_bucket_size, 1.0)))
+    return int(min(max_planes, max(min_planes, p)))
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: bucket by sign-LSH, exact cosine
-    within buckets (the near-dup variant of lsh_topk; one shuffle)."""
+    within buckets (the near-dup variant of lsh_topk; one shuffle).
+
+    n_planes=None derives the plane count from the corpus size
+    (derived_n_planes) — one cheap count job — so bucket occupancy, and with
+    it the quadratic within-bucket work, stays bounded as the corpus grows."""
+    if n_planes is None:
+        n_planes = derived_n_planes(emb.count())
     planes = hyperplanes(n_planes, dim=EMB_DIM)
     v = F.col(vec_col).cast("array<double>")
     bucketed = emb.select(

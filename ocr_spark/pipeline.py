@@ -62,6 +62,43 @@ def has_heavy_spans(col: Column) -> Column:
     return F.exists(col, lambda s: s["kind"].isin(*HEAVY_KINDS))
 
 
+def _attach_sidecar(df: DataFrame, sidecar: DataFrame) -> DataFrame:
+    """S1 binaryFile path (J3 broadcast sidecar join, ref
+    ocr_workflow_orchestrator.py:153-178 restated for Spark): gather each
+    doc's distinct media refs, broadcast-join the (media_ref, content)
+    sidecar, and re-attach the payloads as one map column per doc.
+
+    Scale shape: the refs frame carries only (doc_id, media_ref) — narrow.
+    The sidecar side is broadcast (small dims case); a huge sidecar would
+    swap to a bucketed shuffle join with the same plan shape. The group-back
+    shuffles only docs that HAVE media spans, keyed by doc_id — the same key
+    the Arrow stage salts on, so AQE can co-locate the downstream join."""
+    from ocr_spark.operators.dispatch import MEDIA_KINDS, MEDIA_SIDECAR_COL
+
+    refs = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.filter(
+                        "spans",
+                        lambda s: s["kind"].isin(*MEDIA_KINDS)
+                        & s["media_ref"].isNotNull(),
+                    ),
+                    lambda s: s["media_ref"],
+                )
+            )
+        ).alias("media_ref"),
+    )
+    resolved = refs.join(F.broadcast(sidecar), "media_ref", "inner")
+    pay = resolved.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("media_ref", "content"))).alias(
+            MEDIA_SIDECAR_COL
+        )
+    )
+    return df.join(pay, "doc_id", "left")
+
+
 def _extract_chunked(
     big: DataFrame,
     rules,
@@ -123,8 +160,14 @@ def extract_documents(
     split_light: bool = False,
     span_chunk_threshold: int | None = None,
     media_engine: str = "local",
+    media_sidecar: DataFrame | None = None,
 ) -> DataFrame:
     """Run the full extraction. Returns OUTPUT_SCHEMA-shaped DataFrame.
+
+    media_sidecar: (media_ref, content) frame (sources.media.sidecar_df) for
+    the production binaryFile path — broadcast-joined per doc, payloads
+    decoded inside the Arrow stage (backend 'sidecar'). Single-pass mode
+    only for now.
 
     rules: ordered literal replacement pairs (T5), applied to text-bearing
     output spans after whitespace canonicalization, exactly like the
@@ -152,6 +195,14 @@ def extract_documents(
 
     # 1. native text-kind normalization inside the nested array
     out = df.withColumn("spans", F.transform("spans", lambda s: _process_span(s, rules)))
+
+    if media_sidecar is not None:
+        if split_light or span_chunk_threshold:
+            raise NotImplementedError(
+                "media_sidecar currently supports single-pass mode only"
+            )
+        media_resolver = "sidecar"
+        out = _attach_sidecar(out, media_sidecar)
 
     if split_light:
         if span_chunk_threshold:

@@ -4,10 +4,13 @@ A `media_ref` names an opaque binary payload. Backends:
 
   * "synthetic" — deterministic bytes derived from the ref itself (sandbox
     default; the fake scan images the fixture corpus is built on).
-  * "binaryFile" — at production scale the payloads live in object storage;
-    the pipeline broadcast-joins a `spark.read.format("binaryFile")` sidecar
-    on media_ref (J3, SURVEY.md §2.3) instead of fetching per row. Kept as a
-    documented seam: `sidecar_df()` builds that frame.
+  * sidecar ("binaryFile") — at production scale the payloads live in object
+    storage; the pipeline broadcast-joins a `spark.read.format("binaryFile")`
+    sidecar on media_ref (J3, SURVEY.md §2.3) instead of fetching per row.
+    Wired end-to-end: `sidecar_df()` builds the frame,
+    `pipeline.extract_documents(media_sidecar=...)` attaches per-doc payload
+    maps, and the Arrow stage decodes them (dispatch._resolve_sidecar,
+    backend "sidecar").
 
 Resolution happens INSIDE the Arrow-batched UDF stage (executor-side), never
 on the driver.

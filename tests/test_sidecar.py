@@ -1,0 +1,100 @@
+"""End-to-end binaryFile sidecar path (S1 production seam): real payload
+files on disk → binaryFile scan → broadcast join on media_ref → bytes decoded
+inside the Arrow stage — with missing-ref and corrupt-payload envelopes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.sources.media import sidecar_df, synth_media_bytes
+
+
+@pytest.fixture(scope="module")
+def payload_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("payloads")
+    (d / "good1.bin").write_bytes(synth_media_bytes("sidecar-a"))
+    (d / "good2.bin").write_bytes(synth_media_bytes("sidecar-b"))
+    (d / "corrupt.bin").write_bytes(b"short")  # < 1024 bytes → decode error
+    return d
+
+
+def _expected_text(payload: bytes, rules) -> str:
+    from ocr_spark.operators.dispatch import _postprocess_text
+    from ocr_spark.operators.media_kernels import bytes_to_image, recognize_gray_batch, to_grayscale
+
+    gray = to_grayscale(bytes_to_image(payload))
+    texts, _ = recognize_gray_batch(gray[None])
+    return _postprocess_text(texts[0], rules)
+
+
+def test_sidecar_e2e(spark, payload_dir):
+    from ocr_spark.pipeline import extract_documents
+    from ocr_spark.schema import DOC_SCHEMA
+
+    sidecar = sidecar_df(spark, str(payload_dir) + "/*.bin")
+    uris = {r.media_ref.rsplit("/", 1)[-1]: r.media_ref for r in sidecar.collect()}
+    assert set(uris) == {"good1.bin", "good2.bin", "corrupt.bin"}
+
+    rules = [["hte", "the"]]
+
+    def doc(doc_id, spans):
+        return (doc_id, spans)
+
+    docs = spark.createDataFrame(
+        [
+            doc(
+                "a",
+                [
+                    ("text", "  hello \r\nworld  ", None, 0),
+                    ("media", None, uris["good1.bin"], 1),
+                ],
+            ),
+            doc("b", [("media", None, uris["corrupt.bin"], 0)]),
+            doc("c", [("ocr", None, "missing://nope", 0)]),
+            doc("d", [("text", "pure  text", None, 0)]),
+            doc("e", [("media", None, uris["good2.bin"], 0)]),
+        ],
+        DOC_SCHEMA,
+    )
+    out = {
+        r.doc_id: r
+        for r in extract_documents(docs, rules=rules, media_sidecar=sidecar).collect()
+    }
+    assert len(out) == 5
+
+    # good payloads: decoded through the SAME kernel chain, no envelope
+    good1 = (payload_dir / "good1.bin").read_bytes()
+    assert out["a"].error is None
+    assert out["a"].spans[1].text == _expected_text(good1, rules)
+    # T1→T4: "\r\n"→"\n", strip, [ \t]+ squeeze (single pre-\n space remains)
+    assert out["a"].spans[0].text == "hello \nworld"  # native text path intact
+    good2 = (payload_dir / "good2.bin").read_bytes()
+    assert out["e"].error is None
+    assert out["e"].spans[0].text == _expected_text(good2, rules)
+
+    # corrupt payload → per-doc envelope, doc keeps flowing
+    assert out["b"].error is not None and "too small" in out["b"].error
+    assert out["b"].error_source == "media"
+
+    # ref absent from the sidecar → unresolvable envelope
+    assert out["c"].error is not None and "unresolvable" in out["c"].error
+    assert out["c"].error_source == "ocr"
+
+    # pure-text doc untouched, no payload map leaking into the output schema
+    assert out["d"].error is None
+    assert set(out["d"].asDict().keys()) == {
+        "doc_id", "spans", "confidence", "extractor", "error", "error_source",
+    }
+
+
+def test_sidecar_rejects_multi_pass_modes(spark, payload_dir):
+    from ocr_spark.pipeline import extract_documents
+    from ocr_spark.schema import DOC_SCHEMA
+
+    sidecar = sidecar_df(spark, str(payload_dir) + "/*.bin")
+    docs = spark.createDataFrame([("x", [("text", "t", None, 0)])], DOC_SCHEMA)
+    with pytest.raises(NotImplementedError):
+        extract_documents(docs, media_sidecar=sidecar, split_light=True)
+    with pytest.raises(NotImplementedError):
+        extract_documents(docs, media_sidecar=sidecar, span_chunk_threshold=4)

@@ -57,7 +57,13 @@ def test_simhash_near_pairs_matches_bruteforce(spark, docs):
         for b in sig
         if a < b and bin(sig[a] ^ sig[b]).count("1") <= 6
     }
-    got = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(docs, max_hamming=6).collect()}
+    import pytest as _pytest
+
+    # max_hamming=6 → 8-9-bit chunk keys: correct but scale-weak, and the
+    # operator must SAY so (the guard added for the 100 TB parameterization)
+    with _pytest.warns(RuntimeWarning, match="chunk keys"):
+        pairs = simhash_near_pairs(docs, max_hamming=6)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     assert got == brute  # pigeonhole chunk join is lossless
     assert (1, 4) in got and got[(1, 4)] == 0
 
