@@ -381,7 +381,43 @@ def simhash_sql(bits: int = 60, id_col: str = "doc_id", text_expr: str = "text")
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 60) -> DataFrame:
+def simhash_chunk_keys(sig: DataFrame, max_hamming: int = 3, bits: int = 60) -> DataFrame:
+    """(id, simhash) → (id, simhash, chunk, cv): the pigeonhole chunk keys.
+    Chunk sizes partition ALL bits (pigeonhole requires full coverage); the
+    first (bits % n_chunks) chunks get one extra bit. Exposed separately so
+    scale benches can measure bucket occupancy without running the join."""
+    n_chunks = max_hamming + 1
+    base, extra = divmod(bits, n_chunks)
+    starts, sizes, pos = [], [], 0
+    for ci in range(n_chunks):
+        sz = base + (1 if ci < extra else 0)
+        starts.append(pos)
+        sizes.append(sz)
+        pos += sz
+    chunks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(ci).alias("chunk"),
+                    F.shiftright(F.col("simhash"), starts[ci])
+                    .bitwiseAND(F.lit((1 << sizes[ci]) - 1))
+                    .alias("cv"),
+                )
+                for ci in range(n_chunks)
+            ]
+        )
+    ).alias("cc")
+    return sig.select("id", "simhash", chunks).select(
+        "id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv")
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame | None,
+    max_hamming: int = 3,
+    bits: int = 60,
+    sig: DataFrame | None = None,
+) -> DataFrame:
     """Near-dup candidates: split the signature into (max_hamming+1) chunks —
     any pair within hamming distance must share one exact chunk (pigeonhole);
     equi-join per chunk, then verify with bit_count(xor).
@@ -403,32 +439,9 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, bits: int = 60) ->
             RuntimeWarning,
             stacklevel=2,
         )
-    sig = simhash(docs, bits=bits)
-    # chunk sizes partition ALL bits (pigeonhole requires full coverage):
-    # first (bits % n_chunks) chunks get one extra bit
-    base, extra = divmod(bits, n_chunks)
-    starts, sizes, pos = [], [], 0
-    for ci in range(n_chunks):
-        sz = base + (1 if ci < extra else 0)
-        starts.append(pos)
-        sizes.append(sz)
-        pos += sz
-    chunks = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(ci).alias("chunk"),
-                    F.shiftright(F.col("simhash"), starts[ci])
-                    .bitwiseAND(F.lit((1 << sizes[ci]) - 1))
-                    .alias("cv"),
-                )
-                for ci in range(n_chunks)
-            ]
-        )
-    ).alias("cc")
-    keyed = sig.select("id", "simhash", chunks).select(
-        "id", "simhash", F.col("cc.chunk").alias("chunk"), F.col("cc.cv").alias("cv")
-    )
+    if sig is None:
+        sig = simhash(docs, bits=bits)
+    keyed = simhash_chunk_keys(sig, max_hamming=max_hamming, bits=bits)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
