@@ -75,26 +75,108 @@ def otsu_threshold(gray: np.ndarray) -> int:
     return int(np.argmax(sigma_b))
 
 
-def estimate_skew_angle(gray: np.ndarray) -> float:
-    """K2: skew from the second moments of foreground pixels.
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull over (N,2) points, CCW order."""
+    pts = np.unique(points.astype(np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
 
-    Reference uses invert → Otsu → minAreaRect angle with reliability guards
-    (ref preprocessing_module.py:32-102): <50 fg pixels → 0; |angle|>45 → 0;
-    |angle|<0.1 → 0. We keep the guards and estimate orientation via the
-    principal axis of the foreground point cloud (same quantity minAreaRect
-    approximates for elongated text masses).
+    def build(seq):
+        h: list[np.ndarray] = []
+        for p in seq:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = build(pts)
+    upper = build(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, tuple[float, float], float]:
+    """K2: minimum-area enclosing rectangle via rotating calipers over the
+    convex hull (numpy twin of cv2.minAreaRect, ref preprocessing_module.py:70).
+
+    Returns (center, (w, h), angle_deg) with the legacy cv2 convention the
+    reference's adjustment logic assumes: angle ∈ [-90, 0), `w` measured
+    along the angle direction. The optimal rectangle always has an edge
+    collinear with a hull edge, so scanning hull edges is exact."""
+    hull = convex_hull(points)
+    if len(hull) == 1:
+        return hull[0], (0.0, 0.0), -90.0
+    if len(hull) == 2:
+        d = hull[1] - hull[0]
+        ang = float(np.degrees(np.arctan2(d[1], d[0])))
+        w = float(np.hypot(*d))
+        center, wh = (hull[0] + hull[1]) / 2, (w, 0.0)
+        best = (0.0, center, wh[0], wh[1], ang)
+    else:
+        best = None
+        m = len(hull)
+        for i in range(m):
+            d = hull[(i + 1) % m] - hull[i]
+            n = float(np.hypot(*d))
+            if n == 0:
+                continue
+            u = d / n
+            v = np.array([-u[1], u[0]])
+            pu = hull @ u
+            pv = hull @ v
+            w = float(pu.max() - pu.min())
+            h = float(pv.max() - pv.min())
+            area = w * h
+            if best is None or area < best[0] - 1e-12:
+                center = ((pu.max() + pu.min()) / 2) * u + ((pv.max() + pv.min()) / 2) * v
+                ang = float(np.degrees(np.arctan2(u[1], u[0])))
+                best = (area, center, w, h, ang)
+    _, center, w, h, ang = best
+    ang = ang % 180.0
+    if ang >= 90.0:
+        ang -= 180.0  # → [-90, 90)
+    if ang >= 0.0:  # → [-90, 0), rotating the width direction by -90 swaps w/h
+        ang -= 90.0
+        w, h = h, w
+    return center, (w, h), ang
+
+
+def estimate_skew_angle(gray: np.ndarray, method: str = "minrect") -> float:
+    """K2: skew estimate, reference semantics (ref preprocessing_module.py:32-102):
+    invert → Otsu → coords of foreground in (y,x) order (np.where, exactly as
+    the reference feeds cv2.minAreaRect) → min-area-rect angle, `+90` when the
+    rect is "standing up" (w < h), with the reliability guards F9:
+    <50 fg pixels → 0; |angle|>45 → 0; |angle|<0.1 → 0.
+
+    method='pca' keeps the round-1 principal-axis stand-in (second moments of
+    the point cloud — the quantity minAreaRect approximates for elongated
+    masses); 'minrect' is the default reference-faithful path.
     """
     inv = 255 - gray
     t = otsu_threshold(inv)
-    ys, xs = np.nonzero(inv > t)
-    if ys.size < 50:
-        return 0.0
-    x = xs - xs.mean()
-    y = ys - ys.mean()
-    cov_xy = float((x * y).mean())
-    var_x = float((x * x).mean())
-    var_y = float((y * y).mean())
-    angle = 0.5 * np.degrees(np.arctan2(2.0 * cov_xy, var_x - var_y))
+    if method == "minrect":
+        coords = np.column_stack(np.nonzero(inv > t))  # (y, x) — ref order
+        if coords.shape[0] < 50:
+            return 0.0
+        _c, (w, h), angle = min_area_rect(coords)
+        # ref :86 `if w < h: angle += 90` under cv2's legacy box convention;
+        # our rect convention measures w along the angle direction and the
+        # (y,x) point order mirrors the frame, which maps cv2's condition to
+        # h < w and flips the angle sign. Calibrated so the K5 composition
+        # (estimate → rotate_image) actually deskews — the observable
+        # contract — verified to ≤0.5° residual by test_deskew_accuracy.
+        if h < w:
+            angle = angle + 90.0
+        angle = -angle
+    else:
+        ys, xs = np.nonzero(inv > t)
+        if ys.size < 50:
+            return 0.0
+        x = xs - xs.mean()
+        y = ys - ys.mean()
+        cov_xy = float((x * y).mean())
+        var_x = float((x * x).mean())
+        var_y = float((y * y).mean())
+        angle = 0.5 * np.degrees(np.arctan2(2.0 * cov_xy, var_x - var_y))
     if abs(angle) > 45.0:
         return 0.0
     if abs(angle) < 0.1:
@@ -102,10 +184,26 @@ def estimate_skew_angle(gray: np.ndarray) -> float:
     return float(angle)
 
 
-def rotate_image(gray: np.ndarray, angle_deg: float, border_white: bool) -> np.ndarray:
-    """K3: rotate about center by -angle (deskew), nearest-neighbor sampling,
-    border filled white/black by the corner vote (A5,
-    ref preprocessing_module.py:104-156)."""
+def _cubic_weight(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Bicubic convolution kernel, a=-0.75 (the cv2 INTER_CUBIC constant)."""
+    t = np.abs(t)
+    w1 = ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0  # |t| <= 1
+    w2 = a * (((t - 5.0) * t + 8.0) * t - 4.0)  # 1 < |t| < 2
+    return np.where(t <= 1.0, w1, np.where(t < 2.0, w2, 0.0))
+
+
+def rotate_image(
+    gray: np.ndarray,
+    angle_deg: float,
+    border_white: bool,
+    interp: str = "cubic",
+) -> np.ndarray:
+    """K3: rotate about center by -angle (deskew), border filled white/black
+    by the corner vote (A5, ref preprocessing_module.py:104-156).
+
+    interp='cubic' (default) is the reference's INTER_CUBIC: 4×4 bicubic
+    convolution (a=-0.75), saturated to uint8, constant border. 'nearest'
+    keeps the round-1 stand-in for speed-sensitive callers."""
     if angle_deg == 0.0:
         return gray.copy()
     h, w = gray.shape
@@ -116,13 +214,31 @@ def rotate_image(gray: np.ndarray, angle_deg: float, border_white: bool) -> np.n
     # inverse map: output pixel ← source pixel
     xs = cos_t * (xx - cx) + sin_t * (yy - cy) + cx
     ys = -sin_t * (xx - cx) + cos_t * (yy - cy) + cy
-    xi = np.rint(xs).astype(np.int64)
-    yi = np.rint(ys).astype(np.int64)
-    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
-    fill = 255 if border_white else 0
-    out = np.full_like(gray, fill)
-    out[valid] = gray[yi[valid], xi[valid]]
-    return out
+    fill = 255.0 if border_white else 0.0
+    if interp == "nearest":
+        xi = np.rint(xs).astype(np.int64)
+        yi = np.rint(ys).astype(np.int64)
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        out = np.full_like(gray, int(fill))
+        out[valid] = gray[yi[valid], xi[valid]]
+        return out
+    # bicubic: weighted 4×4 neighborhood, out-of-image taps read the border
+    x0 = np.floor(xs).astype(np.int64)
+    y0 = np.floor(ys).astype(np.int64)
+    fx = xs - x0
+    fy = ys - y0
+    imgf = gray.astype(np.float64)
+    acc = np.zeros((h, w), dtype=np.float64)
+    for dy in range(-1, 3):
+        wy = _cubic_weight(fy - dy)
+        yi = y0 + dy
+        for dx in range(-1, 3):
+            wx = _cubic_weight(fx - dx)
+            xi = x0 + dx
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            sample = np.where(valid, imgf[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)], fill)
+            acc += wy * wx * sample
+    return np.clip(np.rint(acc), 0, 255).astype(np.uint8)
 
 
 def corner_border_white(gray: np.ndarray) -> bool:
@@ -136,22 +252,54 @@ def corner_border_white(gray: np.ndarray) -> bool:
     return bool(corners.mean() > 128)
 
 
-def binarize_adaptive(gray: np.ndarray, block_size: int = 11, c: int = 7) -> np.ndarray:
-    """K4: gaussian-free adaptive threshold — local mean over a (block×block)
-    window minus C (numpy stand-in for cv2.adaptiveThreshold GAUSSIAN_C,
-    ref preprocessing_module.py:158-202; block forced odd, same as :178-190).
-    Returns 0/255 uint8."""
+_SMALL_GAUSSIAN = {  # cv2 getGaussianKernel fixed tables for ksize <= 7
+    1: [1.0],
+    3: [0.25, 0.5, 0.25],
+    5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+    7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375, 0.03125],
+}
+
+
+def gaussian_kernel_1d(ksize: int) -> np.ndarray:
+    """cv2.getGaussianKernel twin for sigma<=0: fixed small tables for
+    ksize<=7, else sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8, normalized."""
+    if ksize in _SMALL_GAUSSIAN:
+        return np.array(_SMALL_GAUSSIAN[ksize])
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def binarize_adaptive(
+    gray: np.ndarray, block_size: int = 11, c: int = 7, method: str = "gaussian"
+) -> np.ndarray:
+    """K4: adaptive threshold, reference semantics — per-pixel threshold =
+    gaussian-weighted local mean over a (block×block) window minus C
+    (cv2.adaptiveThreshold ADAPTIVE_THRESH_GAUSSIAN_C + THRESH_BINARY, ref
+    preprocessing_module.py:158-202; block forced odd, same as :178-190).
+    Separable gaussian with cv2's kernel (fixed small tables / the sigma
+    formula) over replicate-padded borders. method='mean' keeps the round-1
+    box-mean stand-in. Returns 0/255 uint8."""
     if block_size % 2 == 0:
         block_size += 1
     pad = block_size // 2
     padded = np.pad(gray.astype(np.float64), pad, mode="edge")
-    # integral image local mean
-    ii = np.cumsum(np.cumsum(padded, axis=0), axis=1)
-    ii = np.pad(ii, ((1, 0), (1, 0)))
     h, w = gray.shape
     k = block_size
-    s = ii[k:, k:] - ii[:-k, k:] - ii[k:, :-k] + ii[:-k, :-k]
-    local_mean = s[:h, :w] / (k * k)
+    if method == "gaussian":
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        g = gaussian_kernel_1d(k)
+        horiz = sliding_window_view(padded, k, axis=1) @ g  # (h+2p, w)
+        local_mean = np.tensordot(
+            sliding_window_view(horiz, k, axis=0), g, axes=([2], [0])
+        )  # (h, w)
+    else:
+        ii = np.cumsum(np.cumsum(padded, axis=0), axis=1)
+        ii = np.pad(ii, ((1, 0), (1, 0)))
+        s = ii[k:, k:] - ii[:-k, k:] - ii[k:, :-k] + ii[:-k, :-k]
+        local_mean = s[:h, :w] / (k * k)
     return np.where(gray.astype(np.float64) > local_mean - c, 255, 0).astype(np.uint8)
 
 
@@ -164,6 +312,65 @@ def preprocess_pipeline(img: np.ndarray) -> np.ndarray:
     angle = estimate_skew_angle(gray)
     rotated = rotate_image(gray, angle, corner_border_white(gray))
     return binarize_adaptive(rotated)
+
+
+# ---------------------------------------------------------------------------
+# K6: detection preprocess (ref local_ocr_engine.py:145-179)
+# ---------------------------------------------------------------------------
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float64)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float64)
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """cv2.resize INTER_LINEAR twin: half-pixel-center sampling, edge clamp.
+    Works on (H,W) or (H,W,C); float64 out."""
+    h, w = img.shape[:2]
+    xs = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    ys = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = np.clip(xs - x0, 0.0, 1.0)
+    fy = np.clip(ys - y0, 0.0, 1.0)
+    im = img.astype(np.float64)
+    if im.ndim == 2:
+        top = im[y0][:, x0] * (1 - fx) + im[y0][:, x1] * fx
+        bot = im[y1][:, x0] * (1 - fx) + im[y1][:, x1] * fx
+        return top * (1 - fy)[:, None] + bot * fy[:, None]
+    fx3 = fx[None, :, None]
+    fy3 = fy[:, None, None]
+    top = im[y0][:, x0] * (1 - fx3) + im[y0][:, x1] * fx3
+    bot = im[y1][:, x0] * (1 - fx3) + im[y1][:, x1] * fx3
+    return top * (1 - fy3) + bot * fy3
+
+
+def detection_preprocess(
+    img: np.ndarray,
+    target_h: int = 736,
+    target_w: int = 736,
+    mean: np.ndarray = IMAGENET_MEAN,
+    std: np.ndarray = IMAGENET_STD,
+) -> tuple[np.ndarray, float]:
+    """K6 (ref local_ocr_engine.py:145-179): aspect-preserving resize by
+    min(target/h, target/w) (int-truncated dims), zero-pad bottom/right to
+    (target_h, target_w), (x/255 − ImageNet mean)/std, HWC→CHW, batch dim.
+    Grayscale input is stacked to 3 channels (the GRAY2BGR convention the
+    reference applies before its models). Returns (tensor (1,3,H,W) float32,
+    resize_ratio) — the ratio the detector's boxes are divided by on the way
+    back to image coordinates (K8, ref :247)."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=2)
+    h, w = img.shape[:2]
+    resize_ratio = min(target_h / h, target_w / w)
+    new_h, new_w = int(h * resize_ratio), int(w * resize_ratio)
+    resized = resize_bilinear(img, new_h, new_w)
+    padded = np.zeros((target_h, target_w, 3), dtype=np.float64)
+    padded[:new_h, :new_w] = resized
+    norm = (padded / 255.0 - mean) / std
+    chw = np.transpose(norm, (2, 0, 1)).astype(np.float32)
+    return chw[None], resize_ratio
 
 
 # ---------------------------------------------------------------------------

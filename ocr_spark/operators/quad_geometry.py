@@ -181,18 +181,43 @@ def warp_quad(
 # ---------------------------------------------------------------------------
 
 
-def detect_quads(gray: np.ndarray) -> np.ndarray:
-    """Rotated-quad variant of the band proposer: each band box is rotated
-    about its center by a content-derived angle in [-10°, 10°], clipped to
-    the image (ref :248-249), min-size-checked on the clipped edges
+DET_TARGET = 48  # detector input square for the quad path (736 in the ref)
+
+
+def detect_quads(gray: np.ndarray, det_target: int = DET_TARGET) -> np.ndarray:
+    """Rotated-quad variant of the band proposer, run through the REAL K6
+    preprocess leg: aspect-preserving resize + ImageNet normalization into
+    the detector's input square (ref local_ocr_engine.py:145-179), fake
+    detection on that tensor (de-normalized channel-mean = the probability
+    map), then box coordinates divided by the resize ratio on the way back
+    (K8, ref :247) and clipped to the image (ref :248-249).
+
+    Each rescaled band box is rotated about its center by a content-derived
+    angle in [-10°, 10°], min-size-checked on the clipped edges
     (ref :251-253), and its corner sequence rolled by a content-derived
     offset — simulating cv2.minAreaRect's varying start vertex, which is
     exactly why the reference needs W1 reordering. Returns (N,4,2) float64
     in scrambled corner order."""
-    boxes = detect_bands(gray)
-    if not boxes:
+    from ocr_spark.operators.media_kernels import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        detection_preprocess,
+    )
+
+    tensor, ratio = detection_preprocess(gray, det_target, det_target)
+    # fake detection model: undo the normalization and collapse channels —
+    # a [0,1] probability map with the same structure DBNet would score
+    seg = (tensor[0].astype(np.float64) * IMAGENET_STD[:, None, None]
+           + IMAGENET_MEAN[:, None, None]).mean(axis=0)
+    det_map = np.clip(np.rint(seg * 255.0), 0, 255).astype(np.uint8)
+    det_boxes = detect_bands(det_map)
+    if not det_boxes:
         return np.zeros((0, 4, 2))
     h, w = gray.shape
+    # K8 rescale: det-space coords / resize_ratio → image coords
+    boxes = [
+        (x / ratio, y / ratio, bw / ratio, bh / ratio) for (x, y, bw, bh) in det_boxes
+    ]
     total = int(gray.sum(dtype=np.int64))
     quads = []
     for bi, (x, y, bw, bh) in enumerate(boxes):
