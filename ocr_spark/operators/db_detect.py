@@ -1,0 +1,273 @@
+"""K8: DB-style detection postprocess — contours → minAreaRect → mask score
+→ unclip → rescale → clip → min-size → W1 order (ref
+ocr_components/local_ocr_engine.py:193-268), in pure numpy.
+
+Pipeline parity, stage by stage:
+  * binary map  = seg > det_db_thresh (F2, ref :202)
+  * findContours(RETR_LIST) ≈ 8-connected components in scan order
+    (ref :203; solid components — the reference fills each contour, which
+    for hole-free regions is the component itself)
+  * per contour (capped at det_max_candidates, F5, ref :208): skip <3 px;
+    min-area rect via rotating calipers (ref :213-214)
+  * box score = mean probability under the filled mask (F3, ref :218-222)
+  * unclip (ref :225-246): pyclipper round-join offset of the box, reduced
+    back to the minAreaRect when >4 points — for a rectangle that composition
+    is EXACTLY the rectangle grown by 2·distance per extent, which is the
+    closed form used here. Two distance formulas:
+      - 'reference': perimeter × unclip_ratio × 0.5 — the reference's literal
+        code (ref :230). At any realistic map size this inflates boxes past
+        the whole image (the reference never ran; SURVEY.md §0), so it is
+        kept only for parity inspection.
+      - 'db' (default): area × unclip_ratio / perimeter — the DB paper's
+        published formula, sane at every scale.
+  * rescale by 1/resize_ratio + clip to the original image (ref :247-249)
+  * post-clip min-size check on edge norms (F4, ref :251-253)
+  * W1 TL,TR,BR,BL ordering, int32 (ref :258-266)
+
+`local_db` is the dispatch media engine built on this path; recognition
+reuses the quad warp/decode machinery (axis-aligned boxes ⇒ the warp
+degenerates to crop+resize, exactly as in the reference).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ocr_spark.operators.media_kernels import (
+    DET_DB_BOX_THRESH,
+    DET_DB_THRESH,
+    DET_MIN_BOX_SIZE,
+    convex_hull,
+)
+from ocr_spark.operators.quad_geometry import order_quad
+
+def connected_components(binary: np.ndarray) -> list[np.ndarray]:
+    """8-connected components of a boolean map, ordered by first pixel in
+    row-major scan order (the order findContours(RETR_LIST) discovers outer
+    contours). Each entry is an (N,2) array of (y,x) pixel coords.
+
+    Row-run union-find: horizontal runs are extracted in one vectorized
+    pass, then only runs in ADJACENT rows are unioned (8-connectivity =
+    column overlap with ±1 slack) — O(runs·α), no per-pixel Python."""
+    h, w = binary.shape
+    padded = np.zeros((h, w + 2), dtype=np.int8)
+    padded[:, 1:-1] = binary
+    d = np.diff(padded, axis=1)
+    starts = np.argwhere(d == 1)  # (row, col) in row-major scan order
+    if not len(starts):
+        return []
+    ends = np.argwhere(d == -1)[:, 1]  # exclusive end col, aligned with starts
+    rows = starts[:, 0]
+    s = starts[:, 1]
+    t = ends - 1  # inclusive end col
+    n = len(rows)
+
+    parent = np.arange(n)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    # runs are sorted by (row, col); row boundaries:
+    row_of: dict[int, tuple[int, int]] = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and rows[j] == rows[i]:
+            j += 1
+        row_of[int(rows[i])] = (i, j)
+        i = j
+    for r, (lo, hi) in row_of.items():
+        prev = row_of.get(r - 1)
+        if prev is None:
+            continue
+        plo, phi = prev
+        for a in range(lo, hi):
+            for b in range(plo, phi):
+                if s[a] <= t[b] + 1 and t[a] >= s[b] - 1:  # 8-conn overlap
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+
+    groups: dict[int, list[int]] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    comps: list[np.ndarray] = []
+    for root in sorted(groups):  # min run index == scan order of first pixel
+        pix = [
+            np.column_stack(
+                [np.full(t[i] - s[i] + 1, rows[i]), np.arange(s[i], t[i] + 1)]
+            )
+            for i in groups[root]
+        ]
+        comps.append(np.concatenate(pix))
+    return comps
+
+
+def min_area_box(points: np.ndarray):
+    """Min-area enclosing rectangle of (N,2) points via rotating calipers.
+    Returns (center(2,), u(2,), v(2,), eu, ev): orthonormal axes and extents
+    — the box corners are center ± u·eu/2 ± v·ev/2."""
+    hull = convex_hull(points)
+    if len(hull) == 1:
+        return hull[0], np.array([1.0, 0.0]), np.array([0.0, 1.0]), 0.0, 0.0
+    if len(hull) == 2:
+        d = hull[1] - hull[0]
+        n = float(np.hypot(*d))
+        u = d / n
+        v = np.array([-u[1], u[0]])
+        return (hull[0] + hull[1]) / 2.0, u, v, n, 0.0
+    best = None
+    m = len(hull)
+    for i in range(m):
+        d = hull[(i + 1) % m] - hull[i]
+        n = float(np.hypot(*d))
+        if n == 0:
+            continue
+        u = d / n
+        v = np.array([-u[1], u[0]])
+        pu = hull @ u
+        pv = hull @ v
+        eu = float(pu.max() - pu.min())
+        ev = float(pv.max() - pv.min())
+        if best is None or eu * ev < best[0] - 1e-12:
+            center = ((pu.max() + pu.min()) / 2) * u + ((pv.max() + pv.min()) / 2) * v
+            best = (eu * ev, center, u, v, eu, ev)
+    _, center, u, v, eu, ev = best
+    return center, u, v, eu, ev
+
+
+def unclip_distance(eu: float, ev: float, unclip_ratio: float, mode: str) -> float:
+    """Offset distance for the unclip expansion (see module docstring)."""
+    perimeter = 2.0 * (eu + ev)
+    if perimeter <= 0:
+        return 0.0
+    if mode == "reference":
+        return perimeter * unclip_ratio * 0.5  # ref :230, literally
+    if mode == "db":
+        return (eu * ev) * unclip_ratio / perimeter  # DB paper formula
+    raise ValueError(f"unknown unclip mode {mode!r}")
+
+
+def db_postprocess(
+    seg_map: np.ndarray,
+    resize_ratio: float,
+    original_shape: tuple[int, int],
+    db_thresh: float = DET_DB_THRESH,
+    box_thresh: float = DET_DB_BOX_THRESH,
+    unclip_ratio: float = 1.5,
+    max_candidates: int = 1000,
+    min_box_size: int = DET_MIN_BOX_SIZE,
+    unclip_mode: str = "db",
+) -> list[np.ndarray]:
+    """Full K8 chain over a probability map. Returns a list of (4,2) int32
+    quads ordered TL,TR,BR,BL in original-image coordinates."""
+    original_h, original_w = original_shape
+    binary = seg_map > db_thresh
+    boxes: list[np.ndarray] = []
+    for comp in connected_components(binary)[:max_candidates]:
+        if len(comp) < 3:  # ref :209
+            continue
+        # hull candidates: only per-row x-extremes can lie on the hull —
+        # shrinks the hull input from O(area) to O(height) points
+        ys = comp[:, 0]
+        xs = comp[:, 1]
+        order = np.lexsort((xs, ys))
+        ys_s, xs_s = ys[order], xs[order]
+        row_start = np.r_[True, ys_s[1:] != ys_s[:-1]]
+        row_end = np.r_[ys_s[1:] != ys_s[:-1], True]
+        cand = np.concatenate([np.flatnonzero(row_start), np.flatnonzero(row_end)])
+        pts = np.column_stack([xs_s[cand], ys_s[cand]]).astype(np.float64)  # (x, y)
+        center, u, v, eu, ev = min_area_box(pts)
+        score = float(seg_map[comp[:, 0], comp[:, 1]].mean())  # filled mask
+        if score < box_thresh:  # F3
+            continue
+        d = unclip_distance(eu, ev, unclip_ratio, unclip_mode)
+        geu, gev = eu + 2.0 * d, ev + 2.0 * d
+        corners = np.array(
+            [
+                center - u * geu / 2 - v * gev / 2,
+                center + u * geu / 2 - v * gev / 2,
+                center + u * geu / 2 + v * gev / 2,
+                center - u * geu / 2 + v * gev / 2,
+            ]
+        )
+        scaled = corners / resize_ratio  # ref :247
+        scaled[:, 0] = np.clip(scaled[:, 0], 0, original_w - 1)  # ref :248
+        scaled[:, 1] = np.clip(scaled[:, 1], 0, original_h - 1)
+        rw = float(np.linalg.norm(scaled[0] - scaled[1]))  # ref :251-253
+        rh = float(np.linalg.norm(scaled[1] - scaled[2]))
+        if min(rw, rh) < min_box_size:
+            continue
+        boxes.append(order_quad(scaled).astype(np.int32))  # W1, ref :258-266
+    return boxes
+
+
+def db_detect_quads(gray: np.ndarray, det_target: int = 48, **kw) -> np.ndarray:
+    """K6 preprocess → fake detection map → db_postprocess. Returns (N,4,2)
+    float quads in original-image coordinates (ordered)."""
+    from ocr_spark.operators.media_kernels import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+        detection_preprocess,
+    )
+
+    tensor, ratio = detection_preprocess(gray, det_target, det_target)
+    seg = (
+        tensor[0].astype(np.float64) * IMAGENET_STD[:, None, None]
+        + IMAGENET_MEAN[:, None, None]
+    ).mean(axis=0)
+    boxes = db_postprocess(np.clip(seg, 0.0, 1.0), ratio, gray.shape, **kw)
+    if not boxes:
+        return np.zeros((0, 4, 2))
+    return np.stack(boxes).astype(np.float64)
+
+
+def recognize_db_image(gray: np.ndarray) -> tuple[str, float]:
+    """Scalar DB-path recognizer: db quads → warp/decode (quad machinery) →
+    K12/A1/A2 assembly with the failure-injection F7/F8 scheme."""
+    from ocr_spark.operators.quad_geometry import (
+        _decode_warped,
+        target_crop_dims,
+        warp_quad,
+    )
+
+    quads = db_detect_quads(gray)
+    if not len(quads):
+        return "", 0.0
+    parts: list[tuple[str, float]] = []
+    for q in quads:
+        padded = warp_quad(gray, q)
+        text, conf = _decode_warped(padded)
+        tw = int(target_crop_dims(q[None])[0])
+        mean_i = int(((padded[:, :tw] + 1.0) * 127.5).mean())
+        if mean_i % 13 == 0:
+            text, conf = "Error: Rec Inference Failed", 0.0
+        elif mean_i % 17 == 0:
+            text, conf = "REC_FAIL", 0.0
+        parts.append((text, conf))
+    total, n = 0.0, 0
+    texts = []
+    for text, conf in parts:
+        if text.startswith("Error:") or text == "REC_FAIL":
+            conf = 0.0
+        else:
+            texts.append(text)
+        if conf > 0.0:
+            total += conf
+            n += 1
+    return "\n".join(texts), (total / n) if n else 0.0
+
+
+def recognize_db_batch(grays: np.ndarray) -> tuple[list[str], np.ndarray]:
+    """Batch twin of recognize_db_image (same contract as the other media
+    engines)."""
+    texts: list[str] = []
+    confs = np.zeros(len(grays), dtype=np.float64)
+    for i, g in enumerate(grays):
+        t, c = recognize_db_image(g)
+        texts.append(t)
+        confs[i] = c
+    return texts, confs

@@ -149,6 +149,10 @@ def _process_batch(
         from ocr_spark.operators.quad_geometry import recognize_quad_batch
 
         recognize_gray_batch = recognize_quad_batch
+    elif media_engine == "local_db":
+        from ocr_spark.operators.db_detect import recognize_db_batch
+
+        recognize_gray_batch = recognize_db_batch
     elif media_engine != "local":
         raise ValueError(f"unknown media_engine {media_engine!r}")
 
