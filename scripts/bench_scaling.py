@@ -222,6 +222,12 @@ multi-node cluster does not share.
 Reproduce: `python scripts/bench_scaling.py --docs {args.docs} --runs {args.runs}`
 """
         )
+        # additional hand-maintained sections (near-dup hardening, per-query
+        # round history) live in BENCH/EXTRA.md and survive regeneration
+        extra = os.path.join(REPO, "BENCH", "EXTRA.md")
+        if os.path.exists(extra):
+            with open(extra) as ef:
+                f.write("\n" + ef.read())
 
 
 if __name__ == "__main__":
