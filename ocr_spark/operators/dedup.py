@@ -11,8 +11,9 @@ Scale notes (100 TB / 10^12 docs):
   * MinHash: K independent min-aggregations (map-side partial agg, one
     shuffle); LSH banding turns the O(n²) pair space into per-band buckets;
     a second exact-Jaccard pass verifies candidates (no false positives).
-  * All hashes are the cross-engine h32 (md5-derived) or xxhash64 with an
-    explicit seed, so results are deterministic and oracle-checkable.
+  * All hashes are cross-engine md5-derived (h32/h60 prefixes; the seeded
+    MinHash family is Kirsch-Mitzenmacher over two md5 bases), so results
+    are deterministic and oracle-checkable end to end.
 """
 
 from __future__ import annotations
@@ -205,28 +206,42 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}
 # ---------------------------------------------------------------------------
 
 
-def _mh_hash(col, seed: int):
-    """Seeded member of the MinHash family: md5-derived 60-bit hash of
-    '<shingle_hash>:<seed>'. Cross-engine (DuckDB twin in minhash_lsh_sql)
-    so the whole MinHash+LSH operator is oracle-checkable, unlike xxhash64."""
+_MH_MASK30 = (1 << 30) - 1
+
+
+def _mh_base(col):
+    """Two independent md5-derived 30-bit base hashes of the shingle key.
+    All k seeded family members derive from these two via the classic
+    Kirsch-Mitzenmacher combination h_i = (h1 + i·h2) mod 2^30 — 2 md5
+    computations per distinct shingle instead of k (the md5s were ~20% of
+    the whole MinHash query at sf0.1, and the saving scales with k). Both
+    components live on the SAME 30-bit ring, so every member mixes them
+    uniformly (a wide h1 with a narrow i·h2 would collapse to one effective
+    permutation), and i·h2 + h1 < 2^36 can never overflow int64 — DuckDB
+    errors on overflow where Spark would wrap silently and diverge.
+    Cross-engine (DuckDB twin below) so the whole MinHash+LSH operator stays
+    oracle-checkable. 30-bit minima keep per-shingle collision odds ~1e-9."""
     from ocr_spark.operators.text_analysis import h60
 
-    return h60(F.concat_ws(":", col.cast("string"), F.lit(str(seed))))
+    s = col.cast("string")
+    h1 = h60(F.concat_ws(":", s, F.lit("A"))).bitwiseAND(F.lit(_MH_MASK30))
+    h2 = h60(F.concat_ws(":", s, F.lit("B"))).bitwiseAND(F.lit(_MH_MASK30))
+    return h1, h2
 
 
-def _mh_hash_sql(expr: str, seed: int) -> str:
-    from ocr_spark.operators.text_analysis import h60_sql
-
-    return h60_sql(f"{expr}::VARCHAR || ':{seed}'")
+def _mh_member(h1, h2, i: int):
+    """Seeded family member i: (h1 + i·h2) mod 2^30."""
+    return (h1 + F.lit(i) * h2).bitwiseAND(F.lit(_MH_MASK30))
 
 
 def minhash_signatures(docs: DataFrame, k: int = 32, n: int = 3) -> DataFrame:
     """(id, sig:array<bigint>) — k min-hash values over word shingles.
-    Hash family: md5-h60('<shingle_hash>:<seed>') over the 8-byte shingle key
-    (k hashes of a short string beat k hashes of a ~25-byte shingle); k
-    min-aggs = one shuffle with map-side partial aggregation."""
+    Hash family: Kirsch-Mitzenmacher h_i = (h1 + i·h2) mod 2^30 over two
+    md5-derived base hashes of the 8-byte shingle key; k min-aggs = one
+    shuffle with map-side partial aggregation, only 2 md5s per shingle."""
     sh = shingles_hashed(docs, n=n)
-    mins = [F.min(_mh_hash(F.col("sh"), i)).alias(f"h{i}") for i in range(k)]
+    h1, h2 = _mh_base(F.col("sh"))
+    mins = [F.min(_mh_member(h1, h2, i)).alias(f"h{i}") for i in range(k)]
     agg = sh.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
@@ -303,12 +318,19 @@ def minhash_lsh_pairs(
 def minhash_lsh_sql(
     threshold: float = 0.7, k: int = 32, bands: int = 8, n: int = 3
 ) -> str:
-    """DuckDB twin of minhash_lsh_pairs — same md5-h60 hash family, same
-    banding, same signature-estimated Jaccard verify."""
+    """DuckDB twin of minhash_lsh_pairs — same Kirsch-Mitzenmacher family
+    over the same md5-h60 base hashes, same banding, same
+    signature-estimated Jaccard verify."""
     from ocr_spark.operators.text_analysis import h60_sql
 
     rows = k // bands
-    mins = ", ".join(f"min({_mh_hash_sql('sh', i)}) AS h{i}" for i in range(k))
+    h1_sql = h60_sql("sh::VARCHAR || ':A'")
+    h2_sql = h60_sql("sh::VARCHAR || ':B'")
+    b1 = f"({h1_sql} & {_MH_MASK30})"
+    b2 = f"({h2_sql} & {_MH_MASK30})"
+    mins = ", ".join(
+        f"min(({b1} + {i} * {b2}) & {_MH_MASK30}) AS h{i}" for i in range(k)
+    )
     sig = ", ".join(f"h{i}" for i in range(k))
     band_hash = h60_sql("array_to_string(sig[(t.bi*" + str(rows) + "+1):(t.bi*" + str(rows) + f"+{rows})], ',')")
     return f"""

@@ -31,15 +31,30 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--salt-partitions", type=int, default=None)
     ap.add_argument("--rules", default=None, help="JSON list of [find, replace] pairs")
+    ap.add_argument(
+        "--media-engine",
+        default="local",
+        choices=["local", "local_warp", "local_db", "cloud"],
+        help="J1 media-engine selection (reference requested_engine analogue)",
+    )
+    ap.add_argument(
+        "--media-sidecar",
+        default=None,
+        help="binaryFile glob for the media payload sidecar (production S1 "
+        "path: broadcast-joined on media_ref, decoded in-stage)",
+    )
+    ap.add_argument("--span-chunk-threshold", type=int, default=None)
     args = ap.parse_args()
 
     from ocr_spark.checkpoint import run_resumable
     from ocr_spark.pipeline import extract_documents
     from ocr_spark.session import get_spark
+    from ocr_spark.sources.media import sidecar_df
 
     rules = json.loads(args.rules) if args.rules else []
     spark = get_spark("ocr_spark_extract")
 
+    sidecar = sidecar_df(spark, args.media_sidecar) if args.media_sidecar else None
     docs = spark.read.parquet(args.input)
     stats = run_resumable(
         spark,
@@ -47,7 +62,12 @@ def main() -> None:
         args.output,
         n_buckets=args.buckets,
         extract=lambda df: extract_documents(
-            df, rules=rules, salt_partitions=args.salt_partitions
+            df,
+            rules=rules,
+            salt_partitions=args.salt_partitions,
+            media_engine=args.media_engine,
+            media_sidecar=sidecar,
+            span_chunk_threshold=args.span_chunk_threshold,
         ),
     )
     print(json.dumps(stats))
