@@ -239,9 +239,9 @@ def recognize_db_image(gray: np.ndarray) -> tuple[str, float]:
         return "", 0.0
     parts: list[tuple[str, float]] = []
     for q in quads:
-        padded = warp_quad(gray, q)
-        text, conf = _decode_warped(padded)
         tw = int(target_crop_dims(q[None])[0])
+        padded = warp_quad(gray, q, tw=tw)
+        text, conf = _decode_warped(padded)
         mean_i = int(((padded[:, :tw] + 1.0) * 127.5).mean())
         if mean_i % 13 == 0:
             text, conf = "Error: Rec Inference Failed", 0.0

@@ -160,18 +160,64 @@ def warp_perspective(
     )
 
 
+def _warp_axis_aligned(
+    gray: np.ndarray, quad: np.ndarray, tw: int, rec_h: int
+) -> np.ndarray:
+    """Exact fast path for axis-aligned ordered quads: the homography from
+    an upright rectangle to the [0,tw-1]×[0,rec_h-1] grid degenerates to an
+    independent linear map per axis (denominator ≡ 1), so we skip the 8×8
+    solve, the matrix inverse, and the per-tap bounds masks (in-image crop ⇒
+    all taps valid; the +1 taps are index-clipped, their weight is exactly 0
+    at the only positions the clip changes). Bit-compatible sampling model
+    with warp_perspective — corner-anchored linear interpolation."""
+    (x0, y0), (x1, _), (_, y1) = quad[0], quad[1], quad[3]
+    hh, ww = gray.shape
+    xs = x0 + (np.arange(tw) * ((x1 - x0) / (tw - 1)) if tw > 1 else np.zeros(1))
+    ys = y0 + (np.arange(rec_h) * ((y1 - y0) / (rec_h - 1)) if rec_h > 1 else np.zeros(1))
+    x0i = np.clip(np.floor(xs).astype(np.int64), 0, ww - 1)
+    y0i = np.clip(np.floor(ys).astype(np.int64), 0, hh - 1)
+    x1i = np.minimum(x0i + 1, ww - 1)
+    y1i = np.minimum(y0i + 1, hh - 1)
+    fx = xs - x0i
+    fy = (ys - y0i)[:, None]
+    imgf = gray.astype(np.float64)
+    top = imgf[y0i][:, x0i] * (1 - fx) + imgf[y0i][:, x1i] * fx
+    bot = imgf[y1i][:, x0i] * (1 - fx) + imgf[y1i][:, x1i] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _is_axis_aligned(quad: np.ndarray) -> bool:
+    return (
+        quad[0, 1] == quad[1, 1]
+        and quad[3, 1] == quad[2, 1]
+        and quad[0, 0] == quad[3, 0]
+        and quad[1, 0] == quad[2, 0]
+        and quad[1, 0] > quad[0, 0]
+        and quad[3, 1] > quad[0, 1]
+    )
+
+
 def warp_quad(
-    gray: np.ndarray, quad: np.ndarray, rec_h: int = REC_IMG_H, rec_w_max: int = REC_IMG_W
+    gray: np.ndarray,
+    quad: np.ndarray,
+    rec_h: int = REC_IMG_H,
+    rec_w_max: int = REC_IMG_W,
+    tw: int | None = None,
 ) -> np.ndarray:
     """K10 for one ordered quad: warp → normalize (x/255−0.5)/0.5 → right-pad
-    with −1 to rec_w_max. Returns (rec_h, rec_w_max) float64."""
-    tw = int(target_crop_dims(quad[None], rec_h, rec_w_max)[0])
-    dst = np.array(
-        [[0, 0], [tw - 1, 0], [tw - 1, rec_h - 1], [0, rec_h - 1]],
-        dtype=np.float64,
-    )
-    h_mat = get_perspective_transform(quad, dst)
-    warped = warp_perspective(gray, h_mat, tw, rec_h)
+    with −1 to rec_w_max. Returns (rec_h, rec_w_max) float64. Pass `tw` when
+    the caller already ran target_crop_dims (avoids recomputing)."""
+    if tw is None:
+        tw = int(target_crop_dims(quad[None], rec_h, rec_w_max)[0])
+    if _is_axis_aligned(quad):
+        warped = _warp_axis_aligned(gray, quad, tw, rec_h)
+    else:
+        dst = np.array(
+            [[0, 0], [tw - 1, 0], [tw - 1, rec_h - 1], [0, rec_h - 1]],
+            dtype=np.float64,
+        )
+        h_mat = get_perspective_transform(quad, dst)
+        warped = warp_perspective(gray, h_mat, tw, rec_h)
     norm = (warped / 255.0 - 0.5) / 0.5
     return np.pad(norm, ((0, 0), (0, rec_w_max - tw)), constant_values=-1.0)
 
@@ -274,11 +320,11 @@ def recognize_quads_image(gray: np.ndarray) -> tuple[str, float]:
     keep = quad_areas(ordered) >= DET_MIN_BOX_SIZE * DET_MIN_BOX_SIZE  # F6
     parts: list[tuple[str, float]] = []
     for q in ordered[keep]:
-        padded = warp_quad(gray, q)
+        tw = int(target_crop_dims(q[None])[0])
+        padded = warp_quad(gray, q, tw=tw)
         text, conf = _decode_warped(padded)
         # deterministic failure injection (F7/F8 parity with the band path):
         # keyed on the warped crop's mean pixel intensity
-        tw = int(target_crop_dims(q[None])[0])
         mean_i = int(((padded[:, :tw] + 1.0) * 127.5).mean())
         if mean_i % 13 == 0:
             text, conf = "Error: Rec Inference Failed", 0.0
@@ -324,7 +370,7 @@ def recognize_quad_batch(grays: np.ndarray) -> tuple[list[str], np.ndarray]:
     conf_cnt = np.zeros(n_img, dtype=np.int64)
     texts_per_img: list[list[str]] = [[] for _ in range(n_img)]
     for q, i, tw in zip(ordered, img_of, widths):
-        padded = warp_quad(grays[i], q)
+        padded = warp_quad(grays[i], q, tw=int(tw))
         text, conf = _decode_warped(padded)
         mean_i = int(((padded[:, : int(tw)] + 1.0) * 127.5).mean())
         if mean_i % 13 == 0:

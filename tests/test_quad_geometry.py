@@ -169,6 +169,33 @@ def test_warp_out_of_bounds_is_zero():
     assert warped[20, 40] == 0.0  # outside → border 0
 
 
+def test_axis_aligned_fast_path_matches_general():
+    """The axis-aligned warp shortcut must reproduce the homography path
+    (same corner-anchored sampling model) to FP tolerance."""
+    from ocr_spark.operators.quad_geometry import (
+        _warp_axis_aligned,
+        get_perspective_transform,
+        warp_perspective,
+    )
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (32, 32), np.uint8)
+    for x0, y0, x1, y1 in [(2, 3, 20, 9), (0, 0, 31, 31), (5, 5, 6, 6)]:
+        quad = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64
+        )
+        tw = int(target_crop_dims(quad[None])[0])
+        dst = np.array(
+            [[0, 0], [tw - 1, 0], [tw - 1, REC_IMG_H - 1], [0, REC_IMG_H - 1]],
+            dtype=np.float64,
+        )
+        general = warp_perspective(
+            img, get_perspective_transform(quad, dst), tw, REC_IMG_H
+        )
+        fast = _warp_axis_aligned(img, quad, tw, REC_IMG_H)
+        np.testing.assert_allclose(fast, general, atol=1e-8)
+
+
 def test_warp_quad_normalize_and_pad():
     img = np.full((32, 32), 255, dtype=np.uint8)
     q = np.array([[0.0, 0], [15, 0], [15, 7], [0, 7]])
