@@ -602,11 +602,11 @@ def q_resize_images(spark, sf_dir):
 def _multimodal_goldens(sf_dir: str = "/root/testdata/sf0.01"):
     """Driver-side numpy goldens for the multimodal oracles: the same
     deterministic synth/decode/feature kernels run directly (no Spark), one
-    row per media ref."""
+    row per media ref. Cached per sf_dir."""
     global _MM_GOLD
     try:
-        return _MM_GOLD
-    except NameError:
+        return _MM_GOLD[sf_dir]
+    except (NameError, KeyError):
         import hashlib
 
         import numpy as np
@@ -627,14 +627,18 @@ def _multimodal_goldens(sf_dir: str = "/root/testdata/sf0.01"):
             )
             small = np.clip(np.rint(block_mean_resize(g, 8, 8)), 0, 255).astype(np.uint8)
             resize_rows.append((ref, 8, 8, hashlib.md5(small.tobytes()).hexdigest()))
-        _MM_GOLD = (feat_rows, resize_rows)
-        return _MM_GOLD
+        try:
+            _MM_GOLD
+        except NameError:
+            _MM_GOLD = {}
+        _MM_GOLD[sf_dir] = (feat_rows, resize_rows)
+        return _MM_GOLD[sf_dir]
 
 
-def _image_features_sql() -> str:
+def _image_features_sql(sf_dir: str) -> str:
     rows = ", ".join(
         f"('{r}', {w}, {h}, {m!r}::DOUBLE, {s!r}::DOUBLE, {nb})"
-        for r, w, h, m, s, nb in _multimodal_goldens()[0]
+        for r, w, h, m, s, nb in _multimodal_goldens(sf_dir)[0]
     )
     return (
         f"SELECT * FROM (VALUES {rows}) AS t(media_ref, width, height, "
@@ -642,9 +646,9 @@ def _image_features_sql() -> str:
     )
 
 
-def _resize_images_sql() -> str:
+def _resize_images_sql(sf_dir: str) -> str:
     rows = ", ".join(
-        f"('{r}', {w}, {h}, '{md}')" for r, w, h, md in _multimodal_goldens()[1]
+        f"('{r}', {w}, {h}, '{md}')" for r, w, h, md in _multimodal_goldens(sf_dir)[1]
     )
     return (
         f"SELECT * FROM (VALUES {rows}) AS t(media_ref, width, height, content_md5)"
@@ -861,7 +865,11 @@ def _rules_sql(expr: str) -> str:
     return TX.apply_rules_sql(expr, RULES)
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """DuckDB twins. `sf_dir` parameterizes the few oracles whose goldens
+    depend on the table contents (multimodal VALUES tables, the corpus-
+    derived LSH plane count); the driver's compare runs at sf0.01 (the
+    default), scripts/check_oracles.py passes its own sf_dir."""
     cw = TX.clean_whitespace_sql("text")
     return {
         "clean_whitespace": f"SELECT doc_id, {cw} AS cleaned FROM documents",
@@ -959,13 +967,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cloud_flatten": _CLOUD_FLATTEN_SQL,
         "quad_order": _QUAD_ORDER_SQL,
-        "image_features": _image_features_sql(),
-        "resize_images": _resize_images_sql(),
-        **_training_oracles(),
+        "image_features": _image_features_sql(sf_dir),
+        "resize_images": _resize_images_sql(sf_dir),
+        **_training_oracles(sf_dir),
     }
 
 
-def _training_oracles() -> dict[str, str]:
+def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     from ocr_spark.operators import text_analysis as TA
     from ocr_spark.operators.dedup import (
         exact_dedup_sql,
@@ -1002,7 +1010,7 @@ def _training_oracles() -> dict[str, str]:
         "lsh_topk": lsh_topk_sql(_query_vec(), k=10),
         "ivf_topk": ivf_topk_sql(_query_vec(), _ivf_centroids(), k=10, nprobe=4),
         "embedding_near_dups": _embedding_near_dups_sql(
-            threshold=0.2, n_planes=_emb_planes("/root/testdata/sf0.01")
+            threshold=0.2, n_planes=_emb_planes(sf_dir)
         ),
     }
 

@@ -97,6 +97,11 @@ def run_resumable(
         obs,
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("error").isNotNull().cast("long")).alias("n_errors"),
+        # the exact bucket set THIS run wrote (≤ n_buckets small values) —
+        # the verification scan must not touch other unmanifested dirs,
+        # which may hold stale partials from a crashed previous run that
+        # dynamic overwrite did not replace
+        F.collect_set("bucket").alias("buckets"),
     )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -104,14 +109,15 @@ def run_resumable(
     wall = time.perf_counter() - t0
     totals = obs.get  # available immediately — the write action computed it
 
-    # Per-bucket stats: read back ONLY the buckets this run may have written
-    # (explicit bucket=<b> paths — file-level pruning by construction, never
-    # previous runs' buckets) and only the 2 narrow columns the manifest
-    # needs — a metadata-light fraction of the span-payload-dominated output.
-    # Reading what is actually on disk (rather than trusting the in-memory
-    # counts) is deliberate: the manifest asserts bucket completeness, so it
-    # must describe committed files, not the plan that produced them.
-    candidates = sorted(set(range(n_buckets)) - already)
+    # Per-bucket stats: read back ONLY the buckets this run actually wrote
+    # (the observed set — explicit bucket=<b> paths, file-level pruning by
+    # construction; never previous runs' buckets or stale partials a crashed
+    # run left behind) and only the 2 narrow columns the manifest needs — a
+    # metadata-light fraction of the span-payload-dominated output. Reading
+    # what is actually on disk (rather than trusting the in-memory counts)
+    # is deliberate: the manifest asserts bucket completeness, so it must
+    # describe committed files, not the plan that produced them.
+    candidates = sorted(set(int(b) for b in (totals["buckets"] or [])) - already)
     paths = [
         p
         for b in candidates

@@ -215,8 +215,8 @@ def flatten_response_df(df, img_w: float, img_h: float, resp_col: str = "respons
             confidence>>>>>>>>>.
 
     One row per word WITH vertices: positional indexes (page, block, para,
-    word), word_text = join(symbol texts), F11 denorm+clip bbox (floor ==
-    int-truncate for the non-negative normalized coords), word confidence,
+    word), word_text = join(symbol texts), F11 denorm+clip bbox (int-cast
+    truncation — the reference's int() — then clamp), word confidence,
     and overall_conf = pages[0].confidence (A3). Generate-only plan: four
     posexplodes, zero shuffles, fully codegen'd; Catalyst prunes any response
     field not referenced here from the scan.
@@ -260,10 +260,13 @@ def flatten_response_df(df, img_w: float, img_h: float, resp_col: str = "respons
         F.array_join(F.transform("_wd.symbols", lambda s: s["text"]), "").alias(
             "word_text"
         ),
-        F.greatest(F.lit(0), F.floor(F.array_min(xs))).cast("int").alias("x1"),
-        F.greatest(F.lit(0), F.floor(F.array_min(ys))).cast("int").alias("y1"),
-        F.least(F.lit(int(img_w)), F.floor(F.array_max(xs)).cast("int")).alias("x2"),
-        F.least(F.lit(int(img_h)), F.floor(F.array_max(ys)).cast("int")).alias("y2"),
+        # cast-to-int truncates toward zero (Java semantics) — exactly the
+        # reference's Python int(); floor() would diverge on negative
+        # fractional maxima (floor(-0.5) = -1 vs int(-0.5) = 0)
+        F.greatest(F.lit(0), F.array_min(xs).cast("int")).alias("x1"),
+        F.greatest(F.lit(0), F.array_min(ys).cast("int")).alias("y1"),
+        F.least(F.lit(int(img_w)), F.array_max(xs).cast("int")).alias("x2"),
+        F.least(F.lit(int(img_h)), F.array_max(ys).cast("int")).alias("y2"),
         F.col("_wd.confidence").cast("double").alias("word_conf"),
         F.col("overall_conf").cast("double").alias("overall_conf"),
     )

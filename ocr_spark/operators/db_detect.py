@@ -37,7 +37,8 @@ from ocr_spark.operators.media_kernels import (
     DET_DB_BOX_THRESH,
     DET_DB_THRESH,
     DET_MIN_BOX_SIZE,
-    convex_hull,
+    axis_extreme_points,
+    min_area_box,
 )
 from ocr_spark.operators.quad_geometry import order_quad
 
@@ -106,39 +107,6 @@ def connected_components(binary: np.ndarray) -> list[np.ndarray]:
     return comps
 
 
-def min_area_box(points: np.ndarray):
-    """Min-area enclosing rectangle of (N,2) points via rotating calipers.
-    Returns (center(2,), u(2,), v(2,), eu, ev): orthonormal axes and extents
-    — the box corners are center ± u·eu/2 ± v·ev/2."""
-    hull = convex_hull(points)
-    if len(hull) == 1:
-        return hull[0], np.array([1.0, 0.0]), np.array([0.0, 1.0]), 0.0, 0.0
-    if len(hull) == 2:
-        d = hull[1] - hull[0]
-        n = float(np.hypot(*d))
-        u = d / n
-        v = np.array([-u[1], u[0]])
-        return (hull[0] + hull[1]) / 2.0, u, v, n, 0.0
-    best = None
-    m = len(hull)
-    for i in range(m):
-        d = hull[(i + 1) % m] - hull[i]
-        n = float(np.hypot(*d))
-        if n == 0:
-            continue
-        u = d / n
-        v = np.array([-u[1], u[0]])
-        pu = hull @ u
-        pv = hull @ v
-        eu = float(pu.max() - pu.min())
-        ev = float(pv.max() - pv.min())
-        if best is None or eu * ev < best[0] - 1e-12:
-            center = ((pu.max() + pu.min()) / 2) * u + ((pv.max() + pv.min()) / 2) * v
-            best = (eu * ev, center, u, v, eu, ev)
-    _, center, u, v, eu, ev = best
-    return center, u, v, eu, ev
-
-
 def unclip_distance(eu: float, ev: float, unclip_ratio: float, mode: str) -> float:
     """Offset distance for the unclip expansion (see module docstring)."""
     perimeter = 2.0 * (eu + ev)
@@ -170,16 +138,9 @@ def db_postprocess(
     for comp in connected_components(binary)[:max_candidates]:
         if len(comp) < 3:  # ref :209
             continue
-        # hull candidates: only per-row x-extremes can lie on the hull —
-        # shrinks the hull input from O(area) to O(height) points
-        ys = comp[:, 0]
-        xs = comp[:, 1]
-        order = np.lexsort((xs, ys))
-        ys_s, xs_s = ys[order], xs[order]
-        row_start = np.r_[True, ys_s[1:] != ys_s[:-1]]
-        row_end = np.r_[ys_s[1:] != ys_s[:-1], True]
-        cand = np.concatenate([np.flatnonzero(row_start), np.flatnonzero(row_end)])
-        pts = np.column_stack([xs_s[cand], ys_s[cand]]).astype(np.float64)  # (x, y)
+        # hull candidates: per-row extremes only (shared reduction), then
+        # swap (y,x) -> (x,y) like cv2 contours
+        pts = axis_extreme_points(comp)[:, ::-1].astype(np.float64)
         center, u, v, eu, ev = min_area_box(pts)
         score = float(seg_map[comp[:, 0], comp[:, 1]].mean())  # filled mask
         if score < box_thresh:  # F3
@@ -226,39 +187,19 @@ def db_detect_quads(gray: np.ndarray, det_target: int = 48, **kw) -> np.ndarray:
 
 
 def recognize_db_image(gray: np.ndarray) -> tuple[str, float]:
-    """Scalar DB-path recognizer: db quads → warp/decode (quad machinery) →
-    K12/A1/A2 assembly with the failure-injection F7/F8 scheme."""
+    """Scalar DB-path recognizer: db quads → shared warp/decode + K12/A1/A2
+    assembly (quad_geometry.decode_quad_crops / assemble_parts)."""
     from ocr_spark.operators.quad_geometry import (
-        _decode_warped,
+        assemble_parts,
+        decode_quad_crops,
         target_crop_dims,
-        warp_quad,
     )
 
     quads = db_detect_quads(gray)
     if not len(quads):
         return "", 0.0
-    parts: list[tuple[str, float]] = []
-    for q in quads:
-        tw = int(target_crop_dims(q[None])[0])
-        padded = warp_quad(gray, q, tw=tw)
-        text, conf = _decode_warped(padded)
-        mean_i = int(((padded[:, :tw] + 1.0) * 127.5).mean())
-        if mean_i % 13 == 0:
-            text, conf = "Error: Rec Inference Failed", 0.0
-        elif mean_i % 17 == 0:
-            text, conf = "REC_FAIL", 0.0
-        parts.append((text, conf))
-    total, n = 0.0, 0
-    texts = []
-    for text, conf in parts:
-        if text.startswith("Error:") or text == "REC_FAIL":
-            conf = 0.0
-        else:
-            texts.append(text)
-        if conf > 0.0:
-            total += conf
-            n += 1
-    return "\n".join(texts), (total / n) if n else 0.0
+    widths = target_crop_dims(quads)
+    return assemble_parts(decode_quad_crops(gray, quads, widths))
 
 
 def recognize_db_batch(grays: np.ndarray) -> tuple[list[str], np.ndarray]:

@@ -55,6 +55,41 @@ def exact_dedup_sql(text_expr: str = "text", id_col: str = "doc_id") -> str:
 # ---------------------------------------------------------------------------
 
 
+def _estimated_scan_splits(docs: DataFrame) -> int | None:
+    """Estimated number of scan partitions for a file-backed frame: splittable
+    formats divide each file into ~maxPartitionBytes tasks, so a few LARGE
+    parquet files still yield many splits — counting files alone would force
+    a pointless full-corpus shuffle on exactly the well-laid-out inputs.
+    Returns None for non-file frames (in-memory, JDBC, post-shuffle): those
+    either carry the session's parallelism already or their layout is the
+    caller's explicit choice (e.g. coalesce(1))."""
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sess = docs.sparkSession
+    n = len(files)
+    if n >= sess.sparkContext.defaultParallelism:
+        return n  # enough splits whatever the sizes
+    try:
+        import math
+
+        raw = sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        max_bytes = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+        jvm = sess._jvm
+        hconf = sess._jsc.hadoopConfiguration()
+        splits = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            size = p.getFileSystem(hconf).getFileStatus(p).getLen()
+            splits += max(1, math.ceil(size / max_bytes))
+        return splits
+    except Exception:
+        return n  # size probe unavailable → fall back to the file count
+
+
 def _ensure_parallel(docs: DataFrame) -> DataFrame:
     """Input-layout independence: a source with fewer splits than cores (one
     fat row group, a single gzip part…) would serialize every downstream
@@ -62,19 +97,14 @@ def _ensure_parallel(docs: DataFrame) -> DataFrame:
     the raw docs unlocks the cluster; skipped when the scan already has
     enough splits (the normal case at production scale).
 
-    Probes `inputFiles()` (driver-side file-listing metadata) instead of
-    `.rdd.getNumPartitions()` — the RDD probe materializes the pre-AQE
-    physical plan for arbitrary upstream DataFrames, which is both costly
-    and reports pre-AQE counts. Non-file inputs (in-memory test frames,
-    post-shuffle plans) are left untouched: they either already carry the
-    session's default parallelism or have a shuffle upstream."""
+    Splits are ESTIMATED from driver-side file metadata (listing + sizes /
+    maxPartitionBytes) instead of `.rdd.getNumPartitions()` — the RDD probe
+    materializes the pre-AQE physical plan for arbitrary upstream
+    DataFrames, which is both costly and reports pre-AQE counts."""
     sc = docs.sparkSession.sparkContext
     target = sc.defaultParallelism
-    try:
-        n_files = len(docs.inputFiles())
-    except Exception:
-        return docs
-    if 0 < n_files < target:
+    splits = _estimated_scan_splits(docs)
+    if splits is not None and splits < target:
         return docs.repartition(target * 2)
     return docs
 

@@ -102,43 +102,63 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
     return np.array(lower[:-1] + upper[:-1])
 
 
-def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, tuple[float, float], float]:
-    """K2: minimum-area enclosing rectangle via rotating calipers over the
-    convex hull (numpy twin of cv2.minAreaRect, ref preprocessing_module.py:70).
+def axis_extreme_points(pts: np.ndarray) -> np.ndarray:
+    """Hull-candidate reduction for integer grids: for each distinct first
+    coordinate keep only the min/max second coordinate — the only points
+    that can be hull vertices. Shrinks hull input from O(area) to
+    O(distinct rows) with an identical hull."""
+    a, b = pts[:, 0], pts[:, 1]
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    first = np.r_[True, a_s[1:] != a_s[:-1]]
+    last = np.r_[a_s[1:] != a_s[:-1], True]
+    keep = np.concatenate([np.flatnonzero(first), np.flatnonzero(last)])
+    return np.column_stack([a_s[keep], b_s[keep]])
 
-    Returns (center, (w, h), angle_deg) with the legacy cv2 convention the
-    reference's adjustment logic assumes: angle ∈ [-90, 0), `w` measured
-    along the angle direction. The optimal rectangle always has an edge
-    collinear with a hull edge, so scanning hull edges is exact."""
+
+def min_area_box(points: np.ndarray):
+    """Minimum-area enclosing rectangle via rotating calipers over the
+    convex hull. Returns (center(2,), u(2,), v(2,), eu, ev): orthonormal
+    axes and extents — the box corners are center ± u·eu/2 ± v·ev/2. The
+    optimal rectangle always has an edge collinear with a hull edge, so
+    scanning hull edges is exact. Shared core of K2's min_area_rect and
+    K8's db_postprocess boxes."""
     hull = convex_hull(points)
     if len(hull) == 1:
-        return hull[0], (0.0, 0.0), -90.0
+        return hull[0], np.array([1.0, 0.0]), np.array([0.0, 1.0]), 0.0, 0.0
     if len(hull) == 2:
         d = hull[1] - hull[0]
-        ang = float(np.degrees(np.arctan2(d[1], d[0])))
-        w = float(np.hypot(*d))
-        center, wh = (hull[0] + hull[1]) / 2, (w, 0.0)
-        best = (0.0, center, wh[0], wh[1], ang)
-    else:
-        best = None
-        m = len(hull)
-        for i in range(m):
-            d = hull[(i + 1) % m] - hull[i]
-            n = float(np.hypot(*d))
-            if n == 0:
-                continue
-            u = d / n
-            v = np.array([-u[1], u[0]])
-            pu = hull @ u
-            pv = hull @ v
-            w = float(pu.max() - pu.min())
-            h = float(pv.max() - pv.min())
-            area = w * h
-            if best is None or area < best[0] - 1e-12:
-                center = ((pu.max() + pu.min()) / 2) * u + ((pv.max() + pv.min()) / 2) * v
-                ang = float(np.degrees(np.arctan2(u[1], u[0])))
-                best = (area, center, w, h, ang)
-    _, center, w, h, ang = best
+        n = float(np.hypot(*d))
+        u = d / n
+        v = np.array([-u[1], u[0]])
+        return (hull[0] + hull[1]) / 2.0, u, v, n, 0.0
+    best = None
+    m = len(hull)
+    for i in range(m):
+        d = hull[(i + 1) % m] - hull[i]
+        n = float(np.hypot(*d))
+        if n == 0:
+            continue
+        u = d / n
+        v = np.array([-u[1], u[0]])
+        pu = hull @ u
+        pv = hull @ v
+        eu = float(pu.max() - pu.min())
+        ev = float(pv.max() - pv.min())
+        if best is None or eu * ev < best[0] - 1e-12:
+            center = ((pu.max() + pu.min()) / 2) * u + ((pv.max() + pv.min()) / 2) * v
+            best = (eu * ev, center, u, v, eu, ev)
+    _, center, u, v, eu, ev = best
+    return center, u, v, eu, ev
+
+
+def min_area_rect(points: np.ndarray) -> tuple[np.ndarray, tuple[float, float], float]:
+    """K2: cv2.minAreaRect twin over min_area_box (ref
+    preprocessing_module.py:70). Returns (center, (w, h), angle_deg) with
+    the legacy cv2 convention the reference's adjustment logic assumes:
+    angle ∈ [-90, 0), `w` measured along the angle direction."""
+    center, u, _v, w, h = min_area_box(points)
+    ang = float(np.degrees(np.arctan2(u[1], u[0])))
     ang = ang % 180.0
     if ang >= 90.0:
         ang -= 180.0  # → [-90, 90)
@@ -165,7 +185,9 @@ def estimate_skew_angle(gray: np.ndarray, method: str = "minrect") -> float:
         coords = np.column_stack(np.nonzero(inv > t))  # (y, x) — ref order
         if coords.shape[0] < 50:
             return 0.0
-        _c, (w, h), angle = min_area_rect(coords)
+        # per-row extremes only: identical hull, O(rows) instead of O(area)
+        # points into the rotating calipers (matters on full-page scans)
+        _c, (w, h), angle = min_area_rect(axis_extreme_points(coords))
         # ref :86 `if w < h: angle += 90` under cv2's legacy box convention;
         # our rect convention measures w along the angle direction and the
         # (y,x) point order mirrors the frame, which maps cv2's condition to

@@ -197,6 +197,52 @@ def _is_axis_aligned(quad: np.ndarray) -> bool:
     )
 
 
+def _warp_bilinear_surface(
+    gray: np.ndarray, quad: np.ndarray, tw: int, rec_h: int
+) -> np.ndarray:
+    """Degenerate-geometry fallback: map the output grid onto the quad by
+    bilinear corner interpolation (always well-defined, equals the
+    homography on parallelograms), masked 4-tap sampling with 0 border.
+    Used when the DLT system is singular — e.g. a K9 target width of 1
+    collapses the dst rectangle onto a line, which a real
+    cv2.getPerspectiveTransform would also refuse."""
+    hh, ww = gray.shape
+    a = (np.arange(tw) / (tw - 1)) if tw > 1 else np.zeros(1)
+    b = (np.arange(rec_h) / (rec_h - 1)) if rec_h > 1 else np.zeros(1)
+    aa, bb = np.meshgrid(a, b)
+    tl, tr, br, bl = quad
+    xs = (
+        (1 - aa) * (1 - bb) * tl[0]
+        + aa * (1 - bb) * tr[0]
+        + aa * bb * br[0]
+        + (1 - aa) * bb * bl[0]
+    )
+    ys = (
+        (1 - aa) * (1 - bb) * tl[1]
+        + aa * (1 - bb) * tr[1]
+        + aa * bb * br[1]
+        + (1 - aa) * bb * bl[1]
+    )
+    x0 = np.floor(xs).astype(np.int64)
+    y0 = np.floor(ys).astype(np.int64)
+    wx = xs - x0
+    wy = ys - y0
+    imgf = gray.astype(np.float64)
+
+    def sample(yi, xi):
+        valid = (xi >= 0) & (xi < ww) & (yi >= 0) & (yi < hh)
+        out = np.zeros_like(xs)
+        out[valid] = imgf[yi[valid], xi[valid]]
+        return out
+
+    return (
+        sample(y0, x0) * (1 - wx) * (1 - wy)
+        + sample(y0, x0 + 1) * wx * (1 - wy)
+        + sample(y0 + 1, x0) * (1 - wx) * wy
+        + sample(y0 + 1, x0 + 1) * wx * wy
+    )
+
+
 def warp_quad(
     gray: np.ndarray,
     quad: np.ndarray,
@@ -206,18 +252,28 @@ def warp_quad(
 ) -> np.ndarray:
     """K10 for one ordered quad: warp → normalize (x/255−0.5)/0.5 → right-pad
     with −1 to rec_w_max. Returns (rec_h, rec_w_max) float64. Pass `tw` when
-    the caller already ran target_crop_dims (avoids recomputing)."""
+    the caller already ran target_crop_dims (avoids recomputing).
+
+    Degenerate targets (tw or rec_h of 1 — e.g. a thin rotated strip whose
+    K9 aspect clamps the width to 1 — or a collinear src quad) cannot form a
+    homography; they take the bilinear-surface fallback instead of crashing
+    the task with a singular 8×8 system."""
     if tw is None:
         tw = int(target_crop_dims(quad[None], rec_h, rec_w_max)[0])
     if _is_axis_aligned(quad):
         warped = _warp_axis_aligned(gray, quad, tw, rec_h)
+    elif tw <= 1 or rec_h <= 1:
+        warped = _warp_bilinear_surface(gray, quad, tw, rec_h)
     else:
         dst = np.array(
             [[0, 0], [tw - 1, 0], [tw - 1, rec_h - 1], [0, rec_h - 1]],
             dtype=np.float64,
         )
-        h_mat = get_perspective_transform(quad, dst)
-        warped = warp_perspective(gray, h_mat, tw, rec_h)
+        try:
+            h_mat = get_perspective_transform(quad, dst)
+            warped = warp_perspective(gray, h_mat, tw, rec_h)
+        except np.linalg.LinAlgError:  # collinear src corners
+            warped = _warp_bilinear_surface(gray, quad, tw, rec_h)
     norm = (warped / 255.0 - 0.5) / 0.5
     return np.pad(norm, ((0, 0), (0, rec_w_max - tw)), constant_values=-1.0)
 
@@ -311,26 +367,31 @@ def _decode_warped(padded: np.ndarray) -> tuple[str, float]:
     return ctc_greedy_decode(logits)
 
 
-def recognize_quads_image(gray: np.ndarray) -> tuple[str, float]:
-    """Scalar quad-path pipeline for one grayscale image."""
-    quads = detect_quads(gray)
-    if not len(quads):
-        return "", 0.0
-    ordered = order_quads(quads)
-    keep = quad_areas(ordered) >= DET_MIN_BOX_SIZE * DET_MIN_BOX_SIZE  # F6
+def decode_quad_crops(
+    gray: np.ndarray, quads: np.ndarray, widths: np.ndarray
+) -> list[tuple[str, float]]:
+    """Warp + fake-decode each ordered quad of one image, with the
+    deterministic F7/F8 failure injection (keyed on the warped crop's mean
+    pixel intensity — parity with the band path). Shared by the quad and
+    db engines so the injection scheme cannot fork."""
     parts: list[tuple[str, float]] = []
-    for q in ordered[keep]:
-        tw = int(target_crop_dims(q[None])[0])
+    for q, tw in zip(quads, widths):
+        tw = int(tw)
         padded = warp_quad(gray, q, tw=tw)
         text, conf = _decode_warped(padded)
-        # deterministic failure injection (F7/F8 parity with the band path):
-        # keyed on the warped crop's mean pixel intensity
         mean_i = int(((padded[:, :tw] + 1.0) * 127.5).mean())
         if mean_i % 13 == 0:
             text, conf = "Error: Rec Inference Failed", 0.0
         elif mean_i % 17 == 0:
             text, conf = "REC_FAIL", 0.0
         parts.append((text, conf))
+    return parts
+
+
+def assemble_parts(parts: list[tuple[str, float]]) -> tuple[str, float]:
+    """K12/A1/A2 assembly (ref local_ocr_engine.py:443-464): error parts
+    excluded from text and conf-zeroed; overall confidence = mean of
+    positive confs, 0.0 when none. Shared by every local media engine."""
     total, n = 0.0, 0
     texts = []
     for text, conf in parts:
@@ -342,6 +403,18 @@ def recognize_quads_image(gray: np.ndarray) -> tuple[str, float]:
             total += conf
             n += 1
     return "\n".join(texts), (total / n) if n else 0.0
+
+
+def recognize_quads_image(gray: np.ndarray) -> tuple[str, float]:
+    """Scalar quad-path pipeline for one grayscale image."""
+    quads = detect_quads(gray)
+    if not len(quads):
+        return "", 0.0
+    ordered = order_quads(quads)
+    keep = quad_areas(ordered) >= DET_MIN_BOX_SIZE * DET_MIN_BOX_SIZE  # F6
+    ordered = ordered[keep]
+    widths = target_crop_dims(ordered)  # K9
+    return assemble_parts(decode_quad_crops(gray, ordered, widths))
 
 
 def recognize_quad_batch(grays: np.ndarray) -> tuple[list[str], np.ndarray]:
@@ -357,30 +430,19 @@ def recognize_quad_batch(grays: np.ndarray) -> tuple[list[str], np.ndarray]:
         if len(q):
             all_quads.append(q)
             quad_img.extend([i] * len(q))
+    texts = [""] * n_img
+    confs = np.zeros(n_img, dtype=np.float64)
     if not all_quads:
-        return [""] * n_img, np.zeros(n_img, dtype=np.float64)
+        return texts, confs
     quads = np.concatenate(all_quads)
     img_of = np.asarray(quad_img, dtype=np.int64)
     ordered = order_quads(quads)  # W1, vectorized
     keep = quad_areas(ordered) >= DET_MIN_BOX_SIZE * DET_MIN_BOX_SIZE  # F6
     ordered, img_of = ordered[keep], img_of[keep]
     widths = target_crop_dims(ordered)  # K9, vectorized
-
-    conf_sum = np.zeros(n_img, dtype=np.float64)
-    conf_cnt = np.zeros(n_img, dtype=np.int64)
-    texts_per_img: list[list[str]] = [[] for _ in range(n_img)]
-    for q, i, tw in zip(ordered, img_of, widths):
-        padded = warp_quad(grays[i], q, tw=int(tw))
-        text, conf = _decode_warped(padded)
-        mean_i = int(((padded[:, : int(tw)] + 1.0) * 127.5).mean())
-        if mean_i % 13 == 0:
-            text, conf = "Error: Rec Inference Failed", 0.0
-        elif mean_i % 17 == 0:
-            text, conf = "REC_FAIL", 0.0
-        if not (text.startswith("Error:") or text == "REC_FAIL"):
-            texts_per_img[i].append(text)
-            if conf > 0.0:
-                conf_sum[i] += conf
-                conf_cnt[i] += 1
-    confs = np.where(conf_cnt > 0, conf_sum / np.maximum(conf_cnt, 1), 0.0)
-    return ["\n".join(t) for t in texts_per_img], confs
+    for i in np.unique(img_of):
+        sel = img_of == i
+        texts[i], confs[i] = assemble_parts(
+            decode_quad_crops(grays[i], ordered[sel], widths[sel])
+        )
+    return texts, confs

@@ -90,7 +90,12 @@ def _attach_sidecar(df: DataFrame, sidecar: DataFrame) -> DataFrame:
             )
         ).alias("media_ref"),
     )
-    resolved = refs.join(F.broadcast(sidecar), "media_ref", "inner")
+    # a ref duplicated in the sidecar (overlapping globs, unioned frames)
+    # would make map_from_entries throw 'Duplicate map key' and kill the
+    # job; dedupe so it degrades to one payload per ref instead
+    resolved = refs.join(
+        F.broadcast(sidecar.dropDuplicates(["media_ref"])), "media_ref", "inner"
+    )
     pay = resolved.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("media_ref", "content"))).alias(
             MEDIA_SIDECAR_COL

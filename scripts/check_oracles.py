@@ -61,7 +61,7 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs, os_ = E.queries(), E.oracle_sql()
+    qs, os_ = E.queries(), E.oracle_sql(sf_dir)
     failed = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -83,3 +83,31 @@ def test_manifest_lineage_fields(spark, docs_df, tmp_path):
         assert m["min_doc_id"] <= m["max_doc_id"]
         assert m["wall_sec_run"] > 0
         assert m["docs_per_sec_run"] > 0
+
+
+def test_stale_partial_bucket_ignored(spark, tmp_path):
+    """A crashed previous run can leave a manifest-less bucket dir that the
+    next run does not rewrite; the verification scan must not read it
+    (review finding: the cross-check previously scanned ALL unmanifested
+    dirs, so a stale partial — even an unreadable one — aborted the run
+    after the write but before any manifest commit)."""
+    import os
+
+    from ocr_spark.checkpoint import completed_buckets, run_resumable
+    from ocr_spark.fixtures import generate_docs
+    from ocr_spark.schema import DOC_SCHEMA
+
+    out_dir = str(tmp_path / "out")
+    # simulate the stale partial: a bucket dir with a half-written file that
+    # is not even valid parquet
+    stale = os.path.join(out_dir, "bucket=99")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+
+    docs = spark.createDataFrame(generate_docs(30), DOC_SCHEMA)
+    stats = run_resumable(spark, docs, out_dir, n_buckets=8, run_id="r1")
+    assert stats["n_docs"] == 30
+    manifested = {m["bucket"] for m in completed_buckets(out_dir)}
+    assert manifested and 99 not in manifested
+    assert os.path.exists(os.path.join(stale, "part-00000.parquet"))

@@ -294,3 +294,49 @@ def test_cloud_registry_impl():
     assert t1 == t2 and isinstance(t1, str)
     with pytest.raises(ValueError):
         fn("")
+
+
+def test_flatten_negative_max_parity(spark):
+    """int() truncates toward zero while floor() rounds down: a word whose
+    denormalized max coordinate is negative exposed a Spark/scalar
+    divergence (review finding). Both paths must agree."""
+    resp = {
+        "text": "neg",
+        "pages": [
+            {
+                "confidence": 0.5,
+                "blocks": [
+                    {
+                        "paragraphs": [
+                            {
+                                "words": [
+                                    {
+                                        "symbols": [{"text": "n"}],
+                                        "vertices": [
+                                            {"x": -0.9, "y": -0.8},
+                                            {"x": -0.0025, "y": -0.005},
+                                        ],
+                                        "confidence": 0.4,
+                                    }
+                                ]
+                            }
+                        ]
+                    }
+                ],
+            }
+        ],
+    }
+    img_w, img_h = 200, 100
+    _ft, segments, _ov = flatten_response(resp, img_w, img_h)
+    # max x = -0.5 → int() = 0 → min(200, 0) = 0 (NOT -1)
+    assert segments[0]["bounding_box"] == [0, 0, 0, 0]
+    schema = (
+        "doc_id string, response struct<text:string, pages:array<struct<"
+        "confidence:double, blocks:array<struct<paragraphs:array<struct<"
+        "words:array<struct<symbols:array<struct<text:string>>, "
+        "vertices:array<struct<x:double,y:double>>, confidence:double"
+        ">>>>>>>>>"
+    )
+    df = spark.createDataFrame([("d", resp)], schema=schema)
+    row = flatten_response_df(df, img_w=img_w, img_h=img_h).collect()[0]
+    assert [row.x1, row.y1, row.x2, row.y2] == segments[0]["bounding_box"]

@@ -262,3 +262,22 @@ def test_quad_engine_e2e(spark):
         for r in extract_documents(docs, media_engine="local_warp").collect()
     }
     assert rows == rows2
+
+
+def test_warp_quad_degenerate_width_no_crash():
+    """A thin rotated strip passes F6 (area >= 9) but K9 clamps its target
+    width to 1 — the dst rectangle degenerates and the DLT system is
+    singular; the bilinear-surface fallback must handle it (review finding:
+    previously LinAlgError killed the task)."""
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, (32, 32), np.uint8)
+    quad = np.array([[10.0, 1.0], [10.5, 1.0], [11.2, 30.0], [10.7, 30.0]])
+    tw = int(target_crop_dims(quad[None])[0])
+    assert tw == 1
+    padded = warp_quad(img, quad)
+    assert padded.shape == (REC_IMG_H, REC_IMG_W)
+    assert np.isfinite(padded).all()
+    # collinear src corners also fall back instead of raising
+    collinear = np.array([[0.0, 0], [10, 10], [20, 20], [5, 5]])
+    padded2 = warp_quad(img, collinear, tw=8)
+    assert np.isfinite(padded2).all()

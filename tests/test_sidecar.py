@@ -98,3 +98,20 @@ def test_sidecar_rejects_multi_pass_modes(spark, payload_dir):
         extract_documents(docs, media_sidecar=sidecar, split_light=True)
     with pytest.raises(NotImplementedError):
         extract_documents(docs, media_sidecar=sidecar, span_chunk_threshold=4)
+
+
+def test_sidecar_duplicate_refs_tolerated(spark, payload_dir):
+    """A ref duplicated in the sidecar (overlapping globs, unioned frames)
+    must not blow up map_from_entries (review finding: 'Duplicate map key'
+    killed the job)."""
+    from ocr_spark.pipeline import extract_documents
+    from ocr_spark.schema import DOC_SCHEMA
+
+    base = sidecar_df(spark, str(payload_dir) + "/*.bin")
+    doubled = base.unionByName(base)  # every ref twice
+    uri = [r.media_ref for r in base.collect() if r.media_ref.endswith("good1.bin")][0]
+    docs = spark.createDataFrame(
+        [("a", [("media", None, uri, 0)])], DOC_SCHEMA
+    )
+    out = extract_documents(docs, media_sidecar=doubled).collect()
+    assert len(out) == 1 and out[0].error is None
