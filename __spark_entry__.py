@@ -728,6 +728,44 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing (training-data hygiene): emails/IPs/phones replaced with
+    typed placeholders via an ordered regexp chain (pure codegen). PII is
+    injected deterministically so the replacement paths actually execute."""
+    from ocr_spark.operators import text_analysis as TA
+
+    d = _t(spark, sf_dir, "documents")
+    withpii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".7 tel 555-123 4567"),
+    )
+    return d.select("doc_id", TA.pii_scrub(withpii).alias("scrubbed"))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination sweep: corpus docs sharing any 8-gram with the
+    'eval' subset (doc_id % 37 == 0) — the decontamination pass every
+    training corpus needs. Equi-join on 8-byte shingle hashes."""
+    from ocr_spark.operators.dedup import contamination
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination(
+        d.where(F.col("doc_id") % 37 != 0), d.where(F.col("doc_id") % 37 == 0), n=8
+    )
+
+
+def q_ngram_topk(spark, sf_dir):
+    """Corpus n-gram statistics: top-20 word bigrams by occurrence count
+    (all occurrences — corpus counting, not per-doc sets)."""
+    from ocr_spark.operators.dedup import ngram_topk
+
+    return ngram_topk(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
 def _query_vec() -> list[float]:
     """Deterministic query vector: embeddings row vec_id=0 at sf0.01 (the
     oracle sf), shared as literals by BOTH engines."""
@@ -845,6 +883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quad_order": q_quad_order,
         "image_features": q_image_features,
         "resize_images": q_resize_images,
+        "pii_scrub": q_pii_scrub,
+        "contamination": q_contamination,
+        "ngram_topk": q_ngram_topk,
         "ivf_topk": q_ivf_topk,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
@@ -973,12 +1014,24 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     }
 
 
+def _pii_scrub_sql() -> str:
+    from ocr_spark.operators.text_analysis import pii_scrub_sql
+
+    withpii = (
+        "text || ' contact user' || doc_id || '@example.com from 10.0.' "
+        "|| (doc_id % 200) || '.7 tel 555-123 4567'"
+    )
+    return f"SELECT doc_id, {pii_scrub_sql('(' + withpii + ')')} AS scrubbed FROM documents"
+
+
 def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     from ocr_spark.operators import text_analysis as TA
     from ocr_spark.operators.dedup import (
+        contamination_sql,
         exact_dedup_sql,
         jaccard_pairs_sql,
         minhash_lsh_sql,
+        ngram_topk_sql,
         simhash_sql,
     )
     from ocr_spark.operators.similarity import cosine_topk_sql, ivf_topk_sql, lsh_topk_sql
@@ -1006,6 +1059,9 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "minhash_lsh": minhash_lsh_sql(threshold=0.3),
+        "pii_scrub": _pii_scrub_sql(),
+        "contamination": contamination_sql(eval_mod=37, n=8),
+        "ngram_topk": ngram_topk_sql(n=2, k=20),
         "cosine_topk": cosine_topk_sql(_query_vec(), k=10),
         "lsh_topk": lsh_topk_sql(_query_vec(), k=10),
         "ivf_topk": ivf_topk_sql(_query_vec(), _ivf_centroids(), k=10, nprobe=4),

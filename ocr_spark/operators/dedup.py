@@ -512,3 +512,90 @@ def simhash_near_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination check (training-data hygiene): corpus docs sharing
+# n-gram shingles with an evaluation set
+# ---------------------------------------------------------------------------
+
+
+def contamination(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shared_shingles, n_eval_docs) for every corpus doc that
+    shares at least one word n-gram with any eval doc — the standard
+    decontamination sweep before training on web text.
+
+    Scale shape: both sides reduce to (id, 8-byte shingle hash); the join is
+    an equi-join on the hash (the eval side is normally tiny → AQE broadcasts
+    it), then one groupBy on the corpus id. 13-gram sweeps at 100 TB are the
+    same plan with n=13."""
+    sh_c = shingles_hashed(corpus, n=n, id_col=id_col, text_col=text_col)
+    sh_e = (
+        shingles_hashed(eval_docs, n=n, id_col=id_col, text_col=text_col)
+        .withColumnRenamed("id", "eval_id")
+    )
+    j = sh_c.join(sh_e, "sh")
+    return j.groupBy(F.col("id").alias(id_col)).agg(
+        F.countDistinct("sh").alias("n_shared_shingles"),
+        F.countDistinct("eval_id").alias("n_eval_docs"),
+    )
+
+
+def contamination_sql(eval_mod: int = 37, n: int = 8) -> str:
+    """DuckDB twin for the oracle split eval = (doc_id % eval_mod == 0)."""
+    from ocr_spark.operators.text_analysis import h60_sql
+
+    return f"""
+WITH sh0 AS ({_shingles_sql(n)}),
+shh AS (SELECT DISTINCT id, {h60_sql('shingle')} AS sh FROM sh0),
+ev AS (SELECT id AS eval_id, sh FROM shh WHERE id % {eval_mod} = 0),
+co AS (SELECT id, sh FROM shh WHERE id % {eval_mod} <> 0)
+SELECT co.id AS doc_id,
+       count(DISTINCT co.sh) AS n_shared_shingles,
+       count(DISTINCT eval_id) AS n_eval_docs
+FROM co JOIN ev USING (sh) GROUP BY co.id
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram statistics (frequency, with duplicates — corpus counting,
+# not the per-doc-distinct sets dedup uses)
+# ---------------------------------------------------------------------------
+
+
+def ngram_topk(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most frequent word n-grams across the corpus (all occurrences
+    counted). One explode + one partial-aggregated groupBy; the global top-k
+    is a TakeOrdered tree-reduce, not a full sort."""
+    grams = _exploded_shingles(docs, n, id_col, text_col)
+    return (
+        grams.groupBy(F.col("shingle").alias("gram"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("gram"))
+        .limit(k)
+    )
+
+
+def ngram_topk_sql(n: int = 2, k: int = 20) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+WITH grams AS (
+  SELECT unnest(list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1),
+         i -> {gram})) AS gram
+  FROM (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS w FROM documents))
+SELECT gram, count(*) AS n FROM grams GROUP BY gram
+ORDER BY n DESC, gram LIMIT {k}
+"""

@@ -164,3 +164,34 @@ def fingerprint(col: Column) -> Column:
 
 def fingerprint_sql(expr: str) -> str:
     return f"md5(regexp_replace(lower({expr}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: ordered regex replacements with placeholders (training-data
+# hygiene pass; patterns restricted to the RE2 ∩ Java-regex common subset so
+# the DuckDB twin is exact)
+# ---------------------------------------------------------------------------
+
+# (pattern, replacement) in application order — later rules see earlier output
+PII_RULES: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d{3}[- ]\d{3,4}[- ]\d{4}", "<PHONE>"),
+]
+
+
+def pii_scrub(col: Column, rules: list[tuple[str, str]] | None = None) -> Column:
+    """Replace PII-shaped substrings with typed placeholders. Pure
+    regexp_replace chain — whole-stage codegen, no UDF."""
+    out = col
+    for pat, rep in rules or PII_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def pii_scrub_sql(expr: str, rules: list[tuple[str, str]] | None = None) -> str:
+    out = expr
+    for pat, rep in rules or PII_RULES:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{rep}', 'g')"
+    return out

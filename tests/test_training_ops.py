@@ -191,3 +191,58 @@ def test_resize_images(spark):
         img = bytes_to_image(synth_media_bytes(ref))
         want = np.clip(np.rint(block_mean_resize(img, 8, 8)), 0, 255).astype(np.uint8)
         assert r.content == want.tobytes()
+
+
+def test_pii_scrub_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.text_analysis import pii_scrub
+
+    rows = [
+        ("mail me at jane.doe+x@sub.example.org today", "mail me at <EMAIL> today"),
+        ("server 192.168.10.255 up", "server <IP> up"),
+        ("call +001 555-123 4567 now", "call +001 <PHONE> now"),
+        ("no pii here", "no pii here"),
+        # version strings must NOT be eaten by the IP rule (\b guards)
+        ("two addresses a@b.io c@d.co", "two addresses <EMAIL> <EMAIL>"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r.s for r in df.select(pii_scrub(F.col("text")).alias("s")).collect()]
+    assert got == [w for _, w in rows]
+
+
+def test_contamination_finds_planted_overlap(spark):
+    from ocr_spark.operators.dedup import contamination
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [
+            (1, f"intro words {shared} and some trailing content here"),
+            (2, "completely unrelated text with different words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, f"benchmark prompt {shared} answer choices follow")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in contamination(corpus, eval_docs, n=8).collect()}
+    assert set(got) == {1}
+    # the shared 10-word run yields 3 distinct 8-grams
+    assert got[1].n_shared_shingles == 3
+    assert got[1].n_eval_docs == 1
+
+
+def test_ngram_topk_counts_occurrences(spark):
+    from ocr_spark.operators.dedup import ngram_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r.gram, r.n) for r in ngram_topk(docs, n=2, k=3).collect()]
+    # "a b": 3 (doc1) + 1 (doc2) = 4 occurrences; "b a": 2; "b c": 1
+    assert got == [("a b", 4), ("b a", 2), ("b c", 1)]
