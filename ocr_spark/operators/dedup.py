@@ -540,7 +540,9 @@ def contamination(
         shingles_hashed(eval_docs, n=n, id_col=id_col, text_col=text_col)
         .withColumnRenamed("id", "eval_id")
     )
-    j = sh_c.join(sh_e, "sh")
+    # eval sets are small by definition — force the broadcast so the corpus
+    # side never sorts/shuffles for this join at any scale
+    j = sh_c.join(F.broadcast(sh_e), "sh")
     return j.groupBy(F.col("id").alias(id_col)).agg(
         F.countDistinct("sh").alias("n_shared_shingles"),
         F.countDistinct("eval_id").alias("n_eval_docs"),
