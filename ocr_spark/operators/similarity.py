@@ -233,6 +233,7 @@ def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,
     n_planes: int | None = None,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -241,21 +242,49 @@ def embedding_near_dups(
 
     n_planes=None derives the plane count from the corpus size
     (derived_n_planes) — one cheap count job — so bucket occupancy, and with
-    it the quadratic within-bucket work, stays bounded as the corpus grows."""
+    it the quadratic within-bucket work, stays bounded as the corpus grows.
+
+    n_tables>1 is the standard multi-table LSH recall lever: a pair is a
+    candidate if it collides in ANY of the independent plane sets (per-pair
+    recall 1-(1-p^k)^T instead of p^k), at T× the bucketing/join work. The
+    bucket key carries the table index, so all tables ride ONE explode +
+    ONE shuffle; candidate pairs are deduped before the exact-cosine verify
+    (each pair scored once regardless of how many tables it collides in)."""
     if n_planes is None:
         n_planes = derived_n_planes(emb.count())
-    planes = hyperplanes(n_planes, dim=EMB_DIM)
     v = F.col(vec_col).cast("array<double>")
+    tables = [
+        hyperplanes(n_planes, dim=EMB_DIM, seed=7 + 1000 * t)
+        for t in range(n_tables)
+    ]
+    keys = F.explode(
+        F.array(
+            *[
+                # disjoint key spaces per table: (table, bucket) packed
+                (lsh_bucket_expr(v, planes) * F.lit(n_tables) + F.lit(t)).cast("long")
+                for t, planes in enumerate(tables)
+            ]
+        )
+    )
     bucketed = emb.select(
-        F.col(id_col).alias("id"), v.alias("v"), lsh_bucket_expr(v, planes).alias("bucket")
+        F.col(id_col).alias("id"), v.alias("v"), keys.alias("bucket")
     )
     a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.v").alias("va"),
+        F.col("b.v").alias("vb"),
+    )
+    if n_tables > 1:  # single-table pairs are already unique (one bucket each)
+        cand = cand.dropDuplicates(["id_a", "id_b"])
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

@@ -246,3 +246,32 @@ def test_ngram_topk_counts_occurrences(spark):
     got = [(r.gram, r.n) for r in ngram_topk(docs, n=2, k=3).collect()]
     # "a b": 3 (doc1) + 1 (doc2) = 4 occurrences; "b a": 2; "b c": 1
     assert got == [("a b", 4), ("b a", 2), ("b c", 1)]
+
+
+def test_embedding_near_dups_multi_table_recall(spark):
+    """Multi-table LSH: T independent plane sets strictly widen the candidate
+    set (union of collisions), so at a low similarity threshold the pair set
+    is a superset of single-table and recall vs brute force increases."""
+    import numpy as np
+
+    from ocr_spark.operators.similarity import cosine, embedding_near_dups
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((300, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    thr = 0.15
+    one = {(r.id_a, r.id_b) for r in
+           embedding_near_dups(df, threshold=thr, n_planes=6, n_tables=1).collect()}
+    three = {(r.id_a, r.id_b) for r in
+             embedding_near_dups(df, threshold=thr, n_planes=6, n_tables=3).collect()}
+    assert one <= three
+    assert len(three) > len(one)
+    # every reported pair is a true positive (exact cosine verified)
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1)
+    for a, b in list(three)[:50]:
+        cos = v[a] @ v[b] / (norms[a] * norms[b])
+        assert round(cos, 6) >= thr
