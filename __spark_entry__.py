@@ -655,6 +655,158 @@ def _resize_images_sql(sf_dir: str) -> str:
     )
 
 
+def _html_payload_expr():
+    """Deterministic HTML page per doc, built ONLY from doc_id arithmetic
+    (no text parsing → no cross-engine tokenizer parity risk): nav links
+    (boilerplate), a 30-word content paragraph, a short footer."""
+    words = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda i: F.concat(F.lit("w"), ((F.col("doc_id") * 3 + i) % 50).cast("string")),
+        ),
+        " ",
+    )
+    return F.concat(
+        F.lit(
+            '<html><body><div class="nav"><a href="#">home</a> '
+            '<a href="#">about</a></div><div class="content"><p>'
+        ),
+        words,
+        F.lit('</p></div><div class="footer">copyright fine print legal</div></body></html>'),
+    )
+
+
+def _html_payload_py(doc_id: int) -> str:
+    words = " ".join(f"w{(doc_id * 3 + i) % 50}" for i in range(30))
+    return (
+        '<html><body><div class="nav"><a href="#">home</a> '
+        '<a href="#">about</a></div><div class="content"><p>'
+        + words
+        + '</p></div><div class="footer">copyright fine print legal</div></body></html>'
+    )
+
+
+_PDF_BASE_BLOCKS = [(10, 10), (200, 12), (12, 150), (205, 148)]
+
+
+def _pdf_payload_expr():
+    """Deterministic layout JSON per doc: four blocks on a 2×2 page grid
+    with per-doc coordinate jitter, emitted in a doc-rotated order so the
+    XY-cut genuinely has to recover reading order."""
+    j = F.col("doc_id") % 7
+
+    def block(i: int):
+        x, y = _PDF_BASE_BLOCKS[i]
+        return F.concat(
+            F.lit('{"x": '),
+            (F.lit(x) + j).cast("string"),
+            F.lit(', "y": '),
+            (F.lit(y) + j).cast("string"),
+            F.lit(', "w": 80, "h": 20, "text": "t'),
+            F.lit(str(i)),
+            F.lit("-"),
+            F.col("doc_id").cast("string"),
+            F.lit('"}'),
+        )
+
+    arr = F.array(*[block(i) for i in range(4)])
+    r = (F.col("doc_id") % 4).cast("int")
+    rotated = F.concat(F.slice(arr, r + 1, 4 - r), F.slice(arr, 1, r))
+    return F.concat(F.lit('{"blocks": ['), F.array_join(rotated, ", "), F.lit("]}"))
+
+
+def _pdf_payload_py(doc_id: int) -> str:
+    j = doc_id % 7
+    blocks = [
+        f'{{"x": {x + j}, "y": {y + j}, "w": 80, "h": 20, "text": "t{i}-{doc_id}"}}'
+        for i, (x, y) in enumerate(_PDF_BASE_BLOCKS)
+    ]
+    r = doc_id % 4
+    rotated = blocks[r:] + blocks[:r]
+    return '{"blocks": [' + ", ".join(rotated) + "]}"
+
+
+def _single_span_docs(spark, sf_dir, kind: str, payload_expr):
+    d = _t(spark, sf_dir, "documents")
+    span = F.struct(
+        F.lit(kind).alias("kind"),
+        payload_expr.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.array(span).alias("spans")
+    )
+
+
+def q_html_extract(spark, sf_dir):
+    """T8 HTML boilerplate strip through the REAL pipeline (dispatch
+    mapInArrow stage + postprocess): deterministic pages built from doc_id
+    arithmetic, extracted text compared against a python-golden VALUES
+    oracle running the same extractor directly."""
+    from ocr_spark.pipeline import extract_documents
+
+    docs = _single_span_docs(spark, sf_dir, "html", _html_payload_expr())
+    out = extract_documents(docs, rules=[])
+    return out.select(
+        "doc_id", F.element_at("spans", 1)["text"].alias("extracted")
+    )
+
+
+def q_pdf_xycut(spark, sf_dir):
+    """K15/W3 page-block segmentation + XY-cut reading order through the
+    real pipeline; block emission order is doc-rotated so the reading-order
+    recovery is load-bearing."""
+    from ocr_spark.pipeline import extract_documents
+
+    docs = _single_span_docs(spark, sf_dir, "pdf", _pdf_payload_expr())
+    out = extract_documents(docs, rules=[])
+    return out.select(
+        "doc_id", F.element_at("spans", 1)["text"].alias("extracted")
+    )
+
+
+def _heavy_kind_goldens(sf_dir: str):
+    """Python-golden extraction for the html/pdf oracle VALUES tables: the
+    same extractor + postprocess functions the executors run, applied to the
+    identically-constructed payloads."""
+    global _HK_GOLD
+    try:
+        return _HK_GOLD[sf_dir]
+    except (NameError, KeyError):
+        import pyarrow.parquet as pq
+
+        from ocr_spark.operators.dispatch import _postprocess_text
+        from ocr_spark.operators.html_extract import extract_main_text
+        from ocr_spark.operators.pdf_layout import extract_pdf_text
+
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_pylist()
+        html_rows = [
+            (str(i), _postprocess_text(extract_main_text(_html_payload_py(i)), []))
+            for i in ids
+        ]
+        pdf_rows = [
+            (str(i), _postprocess_text(extract_pdf_text(_pdf_payload_py(i)), []))
+            for i in ids
+        ]
+        try:
+            _HK_GOLD
+        except NameError:
+            _HK_GOLD = {}
+        _HK_GOLD[sf_dir] = (html_rows, pdf_rows)
+        return _HK_GOLD[sf_dir]
+
+
+def _values_sql(rows, cols) -> str:
+    def esc(s: str) -> str:
+        return s.replace("'", "''").replace("\n", "' || chr(10) || '")
+
+    body = ", ".join(f"('{esc(a)}', '{esc(b)}')" for a, b in rows)
+    return f"SELECT * FROM (VALUES {body}) AS t({', '.join(cols)})"
+
+
 # --- training-data pipeline operators (task directive) ----------------------
 
 
@@ -886,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
         "ngram_topk": q_ngram_topk,
+        "html_extract": q_html_extract,
+        "pdf_xycut": q_pdf_xycut,
         "ivf_topk": q_ivf_topk,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
@@ -1010,6 +1164,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "quad_order": _QUAD_ORDER_SQL,
         "image_features": _image_features_sql(sf_dir),
         "resize_images": _resize_images_sql(sf_dir),
+        "html_extract": _values_sql(
+            _heavy_kind_goldens(sf_dir)[0], ["doc_id", "extracted"]
+        ),
+        "pdf_xycut": _values_sql(
+            _heavy_kind_goldens(sf_dir)[1], ["doc_id", "extracted"]
+        ),
         **_training_oracles(sf_dir),
     }
 
