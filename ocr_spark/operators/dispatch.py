@@ -65,14 +65,17 @@ def _resolve_sidecar(
     batch: pa.RecordBatch, refs, m_idx: np.ndarray, doc_of_span: np.ndarray
 ):
     """Resolve media spans from the doc's broadcast-joined payload map
-    (S1 binaryFile path): bytes → image → grayscale per span. Returns
-    (grays, ok, errs) where errs carries (media-span-ordinal, exception) for
-    missing refs and corrupt payloads — both degrade to per-doc envelopes."""
+    (S1 binaryFile path): bytes → image → grayscale per span. PNG payloads
+    decode through the real codec (signature-sniffed); anything else is the
+    raw synthetic format. Returns (grays, ok, errs) where errs carries
+    (media-span-ordinal, exception) for missing refs and corrupt payloads —
+    both degrade to per-doc envelopes."""
     from ocr_spark.operators.media_kernels import (
         IMG_SIDE,
         bytes_to_image,
         to_grayscale,
     )
+    from ocr_spark.operators.multimodal import decode_image
 
     maps_raw = batch.column(MEDIA_SIDECAR_COL).to_pylist()
     maps = [dict(m) if m else {} for m in maps_raw]
@@ -87,7 +90,19 @@ def _resolve_sidecar(
             errs.append((j, ValueError(f"unresolvable media_ref: {ref!r}")))
             continue
         try:
-            grays[j] = to_grayscale(bytes_to_image(payload))
+            if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+                g = to_grayscale(decode_image(bytes(payload), codec="png"))
+                if g.shape != (IMG_SIDE, IMG_SIDE):
+                    # arbitrary-size real images → kernel input size
+                    # (bilinear, the K6 resize the reference applies anyway)
+                    from ocr_spark.operators.media_kernels import resize_bilinear
+
+                    g = np.clip(
+                        np.rint(resize_bilinear(g, IMG_SIDE, IMG_SIDE)), 0, 255
+                    ).astype(np.uint8)
+                grays[j] = g
+            else:
+                grays[j] = to_grayscale(bytes_to_image(payload))
             ok[j] = True
         except Exception as e:  # corrupt payload → per-doc envelope
             errs.append((j, e))

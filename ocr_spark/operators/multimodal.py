@@ -57,8 +57,14 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(content: bytes, codec: str = "synthetic") -> np.ndarray:
-    """Decode a binary payload to an ndarray. Real codecs are stubbed —
-    the container has no image libraries; the seam is the function contract."""
+    """Decode a binary payload to an ndarray. PNG is a REAL codec (pure
+    stdlib decoder, all filter types — cloud_engine.png_decode); 'synthetic'
+    is the fixture-corpus raw-bytes format; other codecs (JPEG etc.) remain
+    stubbed pending an image library in production."""
+    if codec == "png" or (content or b"")[:8] == b"\x89PNG\r\n\x1a\n":
+        from ocr_spark.operators.cloud_engine import png_decode
+
+        return png_decode(content)
     if codec == "synthetic":
         from ocr_spark.operators.media_kernels import bytes_to_image
 

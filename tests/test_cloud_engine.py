@@ -340,3 +340,105 @@ def test_flatten_negative_max_parity(spark):
     df = spark.createDataFrame([("d", resp)], schema=schema)
     row = flatten_response_df(df, img_w=img_w, img_h=img_h).collect()[0]
     assert [row.x1, row.y1, row.x2, row.y2] == segments[0]["bounding_box"]
+
+
+# ---------------------------------------------------------------------------
+# PNG decode (the real codec)
+# ---------------------------------------------------------------------------
+
+
+def _build_png(img: np.ndarray, filters: list[int]) -> bytes:
+    """Hand-build a PNG applying the GIVEN filter type per scanline (the
+    encoder only emits filter 0, so decode of types 1-4 needs a custom
+    stream)."""
+    if img.ndim == 2:
+        color, chans = 0, 1
+        flat = img[:, :, None]
+    else:
+        color, chans = 2, img.shape[2]
+        flat = img
+    h, w = img.shape[:2]
+    stride = w * chans
+    rows = flat.reshape(h, stride).astype(np.int64)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        cur = rows[y]
+        filt = np.empty(stride, dtype=np.int64)
+        for x in range(stride):
+            a = cur[x - chans] if x >= chans else 0
+            b = prev[x]
+            c = prev[x - chans] if x >= chans else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (cur[x] - pred) & 0xFF
+        out.append(ft)
+        out.extend(int(v) for v in filt)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_roundtrip_encoder():
+    from ocr_spark.operators.cloud_engine import png_decode
+
+    rng = np.random.default_rng(41)
+    gray = rng.integers(0, 256, (13, 9), np.uint8)
+    np.testing.assert_array_equal(png_decode(png_encode(gray)), gray)
+    rgb = rng.integers(0, 256, (7, 5, 3), np.uint8)
+    np.testing.assert_array_equal(png_decode(png_encode(rgb)), rgb)
+
+
+@pytest.mark.parametrize("filters", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_decode_all_filter_types(filters):
+    from ocr_spark.operators.cloud_engine import png_decode
+
+    rng = np.random.default_rng(sum(filters) + 7)
+    gray = rng.integers(0, 256, (10, 12), np.uint8)
+    np.testing.assert_array_equal(png_decode(_build_png(gray, filters)), gray)
+    rgb = rng.integers(0, 256, (6, 4, 3), np.uint8)
+    np.testing.assert_array_equal(png_decode(_build_png(rgb, filters)), rgb)
+
+
+def test_png_decode_rejects_garbage():
+    from ocr_spark.operators.cloud_engine import png_decode
+
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+    # truncated IDAT → zlib or length error
+    good = png_encode(np.zeros((4, 4), np.uint8))
+    with pytest.raises(Exception):
+        png_decode(good[:30])
+
+
+def test_decode_image_png_autodetect():
+    from ocr_spark.operators.multimodal import decode_image
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    got = decode_image(png_encode(img))  # signature-sniffed, codec default
+    np.testing.assert_array_equal(got, img)
