@@ -2,9 +2,9 @@
 
 Media are opaque `binary` columns with typed metadata. The Spark-side
 plumbing — schema, Arrow batch shape, partitioning, UDF signatures — is real
-and tested; actual codec decode is STUBBED (no image/audio libs in this
-container): `decode_image`/`decode_audio` raise NotImplementedError for real
-codecs and fall back to the deterministic synthetic decoder for the
+and tested. PNG (images) and WAV/PCM (audio) are REAL stdlib codecs;
+compressed formats (JPEG, mp3/ogg) raise NotImplementedError pending an
+image/audio library; the deterministic synthetic decoder serves the
 `media://` refs the fixture corpus uses.
 
 Operators:
@@ -75,10 +75,80 @@ def decode_image(content: bytes, codec: str = "synthetic") -> np.ndarray:
     )
 
 
-def decode_audio(content: bytes, codec: str = "pcm") -> np.ndarray:
+def decode_audio(content: bytes, codec: str = "wav") -> tuple[np.ndarray, int]:
+    """Decode an audio payload. WAV/PCM is a REAL codec (stdlib `wave`):
+    returns (samples (n_frames, n_channels) int16, sample_rate). Compressed
+    codecs (mp3/ogg/aac) remain stubbed pending an audio library."""
+    if codec in ("wav", "pcm") or (content or b"")[:4] == b"RIFF":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(content)) as w:
+            sr = w.getframerate()
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if sw == 2:
+            arr = np.frombuffer(raw, dtype="<i2")
+        elif sw == 1:  # 8-bit WAV is unsigned; center and widen
+            arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) * 256
+        else:
+            raise ValueError(f"unsupported WAV sample width {sw}")
+        return arr.reshape(-1, ch), sr
     raise NotImplementedError(
-        "audio decode requires an audio library not present in this container"
+        f"audio codec {codec!r}: compressed decode requires an audio library "
+        "not present in this container"
     )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_cross_rate", T.DoubleType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def audio_features(assets: DataFrame) -> DataFrame:
+    """Decode + feature-extract per audio asset (real WAV codec): duration,
+    RMS amplitude (normalized to [-1,1] full scale), zero-crossing rate of
+    the first channel. Per-asset error envelope, same contract as
+    image_features."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_FEATURE_SCHEMA.fields}
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                row = dict(
+                    media_ref=ref, sample_rate=None, n_channels=None,
+                    duration_sec=None, rms=None, zero_cross_rate=None, error=None,
+                )
+                try:
+                    samples, sr = decode_audio(content)
+                    x = samples[:, 0].astype(np.float64) / 32768.0
+                    row.update(
+                        sample_rate=int(sr),
+                        n_channels=int(samples.shape[1]),
+                        duration_sec=float(len(samples) / sr) if sr else None,
+                        rms=float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+                        zero_cross_rate=(
+                            float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                            if len(x) > 1
+                            else 0.0
+                        ),
+                    )
+                except Exception as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(gen, schema=AUDIO_FEATURE_SCHEMA)
 
 
 def media_assets_df(docs: DataFrame, backend: str = "synthetic") -> DataFrame:

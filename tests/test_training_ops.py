@@ -156,7 +156,9 @@ def test_multimodal_plumbing(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00" * 2048, codec="jpeg")
     with pytest.raises(NotImplementedError):
-        decode_audio(b"\x00")
+        decode_audio(b"\x00", codec="mp3")
+    with pytest.raises(Exception):  # corrupt WAV → decode error, not a hang
+        decode_audio(b"\x00\x01\x02")
 
 
 def test_shingle_freq_cap_drops_viral_shingles(spark):
@@ -275,3 +277,60 @@ def test_embedding_near_dups_multi_table_recall(spark):
     for a, b in list(three)[:50]:
         cos = v[a] @ v[b] / (norms[a] * norms[b])
         assert round(cos, 6) >= thr
+
+
+def _wav_bytes(freq=440.0, sr=8000, secs=0.25, channels=1):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(sr * secs)) / sr
+    x = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    if channels == 2:
+        x = np.column_stack([x, x // 2]).ravel().astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def test_wav_decode_real_codec():
+    import numpy as np
+
+    from ocr_spark.operators.multimodal import decode_audio
+
+    samples, sr = decode_audio(_wav_bytes())
+    assert sr == 8000 and samples.shape == (2000, 1)
+    assert samples.dtype == np.int16
+    # 440 Hz sine for 0.25 s = 110 cycles → ~220 zero crossings (2/cycle)
+    x = samples[:, 0].astype(float)
+    zc = int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    assert 210 <= zc <= 230
+    st2, _ = decode_audio(_wav_bytes(channels=2))
+    assert st2.shape == (2000, 2)
+
+
+def test_audio_features_pipeline(spark):
+    import numpy as np
+
+    from ocr_spark.operators.multimodal import ASSET_SCHEMA, audio_features
+
+    rows = [
+        ("wav://a", "audio", bytearray(_wav_bytes(freq=440.0)), {"width": None, "height": None, "n_bytes": 0, "codec": "wav"}),
+        ("wav://b", "audio", bytearray(_wav_bytes(freq=880.0)), {"width": None, "height": None, "n_bytes": 0, "codec": "wav"}),
+        ("wav://bad", "audio", bytearray(b"nope"), {"width": None, "height": None, "n_bytes": 0, "codec": "wav"}),
+    ]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r.media_ref: r for r in audio_features(assets).collect()}
+    a, b, bad = got["wav://a"], got["wav://b"], got["wav://bad"]
+    assert a.error is None and b.error is None
+    assert a.sample_rate == 8000 and a.n_channels == 1
+    assert a.duration_sec == pytest.approx(0.25)
+    assert a.rms == pytest.approx(20000 / 32768 / np.sqrt(2), rel=1e-2)
+    # doubled frequency → roughly doubled zero-cross rate
+    assert b.zero_cross_rate == pytest.approx(2 * a.zero_cross_rate, rel=0.05)
+    assert bad.error is not None
