@@ -635,6 +635,57 @@ def _multimodal_goldens(sf_dir: str = "/root/testdata/sf0.01"):
         return _MM_GOLD[sf_dir]
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio features through the REAL WAV codec + mapInPandas plumbing:
+    deterministic RIFF payloads ('audio://<doc_id>') decoded with stdlib
+    wave, features vs a numpy-golden VALUES oracle (same code path run
+    driver-side)."""
+    from ocr_spark.operators.multimodal import audio_assets_df, audio_features
+
+    refs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("audio://"), F.col("doc_id").cast("string")).alias("media_ref")
+    )
+    feats = audio_features(audio_assets_df(refs))
+    return feats.select(
+        "media_ref", "sample_rate", "n_channels", "duration_sec", "rms",
+        "zero_cross_rate",
+    )
+
+
+def _audio_features_sql(sf_dir: str) -> str:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_spark.operators.multimodal import decode_audio
+    from ocr_spark.sources.media import synth_audio_bytes
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    rows = []
+    for i in ids:
+        samples, sr = decode_audio(synth_audio_bytes(f"audio://{i}"))
+        x = samples[:, 0].astype(np.float64) / 32768.0
+        rows.append(
+            (
+                f"audio://{i}",
+                sr,
+                samples.shape[1],
+                len(samples) / sr,
+                float(np.sqrt(np.mean(x * x))),
+                float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))),
+            )
+        )
+    body = ", ".join(
+        f"('{r}', {sr}, {ch}, {d!r}::DOUBLE, {rms!r}::DOUBLE, {z!r}::DOUBLE)"
+        for r, sr, ch, d, rms, z in rows
+    )
+    return (
+        f"SELECT * FROM (VALUES {body}) AS t(media_ref, sample_rate, "
+        "n_channels, duration_sec, rms, zero_cross_rate)"
+    )
+
+
 def _image_features_sql(sf_dir: str) -> str:
     rows = ", ".join(
         f"('{r}', {w}, {h}, {m!r}::DOUBLE, {s!r}::DOUBLE, {nb})"
@@ -1040,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "html_extract": q_html_extract,
         "pdf_xycut": q_pdf_xycut,
+        "audio_features": q_audio_features,
         "ivf_topk": q_ivf_topk,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
@@ -1167,6 +1219,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "html_extract": _values_sql(
             _heavy_kind_goldens(sf_dir)[0], ["doc_id", "extracted"]
         ),
+        "audio_features": _audio_features_sql(sf_dir),
         "pdf_xycut": _values_sql(
             _heavy_kind_goldens(sf_dir)[1], ["doc_id", "extracted"]
         ),

@@ -263,3 +263,27 @@ def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
         "media_ref",
         F.explode(F.sequence(F.lit(0), F.lit(every_n * 3), F.lit(every_n))).alias("frame_idx"),
     )
+
+
+def audio_assets_df(refs: DataFrame) -> DataFrame:
+    """(media_ref) → ASSET_SCHEMA rows with synthetic WAV payloads resolved
+    executor-side (real RIFF bytes through the real codec downstream)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.sources.media import synth_audio_bytes
+
+        for pdf in batches:
+            payloads = [synth_audio_bytes(r) for r in pdf["media_ref"]]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": ["audio"] * len(pdf),
+                    "content": payloads,
+                    "meta": [
+                        {"width": None, "height": None, "n_bytes": len(p), "codec": "wav"}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return refs.select("media_ref").mapInPandas(gen, schema=ASSET_SCHEMA)

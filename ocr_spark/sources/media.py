@@ -139,3 +139,26 @@ def sidecar_df(spark, glob_path: str):
 
     bf = spark.read.format("binaryFile").load(glob_path)
     return bf.select(F.col("path").alias("media_ref"), F.col("content"))
+
+
+def synth_audio_bytes(media_ref: str) -> bytes:
+    """Deterministic synthetic WAV payload (real RIFF container, 16-bit mono
+    PCM): a sine whose frequency/duration derive from the ref hash — the
+    audio twin of synth_media_batch, so the WAV codec and audio features
+    have a reproducible corpus."""
+    import io
+    import wave
+
+    seed = media_seed(media_ref)
+    freq = 200.0 + (seed % 600)
+    sr = 8000
+    n = int(sr * (0.1 + ((seed >> 8) % 4) * 0.05))
+    t = np.arange(n) / sr
+    x = (np.sin(2 * np.pi * freq * t) * 18000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
