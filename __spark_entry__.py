@@ -653,6 +653,14 @@ def q_audio_features(spark, sf_dir):
 
 
 def _audio_features_sql(sf_dir: str) -> str:
+    """Numpy-golden VALUES oracle for audio_features — cached per sf_dir
+    (decoding the whole WAV corpus is not free) and mirroring the engine's
+    degenerate-input guards exactly (0.0, not NaN, for <=1-sample audio)."""
+    global _AF_SQL
+    try:
+        return _AF_SQL[sf_dir]
+    except (NameError, KeyError):
+        pass
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -671,19 +679,37 @@ def _audio_features_sql(sf_dir: str) -> str:
                 f"audio://{i}",
                 sr,
                 samples.shape[1],
-                len(samples) / sr,
-                float(np.sqrt(np.mean(x * x))),
-                float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))),
+                (len(samples) / sr) if sr else None,
+                float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+                (
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if len(x) > 1
+                    else 0.0
+                ),
             )
         )
-    body = ", ".join(
-        f"('{r}', {sr}, {ch}, {d!r}::DOUBLE, {rms!r}::DOUBLE, {z!r}::DOUBLE)"
-        for r, sr, ch, d, rms, z in rows
-    )
-    return (
-        f"SELECT * FROM (VALUES {body}) AS t(media_ref, sample_rate, "
-        "n_channels, duration_sec, rms, zero_cross_rate)"
-    )
+    if rows:
+        body = ", ".join(
+            f"('{r}', {sr}, {ch}, {d!r}::DOUBLE, {rms!r}::DOUBLE, {z!r}::DOUBLE)"
+            for r, sr, ch, d, rms, z in rows
+        )
+        sql = (
+            f"SELECT * FROM (VALUES {body}) AS t(media_ref, sample_rate, "
+            "n_channels, duration_sec, rms, zero_cross_rate)"
+        )
+    else:
+        sql = (
+            "SELECT * FROM (VALUES (NULL::VARCHAR, NULL::INTEGER, NULL::INTEGER, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE)) AS t(media_ref, "
+            "sample_rate, n_channels, duration_sec, rms, zero_cross_rate) "
+            "WHERE FALSE"
+        )
+    try:
+        _AF_SQL
+    except NameError:
+        _AF_SQL = {}
+    _AF_SQL[sf_dir] = sql
+    return sql
 
 
 def _image_features_sql(sf_dir: str) -> str:
@@ -854,6 +880,11 @@ def _values_sql(rows, cols) -> str:
     def esc(s: str) -> str:
         return s.replace("'", "''").replace("\n", "' || chr(10) || '")
 
+    if not rows:  # empty VALUES is a parse error — emit a typed empty set
+        body = "(NULL::VARCHAR, NULL::VARCHAR)"
+        return (
+            f"SELECT * FROM (VALUES {body}) AS t({', '.join(cols)}) WHERE FALSE"
+        )
     body = ", ".join(f"('{esc(a)}', '{esc(b)}')" for a, b in rows)
     return f"SELECT * FROM (VALUES {body}) AS t({', '.join(cols)})"
 

@@ -76,10 +76,11 @@ def decode_image(content: bytes, codec: str = "synthetic") -> np.ndarray:
 
 
 def decode_audio(content: bytes, codec: str = "wav") -> tuple[np.ndarray, int]:
-    """Decode an audio payload. WAV/PCM is a REAL codec (stdlib `wave`):
-    returns (samples (n_frames, n_channels) int16, sample_rate). Compressed
-    codecs (mp3/ogg/aac) remain stubbed pending an audio library."""
-    if codec in ("wav", "pcm") or (content or b"")[:4] == b"RIFF":
+    """Decode an audio payload. WAV (RIFF container, 8/16-bit PCM) is a
+    REAL codec (stdlib `wave`): returns (samples (n_frames, n_channels)
+    int16, sample_rate). Headerless raw PCM and compressed codecs
+    (mp3/ogg/aac) remain stubbed pending an audio library."""
+    if codec == "wav" or (content or b"")[:4] == b"RIFF":
         import io
         import wave
 
@@ -286,4 +287,4 @@ def audio_assets_df(refs: DataFrame) -> DataFrame:
                 }
             )
 
-    return refs.select("media_ref").mapInPandas(gen, schema=ASSET_SCHEMA)
+    return refs.select("media_ref").distinct().mapInPandas(gen, schema=ASSET_SCHEMA)

@@ -442,3 +442,59 @@ def test_decode_image_png_autodetect():
     img = np.arange(64, dtype=np.uint8).reshape(8, 8)
     got = decode_image(png_encode(img))  # signature-sniffed, codec default
     np.testing.assert_array_equal(got, img)
+
+
+def test_png_decode_bounded_against_oversized_stream():
+    """A crafted IDAT that decompresses past the declared image (zlib-bomb
+    shape) must be rejected without materializing the excess."""
+    from ocr_spark.operators.cloud_engine import png_decode
+
+    img = np.zeros((4, 4), np.uint8)
+    good = png_encode(img)
+    # rebuild with an IDAT containing far more data than 4x(16+1) bytes
+    chunks = _parse_png(good)
+    ihdr = chunks[0][1]
+    bomb = zlib.compress(b"\x00" * 100_000, 9)  # ~100 bytes compressed
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    evil = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        png_decode(evil)
+
+
+def test_png_decode_multi_idat_chunks():
+    """IDAT split across many small chunks (the common libpng layout) must
+    reassemble correctly (list-join, not O(n^2) concat)."""
+    from ocr_spark.operators.cloud_engine import png_decode
+
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 256, (16, 16), np.uint8)
+    data = png_encode(img)
+    chunks = _parse_png(data)
+    idat = [p for t, p in chunks if t == b"IDAT"][0]
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    rebuilt = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", chunks[0][1])
+    for i in range(0, len(idat), 7):
+        rebuilt += chunk(b"IDAT", idat[i : i + 7])
+    rebuilt += chunk(b"IEND", b"")
+    np.testing.assert_array_equal(png_decode(rebuilt), img)

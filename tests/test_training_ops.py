@@ -205,8 +205,10 @@ def test_pii_scrub_patterns(spark):
         ("server 192.168.10.255 up", "server <IP> up"),
         ("call +001 555-123 4567 now", "call +001 <PHONE> now"),
         ("no pii here", "no pii here"),
-        # version strings must NOT be eaten by the IP rule (\b guards)
         ("two addresses a@b.io c@d.co", "two addresses <EMAIL> <EMAIL>"),
+        # version strings must NOT be eaten by the IP rule (\b guards: the
+        # word char before '1' blocks the boundary)
+        ("release v1.2.3.4 shipped", "release v1.2.3.4 shipped"),
     ]
     df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
     got = [r.s for r in df.select(pii_scrub(F.col("text")).alias("s")).collect()]
