@@ -39,6 +39,72 @@ from pyspark.sql import functions as F
 MANIFEST_SUBDIR = "_manifests"
 
 
+class CheckpointCommitError(RuntimeError):
+    """Committed data disagrees with the write job's observed totals: the
+    run refuses to write manifests (safe for at-least-once — the buckets
+    stay incomplete and the next run rewrites them)."""
+
+
+def _bucket_stats_from_footers(out_dir: str, candidates: list[int]) -> list[dict] | None:
+    """Per-bucket manifest stats from parquet file FOOTERS only — row counts,
+    `error` null-counts and `doc_id` min/max all come from column-chunk
+    statistics, so the default commit path reads zero data pages (the footer
+    reads are driver-side and O(files), trivial even at 4096 buckets).
+    Returns None when any footer lacks the needed statistics — the caller
+    falls back to the verification scan."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    stats: list[dict] = []
+    for b in candidates:
+        pdir = os.path.join(out_dir, f"bucket={b}")
+        if not os.path.isdir(pdir):
+            continue
+        files = sorted(_glob.glob(os.path.join(pdir, "*.parquet")))
+        if not files:
+            continue
+        n_docs = 0
+        n_errors = 0
+        id_min: str | None = None
+        id_max: str | None = None
+        for fp in files:
+            try:
+                md = pq.ParquetFile(fp).metadata
+            except Exception:
+                return None
+            col_of = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            if "doc_id" not in col_of or "error" not in col_of:
+                return None
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                if rgm.num_rows == 0:
+                    continue
+                n_docs += rgm.num_rows
+                st_err = rgm.column(col_of["error"]).statistics
+                if st_err is None or not st_err.has_null_count:
+                    return None
+                n_errors += rgm.num_rows - st_err.null_count
+                st_id = rgm.column(col_of["doc_id"]).statistics
+                if st_id is None or not st_id.has_min_max:
+                    return None
+                lo, hi = st_id.min, st_id.max
+                id_min = lo if id_min is None else min(id_min, lo)
+                id_max = hi if id_max is None else max(id_max, hi)
+        if n_docs == 0:
+            continue
+        stats.append(
+            {
+                "bucket": int(b),
+                "n_docs": int(n_docs),
+                "n_errors": int(n_errors),
+                "min_doc_id": id_min,
+                "max_doc_id": id_max,
+            }
+        )
+    return stats
+
+
 def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
 
@@ -75,9 +141,18 @@ def run_resumable(
     n_buckets: int = 32,
     run_id: str = "run-0",
     extract=None,
+    verify: str = "metadata",
 ) -> dict:
     """Execute `extract` (df -> OUTPUT_SCHEMA df) over the not-yet-complete
-    buckets and commit data + manifests. Returns run stats."""
+    buckets and commit data + manifests. Returns run stats.
+
+    verify='metadata' (default): per-bucket manifest stats come from the
+    committed parquet FOOTERS (column-chunk statistics — zero data pages
+    read; ONE scan total in the whole plan). verify='scan': additionally
+    re-read the written buckets' data pages (file- and column-pruned) and
+    build the stats from actual rows — the belt-and-braces mode. Both modes
+    describe what is on disk, and both cross-check against the write job's
+    df.observe totals, refusing to write manifests on mismatch."""
     from ocr_spark.pipeline import extract_documents
 
     extract = extract or (lambda d: extract_documents(d))
@@ -118,31 +193,45 @@ def run_resumable(
     # is deliberate: the manifest asserts bucket completeness, so it must
     # describe committed files, not the plan that produced them.
     candidates = sorted(set(int(b) for b in (totals["buckets"] or [])) - already)
-    paths = [
-        p
-        for b in candidates
-        if os.path.isdir(p := os.path.join(out_dir, f"bucket={b}"))
-    ]
-    stats = []
-    if paths:
-        written = (
-            spark.read.option("basePath", out_dir)
-            .parquet(*paths)
-            .select("doc_id", "error", "bucket")
-        )
-        stats = (
-            written.groupBy("bucket")
-            .agg(
-                F.count("*").alias("n_docs"),
-                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
-                F.min("doc_id").alias("min_doc_id"),
-                F.max("doc_id").alias("max_doc_id"),
+    stats: list[dict] | None = None
+    if verify != "scan":
+        stats = _bucket_stats_from_footers(out_dir, candidates)
+    if stats is None:  # verify='scan', or a footer lacked statistics
+        paths = [
+            p
+            for b in candidates
+            if os.path.isdir(p := os.path.join(out_dir, f"bucket={b}"))
+        ]
+        stats = []
+        if paths:
+            written = (
+                spark.read.option("basePath", out_dir)
+                .parquet(*paths)
+                .select("doc_id", "error", "bucket")
             )
-            .collect()
+            stats = [
+                r.asDict()
+                for r in written.groupBy("bucket")
+                .agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+                    F.min("doc_id").alias("min_doc_id"),
+                    F.max("doc_id").alias("max_doc_id"),
+                )
+                .collect()
+            ]
+    committed = sum(r["n_docs"] for r in stats)
+    observed = int(totals["n_docs"] or 0)
+    if committed != observed:
+        # NOT a bare assert: must fire under python -O too, and must carry
+        # the diagnostic values (observed-metric over-count from a retried
+        # stage / future bucket-set mismatches are exactly when it matters)
+        raise CheckpointCommitError(
+            f"committed rows ({committed}) disagree with the write job's "
+            f"observed count ({observed}) over buckets {candidates}; "
+            "refusing to write manifests — buckets stay incomplete and the "
+            "next run rewrites them"
         )
-    assert sum(r["n_docs"] for r in stats) == totals["n_docs"], (
-        "committed rows disagree with the write job's observed count"
-    )
 
     mdir = os.path.join(out_dir, MANIFEST_SUBDIR)
     os.makedirs(mdir, exist_ok=True)

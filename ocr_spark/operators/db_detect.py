@@ -187,15 +187,24 @@ def db_detect_quads(gray: np.ndarray, det_target: int = 48, **kw) -> np.ndarray:
 
 
 def recognize_db_image(gray: np.ndarray) -> tuple[str, float]:
-    """Scalar DB-path recognizer: db quads → shared warp/decode + K12/A1/A2
-    assembly (quad_geometry.decode_quad_crops / assemble_parts)."""
+    """Scalar DB-path recognizer: db quads → F6 area filter → shared
+    warp/decode + K12/A1/A2 assembly (quad_geometry.decode_quad_crops /
+    assemble_parts)."""
     from ocr_spark.operators.quad_geometry import (
         assemble_parts,
         decode_quad_crops,
+        quad_areas,
         target_crop_dims,
     )
 
     quads = db_detect_quads(gray)
+    if not len(quads):
+        return "", 0.0
+    # F6 (ref local_ocr_engine.py:294-296): the reference's recognition
+    # preprocess drops boxes with contourArea < min_box_size² before warping;
+    # heavily clipped rotated DB boxes can pass the F4 edge-norm check yet
+    # have sub-threshold area — same filter as recognize_quads_image.
+    quads = quads[quad_areas(quads) >= DET_MIN_BOX_SIZE * DET_MIN_BOX_SIZE]
     if not len(quads):
         return "", 0.0
     widths = target_crop_dims(quads)

@@ -55,6 +55,33 @@ def exact_dedup_sql(text_expr: str = "text", id_col: str = "doc_id") -> str:
 # ---------------------------------------------------------------------------
 
 
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def byte_string_as_bytes(s: str, default: int = 134217728) -> int:
+    """Spark byte-string conf value → bytes (JavaUtils.byteStringAsBytes
+    semantics: integer + optional case-insensitive b/k/kb/m/mb/g/gb/t/tb/p/pb
+    suffix; bare numbers are bytes for this conf). A session value like
+    '128m' or '64MB' must NOT be read as 128/64 bytes — that would silently
+    overestimate split counts exactly when the user tuned the conf."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(s))
+    if not m:
+        return default
+    mult = _BYTE_SUFFIXES.get(m.group(2).lower())
+    if mult is None:
+        return default
+    return int(m.group(1)) * mult
+
+
 def _estimated_scan_splits(docs: DataFrame) -> int | None:
     """Estimated number of scan partitions for a file-backed frame: splittable
     formats divide each file into ~maxPartitionBytes tasks, so a few LARGE
@@ -77,7 +104,7 @@ def _estimated_scan_splits(docs: DataFrame) -> int | None:
         import math
 
         raw = sess.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
-        max_bytes = int("".join(ch for ch in str(raw) if ch.isdigit()) or "134217728")
+        max_bytes = byte_string_as_bytes(raw)
         jvm = sess._jvm
         hconf = sess._jsc.hadoopConfiguration()
         splits = 0

@@ -61,6 +61,21 @@ MEDIA_KINDS = ("ocr", "media")
 MEDIA_SIDECAR_COL = "media_payloads"
 
 
+def _fit_pad_gray(g: np.ndarray, side: int) -> np.ndarray:
+    """K6-style aspect-preserving fit: bilinear resize by min(side/h, side/w)
+    (int-truncated dims, as detection_preprocess), zero-pad bottom/right to
+    a (side, side) uint8 canvas."""
+    from ocr_spark.operators.media_kernels import resize_bilinear
+
+    h, w = g.shape[:2]
+    ratio = min(side / h, side / w)
+    nh, nw = max(1, int(h * ratio)), max(1, int(w * ratio))
+    resized = np.clip(np.rint(resize_bilinear(g, nh, nw)), 0, 255).astype(np.uint8)
+    canvas = np.zeros((side, side), dtype=np.uint8)
+    canvas[:nh, :nw] = resized
+    return canvas
+
+
 def _resolve_sidecar(
     batch: pa.RecordBatch, refs, m_idx: np.ndarray, doc_of_span: np.ndarray
 ):
@@ -75,7 +90,7 @@ def _resolve_sidecar(
         bytes_to_image,
         to_grayscale,
     )
-    from ocr_spark.operators.multimodal import decode_image
+    from ocr_spark.operators.multimodal import decode_image, detect_codec
 
     maps_raw = batch.column(MEDIA_SIDECAR_COL).to_pylist()
     maps = [dict(m) if m else {} for m in maps_raw]
@@ -90,16 +105,15 @@ def _resolve_sidecar(
             errs.append((j, ValueError(f"unresolvable media_ref: {ref!r}")))
             continue
         try:
-            if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
-                g = to_grayscale(decode_image(bytes(payload), codec="png"))
+            if detect_codec(bytes(payload[:12])) is not None:
+                g = to_grayscale(decode_image(bytes(payload)))
                 if g.shape != (IMG_SIDE, IMG_SIDE):
-                    # arbitrary-size real images → kernel input size
-                    # (bilinear, the K6 resize the reference applies anyway)
-                    from ocr_spark.operators.media_kernels import resize_bilinear
-
-                    g = np.clip(
-                        np.rint(resize_bilinear(g, IMG_SIDE, IMG_SIDE)), 0, 255
-                    ).astype(np.uint8)
+                    # arbitrary-size real images → kernel input size via the
+                    # K6 convention: ASPECT-PRESERVING bilinear resize by
+                    # min(target/h, target/w), zero-pad bottom/right (the
+                    # reference's detection_preprocess geometry — a plain
+                    # square resize would distort non-square pages)
+                    g = _fit_pad_gray(g, IMG_SIDE)
                 grays[j] = g
             else:
                 grays[j] = to_grayscale(bytes_to_image(payload))

@@ -56,15 +56,52 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(content: bytes, codec: str = "synthetic") -> np.ndarray:
-    """Decode a binary payload to an ndarray. PNG is a REAL codec (pure
-    stdlib decoder, all filter types — cloud_engine.png_decode); 'synthetic'
-    is the fixture-corpus raw-bytes format; other codecs (JPEG etc.) remain
-    stubbed pending an image library in production."""
-    if codec == "png" or (content or b"")[:8] == b"\x89PNG\r\n\x1a\n":
+def detect_codec(head: bytes) -> str | None:
+    """Image codec from the payload's magic bytes; None for unknown (the
+    fixture corpus' raw synthetic format has no signature)."""
+    h = head or b""
+    if h[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if h[:2] == b"\xff\xd8":
+        return "jpeg"
+    if h[:2] == b"BM":
+        return "bmp"
+    if h[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if h[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    return None
+
+
+def decode_image(content: bytes, codec: str = "auto") -> np.ndarray:
+    """Decode a binary payload to an ndarray. PNG, baseline JPEG, BMP,
+    uncompressed TIFF and GIF are REAL pure-stdlib/numpy codecs
+    (cloud_engine.png_decode, image_codecs.*); 'synthetic' is the
+    fixture-corpus raw-bytes format. codec='auto' sniffs magic bytes and
+    falls back to synthetic."""
+    sniffed = detect_codec((content or b"")[:12])
+    if codec in ("auto", "synthetic"):
+        codec = sniffed or "synthetic"
+    if codec == "png":
         from ocr_spark.operators.cloud_engine import png_decode
 
         return png_decode(content)
+    if codec in ("jpeg", "jpg"):
+        from ocr_spark.operators.image_codecs import jpeg_decode
+
+        return jpeg_decode(content)
+    if codec == "bmp":
+        from ocr_spark.operators.image_codecs import bmp_decode
+
+        return bmp_decode(content)
+    if codec == "tiff":
+        from ocr_spark.operators.image_codecs import tiff_decode
+
+        return tiff_decode(content)
+    if codec == "gif":
+        from ocr_spark.operators.image_codecs import gif_decode_frames
+
+        return gif_decode_frames(content)[0]
     if codec == "synthetic":
         from ocr_spark.operators.media_kernels import bytes_to_image
 

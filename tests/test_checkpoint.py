@@ -19,9 +19,12 @@ def docs_df(spark):
     return spark.createDataFrame(generate_docs(N_DOCS), DOC_SCHEMA)
 
 
-def test_full_run_then_resume_noop(spark, docs_df, tmp_path):
+@pytest.mark.parametrize("verify", ["metadata", "scan"])
+def test_full_run_then_resume_noop(spark, docs_df, tmp_path, verify):
     out = str(tmp_path / "out")
-    stats = run_resumable(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    stats = run_resumable(
+        spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1", verify=verify
+    )
     assert stats["n_docs"] == N_DOCS
     assert len(completed_buckets(out)) == len(stats["buckets_written"])
 
@@ -29,7 +32,9 @@ def test_full_run_then_resume_noop(spark, docs_df, tmp_path):
     todo = remaining_input(spark, docs_df, out, N_BUCKETS)
     assert todo.count() == 0
 
-    stats2 = run_resumable(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r2")
+    stats2 = run_resumable(
+        spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r2", verify=verify
+    )
     assert stats2["n_docs"] == 0
 
     final = spark.read.parquet(out)
@@ -83,6 +88,45 @@ def test_manifest_lineage_fields(spark, docs_df, tmp_path):
         assert m["min_doc_id"] <= m["max_doc_id"]
         assert m["wall_sec_run"] > 0
         assert m["docs_per_sec_run"] > 0
+
+
+def test_footer_stats_match_scan_stats(spark, docs_df, tmp_path):
+    """The default (footer-metadata) manifest stats must be value-identical
+    to the verification-scan stats — row counts, error counts and doc_id
+    ranges all come from parquet column-chunk statistics."""
+    out_m = str(tmp_path / "meta")
+    out_s = str(tmp_path / "scan")
+    run_resumable(spark, docs_df, out_m, n_buckets=N_BUCKETS, run_id="r", verify="metadata")
+    run_resumable(spark, docs_df, out_s, n_buckets=N_BUCKETS, run_id="r", verify="scan")
+
+    def key(ms):
+        return {
+            m["bucket"]: (m["n_docs"], m["n_errors"], m["min_doc_id"], m["max_doc_id"])
+            for m in ms
+        }
+
+    assert key(completed_buckets(out_m)) == key(completed_buckets(out_s))
+
+
+def test_commit_mismatch_raises_with_diagnostics(spark, docs_df, tmp_path, monkeypatch):
+    """A committed-vs-observed disagreement must raise an explicit exception
+    (not a -O-stripped assert) carrying both counts, and must NOT write
+    manifests."""
+    import ocr_spark.checkpoint as cp
+
+    out = str(tmp_path / "out")
+    real = cp._bucket_stats_from_footers
+
+    def corrupted(out_dir, candidates):
+        stats = real(out_dir, candidates)
+        if stats:
+            stats[0]["n_docs"] += 1  # simulate a footer/observe disagreement
+        return stats
+
+    monkeypatch.setattr(cp, "_bucket_stats_from_footers", corrupted)
+    with pytest.raises(cp.CheckpointCommitError, match=r"\d+.*disagree.*\d+"):
+        run_resumable(spark, docs_df, out, n_buckets=N_BUCKETS, run_id="r1")
+    assert completed_buckets(out) == []
 
 
 def test_stale_partial_bucket_ignored(spark, tmp_path):

@@ -127,7 +127,6 @@ def test_sidecar_png_payloads_end_to_end(spark, tmp_path):
     from ocr_spark.operators.media_kernels import (
         IMG_SIDE,
         recognize_gray_batch,
-        resize_bilinear,
         to_grayscale,
     )
     from ocr_spark.pipeline import extract_documents
@@ -162,10 +161,13 @@ def test_sidecar_png_payloads_end_to_end(spark, tmp_path):
     from ocr_spark.operators.dispatch import _postprocess_text
 
     assert out["a"].spans[0].text == _postprocess_text(texts[0], [])
-    # doc b: RGB → gray → bilinear resize to kernel size, then recognized
-    g = to_grayscale(big)
-    g = np.clip(np.rint(resize_bilinear(g, IMG_SIDE, IMG_SIDE)), 0, 255).astype(
-        np.uint8
-    )
+    # doc b: RGB → gray → ASPECT-PRESERVING fit+pad to kernel size (the K6
+    # geometry — not a distorting square resize), then recognized
+    from ocr_spark.operators.dispatch import _fit_pad_gray
+
+    g = _fit_pad_gray(to_grayscale(big), IMG_SIDE)
+    assert g.shape == (IMG_SIDE, IMG_SIDE)
+    # 48x64 → ratio 0.5 → content occupies 24 rows, zero-pad below
+    assert (g[24:] == 0).all() and g[:24].any()
     texts_b, _ = recognize_gray_batch(g[None])
     assert out["b"].spans[0].text == _postprocess_text(texts_b[0], [])
