@@ -42,14 +42,52 @@ from ocr_spark.operators.media_kernels import (
 )
 from ocr_spark.operators.quad_geometry import order_quad
 
+def _overlap_pairs(rows: np.ndarray, s: np.ndarray, t: np.ndarray):
+    """(a, b) index pairs of runs in ADJACENT rows whose column intervals
+    overlap with ±1 slack (8-connectivity). Vectorized: within a row, runs
+    are disjoint and sorted, so both s and t are strictly increasing — the
+    runs in row r-1 matching run a form a CONTIGUOUS range found by two
+    searchsorteds (first b with t_b >= s_a-1, last b with s_b <= t_a+1).
+    One numpy pass per populated row instead of the former
+    O(runs_r × runs_{r-1}) nested Python loop (the per-image hotspot at the
+    reference's real 736×736 map size, local_ocr_engine.py:38-40)."""
+    n = len(rows)
+    # row boundaries over the globally (row, col)-sorted run list
+    row_starts = np.searchsorted(rows, rows, side="left")
+    prev_starts = np.searchsorted(rows, rows - 1, side="left")
+    a_parts: list[np.ndarray] = []
+    b_parts: list[np.ndarray] = []
+    i = 0
+    while i < n:
+        j = int(np.searchsorted(rows, rows[i], side="right"))
+        plo, phi = int(prev_starts[i]), int(row_starts[i])
+        if phi > plo and rows[plo] == rows[i] - 1:
+            sa, ta = s[i:j], t[i:j]
+            first = plo + np.searchsorted(t[plo:phi], sa - 1, side="left")
+            last = plo + np.searchsorted(s[plo:phi], ta + 1, side="right") - 1
+            counts = np.maximum(last - first + 1, 0)
+            tot = int(counts.sum())
+            if tot:
+                a_idx = np.repeat(np.arange(i, j), counts)
+                offs = np.arange(tot) - np.repeat(np.cumsum(counts) - counts, counts)
+                b_parts.append(np.repeat(first, counts) + offs)
+                a_parts.append(a_idx)
+        i = j
+    if not a_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
 def connected_components(binary: np.ndarray) -> list[np.ndarray]:
     """8-connected components of a boolean map, ordered by first pixel in
     row-major scan order (the order findContours(RETR_LIST) discovers outer
     contours). Each entry is an (N,2) array of (y,x) pixel coords.
 
     Row-run union-find: horizontal runs are extracted in one vectorized
-    pass, then only runs in ADJACENT rows are unioned (8-connectivity =
-    column overlap with ±1 slack) — O(runs·α), no per-pixel Python."""
+    pass; adjacent-row overlap pairs come from vectorized searchsorted
+    interval matching (_overlap_pairs); the Python union-find loop touches
+    only the MATCHED pairs — O(matches·α) — and the pixel expansion is one
+    global numpy pass grouped by component label."""
     h, w = binary.shape
     padded = np.zeros((h, w + 2), dtype=np.int8)
     padded[:, 1:-1] = binary
@@ -71,40 +109,30 @@ def connected_components(binary: np.ndarray) -> list[np.ndarray]:
             i = parent[i]
         return i
 
-    # runs are sorted by (row, col); row boundaries:
-    row_of: dict[int, tuple[int, int]] = {}
-    i = 0
-    while i < n:
-        j = i
-        while j < n and rows[j] == rows[i]:
-            j += 1
-        row_of[int(rows[i])] = (i, j)
-        i = j
-    for r, (lo, hi) in row_of.items():
-        prev = row_of.get(r - 1)
-        if prev is None:
-            continue
-        plo, phi = prev
-        for a in range(lo, hi):
-            for b in range(plo, phi):
-                if s[a] <= t[b] + 1 and t[a] >= s[b] - 1:  # 8-conn overlap
-                    ra, rb = find(a), find(b)
-                    if ra != rb:
-                        parent[max(ra, rb)] = min(ra, rb)
+    a_idx, b_idx = _overlap_pairs(rows, s, t)
+    for a, b in zip(a_idx.tolist(), b_idx.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
 
-    groups: dict[int, list[int]] = {}
-    for i in range(n):
-        groups.setdefault(find(i), []).append(i)
-    comps: list[np.ndarray] = []
-    for root in sorted(groups):  # min run index == scan order of first pixel
-        pix = [
-            np.column_stack(
-                [np.full(t[i] - s[i] + 1, rows[i]), np.arange(s[i], t[i] + 1)]
-            )
-            for i in groups[root]
-        ]
-        comps.append(np.concatenate(pix))
-    return comps
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+
+    # one pixel-expansion pass: component order = root order (root == min run
+    # index == scan order of the component's first pixel); within a
+    # component, runs keep scan order because the sort below is stable
+    lengths = (t - s + 1).astype(np.int64)
+    tot_pix = int(lengths.sum())
+    run_of_pix = np.repeat(np.arange(n), lengths)
+    col = (
+        np.arange(tot_pix)
+        - np.repeat(np.cumsum(lengths) - lengths, lengths)
+        + np.repeat(s, lengths)
+    )
+    pix = np.column_stack([rows[run_of_pix], col])
+    order = np.argsort(roots[run_of_pix], kind="stable")
+    sorted_roots = roots[run_of_pix][order]
+    bounds = np.flatnonzero(np.diff(sorted_roots)) + 1
+    return np.split(pix[order], bounds)
 
 
 def unclip_distance(eu: float, ev: float, unclip_ratio: float, mode: str) -> float:
@@ -212,12 +240,40 @@ def recognize_db_image(gray: np.ndarray) -> tuple[str, float]:
 
 
 def recognize_db_batch(grays: np.ndarray) -> tuple[list[str], np.ndarray]:
-    """Batch twin of recognize_db_image (same contract as the other media
-    engines)."""
-    texts: list[str] = []
-    confs = np.zeros(len(grays), dtype=np.float64)
-    for i, g in enumerate(grays):
-        t, c = recognize_db_image(g)
-        texts.append(t)
-        confs[i] = c
+    """Batch twin of recognize_db_image with the geometry stages (F6 areas,
+    K9 dims) vectorized across every quad in the batch — same structure as
+    quad_geometry.recognize_quad_batch; detection and warp+decode stay
+    per-image (the maps/crops are image-local). Same (texts, confs)
+    contract as the other media engines."""
+    from ocr_spark.operators.quad_geometry import (
+        assemble_parts,
+        decode_quad_crops,
+        quad_areas,
+        target_crop_dims,
+    )
+
+    n_img = len(grays)
+    all_quads: list[np.ndarray] = []
+    quad_img: list[int] = []
+    for i in range(n_img):
+        q = db_detect_quads(grays[i])
+        if len(q):
+            all_quads.append(q)
+            quad_img.extend([i] * len(q))
+    texts = [""] * n_img
+    confs = np.zeros(n_img, dtype=np.float64)
+    if not all_quads:
+        return texts, confs
+    quads = np.concatenate(all_quads)
+    img_of = np.asarray(quad_img, dtype=np.int64)
+    keep = quad_areas(quads) >= DET_MIN_BOX_SIZE * DET_MIN_BOX_SIZE  # F6
+    quads, img_of = quads[keep], img_of[keep]
+    if not len(quads):
+        return texts, confs
+    widths = target_crop_dims(quads)  # K9, vectorized
+    for i in np.unique(img_of):
+        sel = img_of == i
+        texts[i], confs[i] = assemble_parts(
+            decode_quad_crops(grays[i], quads[sel], widths[sel])
+        )
     return texts, confs

@@ -52,6 +52,57 @@ def test_components_cover_exactly():
     assert total == int(b.sum())  # no pixel in two components
 
 
+def _bfs_components(b: np.ndarray) -> list[set]:
+    """Slow 8-connectivity reference (per-pixel BFS), scan-ordered seeds."""
+    seen = np.zeros_like(b, dtype=bool)
+    comps = []
+    h, w = b.shape
+    for r0 in range(h):
+        for c0 in range(w):
+            if b[r0, c0] and not seen[r0, c0]:
+                stack, comp = [(r0, c0)], set()
+                seen[r0, c0] = True
+                while stack:
+                    r, c = stack.pop()
+                    comp.add((r, c))
+                    for dr in (-1, 0, 1):
+                        for dc in (-1, 0, 1):
+                            rr, cc = r + dr, c + dc
+                            if 0 <= rr < h and 0 <= cc < w and b[rr, cc] and not seen[rr, cc]:
+                                seen[rr, cc] = True
+                                stack.append((rr, cc))
+                comps.append(comp)
+    return comps
+
+
+@pytest.mark.parametrize("seed,shape,density", [
+    (0, (40, 40), 0.35), (1, (40, 40), 0.55), (2, (64, 48), 0.5),
+    (3, (96, 96), 0.45), (4, (30, 200), 0.5), (5, (7, 7), 0.9),
+])
+def test_components_match_bfs_reference(seed, shape, density):
+    """The vectorized searchsorted run-merge must produce exactly the BFS
+    component partition, in the same first-pixel scan order."""
+    rng = np.random.default_rng(seed)
+    b = rng.random(shape) < density
+    got = connected_components(b)
+    want = _bfs_components(b)
+    assert len(got) == len(want)
+    for g, wset in zip(got, want):
+        assert {(int(r), int(c)) for r, c in g} == wset
+
+
+def test_components_wide_run_fanout():
+    """One wide run over many narrow runs (and vice versa) — the contiguous
+    searchsorted range must capture every overlap, not just one."""
+    b = np.zeros((3, 30), dtype=bool)
+    b[0, ::2] = True  # 15 single-pixel runs
+    b[1, :] = True  # one wide run touching all of them
+    b[2, 1::3] = True
+    comps = connected_components(b)
+    assert len(comps) == 1
+    assert len(comps[0]) == int(b.sum())
+
+
 # ---------------------------------------------------------------------------
 # min_area_box / unclip
 # ---------------------------------------------------------------------------
