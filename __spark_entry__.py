@@ -962,6 +962,27 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster resolution: near-dup candidate PAIRS → connected components →
+    (id, rep) keep/drop labels — the stage that turns pair lists into dedup
+    decisions. Pairs come from the scale-safe SimHash pigeonhole join; the
+    oracle recomputes them brute-force and closes them with a recursive CTE,
+    so equality proves both the pair recall AND the label propagation."""
+    from ocr_spark.operators.dedup import dedup_clusters, simhash_near_pairs
+
+    pairs = simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return dedup_clusters(pairs)
+
+
+def q_near_dedup_keep(spark, sf_dir):
+    """The end-to-end keep/drop operator: documents minus non-representative
+    near-dups (SimHash family, min-id representative per cluster)."""
+    from ocr_spark.operators.dedup import near_dedup
+
+    kept = near_dedup(_t(spark, sf_dir, "documents"), method="simhash", max_hamming=3)
+    return kept.select("doc_id", "n_chars")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrubbing (training-data hygiene): emails/IPs/phones replaced with
     typed placeholders via an ordered regexp chain (pure codegen). PII is
@@ -1132,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "near_dedup_keep": q_near_dedup_keep,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
         "minhash_lsh": q_minhash_lsh,
@@ -1272,12 +1295,22 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     from ocr_spark.operators import text_analysis as TA
     from ocr_spark.operators.dedup import (
         contamination_sql,
+        dedup_clusters_sql,
         exact_dedup_sql,
         jaccard_pairs_sql,
         minhash_lsh_sql,
         ngram_topk_sql,
         simhash_sql,
     )
+
+    # brute-force O(n²) SimHash pair twin (same as the simhash_pairs oracle)
+    sh_pairs_sql = (
+        f"WITH sig AS ({simhash_sql()}) "
+        f"SELECT a.id AS id_a, b.id AS id_b "
+        f"FROM sig a JOIN sig b ON a.id < b.id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    )
+    clusters_sql = dedup_clusters_sql(sh_pairs_sql)
     from ocr_spark.operators.similarity import cosine_topk_sql, ivf_topk_sql, lsh_topk_sql
 
     return {
@@ -1303,6 +1336,12 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "minhash_lsh": minhash_lsh_sql(threshold=0.3),
+        "dedup_clusters": clusters_sql,
+        "near_dedup_keep": (
+            f"WITH cl AS ({clusters_sql}) "
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> rep)"
+        ),
         "pii_scrub": _pii_scrub_sql(),
         "contamination": contamination_sql(eval_mod=37, n=8),
         "ngram_topk": ngram_topk_sql(n=2, k=20),

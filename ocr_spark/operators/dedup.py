@@ -542,6 +542,140 @@ def simhash_near_pairs(
 
 
 # ---------------------------------------------------------------------------
+# dedup cluster resolution: candidate PAIRS → keep/drop DECISIONS
+# (the stage a real training-data pipeline executes after any near-dup
+# operator; reference anchor: the per-doc single-result contract,
+# ocr_engine_interface.py:56-73 — one representative survives per duplicate
+# group)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components over a candidate-pair frame: (id, rep) for every
+    id appearing in any pair, rep = the smallest id in its component.
+
+    Pure DataFrame iterative smallest-label propagation: each round joins the
+    symmetrized edge list to the current labels, takes min(label) per node,
+    and stops at fixpoint. Rounds needed = the component diameter — near-dup
+    clusters are dense (LSH pairs approximate cliques), so this converges in
+    a handful of rounds; each round is ONE shuffle join + ONE groupBy, with
+    `localCheckpoint` truncating the lineage so plans stay flat at any round
+    count. (For adversarial chain-shaped graphs, alternating large-star/
+    small-star gives O(log n) rounds at ~2× the per-round cost — not needed
+    for the dedup workload this serves.)
+
+    `stats`, when provided, receives {'rounds': k, 'converged': bool}.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    edges = edges.persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        prop = edges.join(labels, edges.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # materialize + truncate lineage
+        )
+        n_changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
+            .where(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if n_changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: no fixpoint after {max_rounds} rounds — the "
+            "pair graph has a component with diameter > max_rounds; labels "
+            "are an upper bound (some nodes may not carry their component's "
+            "true minimum). Raise max_rounds or switch to large-star/"
+            "small-star for chain-shaped graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+    return labels.select("id", F.col("label").alias("rep"))
+
+
+def dedup_clusters_sql(pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b") -> str:
+    """DuckDB twin: recursive-CTE transitive closure over the same pairs,
+    min reachable id per node (exact, engine-independent)."""
+    return f"""
+WITH RECURSIVE prs AS ({pairs_sql}),
+edges AS (SELECT {id_a} AS src, {id_b} AS dst FROM prs
+          UNION SELECT {id_b}, {id_a} FROM prs),
+reach(id, label) AS (
+    SELECT DISTINCT src, src FROM edges
+    UNION
+    SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, min(label) AS rep FROM reach GROUP BY id
+"""
+
+
+def near_dedup(
+    docs: DataFrame,
+    method: str = "minhash",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_rounds: int = 30,
+    stats: dict | None = None,
+    **method_kw,
+) -> DataFrame:
+    """The keep/drop operator: docs minus non-representative near-dups.
+
+    Candidate pairs from the chosen near-dup family (minhash | simhash |
+    jaccard), resolved to connected components (dedup_clusters); every doc
+    whose id is not its cluster's representative (min id) is dropped via one
+    left_anti join. 'exact' short-circuits to exact_dedup (no pair stage).
+
+    Scale shape: pairs/cluster stages touch only the near-dup SUBGRAPH
+    (vastly smaller than the corpus); the final left_anti is the only join
+    against the full corpus — an equi-join on the id, broadcast when the
+    drop set is small, shuffle otherwise. AQE picks."""
+    if method == "exact":
+        return exact_dedup(docs, id_col=id_col, text_col=text_col)
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(docs, **method_kw)
+    elif method == "simhash":
+        pairs = simhash_near_pairs(docs, **method_kw)
+    elif method == "jaccard":
+        pairs = jaccard_pairs(docs, **method_kw)
+    else:
+        raise ValueError(f"unknown near-dedup method {method!r}")
+    labels = dedup_clusters(pairs, max_rounds=max_rounds, stats=stats)
+    drop = labels.where(F.col("id") != F.col("rep")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # benchmark-contamination check (training-data hygiene): corpus docs sharing
 # n-gram shingles with an evaluation set
 # ---------------------------------------------------------------------------

@@ -68,6 +68,61 @@ def test_simhash_near_pairs_matches_bruteforce(spark, docs):
     assert (1, 4) in got and got[(1, 4)] == 0
 
 
+def test_dedup_clusters_small_graph(spark):
+    from ocr_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 3)], "id_a long, id_b long"
+    )
+    stats = {}
+    got = {r.id: r.rep for r in dedup_clusters(pairs, stats=stats).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    assert stats["converged"] and stats["rounds"] >= 1
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 12-node chain needs multiple propagation rounds — exercises the
+    fixpoint loop, the localCheckpoint lineage truncation, and convergence
+    detection beyond round 1."""
+    from ocr_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(1, 12)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    stats = {}
+    got = {r.id: r.rep for r in dedup_clusters(pairs, stats=stats).collect()}
+    assert got == {i: 1 for i in range(1, 13)}
+    assert stats["converged"] and stats["rounds"] >= 3
+
+
+def test_dedup_clusters_nonconvergence_warns(spark):
+    from ocr_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(1, 12)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.warns(RuntimeWarning, match="no fixpoint"):
+        labels = dedup_clusters(pairs, max_rounds=1)
+        labels.collect()
+
+
+def test_near_dedup_keeps_representatives(spark, docs):
+    """End-to-end keep/drop: docs 1/2/4 are one near-dup cluster (doc 1 =
+    min-id representative survives); docs 3 and 5 are singletons and pass
+    through untouched."""
+    from ocr_spark.operators.dedup import near_dedup
+
+    kept = {r.doc_id for r in near_dedup(docs, method="simhash", max_hamming=6).collect()}
+    assert 1 in kept and 3 in kept and 5 in kept
+    assert 4 not in kept  # exact dup of 1 (hamming 0)
+    # jaccard method agrees on the exact dup
+    kept_j = {r.doc_id for r in near_dedup(docs, method="jaccard", threshold=0.9).collect()}
+    assert 4 not in kept_j and 1 in kept_j and {3, 5} <= kept_j
+    # exact method short-circuits to fingerprint dedup
+    kept_e = {r.doc_id for r in near_dedup(docs, method="exact").select("doc_id").collect()}
+    assert kept_e == {1, 2, 3, 5}
+    with pytest.raises(ValueError, match="unknown near-dedup method"):
+        near_dedup(docs, method="nope")
+
+
 def test_cosine_topk_matches_numpy(spark):
     from ocr_spark.operators.similarity import cosine_topk
 
