@@ -712,6 +712,64 @@ def _audio_features_sql(sf_dir: str) -> str:
     return sql
 
 
+def q_frame_sample(spark, sf_dir):
+    """Video frame sampling through the REAL GIF/LZW codec + mapInPandas
+    plumbing: deterministic animated GIFs ('video://<doc_id>') decoded
+    executor-side, every 2nd frame kept, per-frame features vs a numpy-golden
+    VALUES oracle (same code path run driver-side)."""
+    from ocr_spark.operators.multimodal import frame_sample, video_assets_df
+
+    refs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("video://"), F.col("doc_id").cast("string")).alias("media_ref")
+    )
+    fs = frame_sample(video_assets_df(refs), every_n=2)
+    return fs.select(
+        "media_ref", "frame_idx", "n_frames", "width", "height", "mean_intensity"
+    )
+
+
+def _frame_sample_sql(sf_dir: str) -> str:
+    """Numpy-golden VALUES oracle for frame_sample — the same synth/decode/
+    feature path run driver-side, cached per sf_dir."""
+    global _FS_SQL
+    try:
+        return _FS_SQL[sf_dir]
+    except (NameError, KeyError):
+        pass
+    import pyarrow.parquet as pq
+
+    from ocr_spark.operators.image_codecs import gif_decode_frames
+    from ocr_spark.operators.media_kernels import to_grayscale
+    from ocr_spark.sources.media import synth_gif_bytes
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    rows = []
+    for i in ids:
+        ref = f"video://{i}"
+        frames = gif_decode_frames(synth_gif_bytes(ref))
+        for fi in range(0, len(frames), 2):
+            g = to_grayscale(frames[fi])
+            rows.append(
+                (ref, fi, len(frames), g.shape[1], g.shape[0], float(g.mean()))
+            )
+    body = ", ".join(
+        f"('{r}', {fi}, {nf}, {w}, {h}, {m!r}::DOUBLE)"
+        for r, fi, nf, w, h, m in rows
+    )
+    sql = (
+        f"SELECT * FROM (VALUES {body}) AS t(media_ref, frame_idx, n_frames, "
+        "width, height, mean_intensity)"
+    )
+    try:
+        _FS_SQL
+    except NameError:
+        _FS_SQL = {}
+    _FS_SQL[sf_dir] = sql
+    return sql
+
+
 def _image_features_sql(sf_dir: str) -> str:
     rows = ", ".join(
         f"('{r}', {w}, {h}, {m!r}::DOUBLE, {s!r}::DOUBLE, {nb})"
@@ -801,6 +859,86 @@ def _pdf_payload_py(doc_id: int) -> str:
     r = doc_id % 4
     rotated = blocks[r:] + blocks[:r]
     return '{"blocks": [' + ", ".join(rotated) + "]}"
+
+
+def _pdf_real_payload_expr():
+    """Deterministic minimal REAL-PDF payload per doc (native exprs): a
+    '%PDF-' body of BT/Tf/Td/Tj/ET text objects on the 2×2 grid with per-doc
+    jitter, emitted doc-rotated — the structural scan of pdf_parse_blocks
+    tolerates the missing xref (the pytest fixtures use the full xref'd
+    writer, pdf_layout.pdf_write)."""
+    j = F.col("doc_id") % 7
+
+    def block(i: int):
+        x, y = _PDF_BASE_BLOCKS[i]
+        return F.concat(
+            F.lit("BT /F1 12 Tf "),
+            (F.lit(x) + j).cast("string"),
+            F.lit(" "),
+            (F.lit(700) - (F.lit(y) + j)).cast("string"),
+            F.lit(" Td (t"),
+            F.lit(str(i)),
+            F.lit("-"),
+            F.col("doc_id").cast("string"),
+            F.lit(") Tj ET"),
+        )
+
+    arr = F.array(*[block(i) for i in range(4)])
+    r = (F.col("doc_id") % 4).cast("int")
+    rotated = F.concat(F.slice(arr, r + 1, 4 - r), F.slice(arr, 1, r))
+    return F.concat(
+        F.lit("%PDF-1.4\n"), F.array_join(rotated, "\n"), F.lit("\n%%EOF")
+    )
+
+
+def _pdf_real_payload_py(doc_id: int) -> str:
+    j = doc_id % 7
+    blocks = [
+        f"BT /F1 12 Tf {x + j} {700 - (y + j)} Td (t{i}-{doc_id}) Tj ET"
+        for i, (x, y) in enumerate(_PDF_BASE_BLOCKS)
+    ]
+    r = doc_id % 4
+    rotated = blocks[r:] + blocks[:r]
+    return "%PDF-1.4\n" + "\n".join(rotated) + "\n%%EOF"
+
+
+def q_pdf_real(spark, sf_dir):
+    """K15/W3 over REAL PDF bytes: the pdf-kind extractor sniffs '%PDF-',
+    parses the text layer (BT/ET objects, Td positioning, Tj strings),
+    converts to reading coordinates and recovers reading order by XY-cut —
+    through the full pipeline (dispatch Arrow stage + postprocess)."""
+    from ocr_spark.pipeline import extract_documents
+
+    docs = _single_span_docs(spark, sf_dir, "pdf", _pdf_real_payload_expr())
+    out = extract_documents(docs, rules=[])
+    return out.select(
+        "doc_id", F.element_at("spans", 1)["text"].alias("extracted")
+    )
+
+
+def _pdf_real_goldens(sf_dir: str):
+    global _PR_GOLD
+    try:
+        return _PR_GOLD[sf_dir]
+    except (NameError, KeyError):
+        import pyarrow.parquet as pq
+
+        from ocr_spark.operators.dispatch import _postprocess_text
+        from ocr_spark.operators.pdf_layout import extract_pdf_text
+
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_pylist()
+        rows = [
+            (str(i), _postprocess_text(extract_pdf_text(_pdf_real_payload_py(i)), []))
+            for i in ids
+        ]
+        try:
+            _PR_GOLD
+        except NameError:
+            _PR_GOLD = {}
+        _PR_GOLD[sf_dir] = rows
+        return rows
 
 
 def _single_span_docs(spark, sf_dir, kind: str, payload_expr):
@@ -910,6 +1048,25 @@ def q_quality_score(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
         "doc_id", TA.quality_score(F.col("text")).alias("quality")
     )
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher/C4 repetition quality signals: duplicate-line fraction,
+    duplicate-line CHAR fraction, top-bigram char fraction, adjacent-char
+    repetition, and the blended quality_v2 — all native array/lambda exprs.
+    Repetition is injected deterministically (doc_id-gated duplicate lines
+    and char runs) so every signal path actually executes."""
+    from ocr_spark.operators.text_analysis import quality_repetition_select
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit("\nrepeat me this line\nrepeat me this line"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("\nzzzzzzzz!!!")).otherwise(
+            F.lit("\ntail ok")
+        ),
+    )
+    return quality_repetition_select(d, t)
 
 
 def q_lang_id(spark, sf_dir):
@@ -1143,10 +1300,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_topk": q_ngram_topk,
         "html_extract": q_html_extract,
         "pdf_xycut": q_pdf_xycut,
+        "pdf_real": q_pdf_real,
         "audio_features": q_audio_features,
+        "frame_sample": q_frame_sample,
         "ivf_topk": q_ivf_topk,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
+        "quality_repetition": q_quality_repetition,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
@@ -1274,11 +1434,25 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             _heavy_kind_goldens(sf_dir)[0], ["doc_id", "extracted"]
         ),
         "audio_features": _audio_features_sql(sf_dir),
+        "frame_sample": _frame_sample_sql(sf_dir),
         "pdf_xycut": _values_sql(
             _heavy_kind_goldens(sf_dir)[1], ["doc_id", "extracted"]
         ),
+        "pdf_real": _values_sql(_pdf_real_goldens(sf_dir), ["doc_id", "extracted"]),
         **_training_oracles(sf_dir),
     }
+
+
+def _quality_repetition_sql() -> str:
+    from ocr_spark.operators.text_analysis import quality_repetition_sql
+
+    # identical injected text on both sides (chr(10) = \n in DuckDB strings)
+    t = (
+        "(text || chr(10) || 'repeat me this line' || chr(10) || "
+        "'repeat me this line' || CASE WHEN doc_id % 3 = 0 "
+        "THEN chr(10) || 'zzzzzzzz!!!' ELSE chr(10) || 'tail ok' END)"
+    )
+    return quality_repetition_sql(t)
 
 
 def _pii_scrub_sql() -> str:
@@ -1321,6 +1495,7 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "quality_score": (
             f"SELECT doc_id, {TA.quality_score_sql('text')} AS quality FROM documents"
         ),
+        "quality_repetition": _quality_repetition_sql(),
         "lang_id": f"SELECT doc_id, {TA.lang_id_sql('text')} AS lang_pred FROM documents",
         "fingerprint": f"SELECT doc_id, {TA.fingerprint_sql('text')} AS fp FROM documents",
         "dedup_exact": f"SELECT doc_id, fp FROM ({exact_dedup_sql()})",

@@ -1,0 +1,881 @@
+"""Pure stdlib/numpy image codecs (no PIL/cv2 in the container; S1 media
+scan must still ingest real web formats — ref ocr_workflow_orchestrator.py:153-178
+loads any PIL-supported file; OCR-X_Component_Breakdown_OptionB.md:11-18
+lists TIFF/BMP/JPG/PNG as required inputs; PNG lives in cloud_engine.py).
+
+All codecs implement the published file formats from their public specs:
+
+  * JPEG — baseline sequential DCT (ITU-T T.81): DQT/SOF0/DHT/SOS parsing,
+    canonical Huffman, zigzag dequant, vectorized 8×8 IDCT, 4:4:4 and 4:2:0
+    chroma, restart markers; encoder with the Annex-K example tables.
+  * BMP — BITMAPINFOHEADER, 24-bit BGR and 8-bit paletted, bottom-up rows,
+    4-byte row padding.
+  * TIFF — uncompressed baseline, II/MM byte orders, strips, gray + RGB.
+  * GIF — 87a/89a: LZW decompression, global/local palettes, multiple
+    frames, GCE/extension skipping; encoder with real LZW compression.
+
+Decoders return uint8 (H,W) grayscale or (H,W,3) RGB; gif_decode_frames
+returns a list of frames. Every parser fails with ValueError on corrupt
+input (never hangs) — the dispatch stage degrades those to per-doc error
+envelopes."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# shared 8x8 DCT machinery
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    n = np.arange(8)
+    c = np.where(n == 0, np.sqrt(1.0 / 8.0), np.sqrt(2.0 / 8.0))
+    return c[:, None] * np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16.0)
+
+
+_DCT = _dct_matrix()
+
+# ITU-T T.81 Annex K example tables (public spec constants)
+_STD_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_STD_CHROMA_Q = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# (bits-per-length[1..16], symbols) — Annex K
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+     0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+     0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+     0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+     0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+     0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+     0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+     0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _canonical_codes(counts: list[int], symbols: list[int]):
+    """(length, code) → symbol decode map AND symbol → (code, length) encode
+    map for a canonical JPEG Huffman table."""
+    dec: dict[tuple[int, int], int] = {}
+    enc: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            sym = symbols[k]
+            dec[(length, code)] = sym
+            enc[sym] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return dec, enc
+
+
+class _BitReader:
+    """MSB-first bit reader over already de-stuffed entropy bytes."""
+
+    __slots__ = ("data", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huffman(self, dec: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = dec.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Baseline sequential JPEG → uint8 (H,W) gray or (H,W,3) RGB."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
+    frame = None
+    restart_interval = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("JPEG EOI before SOS")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:
+                    tbl = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    tbl = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                q = np.zeros(64, dtype=np.int64)
+                q[_ZIGZAG] = tbl
+                qt[tq] = q
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1 : p + 17])
+                nsym = sum(counts)
+                syms = list(seg[p + 17 : p + 17 + nsym])
+                huff[(tc, th)] = _canonical_codes(counts, syms)[0]
+                p += 17 + nsym
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG is supported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[0:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cs, tds = seg[1 + 2 * i], seg[2 + 2 * i]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append({**comp, "dc": tds >> 4, "ac": tds & 15})
+            pos += seglen
+            return _jpeg_decode_scan(data, pos, frame, scan, qt, huff, restart_interval)
+        pos += seglen
+    raise ValueError("JPEG has no SOS segment")
+
+
+def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+    # de-stuff entropy bytes, splitting at restart markers
+    segments: list[bytearray] = [bytearray()]
+    i = pos
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            m = data[i + 1] if i + 1 < n else 0xD9
+            if m == 0x00:
+                segments[-1].append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:  # RSTn
+                segments.append(bytearray())
+                i += 2
+                continue
+            break  # EOI or next marker
+        segments[-1].append(b)
+        i += 1
+
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    # per-component coefficient planes in block units
+    planes = {}
+    for c in scan:
+        bw, bh = mcus_x * c["h"], mcus_y * c["v"]
+        planes[c["id"]] = np.zeros((bh, bw, 64), dtype=np.int64)
+    pred = {c["id"]: 0 for c in scan}
+
+    seg_idx = 0
+    reader = _BitReader(bytes(segments[seg_idx]))
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            reader = _BitReader(bytes(segments[seg_idx]))
+            pred = {c["id"]: 0 for c in scan}
+        my, mx = divmod(mcu, mcus_x)
+        for c in scan:
+            dc_dec = huff.get((0, c["dc"]))
+            ac_dec = huff.get((1, c["ac"]))
+            if dc_dec is None or ac_dec is None:
+                raise ValueError("JPEG scan references undefined Huffman table")
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = np.zeros(64, dtype=np.int64)
+                    t = reader.read_huffman(dc_dec)
+                    diff = _extend(reader.read_bits(t), t)
+                    pred[c["id"]] += diff
+                    coef[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = reader.read_huffman(ac_dec)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run overflow")
+                        coef[_ZIGZAG[k]] = _extend(reader.read_bits(s), s)
+                        k += 1
+                    planes[c["id"]][my * c["v"] + by, mx * c["h"] + bx] = coef
+
+    # dequant + vectorized IDCT per component, crop, upsample
+    out_planes = []
+    for c in scan:
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG scan references undefined quant table")
+        blocks = planes[c["id"]]
+        bh, bw = blocks.shape[:2]
+        deq = (blocks * q[None, None, :]).reshape(bh, bw, 8, 8).astype(np.float64)
+        spatial = np.einsum("ij,abjk,kl->abil", _DCT.T, deq, _DCT) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        # upsample to full resolution (sample replication), then crop
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(out_planes[0].round(), 0, 255).astype(np.uint8)
+    if len(out_planes) == 3:
+        return _ycbcr_to_rgb(*out_planes)
+    raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(max(int(quality), 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * s + 50) // 100, 1, 255)
+
+
+def _encode_blocks(bw: _BitWriter, blocks: np.ndarray, q: np.ndarray,
+                   dc_enc: dict, ac_enc: dict, pred: int) -> int:
+    """Quantize + entropy-code an (N,64) zigzag coefficient batch."""
+    coef = np.rint(blocks / q[None, :]).astype(np.int64)
+    for blk in coef:
+        zz = blk[_ZIGZAG]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        mag = abs(diff)
+        t = mag.bit_length()
+        code, length = dc_enc[t]
+        bw.write(code, length)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_enc[0xF0]
+                bw.write(code, length)
+                run -= 16
+            s = abs(v).bit_length()
+            code, length = ac_enc[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if run:
+            code, length = ac_enc[0x00]  # EOB
+            bw.write(code, length)
+    return pred
+
+
+def _to_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H,W) float, H/W multiples of 8 → (N,64) DCT coefficients."""
+    h, w = plane.shape
+    tiles = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ij,abjk,kl->abil", _DCT, tiles - 128.0, _DCT.T)
+    return coef.reshape(-1, 64)
+
+
+def _pad_to(img: np.ndarray, mult: int) -> np.ndarray:
+    h, w = img.shape
+    ph, pw = -h % mult, -w % mult
+    return np.pad(img, ((0, ph), (0, pw)), mode="edge")
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 85, subsample: bool = False) -> bytes:
+    """Baseline JFIF encoder: (H,W) gray or (H,W,3) RGB uint8 → JPEG bytes.
+    subsample=True uses 4:2:0 chroma (exercises the decoder's upsampling);
+    default 4:4:4."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    lq = _quality_scale(_STD_LUMA_Q, quality)
+    cq = _quality_scale(_STD_CHROMA_Q, quality)
+    dc_l_dec, dc_l_enc = _canonical_codes(*_DC_LUMA)
+    ac_l_dec, ac_l_enc = _canonical_codes(*_AC_LUMA)
+    dc_c_dec, dc_c_enc = _canonical_codes(*_DC_CHROMA)
+    ac_c_dec, ac_c_enc = _canonical_codes(*_AC_CHROMA)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(q[z]) for z in _ZIGZAG
+        )
+
+    out += dqt(0, lq)
+    if not gray:
+        out += dqt(1, cq)
+
+    # SOF0
+    nc = 1 if gray else 3
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, nc))
+    if gray:
+        sof += bytes([1, 0x11, 0])
+    else:
+        y_hv = 0x22 if subsample else 0x11
+        sof += bytes([1, y_hv, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+
+    def dht(tc: int, th: int, tbl) -> bytes:
+        counts, syms = tbl
+        payload = bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
+        return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+    out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_LUMA)
+    if not gray:
+        out += dht(0, 1, _DC_CHROMA) + dht(1, 1, _AC_CHROMA)
+
+    # SOS
+    if gray:
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+    else:
+        sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    bw = _BitWriter()
+    if gray:
+        plane = _pad_to(img.astype(np.float64), 8)
+        _encode_blocks(bw, _to_blocks(plane), lq, dc_l_enc, ac_l_enc, 0)
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
+        if subsample:
+            y_p = _pad_to(y, 16)
+            cb_p = _pad_to(cb, 16)
+            cr_p = _pad_to(cr, 16)
+            cb_s = cb_p.reshape(cb_p.shape[0] // 2, 2, cb_p.shape[1] // 2, 2).mean(axis=(1, 3))
+            cr_s = cr_p.reshape(cr_p.shape[0] // 2, 2, cr_p.shape[1] // 2, 2).mean(axis=(1, 3))
+            yb = _to_blocks(y_p)
+            cbb = _to_blocks(cb_s)
+            crb = _to_blocks(cr_s)
+            mcus_x = y_p.shape[1] // 16
+            mcus_y = y_p.shape[0] // 16
+            yb_grid = yb.reshape(mcus_y * 2, mcus_x * 2, 64)
+            preds = {"y": 0, "cb": 0, "cr": 0}
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                yblocks = np.stack([
+                    yb_grid[my * 2, mx * 2], yb_grid[my * 2, mx * 2 + 1],
+                    yb_grid[my * 2 + 1, mx * 2], yb_grid[my * 2 + 1, mx * 2 + 1],
+                ])
+                preds["y"] = _encode_blocks(bw, yblocks, lq, dc_l_enc, ac_l_enc, preds["y"])
+                idx = my * mcus_x + mx
+                preds["cb"] = _encode_blocks(bw, cbb[idx : idx + 1], cq, dc_c_enc, ac_c_enc, preds["cb"])
+                preds["cr"] = _encode_blocks(bw, crb[idx : idx + 1], cq, dc_c_enc, ac_c_enc, preds["cr"])
+        else:
+            y_p, cb_p, cr_p = (_pad_to(p, 8) for p in (y, cb, cr))
+            yb, cbb, crb = _to_blocks(y_p), _to_blocks(cb_p), _to_blocks(cr_p)
+            preds = {"y": 0, "cb": 0, "cr": 0}
+            for i in range(len(yb)):
+                preds["y"] = _encode_blocks(bw, yb[i : i + 1], lq, dc_l_enc, ac_l_enc, preds["y"])
+                preds["cb"] = _encode_blocks(bw, cbb[i : i + 1], cq, dc_c_enc, ac_c_enc, preds["cb"])
+                preds["cr"] = _encode_blocks(bw, crb[i : i + 1], cq, dc_c_enc, ac_c_enc, preds["cr"])
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER; 24-bit BGR + 8-bit paletted; bottom-up; row pad 4)
+# ---------------------------------------------------------------------------
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("not a BMP")
+    pixel_off = struct.unpack("<I", data[10:14])[0]
+    hdr_size = struct.unpack("<I", data[14:18])[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    compression = struct.unpack("<I", data[30:34])[0]
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if w <= 0 or h_raw == 0:
+        raise ValueError("degenerate BMP dimensions")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    px = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=pixel_off)
+    rows = px.reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        return bgr[:, :, ::-1].copy()  # BGR → RGB
+    if bpp == 8:
+        n_colors = struct.unpack("<I", data[46:50])[0] or 256
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRA → RGB
+        idx = rows[:, :w]
+        rgb = pal[idx]
+        if (rgb[..., 0] == rgb[..., 1]).all() and (rgb[..., 1] == rgb[..., 2]).all():
+            return rgb[..., 0].copy()  # gray palette → 2-D
+        return rgb
+    raise ValueError(f"unsupported BMP bpp {bpp}")
+
+
+def bmp_encode(img: np.ndarray) -> bytes:
+    """24-bit BMP (RGB or gray input)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=2)
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pixel_off = 54
+    size = pixel_off + body.size
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, pixel_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, body.size, 2835, 2835, 0, 0)
+    return hdr + info + body.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline uncompressed; II/MM; strips; gray + RGB)
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
+
+
+def tiff_decode(data: bytes) -> np.ndarray:
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = data[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        if typ not in _TIFF_TYPES:
+            continue
+        fmt, sz = _TIFF_TYPES[typ]
+        total = sz * cnt
+        raw = e[8 : 8 + total] if total <= 4 else data[
+            struct.unpack(bo + "I", e[8:12])[0] :
+        ][:total]
+        tags[tag] = list(struct.unpack(bo + fmt * cnt, raw[:total]))
+    try:
+        w, h = tags[256][0], tags[257][0]
+    except KeyError:
+        raise ValueError("TIFF missing dimensions") from None
+    compression = tags.get(259, [1])[0]
+    if compression != 1:
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [1] * spp)
+    if any(b != 8 for b in bps):
+        raise ValueError(f"unsupported TIFF bits-per-sample {bps}")
+    strip_offs = tags.get(273)
+    if not strip_offs:
+        raise ValueError("TIFF missing strip offsets")
+    strip_counts = tags.get(279, [w * h * spp])
+    buf = b"".join(
+        data[o : o + c] for o, c in zip(strip_offs, strip_counts)
+    )
+    arr = np.frombuffer(buf, dtype=np.uint8, count=w * h * spp)
+    if spp == 1:
+        return arr.reshape(h, w).copy()
+    return arr.reshape(h, w, spp)[:, :, :3].copy()
+
+
+def tiff_encode(img: np.ndarray) -> bytes:
+    """Uncompressed little-endian TIFF (gray or RGB), one strip."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    body = img.tobytes()
+    # layout: header(8) | pixel data | BitsPerSample array (if rgb) | IFD
+    data_off = 8
+    bits_off = data_off + len(body)
+    ifd_off = bits_off + (6 if spp == 3 else 0)
+    entries = []
+
+    def entry(tag, typ, cnt, val):
+        entries.append(struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val))
+
+    def entry_short(tag, val):
+        entries.append(struct.pack("<HHIHH", tag, 3, 1, val, 0))
+
+    entry_short(256, w)
+    entry_short(257, h)
+    if spp == 3:
+        entry(258, 3, 3, bits_off)
+    else:
+        entry_short(258, 8)
+    entry_short(259, 1)  # no compression
+    entry_short(262, 1 if spp == 1 else 2)  # BlackIsZero / RGB
+    entry(273, 4, 1, data_off)  # StripOffsets
+    entry_short(277, spp)
+    entry_short(278, h)  # RowsPerStrip
+    entry(279, 4, 1, len(body))  # StripByteCounts
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+    out = b"II*\x00" + struct.pack("<I", ifd_off) + body
+    if spp == 3:
+        out += struct.pack("<HHH", 8, 8, 8)
+    return out + ifd
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a; LZW; global/local palettes; multi-frame)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    # bit reader: LSB-first within bytes
+    acc = nbits = pos = 0
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+
+    def read_code():
+        nonlocal acc, nbits, pos
+        while nbits < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        c = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        return c
+
+    while len(out) < n_pixels:
+        code = read_code()
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("GIF LZW bad first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out[:n_pixels])
+
+
+def _lzw_encode(min_code_size: int, pixels: bytes) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    cur = b""
+    for p in pixels:
+        nxt = cur + bytes([p])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur])
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code > (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:  # table full: clear and restart (decoder resets on clear)
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        cur = bytes([p])
+    if cur:
+        emit(table[cur])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_decode_frames(data: bytes) -> list[np.ndarray]:
+    """GIF → list of (H,W,3) RGB frames (full logical-screen composition:
+    each frame is drawn over the previous one at its declared offset)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    frames: list[np.ndarray] = []
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None:
+        canvas[:] = gct[data[11] % len(gct)]  # background color
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        ix, iy, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+        lflags = data[pos + 9]
+        pos += 10
+        pal = gct
+        if lflags & 0x80:
+            n = 2 << (lflags & 7)
+            pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if lflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if pal is None:
+            raise ValueError("GIF frame has no palette")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            sz = data[pos]
+            lzw += data[pos + 1 : pos + 1 + sz]
+            pos += 1 + sz
+        pos += 1
+        idx = np.frombuffer(
+            _lzw_decode(min_code, bytes(lzw), iw * ih), np.uint8
+        ).reshape(ih, iw)
+        canvas[iy : iy + ih, ix : ix + iw] = pal[idx % len(pal)]
+        frames.append(canvas.copy())
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return frames
+
+
+def gif_encode(frames: list[np.ndarray] | np.ndarray) -> bytes:
+    """GIF89a encoder: one or more (H,W) gray or (H,W,3) RGB frames, each
+    quantized to a per-frame 256-color palette (exact when <=256 distinct
+    colors — always true for our synthetic/grayscale fixtures)."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    frames = [
+        np.stack([f] * 3, axis=2) if f.ndim == 2 else f for f in
+        (np.asarray(f, dtype=np.uint8) for f in frames)
+    ]
+    h, w = frames[0].shape[:2]
+    out = bytearray(b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x00, 0, 0]))
+    if len(frames) > 1:
+        # NETSCAPE loop extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all GIF frames must share dimensions")
+        flat = f.reshape(-1, 3)
+        colors, inv = np.unique(flat, axis=0, return_inverse=True)
+        shift = 0
+        while len(colors) > 256 and shift < 6:
+            # uniform per-channel quantization, coarsened until the palette
+            # fits (shift 6 → ≤64 colors, guaranteed); exact when the frame
+            # already has ≤256 distinct colors (all our fixtures)
+            shift += 1
+            q = (flat >> shift) << shift
+            colors, inv = np.unique(q, axis=0, return_inverse=True)
+        bits = max(1, (len(colors) - 1).bit_length())
+        pal_n = 1 << bits
+        pal = np.zeros((pal_n, 3), dtype=np.uint8)
+        pal[: len(colors)] = colors
+        if len(frames) > 1:
+            out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 0.1s delay
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out += bytes([0x80 | (bits - 1)])  # local palette
+        out += pal.tobytes()
+        min_code = max(2, bits)
+        out.append(min_code)
+        lzw = _lzw_encode(min_code, bytes(inv.astype(np.uint8)))
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)

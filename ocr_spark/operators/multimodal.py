@@ -2,17 +2,19 @@
 
 Media are opaque `binary` columns with typed metadata. The Spark-side
 plumbing — schema, Arrow batch shape, partitioning, UDF signatures — is real
-and tested. PNG (images) and WAV/PCM (audio) are REAL stdlib codecs;
-compressed formats (JPEG, mp3/ogg) raise NotImplementedError pending an
-image/audio library; the deterministic synthetic decoder serves the
-`media://` refs the fixture corpus uses.
+and tested. REAL pure-stdlib/numpy codecs: PNG (cloud_engine), baseline
+JPEG, BMP, uncompressed TIFF, GIF/LZW (image_codecs), WAV/PCM audio.
+Compressed audio (mp3/ogg) and real video containers (mp4/webm) raise
+NotImplementedError pending a media library; the deterministic synthetic
+decoder serves the `media://` refs the fixture corpus uses.
 
 Operators:
   media_assets_df   — (media_ref, media_type, content, meta) from the spans
                       table, payloads resolved executor-side.
   image_features    — mapInPandas: decode → grayscale stats + band count
                       (reuses the real numpy kernels) as typed columns.
-  frame_sample      — video stub: deterministic frame offsets (plumbing only).
+  frame_sample      — real GIF frame decode + every-n sampling, one row per
+                      sampled frame with per-frame features.
 """
 
 from __future__ import annotations
@@ -294,13 +296,87 @@ def resize_images(assets: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFram
     return assets.mapInPandas(gen, schema=RESIZED_SCHEMA)
 
 
-def frame_sample(assets: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling stub: emits deterministic frame indices per asset
-    (real decoder not present). Plumbing: one row per sampled frame."""
-    return assets.select(
-        "media_ref",
-        F.explode(F.sequence(F.lit(0), F.lit(every_n * 3), F.lit(every_n))).alias("frame_idx"),
-    )
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def frame_sample(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """Video frame sampling through a REAL decoder (GIF/LZW — the one
+    multi-frame container expressible in pure stdlib/numpy; mp4/webm need a
+    real codec library and keep the same row contract): decode the frame
+    sequence inside the Arrow stage, keep every `every_n`-th frame (always
+    including frame 0), emit one row per sampled frame with per-frame
+    features. Per-asset error envelope, batch never dies."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.operators.image_codecs import gif_decode_frames
+        from ocr_spark.operators.media_kernels import to_grayscale
+
+        for pdf in batches:
+            out = {k.name: [] for k in FRAME_SCHEMA.fields}
+
+            def emit(ref, **kw):
+                row = dict(
+                    media_ref=ref, frame_idx=None, n_frames=None, width=None,
+                    height=None, mean_intensity=None, error=None,
+                )
+                row.update(kw)
+                for k, v in row.items():
+                    out[k].append(v)
+
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                try:
+                    frames = gif_decode_frames(bytes(content))
+                except Exception as e:
+                    emit(ref, error=f"{type(e).__name__}: {e}")
+                    continue
+                for i in range(0, len(frames), every_n):
+                    g = to_grayscale(frames[i])
+                    emit(
+                        ref,
+                        frame_idx=i,
+                        n_frames=len(frames),
+                        width=int(g.shape[1]),
+                        height=int(g.shape[0]),
+                        mean_intensity=float(g.mean()),
+                    )
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+def video_assets_df(refs: DataFrame) -> DataFrame:
+    """(media_ref) → ASSET_SCHEMA rows with synthetic animated-GIF payloads
+    resolved executor-side (real GIF89a/LZW bytes through the real codec
+    downstream)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.sources.media import synth_gif_bytes
+
+        for pdf in batches:
+            payloads = [synth_gif_bytes(r) for r in pdf["media_ref"]]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": ["video"] * len(pdf),
+                    "content": payloads,
+                    "meta": [
+                        {"width": None, "height": None, "n_bytes": len(p), "codec": "gif"}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return refs.select("media_ref").distinct().mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
 def audio_assets_df(refs: DataFrame) -> DataFrame:

@@ -78,13 +78,208 @@ def xy_cut_order(x: np.ndarray, y: np.ndarray, w: np.ndarray, h: np.ndarray) -> 
     return out
 
 
+# ---------------------------------------------------------------------------
+# real PDF text layer: a minimal writer (valid xref'd PDFs for fixtures) and
+# a content-stream parser (BT/ET blocks, Tf/Td/TD/Tm positioning, Tj/TJ
+# shows, string escapes) — uncompressed streams, the text-layer subset
+# (ref input spec: PDFs via page rendering,
+# OCR-X_Component_Breakdown_OptionB.md:11-18; here the text layer is parsed
+# directly, which is what an extraction pipeline wants when it exists)
+# ---------------------------------------------------------------------------
+
+PAGE_W, PAGE_H = 612.0, 792.0
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def pdf_write(blocks: list[dict], page_w: float = PAGE_W, page_h: float = PAGE_H) -> bytes:
+    """Minimal valid single-page PDF: uncompressed content stream, correct
+    xref offsets. blocks = [{x, y, w?, h?, text, size?}] in TOP-LEFT reading
+    coordinates (converted to the PDF's bottom-left origin on write)."""
+    lines = []
+    for b in blocks:
+        size = float(b.get("size", 12))
+        x = float(b["x"])
+        y = page_h - float(b["y"]) - size  # top-left reading → PDF baseline
+        lines.append(
+            f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_pdf_escape(str(b['text']))}) Tj ET"
+        )
+    content = "\n".join(lines).encode("latin-1")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:g} {page_h:g}] "
+            "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+        ).encode(),
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _parse_pdf_string(s: str, i: int) -> tuple[str, int]:
+    """Parse a PDF literal string starting at the '(' at index i; returns
+    (decoded, index past the closing paren). Handles \\-escapes, octal and
+    balanced nested parens (PDF spec 7.3.4.2)."""
+    assert s[i] == "("
+    i += 1
+    out: list[str] = []
+    depth = 1
+    n = len(s)
+    esc = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f",
+           "(": "(", ")": ")", "\\": "\\"}
+    while i < n:
+        c = s[i]
+        if c == "\\":
+            nxt = s[i + 1] if i + 1 < n else ""
+            if nxt in esc:
+                out.append(esc[nxt])
+                i += 2
+            elif nxt.isdigit():
+                j = i + 1
+                while j < min(i + 4, n) and s[j].isdigit():
+                    j += 1
+                out.append(chr(int(s[i + 1 : j], 8) & 0xFF))
+                i = j
+            else:
+                i += 2  # line continuation / unknown escape: drop
+        elif c == "(":
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return "".join(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise ValueError("unterminated PDF string")
+
+
+_NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)"
+_MEDIABOX = None  # compiled lazily
+
+
+def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
+    """Text blocks from a PDF's uncompressed content: scan BT…ET text
+    objects, track Tf (size) and Td/TD/Tm positioning, collect Tj/TJ shows.
+    Returns (blocks in TOP-LEFT reading coords [{x,y,w,h,text}], page_w,
+    page_h). Tolerates missing/garbled xref (the scan is structural) —
+    FlateDecode'd streams are out of scope (ValueError)."""
+    import re as _re
+
+    if isinstance(data, bytes):
+        if not data.lstrip()[:5] == b"%PDF-":
+            raise ValueError("not a PDF")
+        text = data.decode("latin-1")
+    else:
+        if not data.lstrip().startswith("%PDF-"):
+            raise ValueError("not a PDF")
+        text = data
+    if "/FlateDecode" in text:
+        raise ValueError(
+            "compressed PDF content streams are not supported (no zlib filter "
+            "chain here); re-export uncompressed or rasterize"
+        )
+    page_w, page_h = PAGE_W, PAGE_H
+    mb = _re.search(
+        rf"/MediaBox\s*\[\s*({_NUM})\s+({_NUM})\s+({_NUM})\s+({_NUM})\s*\]", text
+    )
+    if mb:
+        x0, y0, x1, y1 = (float(mb.group(i)) for i in range(1, 5))
+        page_w, page_h = x1 - x0, y1 - y0
+    blocks: list[dict] = []
+    tok_re = _re.compile(rf"({_NUM})|(/[A-Za-z0-9]+)|(T[a-zA-Z*]|BT|ET|Tm|\()")
+    for m_bt in _re.finditer(r"\bBT\b", text):
+        i = m_bt.end()
+        end = text.find("ET", i)
+        if end < 0:
+            break
+        size = 12.0
+        tx = ty = 0.0
+        leading = 0.0
+        stack: list[float] = []
+        j = i
+        while j < end:
+            c = text[j]
+            if c == "(":
+                s, j2 = _parse_pdf_string(text, j)
+                # associate with current position; defer op (Tj/TJ item)
+                blocks.append(
+                    {
+                        "x": tx,
+                        "y": page_h - ty - size,
+                        "w": max(1.0, 0.5 * size * len(s)),
+                        "h": size,
+                        "text": s,
+                    }
+                )
+                j = j2
+                continue
+            m = tok_re.match(text, j)
+            if not m:
+                j += 1
+                continue
+            tok = m.group(0)
+            j = m.end()
+            if m.group(1) is not None:
+                stack.append(float(tok))
+                continue
+            if tok == "Tf" and stack:
+                size = stack[-1]
+                stack.clear()
+            elif tok == "Td" and len(stack) >= 2:
+                tx += stack[-2]
+                ty += stack[-1]
+                stack.clear()
+            elif tok == "TD" and len(stack) >= 2:
+                leading = -stack[-1]
+                tx += stack[-2]
+                ty += stack[-1]
+                stack.clear()
+            elif tok == "Tm" and len(stack) >= 6:
+                tx, ty = stack[-2], stack[-1]
+                stack.clear()
+            elif tok == "T*":
+                ty -= leading
+                stack.clear()
+            elif tok in ("Tj", "TJ", "ET", "BT"):
+                stack.clear()
+            # other operators: ignore, keep stack for the next op
+    return blocks, page_w, page_h
+
+
 def extract_pdf_text(payload: str) -> str:
-    """Per-document K15/W3: parse layout JSON → XY-cut → join texts."""
-    try:
-        page = json.loads(payload or "{}")
-        blocks = page.get("blocks", [])
-    except (json.JSONDecodeError, AttributeError):
-        return ""
+    """Per-document K15/W3: layout JSON *or* real PDF bytes-as-latin1 →
+    blocks → XY-cut → join texts (payload kind sniffed)."""
+    if payload and payload.lstrip().startswith("%PDF-"):
+        blocks, _, _ = pdf_parse_blocks(payload)
+    else:
+        try:
+            page = json.loads(payload or "{}")
+            blocks = page.get("blocks", [])
+        except (json.JSONDecodeError, AttributeError):
+            return ""
     if not blocks:
         return ""
     x = np.array([float(b["x"]) for b in blocks])

@@ -167,6 +167,271 @@ def fingerprint_sql(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# repetition quality signals (Gopher/C4 family): duplicate-line fraction,
+# duplicate-line CHAR fraction, top-bigram char fraction, adjacent-char
+# repetition — the signals that dominate real corpus filtering, as native
+# array/lambda expressions (codegen; no explode, no UDF). Per-doc cost is
+# O(L²) in distinct lines/grams — the in-row twin of the explode-based
+# corpus machinery (dedup.ngram_topk) that handles corpus-wide stats.
+# All fractions are RAW doubles of integer-count divisions, so both engines
+# produce bit-identical values (no round() boundary hazards).
+# ---------------------------------------------------------------------------
+
+
+def _nonempty_lines(col: Column) -> Column:
+    return F.filter(F.split(col, "\n"), lambda x: x != F.lit(""))
+
+
+def dup_line_fraction(col: Column) -> Column:
+    """Fraction of non-empty lines that are exact duplicates of another line
+    (all occurrences beyond the first count)."""
+    lines = _nonempty_lines(col)
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))) / n
+    )
+
+
+def dup_line_char_fraction(col: Column) -> Column:
+    """Fraction of line characters sitting in duplicated lines (every
+    occurrence of a line whose text appears >1 time counts)."""
+    lines = _nonempty_lines(col)
+    dl = F.array_distinct(lines)
+
+    def cnt(d):
+        return F.size(F.filter(lines, lambda x: x == d))
+
+    dup_chars = F.aggregate(
+        F.filter(dl, lambda d: cnt(d) > 1),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + cnt(d).cast("long") * F.length(d).cast("long"),
+    )
+    tot_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    return F.when(tot_chars <= 0, F.lit(0.0)).otherwise(dup_chars / tot_chars)
+
+
+def top_ngram_char_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of text characters covered by the single most frequent word
+    n-gram (count × gram length / text length). Tie-break: lexicographically
+    smallest gram among the most frequent."""
+    words = F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda x: x != F.lit(""))
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = F.array_distinct(grams)
+
+    def cnt(d):
+        return F.size(F.filter(grams, lambda x: x == d))
+
+    maxc = F.array_max(F.transform(dg, cnt))
+    top = F.array_min(F.filter(dg, lambda d: cnt(d) == maxc))
+    return F.when(F.size(dg) <= 0, F.lit(0.0)).otherwise(
+        (maxc * F.length(top)) / F.greatest(F.length(col), F.lit(1))
+    )
+
+
+def char_run_repetition(col: Column) -> Column:
+    """Fraction of adjacent character positions repeating the previous
+    character (catches aaaaa/!!!!!-style degenerate text)."""
+    chars = F.split(col, "")
+    m = F.size(chars)
+    reps = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(chars, 1, F.greatest(m - 1, F.lit(0))),
+                F.slice(chars, 2, F.greatest(m - 1, F.lit(0))),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+    )
+    return F.when(m <= 1, F.lit(0.0)).otherwise(reps / (m - 1))
+
+
+def quality_v2(col: Column) -> Column:
+    """quality_score blended with the repetition signals — the Gopher-style
+    composite: ratio heuristics 60%, line-dedup 15%, top-bigram 15%,
+    char-run 10%. NOTE: composes the scalar signal trees inline — fine for
+    one column; for a frame with ALL signals use quality_repetition_select
+    (staged projections, each heavy array computed once)."""
+    return (
+        quality_score(col) * 0.6
+        + (1.0 - dup_line_fraction(col)) * 0.15
+        + (1.0 - top_ngram_char_fraction(col, 2)) * 0.15
+        + (1.0 - char_run_repetition(col)) * 0.1
+    )
+
+
+def _grams_col(col: Column, n: int) -> Column:
+    words = F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda x: x != F.lit(""))
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def quality_repetition_select(df, text: Column, id_cols=("doc_id",), n: int = 2):
+    """All repetition signals + quality_v2 in STAGED projections: lines,
+    grams, distinct sets and per-distinct counts are each computed ONCE as
+    intermediate columns, then the fractions read those columns. Composing
+    the scalar functions instead would inline the O(len) array subtrees
+    dozens of times (the count lambda appears inside max, tie-break and
+    fraction) — the plan explodes and codegen/analysis dominates. Values are
+    identical to the scalar functions; the DuckDB twin
+    (quality_repetition_sql) stages the same way with CTEs."""
+    s1 = df.select(*id_cols, text.alias("_t"))
+    s2 = s1.select(
+        "*",
+        _nonempty_lines(F.col("_t")).alias("_lines"),
+        _grams_col(F.col("_t"), n).alias("_grams"),
+        F.split(F.col("_t"), "").alias("_chars"),
+    )
+    s3 = s2.select(
+        "*",
+        F.array_distinct("_lines").alias("_dl"),
+        F.array_distinct("_grams").alias("_dg"),
+    )
+    s4 = s3.select(
+        "*",
+        F.transform(
+            F.col("_dl"),
+            lambda d: F.struct(
+                F.size(F.filter(F.col("_lines"), lambda x: x == d)).alias("c"),
+                F.length(d).alias("l"),
+            ),
+        ).alias("_dlc"),
+        F.transform(
+            F.col("_dg"),
+            lambda d: F.size(F.filter(F.col("_grams"), lambda x: x == d)),
+        ).alias("_dgc"),
+    )
+    n_lines = F.size("_lines")
+    dup_line = F.when(n_lines <= 0, F.lit(0.0)).otherwise(
+        (n_lines - F.size("_dl")) / n_lines
+    )
+    dup_chars = F.aggregate(
+        F.filter(F.col("_dlc"), lambda s: s["c"] > 1),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + s["c"].cast("long") * s["l"].cast("long"),
+    )
+    tot_chars = F.aggregate(
+        F.col("_lines"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    dup_line_char = F.when(tot_chars <= 0, F.lit(0.0)).otherwise(dup_chars / tot_chars)
+    maxc = F.array_max("_dgc")
+    top = F.array_min(
+        F.transform(
+            F.filter(
+                F.zip_with(
+                    F.col("_dg"), F.col("_dgc"), lambda d, c: F.struct(d.alias("d"), c.alias("c"))
+                ),
+                lambda s: s["c"] == maxc,
+            ),
+            lambda s: s["d"],
+        )
+    )
+    top_frac = F.when(F.size("_dg") <= 0, F.lit(0.0)).otherwise(
+        (maxc * F.length(top)) / F.greatest(F.length("_t"), F.lit(1))
+    )
+    m = F.size("_chars")
+    reps = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(F.col("_chars"), 1, F.greatest(m - 1, F.lit(0))),
+                F.slice(F.col("_chars"), 2, F.greatest(m - 1, F.lit(0))),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+    )
+    char_run = F.when(m <= 1, F.lit(0.0)).otherwise(reps / (m - 1))
+    s5 = s4.select(
+        *id_cols,
+        F.col("_t").alias("_t2"),
+        dup_line.alias("dup_line_frac"),
+        dup_line_char.alias("dup_line_char_frac"),
+        top_frac.alias("top_bigram_char_frac"),
+        char_run.alias("char_run_rep"),
+    )
+    qv2 = (
+        quality_score(F.col("_t2")) * 0.6
+        + (1.0 - F.col("dup_line_frac")) * 0.15
+        + (1.0 - F.col("top_bigram_char_frac")) * 0.15
+        + (1.0 - F.col("char_run_rep")) * 0.1
+    )
+    return s5.select(
+        *id_cols,
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_bigram_char_frac",
+        "char_run_rep",
+        qv2.alias("quality_v2"),
+    )
+
+
+def quality_repetition_sql(t_expr: str, n: int = 2, table: str = "documents") -> str:
+    """DuckDB twin of quality_repetition_select — same staged shape (CTEs),
+    same math, bit-identical integer-count divisions."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
+    return f"""
+WITH s0 AS (SELECT doc_id, {t_expr} AS t FROM {table}),
+s1 AS (SELECT doc_id, t,
+  list_filter(regexp_split_to_array(t, '\\n'), x -> x <> '') AS lines,
+  (SELECT list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1), i -> {gram})
+   FROM (SELECT list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'),
+                x -> x <> '') AS w)) AS grams
+  FROM s0),
+s2 AS (SELECT *, list_distinct(lines) AS dl, list_distinct(grams) AS dg FROM s1),
+s3 AS (SELECT *,
+  list_transform(dl, d -> struct_pack(c := len(list_filter(lines, x -> x = d)),
+                                      l := length(d))) AS dlc,
+  list_transform(dg, d -> len(list_filter(grams, x -> x = d))) AS dgc
+  FROM s2),
+s4 AS (SELECT doc_id, t,
+  CASE WHEN len(lines) <= 0 THEN 0.0
+       ELSE (len(lines) - len(dl)) / len(lines) END AS dup_line_frac,
+  CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) <= 0 THEN 0.0
+       ELSE coalesce(list_sum(list_transform(list_filter(dlc, s -> s.c > 1),
+                                             s -> s.c * s.l)), 0)
+            / coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+  END AS dup_line_char_frac,
+  CASE WHEN len(dg) <= 0 THEN 0.0
+       ELSE (list_max(dgc) * length(
+              list_min(list_transform(
+                list_filter(range(1, len(dg) + 1), i -> dgc[i] = list_max(dgc)),
+                i -> dg[i]))))
+            / greatest(length(t), 1)
+  END AS top_bigram_char_frac,
+  CASE WHEN length(t) <= 1 THEN 0.0
+       ELSE len(list_filter(range(2, length(t) + 1), i -> t[i] = t[i-1]))
+            / (length(t) - 1)
+  END AS char_run_rep
+  FROM s3)
+SELECT doc_id, dup_line_frac, dup_line_char_frac, top_bigram_char_frac,
+  char_run_rep,
+  ({quality_score_sql('t')}) * 0.6 + (1.0 - dup_line_frac) * 0.15
+    + (1.0 - top_bigram_char_frac) * 0.15 + (1.0 - char_run_rep) * 0.1
+    AS quality_v2
+FROM s4
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing: ordered regex replacements with placeholders (training-data
 # hygiene pass; patterns restricted to the RE2 ∩ Java-regex common subset so
 # the DuckDB twin is exact)

@@ -141,6 +141,20 @@ def sidecar_df(spark, glob_path: str):
     return bf.select(F.col("path").alias("media_ref"), F.col("content"))
 
 
+def synth_gif_bytes(media_ref: str) -> bytes:
+    """Deterministic synthetic animated GIF (real GIF89a container, real LZW):
+    2-5 frames derived from the ref's synthetic grayscale image, each frame
+    rolled by a seed-dependent shift — the video twin of synth_media_batch,
+    so the GIF codec and frame sampling have a reproducible corpus."""
+    from ocr_spark.operators.image_codecs import gif_encode
+
+    seed = media_seed(media_ref)
+    base = synth_media_batch([media_ref])[0]
+    n_frames = 2 + (seed % 4)
+    frames = [np.roll(base, (seed >> 4) % 7 + f * 3, axis=1) for f in range(n_frames)]
+    return gif_encode(frames)
+
+
 def synth_audio_bytes(media_ref: str) -> bytes:
     """Deterministic synthetic WAV payload (real RIFF container, 16-bit mono
     PCM): a sine whose frequency/duration derive from the ref hash — the

@@ -1,0 +1,224 @@
+"""Image codec tests: baseline JPEG (decode+encode), BMP, uncompressed TIFF,
+GIF/LZW — pure stdlib/numpy implementations of the published formats
+(S1 media scan; ref ocr_workflow_orchestrator.py:153-178 loads any
+PIL-supported format, OCR-X_Component_Breakdown_OptionB.md:11-18 lists
+TIFF/BMP/JPG/PNG as required inputs)."""
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators.image_codecs import (
+    bmp_decode,
+    bmp_encode,
+    gif_decode_frames,
+    gif_encode,
+    jpeg_decode,
+    jpeg_encode,
+    tiff_decode,
+    tiff_encode,
+)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+@pytest.fixture(scope="module")
+def gray():
+    rng = np.random.default_rng(7)
+    x = np.linspace(0, 255, 61)[None, :] + np.linspace(0, 60, 45)[:, None]
+    return np.clip(x + rng.normal(0, 8, (45, 61)), 0, 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def rgb(gray):
+    return np.stack([gray, 255 - gray, np.roll(gray, 7, axis=1)], axis=2)
+
+
+# ---------------------------------------------------------------------------
+# JPEG
+# ---------------------------------------------------------------------------
+
+
+class TestJpeg:
+    def test_gray_roundtrip_psnr(self, gray):
+        out = jpeg_decode(jpeg_encode(gray, quality=90))
+        assert out.shape == gray.shape and out.dtype == np.uint8
+        assert _psnr(gray, out) > 33
+
+    def test_rgb_444_roundtrip_psnr(self, rgb):
+        out = jpeg_decode(jpeg_encode(rgb, quality=90))
+        assert out.shape == rgb.shape
+        assert _psnr(rgb, out) > 28
+
+    def test_rgb_420_subsampled_roundtrip(self, rgb):
+        """4:2:0 exercises MCU interleaving and the decoder's upsampling."""
+        out = jpeg_decode(jpeg_encode(rgb, quality=90, subsample=True))
+        assert out.shape == rgb.shape
+        assert _psnr(rgb, out) > 20  # chroma is decimated by design
+
+    def test_quality_monotone(self, gray):
+        hi = jpeg_decode(jpeg_encode(gray, quality=95))
+        lo = jpeg_decode(jpeg_encode(gray, quality=10))
+        assert _psnr(gray, hi) > _psnr(gray, lo)
+        assert len(jpeg_encode(gray, quality=10)) < len(jpeg_encode(gray, quality=95))
+
+    def test_flat_image_exact_dc(self):
+        flat = np.full((16, 24), 128, np.uint8)
+        out = jpeg_decode(jpeg_encode(flat, quality=90))
+        assert (out == 128).all()
+
+    def test_non_multiple_of_8_sizes(self):
+        for shape in [(1, 1), (7, 9), (8, 8), (17, 31)]:
+            img = np.arange(shape[0] * shape[1], dtype=np.uint8).reshape(shape)
+            out = jpeg_decode(jpeg_encode(img, quality=95))
+            assert out.shape == shape
+
+    def test_corrupt_inputs_raise(self, gray):
+        with pytest.raises(ValueError, match="not a JPEG"):
+            jpeg_decode(b"\x00" * 100)
+        with pytest.raises(ValueError):
+            jpeg_decode(b"\xff\xd8\xff\xd9")  # SOI then EOI, no frame
+        enc = bytearray(jpeg_encode(gray))
+        with pytest.raises(ValueError):
+            jpeg_decode(bytes(enc[: len(enc) // 2]))  # truncated entropy data
+
+    def test_progressive_rejected(self, gray):
+        enc = bytearray(jpeg_encode(gray))
+        i = enc.find(b"\xff\xc0")
+        enc[i + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
+        with pytest.raises(ValueError, match="baseline"):
+            jpeg_decode(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# BMP / TIFF (lossless roundtrips)
+# ---------------------------------------------------------------------------
+
+
+class TestBmpTiff:
+    def test_bmp_rgb_lossless(self, rgb):
+        assert np.array_equal(bmp_decode(bmp_encode(rgb)), rgb)
+
+    def test_bmp_gray_input(self, gray):
+        out = bmp_decode(bmp_encode(gray))  # encoded as 24-bit
+        assert np.array_equal(out, np.stack([gray] * 3, axis=2))
+
+    def test_bmp_row_padding(self):
+        img = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(5, 3, 3)  # w=3 → pad
+        assert np.array_equal(bmp_decode(bmp_encode(img)), img)
+
+    def test_tiff_gray_lossless(self, gray):
+        out = tiff_decode(tiff_encode(gray))
+        assert out.ndim == 2 and np.array_equal(out, gray)
+
+    def test_tiff_rgb_lossless(self, rgb):
+        assert np.array_equal(tiff_decode(tiff_encode(rgb)), rgb)
+
+    def test_corrupt_raise(self):
+        with pytest.raises(ValueError):
+            bmp_decode(b"XX" + b"\x00" * 60)
+        with pytest.raises(ValueError):
+            tiff_decode(b"II\x00\x00" + b"\x00" * 20)
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+class TestGif:
+    def test_single_frame_exact(self, gray):
+        f = np.stack([gray] * 3, axis=2)
+        dec = gif_decode_frames(gif_encode(f))
+        assert len(dec) == 1 and np.array_equal(dec[0], f)
+
+    def test_multi_frame_exact(self, gray):
+        frames = [
+            np.stack([np.roll(gray, s, axis=1)] * 3, axis=2) for s in (0, 4, 9)
+        ]
+        dec = gif_decode_frames(gif_encode(frames))
+        assert len(dec) == 3
+        for a, b in zip(dec, frames):
+            assert np.array_equal(a, b)
+
+    def test_large_palette_quantizes(self):
+        rng = np.random.default_rng(1)
+        noisy = rng.integers(0, 256, (20, 20, 3), np.uint8)  # >256 colors
+        dec = gif_decode_frames(gif_encode(noisy))[0]
+        assert dec.shape == noisy.shape
+        # uniform quantizer coarsens until the palette fits: ≤6-bit shift
+        assert np.abs(dec.astype(int) - noisy.astype(int)).max() <= 63
+
+    def test_lzw_table_reset_on_long_input(self):
+        """Enough distinct sequences to overflow the 12-bit LZW table forces
+        the clear-and-restart path on both sides."""
+        rng = np.random.default_rng(2)
+        big = np.stack([((rng.integers(0, 256, (96, 96))) >> 4 << 4).astype(np.uint8)] * 3, axis=2)
+        dec = gif_decode_frames(gif_encode(big))[0]
+        assert np.array_equal(dec, big)
+
+    def test_corrupt_raise(self):
+        with pytest.raises(ValueError):
+            gif_decode_frames(b"GIF00a" + b"\x00" * 30)
+        with pytest.raises(ValueError):
+            gif_decode_frames(b"GIF89a" + b"\x00" * 7 + b"\x3b")  # no frames
+
+
+# ---------------------------------------------------------------------------
+# decode_image auto-sniffing + sidecar e2e over real files of every format
+# ---------------------------------------------------------------------------
+
+
+def test_decode_image_sniffs_all_formats(gray, rgb):
+    from ocr_spark.operators.multimodal import decode_image, detect_codec
+
+    payloads = {
+        "jpeg": jpeg_encode(gray, quality=95),
+        "bmp": bmp_encode(rgb),
+        "tiff": tiff_encode(rgb),
+        "gif": gif_encode(np.stack([gray] * 3, axis=2)),
+    }
+    for codec, blob in payloads.items():
+        assert detect_codec(blob[:12]) == codec
+        img = decode_image(blob)  # auto
+        assert img.shape[:2] == gray.shape
+    # synthetic raw payloads still fall through to the fixture decoder
+    assert detect_codec(b"\x00" * 12) is None
+
+
+def test_sidecar_mixed_formats_end_to_end(spark, tmp_path, gray):
+    """REAL image files of four formats on disk feed the SAME pipeline: the
+    binaryFile sidecar join resolves payloads, the Arrow stage sniffs the
+    codec, decodes, aspect-fits and recognizes — the full S1 production
+    path with no stubs for any of PNG/JPEG/BMP/TIFF/GIF."""
+    from ocr_spark.operators.cloud_engine import png_encode
+    from ocr_spark.pipeline import extract_documents
+    from ocr_spark.schema import DOC_SCHEMA
+    from ocr_spark.sources.media import sidecar_df, synth_media_batch
+
+    base = synth_media_batch(["mix-a"])[0]  # 32x32 native kernel size
+    d = tmp_path / "mix"
+    d.mkdir()
+    (d / "a.png").write_bytes(png_encode(base))
+    (d / "b.jpg").write_bytes(jpeg_encode(base, quality=95))
+    (d / "c.bmp").write_bytes(bmp_encode(base))
+    (d / "d.tif").write_bytes(tiff_encode(base))
+    (d / "e.gif").write_bytes(gif_encode(np.stack([base] * 3, axis=2)))
+
+    sidecar = sidecar_df(spark, str(d) + "/*")
+    uris = {r.media_ref.rsplit(".", 1)[-1]: r.media_ref for r in sidecar.collect()}
+    assert set(uris) == {"png", "jpg", "bmp", "tif", "gif"}
+    docs = spark.createDataFrame(
+        [(ext, [("media", None, uri, 0)]) for ext, uri in uris.items()],
+        DOC_SCHEMA,
+    )
+    out = {r.doc_id: r for r in extract_documents(docs, media_sidecar=sidecar).collect()}
+    assert all(r.error is None for r in out.values()), {
+        k: r.error for k, r in out.items()
+    }
+    # lossless formats decode to the identical image → identical extraction
+    texts = {k: out[k].spans[0].text for k in out}
+    assert texts["png"] == texts["bmp"] == texts["tif"] == texts["gif"]
+    assert all(isinstance(t, str) for t in texts.values())

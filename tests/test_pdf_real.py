@@ -1,0 +1,120 @@
+"""Real-PDF text-layer tests: the in-repo writer (valid xref'd single-page
+PDFs), the content-stream parser (BT/ET, Tf/Td/TD/Tm/T*, Tj, escapes,
+MediaBox), and the pdf-kind pipeline path over actual PDF bytes."""
+
+import re
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators.pdf_layout import (
+    extract_pdf_text,
+    pdf_parse_blocks,
+    pdf_write,
+)
+
+BLOCKS = [
+    {"x": 50, "y": 60, "text": "left top"},
+    {"x": 320, "y": 60, "text": "right top"},
+    {"x": 50, "y": 400, "text": "left bottom"},
+    {"x": 320, "y": 400, "text": "right bottom"},
+]
+
+
+def test_writer_emits_valid_xref():
+    pdf = pdf_write(BLOCKS)
+    assert pdf.startswith(b"%PDF-1.4") and pdf.rstrip().endswith(b"%%EOF")
+    xref_off = int(re.search(rb"startxref\n(\d+)", pdf).group(1))
+    assert pdf[xref_off : xref_off + 4] == b"xref"
+    for i, off in enumerate(re.findall(rb"(\d{10}) 00000 n", pdf), start=1):
+        assert pdf[int(off) :].startswith(f"{i} 0 obj".encode())
+    m = re.search(rb"/Length (\d+) >>\nstream\n", pdf)
+    ln = int(m.group(1))
+    assert pdf[m.end() + ln : m.end() + ln + 10] == b"\nendstream"
+
+
+def test_roundtrip_positions_and_text():
+    pdf = pdf_write(BLOCKS)
+    parsed, w, h = pdf_parse_blocks(pdf)
+    assert (w, h) == (612.0, 792.0)
+    got = {(round(b["x"]), round(b["y"]), b["text"]) for b in parsed}
+    assert got == {(b["x"], b["y"], b["text"]) for b in BLOCKS}
+
+
+def test_string_escapes_roundtrip():
+    weird = [{"x": 10, "y": 10, "text": "par(en)s \\ back\nline\ttab \x07bel"}]
+    # \x07 survives as octal escape? writer only escapes \\ ( ) — control
+    # bytes pass through latin-1 verbatim, parser returns them as-is
+    parsed, _, _ = pdf_parse_blocks(pdf_write(weird))
+    assert parsed[0]["text"] == weird[0]["text"]
+
+
+def test_octal_and_nested_parens_parse():
+    body = "%PDF-1.4\nBT /F1 10 Tf 5 700 Td (a\\101b (nested) \\) done) Tj ET"
+    parsed, _, _ = pdf_parse_blocks(body)
+    assert parsed[0]["text"] == "aAb (nested) ) done"
+    assert parsed[0]["h"] == 10.0
+
+
+def test_td_tm_tstar_positioning():
+    body = (
+        "%PDF-1.4\n"
+        "BT /F1 12 Tf 100 700 Td (first) Tj 0 -20 TD (second) Tj T* (third) Tj ET\n"
+        "BT 1 0 0 1 300 500 Tm (via tm) Tj ET"
+    )
+    parsed, _, h = pdf_parse_blocks(body)
+    ys = {b["text"]: b["y"] for b in parsed}
+    # Td is cumulative; TD also sets leading for T*
+    assert ys["second"] == ys["first"] + 20
+    assert ys["third"] == ys["second"] + 20
+    assert ys["via tm"] == pytest.approx(h - 500 - 12)
+    xs = {b["text"]: b["x"] for b in parsed}
+    assert xs["via tm"] == 300
+
+
+def test_mediabox_respected():
+    pdf = pdf_write([{"x": 10, "y": 20, "text": "t"}], page_w=200, page_h=100)
+    parsed, w, h = pdf_parse_blocks(pdf)
+    assert (w, h) == (200.0, 100.0)
+    assert parsed[0]["y"] == pytest.approx(20.0)
+
+
+def test_flate_rejected_not_a_pdf_rejected():
+    with pytest.raises(ValueError, match="compressed"):
+        pdf_parse_blocks(b"%PDF-1.5\n<< /Filter /FlateDecode >> stream xx endstream")
+    with pytest.raises(ValueError, match="not a PDF"):
+        pdf_parse_blocks(b"hello")
+
+
+def test_extract_pdf_text_sniffs_real_vs_json():
+    pdf = pdf_write(BLOCKS).decode("latin-1")
+    assert extract_pdf_text(pdf) == "left top\nright top\nleft bottom\nright bottom"
+    json_payload = '{"blocks": [{"x": 1, "y": 1, "w": 5, "h": 5, "text": "j"}]}'
+    assert extract_pdf_text(json_payload) == "j"
+    assert extract_pdf_text("") == ""
+
+
+def test_xycut_recovers_reading_order_from_shuffled_pdf():
+    rng = np.random.default_rng(0)
+    shuffled = [BLOCKS[i] for i in rng.permutation(4)]
+    text = extract_pdf_text(pdf_write(shuffled).decode("latin-1"))
+    assert text == "left top\nright top\nleft bottom\nright bottom"
+
+
+def test_pdf_real_pipeline_e2e(spark):
+    """Actual writer-produced PDF bytes through the FULL pipeline: the
+    pdf-kind span carries the PDF as latin-1 text, the Arrow stage parses
+    the text layer and XY-cuts reading order."""
+    from ocr_spark.pipeline import extract_documents
+    from ocr_spark.schema import DOC_SCHEMA
+
+    pdf = pdf_write(BLOCKS).decode("latin-1")
+    docs = spark.createDataFrame(
+        [("p1", [("pdf", pdf, None, 0)]), ("p2", [("pdf", "%PDF-garbage", None, 0)])],
+        DOC_SCHEMA,
+    )
+    rows = {r.doc_id: r for r in extract_documents(docs, rules=[]).collect()}
+    assert rows["p1"].error is None
+    assert rows["p1"].spans[0].text == "left top\nright top\nleft bottom\nright bottom"
+    # a %PDF- payload with no BT/ET text objects extracts to empty, no error
+    assert rows["p2"].spans[0].text == "" and rows["p2"].error is None

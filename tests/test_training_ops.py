@@ -181,6 +181,49 @@ def test_text_analysis_edges(spark):
     assert 0.0 <= rows[4].q <= 1.0
 
 
+def test_repetition_signals_goldens(spark):
+    """Hand-computed goldens for the Gopher/C4 repetition signals, through
+    both the scalar functions and the staged frame (values must agree)."""
+    from ocr_spark.operators import text_analysis as TA
+
+    txt = "ab ab\nxx\nxx\nxx\nzz"  # 5 lines: 'ab ab','xx','xx','xx','zz'
+    df = spark.createDataFrame([(1, txt), (2, ""), (3, "aaaa")], "doc_id long, text string")
+    scal = df.select(
+        "doc_id",
+        TA.dup_line_fraction(F.col("text")).alias("dlf"),
+        TA.dup_line_char_fraction(F.col("text")).alias("dlcf"),
+        TA.top_ngram_char_fraction(F.col("text"), 2).alias("tbf"),
+        TA.char_run_repetition(F.col("text")).alias("crr"),
+    )
+    rows = {r.doc_id: r for r in scal.collect()}
+    # 5 lines, 3 distinct → 2/5 duplicated occurrences beyond first
+    assert rows[1].dlf == pytest.approx(2 / 5)
+    # duplicated-line chars: 'xx' ×3 → 6 of 13 total line chars
+    assert rows[1].dlcf == pytest.approx(6 / 13)
+    # top bigram 'xx xx' count 2, len 5; text len 17 → 10/17
+    assert rows[1].tbf == pytest.approx(10 / 17)
+    # adjacent repeats in 'ab ab\nxx\nxx\nxx\nzz': xx,xx,xx,zz → 4 of 16
+    assert rows[1].crr == pytest.approx(4 / 16)
+    assert (rows[2].dlf, rows[2].dlcf, rows[2].tbf, rows[2].crr) == (0, 0, 0, 0)
+    assert rows[3].crr == pytest.approx(1.0)  # 'aaaa' → 3/3
+
+    staged = {
+        r.doc_id: r
+        for r in TA.quality_repetition_select(df, F.col("text")).collect()
+    }
+    for i in (1, 2, 3):
+        assert staged[i].dup_line_frac == rows[i].dlf
+        assert staged[i].dup_line_char_frac == rows[i].dlcf
+        assert staged[i].top_bigram_char_frac == rows[i].tbf
+        assert staged[i].char_run_rep == rows[i].crr
+        # blended composite reproduced from the parts
+        q = df.where(F.col("doc_id") == i).select(
+            TA.quality_score(F.col("text")).alias("q")
+        ).collect()[0].q
+        want = q * 0.6 + (1 - rows[i].dlf) * 0.15 + (1 - rows[i].tbf) * 0.15 + (1 - rows[i].crr) * 0.1
+        assert staged[i].quality_v2 == pytest.approx(want)
+
+
 def test_multimodal_plumbing(spark):
     from ocr_spark.fixtures import generate_docs
     from ocr_spark.operators.multimodal import (
@@ -205,10 +248,26 @@ def test_multimodal_plumbing(spark):
     assert all(f.width == 32 and f.height == 32 and f.n_bands >= 0 for f in ok)
     assert all(0.0 <= f.mean_intensity <= 255.0 for f in ok)
 
-    frames = frame_sample(assets.limit(3), every_n=5)
-    assert frames.count() == 3 * 4
+    # frame_sample now REALLY decodes: GIF payloads → per-frame rows;
+    # non-GIF payloads → per-asset error envelope, never an exception
+    from ocr_spark.operators.multimodal import video_assets_df
+    from ocr_spark.sources.media import synth_gif_bytes
 
-    with pytest.raises(NotImplementedError):
+    from ocr_spark.operators.image_codecs import gif_decode_frames
+
+    vids = video_assets_df(assets.limit(3).select("media_ref"))
+    frames = frame_sample(vids, every_n=2).collect()
+    assert frames and all(r.error is None for r in frames)
+    for ref in {r.media_ref for r in frames}:
+        n = len(gif_decode_frames(synth_gif_bytes(ref)))
+        got = sorted(r.frame_idx for r in frames if r.media_ref == ref)
+        assert got == list(range(0, n, 2))
+        assert all(r.n_frames == n for r in frames if r.media_ref == ref)
+    bad = frame_sample(assets.limit(2)).collect()  # raw payloads: not GIFs
+    assert all(r.error is not None and r.frame_idx is None for r in bad)
+
+    # corrupt inputs error cleanly (never hang); mp3 stays unimplemented
+    with pytest.raises(ValueError, match="not a JPEG"):
         decode_image(b"\x00" * 2048, codec="jpeg")
     with pytest.raises(NotImplementedError):
         decode_audio(b"\x00", codec="mp3")
