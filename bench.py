@@ -43,6 +43,10 @@ BENCH_ENTRY_QUERIES = [
     "ivf_topk",
     "token_counts",
     "quality_score",
+    # round-3 additions — the suite grew by 2 queries; round-over-round
+    # totals must compare the shared subset (BENCH/EXTRA.md has the table)
+    "quality_repetition",
+    "dedup_clusters",
 ]
 
 

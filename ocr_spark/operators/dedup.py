@@ -137,18 +137,28 @@ def _ensure_parallel(docs: DataFrame) -> DataFrame:
 
 
 def _exploded_shingles(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
-    """(id, shingle) with duplicates — shared base for the distinct variants."""
+    """(id, shingle) with duplicates — shared base for the distinct variants.
+
+    The tokenization is STAGED as its own projection: `element_at` inside a
+    transform lambda re-evaluates inline subtrees per element, so building
+    grams directly over filter(split(...)) re-ran the regex split ~n·k times
+    per row (measured 20× slower at sf0.1). Referencing the materialized
+    `_w` column makes each element_at O(1); Catalyst's CollapseProject keeps
+    multi-referenced non-cheap aliases staged (collapseProjectAlwaysInline
+    defaults false)."""
     docs = _ensure_parallel(docs)
     words = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda x: x != ""
     )
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    staged = docs.select(F.col(id_col).alias("id"), words.alias("_w"))
+    w = F.col("_w")
+    k = F.greatest(F.size(w) - (n - 1), F.lit(0))
     grams = F.transform(
         F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(n)]),
     )
-    return docs.select(
-        F.col(id_col).alias("id"),
+    return staged.select(
+        "id",
         F.explode(F.when(k > 0, grams).otherwise(F.array())).alias("shingle"),
     )
 
@@ -572,10 +582,15 @@ def dedup_clusters(
 
     `stats`, when provided, receives {'rounds': k, 'converged': bool}.
     """
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    edges = edges.persist()
+    # materialize the pair list ONCE: the symmetrized edge union evaluates
+    # its input per branch, so building edges straight off an expensive
+    # near-dup join would run that join twice before any caching fills
+    pairs_m = pairs.select(
+        F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
+    ).localCheckpoint(eager=True)
+    edges = pairs_m.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs_m.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -588,22 +603,24 @@ def dedup_clusters(
         prop = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("label")
         )
+        # carry the old label through the min-agg so the change flag rides
+        # the SAME materialization job; the convergence check is then a
+        # trivial agg over the checkpointed (tiny, AQE-coalesced) frame
         new_labels = (
-            labels.unionByName(prop)
+            labels.select("id", "label", F.col("label").alias("_old"))
+            .unionByName(prop.withColumn("_old", F.lit(None).cast(prop.schema["label"].dataType)))
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min("_old").alias("_old"),  # exactly one non-null per id
+            )
             .localCheckpoint(eager=True)  # materialize + truncate lineage
         )
-        n_changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "id")
-            .where(F.col("label") < F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        n_changed = new_labels.where(F.col("label") < F.col("_old")).count()
+        labels = new_labels.select("id", "label")
         if n_changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         import warnings
 

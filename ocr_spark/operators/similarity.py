@@ -229,6 +229,35 @@ def derived_n_planes(
     return int(min(max_planes, max(min_planes, p)))
 
 
+def parquet_rowcount(df: DataFrame) -> int | None:
+    """Row count of a parquet-backed frame from file FOOTERS only (driver-
+    side metadata, no Spark job, no data scan). None when the frame isn't a
+    plain local parquet scan — note this counts the FILES, so a filtered
+    frame gets the pre-filter count (an upper bound, which is exactly right
+    for deriving LSH plane counts). The Iceberg analogue is snapshot
+    row-count stats."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f
+        if not os.path.exists(path):
+            return None  # non-local FS: let the caller fall back
+        try:
+            total += pq.read_metadata(path).num_rows
+        except Exception:
+            return None
+    return total
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,
@@ -236,13 +265,18 @@ def embedding_near_dups(
     n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: bucket by sign-LSH, exact cosine
     within buckets (the near-dup variant of lsh_topk; one shuffle).
 
     n_planes=None derives the plane count from the corpus size
-    (derived_n_planes) — one cheap count job — so bucket occupancy, and with
-    it the quadratic within-bucket work, stays bounded as the corpus grows.
+    (derived_n_planes) so bucket occupancy, and with it the quadratic
+    within-bucket work, stays bounded as the corpus grows. The size comes
+    from `n_vectors` when given, else parquet footer metadata (no extra
+    job), else one count() job as the last resort — the previous
+    unconditional count() was a full extra scan of the embeddings at
+    corpus scale.
 
     n_tables>1 is the standard multi-table LSH recall lever: a pair is a
     candidate if it collides in ANY of the independent plane sets (per-pair
@@ -251,7 +285,11 @@ def embedding_near_dups(
     ONE shuffle; candidate pairs are deduped before the exact-cosine verify
     (each pair scored once regardless of how many tables it collides in)."""
     if n_planes is None:
-        n_planes = derived_n_planes(emb.count())
+        if n_vectors is None:
+            n_vectors = parquet_rowcount(emb)
+        if n_vectors is None:
+            n_vectors = emb.count()
+        n_planes = derived_n_planes(n_vectors)
     v = F.col(vec_col).cast("array<double>")
     tables = [
         hyperplanes(n_planes, dim=EMB_DIM, seed=7 + 1000 * t)

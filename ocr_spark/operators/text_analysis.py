@@ -271,20 +271,6 @@ def quality_v2(col: Column) -> Column:
     )
 
 
-def _grams_col(col: Column, n: int) -> Column:
-    words = F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda x: x != F.lit(""))
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    return F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + j + 1) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def quality_repetition_select(df, text: Column, id_cols=("doc_id",), n: int = 2):
     """All repetition signals + quality_v2 in STAGED projections: lines,
     grams, distinct sets and per-distinct counts are each computed ONCE as
@@ -295,12 +281,32 @@ def quality_repetition_select(df, text: Column, id_cols=("doc_id",), n: int = 2)
     identical to the scalar functions; the DuckDB twin
     (quality_repetition_sql) stages the same way with CTEs."""
     s1 = df.select(*id_cols, text.alias("_t"))
-    s2 = s1.select(
+    # stage the token array BEFORE building grams: element_at inside a
+    # transform lambda re-evaluates inline subtrees per element (the regex
+    # split would run ~2k times per row — measured 20× slower at sf0.1)
+    s1b = s1.select(
+        "*",
+        F.filter(
+            F.split(F.lower(F.col("_t")), r"[^a-z0-9]+"), lambda x: x != F.lit("")
+        ).alias("_words"),
+    )
+    w = F.col("_words")
+    k = F.greatest(F.size(w) - (n - 1), F.lit(0))
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    s2 = s1b.select(
         "*",
         _nonempty_lines(F.col("_t")).alias("_lines"),
-        _grams_col(F.col("_t"), n).alias("_grams"),
+        grams.alias("_grams"),
         F.split(F.col("_t"), "").alias("_chars"),
-    )
+    ).drop("_words")
     s3 = s2.select(
         "*",
         F.array_distinct("_lines").alias("_dl"),

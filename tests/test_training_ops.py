@@ -181,6 +181,32 @@ def test_text_analysis_edges(spark):
     assert 0.0 <= rows[4].q <= 1.0
 
 
+def test_parquet_rowcount_footer_only(spark, tmp_path):
+    """Plane derivation reads parquet footers, not the data (no extra scan
+    job); filtered frames and non-parquet sources fall back cleanly."""
+    from ocr_spark.operators.similarity import (
+        derived_n_planes,
+        embedding_near_dups,
+        parquet_rowcount,
+    )
+
+    p = str(tmp_path / "emb.parquet")
+    src = spark.range(300).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), i -> cast(pmod(xxhash64(id, i), 100) AS double) / 50.0 - 1.0) AS embedding",
+    )
+    src.write.parquet(p)
+    emb = spark.read.parquet(p)
+    assert parquet_rowcount(emb) == 300
+    assert parquet_rowcount(spark.range(3)) is None  # not file-backed
+    # auto-derived (footer) equals explicitly-passed plane count
+    auto = embedding_near_dups(emb, threshold=0.5).collect()
+    explicit = embedding_near_dups(
+        emb, threshold=0.5, n_planes=derived_n_planes(300)
+    ).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+
+
 def test_repetition_signals_goldens(spark):
     """Hand-computed goldens for the Gopher/C4 repetition signals, through
     both the scalar functions and the staged frame (values must agree)."""
