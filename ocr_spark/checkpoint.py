@@ -153,6 +153,11 @@ def run_resumable(
     build the stats from actual rows — the belt-and-braces mode. Both modes
     describe what is on disk, and both cross-check against the write job's
     df.observe totals, refusing to write manifests on mismatch."""
+    if verify not in ("metadata", "scan"):
+        raise ValueError(
+            f"verify={verify!r}: expected 'metadata' (footer statistics) or "
+            "'scan' (re-read written buckets)"
+        )
     from ocr_spark.pipeline import extract_documents
 
     extract = extract or (lambda d: extract_documents(d))

@@ -206,6 +206,8 @@ def jaccard_pairs(
     threshold: float = 0.8,
     n: int = 3,
     shingle_freq_cap: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """All doc pairs (a < b) with shingle-set Jaccard >= threshold.
 
@@ -216,7 +218,7 @@ def jaccard_pairs(
     shuffle keys instead of ~25-byte strings, identical results modulo a
     ~3e-9/pair collision bound, exact vs the oracle (same hash both sides).
     """
-    sh = shingles_hashed(docs, n=n)
+    sh = shingles_hashed(docs, n=n, id_col=id_col, text_col=text_col)
     if shingle_freq_cap:
         freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
         sh = sh.join(
@@ -301,12 +303,15 @@ def _mh_member(h1, h2, i: int):
     return (h1 + F.lit(i) * h2).bitwiseAND(F.lit(_MH_MASK30))
 
 
-def minhash_signatures(docs: DataFrame, k: int = 32, n: int = 3) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, k: int = 32, n: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
     """(id, sig:array<bigint>) — k min-hash values over word shingles.
     Hash family: Kirsch-Mitzenmacher h_i = (h1 + i·h2) mod 2^30 over two
     md5-derived base hashes of the 8-byte shingle key; k min-aggs = one
     shuffle with map-side partial aggregation, only 2 md5s per shingle."""
-    sh = shingles_hashed(docs, n=n)
+    sh = shingles_hashed(docs, n=n, id_col=id_col, text_col=text_col)
     h1, h2 = _mh_base(F.col("sh"))
     mins = [F.min(_mh_member(h1, h2, i)).alias(f"h{i}") for i in range(k)]
     agg = sh.groupBy("id").agg(*mins)
@@ -319,6 +324,8 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified by signature-estimated
     Jaccard (fraction of equal minhashes) >= threshold.
@@ -331,7 +338,7 @@ def minhash_lsh_pairs(
     from ocr_spark.operators.text_analysis import h60
 
     rows = k // bands
-    sig = minhash_signatures(docs, k=k, n=n)
+    sig = minhash_signatures(docs, k=k, n=n, id_col=id_col, text_col=text_col)
     band_cols = F.explode(
         F.array(
             *[
@@ -506,6 +513,8 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bits: int = 60,
     sig: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """Near-dup candidates: split the signature into (max_hamming+1) chunks —
     any pair within hamming distance must share one exact chunk (pigeonhole);
@@ -529,7 +538,7 @@ def simhash_near_pairs(
             stacklevel=2,
         )
     if sig is None:
-        sig = simhash(docs, bits=bits)
+        sig = simhash(docs, bits=bits, id_col=id_col, text_col=text_col)
     keyed = simhash_chunk_keys(sig, max_hamming=max_hamming, bits=bits)
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
@@ -678,11 +687,11 @@ def near_dedup(
     if method == "exact":
         return exact_dedup(docs, id_col=id_col, text_col=text_col)
     if method == "minhash":
-        pairs = minhash_lsh_pairs(docs, **method_kw)
+        pairs = minhash_lsh_pairs(docs, id_col=id_col, text_col=text_col, **method_kw)
     elif method == "simhash":
-        pairs = simhash_near_pairs(docs, **method_kw)
+        pairs = simhash_near_pairs(docs, id_col=id_col, text_col=text_col, **method_kw)
     elif method == "jaccard":
-        pairs = jaccard_pairs(docs, **method_kw)
+        pairs = jaccard_pairs(docs, id_col=id_col, text_col=text_col, **method_kw)
     else:
         raise ValueError(f"unknown near-dedup method {method!r}")
     labels = dedup_clusters(pairs, max_rounds=max_rounds, stats=stats)

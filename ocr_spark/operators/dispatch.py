@@ -106,7 +106,18 @@ def _resolve_sidecar(
             continue
         try:
             if detect_codec(bytes(payload[:12])) is not None:
-                g = to_grayscale(decode_image(bytes(payload)))
+                try:
+                    g = to_grayscale(decode_image(bytes(payload)))
+                except Exception:
+                    # a RAW synthetic payload can start with a real magic by
+                    # chance (2-byte BM/FFD8 ≈ 1/32k of payloads): when the
+                    # sniffed decode fails but the payload has exactly the
+                    # synthetic contract's shape, fall back instead of
+                    # degrading the doc to an error envelope
+                    if len(payload) == IMG_SIDE * IMG_SIDE:
+                        g = to_grayscale(bytes_to_image(payload))
+                    else:
+                        raise
                 if g.shape != (IMG_SIDE, IMG_SIDE):
                     # arbitrary-size real images → kernel input size via the
                     # K6 convention: ASPECT-PRESERVING bilinear resize by

@@ -81,9 +81,11 @@ def decode_image(content: bytes, codec: str = "auto") -> np.ndarray:
     (cloud_engine.png_decode, image_codecs.*); 'synthetic' is the
     fixture-corpus raw-bytes format. codec='auto' sniffs magic bytes and
     falls back to synthetic."""
-    sniffed = detect_codec((content or b"")[:12])
-    if codec in ("auto", "synthetic"):
-        codec = sniffed or "synthetic"
+    if codec == "auto":
+        # only 'auto' sniffs: an EXPLICIT codec is honored verbatim — raw
+        # synthetic payloads can start with 'BM'/FFD8 by chance (~1/32k),
+        # and overriding the caller would misroute them to a real decoder
+        codec = detect_codec((content or b"")[:12]) or "synthetic"
     if codec == "png":
         from ocr_spark.operators.cloud_engine import png_decode
 

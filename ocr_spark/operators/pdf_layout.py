@@ -209,22 +209,26 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
         x0, y0, x1, y1 = (float(mb.group(i)) for i in range(1, 5))
         page_w, page_h = x1 - x0, y1 - y0
     blocks: list[dict] = []
-    tok_re = _re.compile(rf"({_NUM})|(/[A-Za-z0-9]+)|(T[a-zA-Z*]|BT|ET|Tm|\()")
-    for m_bt in _re.finditer(r"\bBT\b", text):
-        i = m_bt.end()
-        end = text.find("ET", i)
-        if end < 0:
-            break
-        size = 12.0
-        tx = ty = 0.0
-        leading = 0.0
-        stack: list[float] = []
-        j = i
-        while j < end:
-            c = text[j]
-            if c == "(":
-                s, j2 = _parse_pdf_string(text, j)
-                # associate with current position; defer op (Tj/TJ item)
+    # one LINEAR pass with an in-text-object state flag: string literals are
+    # consumed by the string parser wherever they appear, so 'ET'/'BT' INSIDE
+    # a string can neither truncate a text object (BUDGET, SECRET…) nor
+    # fabricate one — the former find("ET") scan failed exactly there
+    tok_re = _re.compile(rf"({_NUM})|(/[A-Za-z0-9]+)|(BT|ET|Tm|TL|T[a-zA-Z*])")
+    n = len(text)
+    in_bt = False
+    size = 12.0
+    tx = ty = leading = 0.0
+    stack: list[float] = []
+    j = 0
+    while j < n:
+        c = text[j]
+        if c == "(":
+            try:
+                s, j = _parse_pdf_string(text, j)
+            except ValueError:
+                j += 1  # unbalanced paren in non-text data: skip the byte
+                continue
+            if in_bt:
                 blocks.append(
                     {
                         "x": tx,
@@ -234,38 +238,57 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
                         "text": s,
                     }
                 )
-                j = j2
-                continue
-            m = tok_re.match(text, j)
-            if not m:
-                j += 1
-                continue
-            tok = m.group(0)
-            j = m.end()
-            if m.group(1) is not None:
-                stack.append(float(tok))
-                continue
-            if tok == "Tf" and stack:
-                size = stack[-1]
-                stack.clear()
-            elif tok == "Td" and len(stack) >= 2:
-                tx += stack[-2]
-                ty += stack[-1]
-                stack.clear()
-            elif tok == "TD" and len(stack) >= 2:
-                leading = -stack[-1]
-                tx += stack[-2]
-                ty += stack[-1]
-                stack.clear()
-            elif tok == "Tm" and len(stack) >= 6:
-                tx, ty = stack[-2], stack[-1]
-                stack.clear()
-            elif tok == "T*":
-                ty -= leading
-                stack.clear()
-            elif tok in ("Tj", "TJ", "ET", "BT"):
-                stack.clear()
-            # other operators: ignore, keep stack for the next op
+            continue
+        m = tok_re.match(text, j)
+        if not m:
+            j += 1
+            continue
+        tok = m.group(0)
+        # operator tokens must stand alone (not part of an identifier)
+        if m.group(3) is not None and (
+            (m.end() < n and (text[m.end()].isalnum() or text[m.end()] == "*"))
+            or (j > 0 and text[j - 1].isalnum())
+        ):
+            j += 1
+            continue
+        j = m.end()
+        if m.group(1) is not None:
+            stack.append(float(tok))
+            continue
+        if m.group(2) is not None:  # /Name operand
+            continue
+        if tok == "BT":
+            in_bt = True
+            tx = ty = leading = 0.0
+            stack.clear()
+        elif tok == "ET":
+            in_bt = False
+            stack.clear()
+        elif not in_bt:
+            stack.clear()
+        elif tok == "Tf" and stack:
+            size = stack[-1]
+            stack.clear()
+        elif tok == "Td" and len(stack) >= 2:
+            tx += stack[-2]
+            ty += stack[-1]
+            stack.clear()
+        elif tok == "TD" and len(stack) >= 2:
+            leading = -stack[-1]
+            tx += stack[-2]
+            ty += stack[-1]
+            stack.clear()
+        elif tok == "Tm" and len(stack) >= 6:
+            tx, ty = stack[-2], stack[-1]
+            stack.clear()
+        elif tok == "TL" and stack:
+            leading = stack[-1]
+            stack.clear()
+        elif tok == "T*":
+            ty -= leading
+            stack.clear()
+        else:  # Tj/TJ and any other T-op (Tc/Tw/Tz/Ts/Tr): operands consumed
+            stack.clear()
     return blocks, page_w, page_h
 
 

@@ -237,6 +237,10 @@ def parquet_rowcount(df: DataFrame) -> int | None:
     for deriving LSH plane counts). The Iceberg analogue is snapshot
     row-count stats."""
     try:
+        # a multi-relation plan (join/union of file-backed frames) would sum
+        # ALL inputs' files — only a single-leaf plan is a row-count witness
+        if df._jdf.queryExecution().analyzed().collectLeaves().size() != 1:
+            return None
         files = df.inputFiles()
     except Exception:
         return None

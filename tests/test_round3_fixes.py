@@ -64,6 +64,97 @@ class TestFitPadGray:
         assert (_fit_pad_gray(g, 32) == g).all()
 
 
+class TestReviewFindings:
+    """Round-3 code-review findings (each confirmed by reproduction)."""
+
+    def test_pdf_et_inside_string_not_truncating(self):
+        from ocr_spark.operators.pdf_layout import pdf_parse_blocks
+
+        body = (
+            "%PDF-1.4\nBT /F1 12 Tf 10 700 Td (BUDGET report) Tj "
+            "0 -14 Td (second line) Tj ET"
+        )
+        blocks, _, _ = pdf_parse_blocks(body)
+        assert [b["text"] for b in blocks] == ["BUDGET report", "second line"]
+
+    def test_pdf_bt_inside_string_not_fabricating(self):
+        from ocr_spark.operators.pdf_layout import pdf_parse_blocks
+
+        body = "%PDF-1.4\nBT /F1 12 Tf 10 700 Td (contains BT and ET words) Tj ET"
+        blocks, _, _ = pdf_parse_blocks(body)
+        assert [b["text"] for b in blocks] == ["contains BT and ET words"]
+
+    def test_decode_image_explicit_synthetic_never_sniffed(self):
+        from ocr_spark.operators.media_kernels import IMG_SIDE
+        from ocr_spark.operators.multimodal import decode_image
+
+        raw = bytearray(IMG_SIDE * IMG_SIDE)
+        for magic in (b"BM", b"\xff\xd8"):
+            raw[: len(magic)] = magic
+            img = decode_image(bytes(raw), codec="synthetic")
+            assert img.shape == (IMG_SIDE, IMG_SIDE)
+
+    def test_sidecar_magic_collision_falls_back(self):
+        """A raw synthetic payload that happens to start with 'BM' must not
+        degrade the doc to an error envelope."""
+        import pyarrow as pa
+
+        from ocr_spark.operators.dispatch import MEDIA_SIDECAR_COL, _resolve_sidecar
+        from ocr_spark.operators.media_kernels import IMG_SIDE
+
+        raw = bytearray(range(256)) * (IMG_SIDE * IMG_SIDE // 256)
+        raw[:2] = b"BM"
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array([[("m", bytes(raw))]], type=pa.map_(pa.string(), pa.binary()))],
+            names=[MEDIA_SIDECAR_COL],
+        )
+        grays, ok, errs = _resolve_sidecar(
+            batch, ["m"], np.array([0]), np.array([0])
+        )
+        assert ok[0] and not errs
+        assert grays[0].shape == (IMG_SIDE, IMG_SIDE)
+
+    def test_near_dedup_honors_id_and_text_cols(self, spark):
+        from ocr_spark.operators.dedup import near_dedup
+
+        df = spark.createDataFrame(
+            [
+                (10, "the quick brown fox jumps over the lazy dog today"),
+                (11, "the quick brown fox jumps over the lazy dog today"),
+                (12, "entirely different content about query optimizers"),
+            ],
+            "page_id long, body string",
+        )
+        kept = {
+            r.page_id
+            for r in near_dedup(
+                df, method="simhash", id_col="page_id", text_col="body",
+                max_hamming=3,
+            ).collect()
+        }
+        assert kept == {10, 12}
+
+    def test_parquet_rowcount_rejects_multi_relation_plans(self, spark, tmp_path):
+        from ocr_spark.operators.similarity import parquet_rowcount
+
+        p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+        spark.range(10).write.parquet(p1)
+        spark.range(20).write.parquet(p2)
+        a, b = spark.read.parquet(p1), spark.read.parquet(p2)
+        assert parquet_rowcount(a) == 10
+        assert parquet_rowcount(a.join(b, "id")) is None  # not 30
+        assert parquet_rowcount(a.unionByName(b)) is None
+
+    def test_checkpoint_verify_validated(self, spark, tmp_path):
+        from ocr_spark.checkpoint import run_resumable
+        from ocr_spark.fixtures import generate_docs
+        from ocr_spark.schema import DOC_SCHEMA
+
+        docs = spark.createDataFrame(generate_docs(5), DOC_SCHEMA)
+        with pytest.raises(ValueError, match="verify='full'"):
+            run_resumable(spark, docs, str(tmp_path / "o"), verify="full")
+
+
 class TestDbF6AreaFilter:
     def test_sheared_sliver_dropped(self, monkeypatch):
         """A sheared parallelogram with both edge norms >= min_box_size but
