@@ -1140,6 +1140,27 @@ def q_near_dedup_keep(spark, sf_dir):
     return kept.select("doc_id", "n_chars")
 
 
+def q_corpus_pipeline(spark, sf_dir):
+    """The full training-corpus hygiene pipeline as ONE chain: quality
+    filter → SimHash near-dedup keep → 8-gram decontamination vs the
+    doc_id%37==0 eval split → PII scrub. One oracle row covering the
+    composition (stage interactions: dedup runs on the filtered set,
+    contamination on the deduped set, scrub on the survivors)."""
+    from ocr_spark.operators.corpus import corpus_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    eval_docs = docs.where(F.col("doc_id") % 37 == 0)
+    return corpus_pipeline(
+        corpus,
+        eval_docs,
+        min_quality=0.65,
+        dedup_method="simhash",
+        contamination_n=8,
+        max_hamming=3,
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrubbing (training-data hygiene): emails/IPs/phones replaced with
     typed placeholders via an ordered regexp chain (pure codegen). PII is
@@ -1254,6 +1275,23 @@ def q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def q_near_dedup_embed(spark, sf_dir):
+    """Semantic near-dedup: documents minus non-representatives of
+    embedding-cosine clusters (sign-LSH pairs over the embeddings table,
+    resolved by connected components, dropped from the docs frame via one
+    left_anti join — the full ANN→decision path)."""
+    from ocr_spark.operators.dedup import near_dedup
+
+    kept = near_dedup(
+        _t(spark, sf_dir, "documents"),
+        method="embedding",
+        embeddings=_t(spark, sf_dir, "embeddings"),
+        threshold=0.2,
+        n_planes=_emb_planes(sf_dir),
+    )
+    return kept.select("doc_id", "n_chars")
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-k (similarity-search baseline)."""
     from ocr_spark.operators.similarity import cosine_topk
@@ -1315,6 +1353,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "near_dedup_keep": q_near_dedup_keep,
+        "corpus_pipeline": q_corpus_pipeline,
+        "near_dedup_embed": q_near_dedup_embed,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
         "minhash_lsh": q_minhash_lsh,
@@ -1465,6 +1505,15 @@ def _pii_scrub_sql() -> str:
     return f"SELECT doc_id, {pii_scrub_sql('(' + withpii + ')')} AS scrubbed FROM documents"
 
 
+def _corpus_pipeline_sql_row() -> str:
+    from ocr_spark.operators.corpus import corpus_pipeline_sql
+
+    return corpus_pipeline_sql(
+        eval_mod=37, min_quality=0.65, max_hamming=3,
+        contamination_n=8, max_shared_shingles=0,
+    )
+
+
 def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     from ocr_spark.operators import text_analysis as TA
     from ocr_spark.operators.dedup import (
@@ -1517,6 +1566,7 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents "
             "WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> rep)"
         ),
+        "corpus_pipeline": _corpus_pipeline_sql_row(),
         "pii_scrub": _pii_scrub_sql(),
         "contamination": contamination_sql(eval_mod=37, n=8),
         "ngram_topk": ngram_topk_sql(n=2, k=20),
@@ -1525,6 +1575,11 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "ivf_topk": ivf_topk_sql(_query_vec(), _ivf_centroids(), k=10, nprobe=4),
         "embedding_near_dups": _embedding_near_dups_sql(
             threshold=0.2, n_planes=_emb_planes(sf_dir)
+        ),
+        "near_dedup_embed": (
+            f"WITH cl AS ({dedup_clusters_sql('SELECT id_a, id_b FROM (' + _embedding_near_dups_sql(threshold=0.2, n_planes=_emb_planes(sf_dir)) + ')')}) "
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> rep)"
         ),
     }
 

@@ -47,6 +47,7 @@ BENCH_ENTRY_QUERIES = [
     # totals must compare the shared subset (BENCH/EXTRA.md has the table)
     "quality_repetition",
     "dedup_clusters",
+    "corpus_pipeline",
 ]
 
 

@@ -1,0 +1,133 @@
+"""End-to-end training-corpus hygiene pipeline: the composition a web-scale
+training-data build actually executes, as ONE DataFrame chain.
+
+    quality filter  ->  near-dedup keep  ->  decontamination  ->  PII scrub
+
+Stage order follows published web-pipeline practice (C4 / Gopher / RefinedWeb:
+filter first so every later stage touches fewer docs; dedup before
+decontamination so the eval-overlap join runs on the surviving set; scrub
+last so dropped docs never pay the regex chain). Reference anchor: the
+single-cleaned-result-per-document contract of the reference's engine
+interface (ocr_engine_interface.py:56-73) generalized from one document to a
+corpus.
+
+Scale shape at 100 TB:
+  * quality filter — pure codegen'd expressions over the scan (no UDF, no
+    shuffle); Catalyst pushes the column prune to the parquet reader.
+  * near-dedup — only the candidate SUBGRAPH (pairs from LSH banding /
+    simhash pigeonhole buckets) enters the cluster stage; the corpus is
+    touched by exactly one left_anti equi-join on the id (AQE broadcasts
+    the drop set when small).
+  * decontamination — the eval side is force-broadcast
+    (dedup.contamination), so the corpus never shuffles for the join.
+  * PII scrub — a regexp_replace chain inside whole-stage codegen.
+The full pipeline therefore costs: corpus scans + two left_anti joins +
+the subgraph work — no corpus-wide shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ocr_spark.operators.dedup import near_dedup
+from ocr_spark.operators.text_analysis import pii_scrub, quality_score
+
+
+def corpus_pipeline(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    *,
+    min_quality: float = 0.45,
+    dedup_method: str = "simhash",
+    cluster_algorithm: str = "label",
+    contamination_n: int = 8,
+    max_shared_shingles: int = 0,
+    scrub: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stats: dict | None = None,
+    **dedup_kw,
+) -> DataFrame:
+    """Clean `docs` for training: drop low-quality docs, keep one
+    representative per near-dup cluster, drop docs overlapping `eval_docs`
+    by more than `max_shared_shingles` word n-grams, scrub PII from the
+    survivors' text. Returns the docs frame (same columns, text scrubbed).
+
+    `stats` (optional dict) receives the cluster-stage round/convergence
+    numbers from dedup_clusters. `dedup_kw` forwards to the chosen pair
+    generator (e.g. max_hamming= for simhash, threshold= for minhash).
+    """
+    filtered = docs.where(quality_score(F.col(text_col)) >= F.lit(min_quality))
+    kept = near_dedup(
+        filtered,
+        method=dedup_method,
+        id_col=id_col,
+        text_col=text_col,
+        cluster_algorithm=cluster_algorithm,
+        stats=stats,
+        **dedup_kw,
+    )
+    if eval_docs is not None:
+        from ocr_spark.operators.dedup import contamination
+
+        cont = contamination(
+            kept, eval_docs, n=contamination_n, id_col=id_col, text_col=text_col
+        )
+        bad = cont.where(
+            F.col("n_shared_shingles") > F.lit(max_shared_shingles)
+        ).select(id_col)
+        kept = kept.join(bad, id_col, "left_anti")
+    if scrub:
+        kept = kept.withColumn(text_col, pii_scrub(F.col(text_col)))
+    return kept
+
+
+def corpus_pipeline_sql(
+    eval_mod: int = 37,
+    min_quality: float = 0.45,
+    max_hamming: int = 3,
+    contamination_n: int = 8,
+    max_shared_shingles: int = 0,
+    out_cols: str = "doc_id, text, lang, source, n_chars",
+) -> str:
+    """DuckDB twin of corpus_pipeline for the oracle split:
+    corpus = documents with doc_id % eval_mod != 0, eval = the rest; dedup
+    via brute-force O(n²) simhash hamming (proving the engine's bucketed
+    path loses nothing) resolved by the recursive-CTE transitive closure."""
+    from ocr_spark.operators.dedup import (
+        _shingles_sql,
+        dedup_clusters_sql,
+        simhash_sql,
+    )
+    from ocr_spark.operators.text_analysis import (
+        h60_sql,
+        pii_scrub_sql,
+        quality_score_sql,
+    )
+
+    q = quality_score_sql("text")
+    pairs = (
+        f"WITH sig AS ({simhash_sql(table='fd')}) "
+        f"SELECT a.id AS id_a, b.id AS id_b FROM sig a JOIN sig b "
+        f"ON a.id < b.id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )
+    scrubbed_cols = out_cols.replace(
+        "text", f"{pii_scrub_sql('text')} AS text", 1
+    )
+    return f"""
+WITH fd AS (SELECT * FROM documents
+            WHERE doc_id % {eval_mod} <> 0 AND {q} >= {min_quality}),
+cl AS ({dedup_clusters_sql(pairs)}),
+kd AS (SELECT * FROM fd
+       WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> rep)),
+ksh AS (SELECT DISTINCT id, {h60_sql('shingle')} AS sh
+        FROM ({_shingles_sql(contamination_n, table='kd')})),
+ed AS (SELECT * FROM documents WHERE doc_id % {eval_mod} = 0),
+esh AS (SELECT DISTINCT {h60_sql('shingle')} AS sh
+        FROM ({_shingles_sql(contamination_n, table='ed')})),
+cont AS (SELECT id, count(DISTINCT sh) AS n_shared
+         FROM ksh JOIN esh USING (sh) GROUP BY id)
+SELECT {scrubbed_cols} FROM kd
+WHERE doc_id NOT IN (SELECT id FROM cont WHERE n_shared > {max_shared_shingles})
+"""

@@ -185,14 +185,17 @@ def shingles_hashed(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_co
     )
 
 
-def _shingles_sql(n: int = 3, text_expr: str = "text", id_col: str = "doc_id") -> str:
+def _shingles_sql(
+    n: int = 3, text_expr: str = "text", id_col: str = "doc_id",
+    table: str = "documents",
+) -> str:
     gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(n))
     return (
         f"SELECT DISTINCT {id_col} AS id, unnest(grams) AS shingle FROM ("
         f"SELECT {id_col}, list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1), "
         f"i -> {gram}) AS grams FROM ("
         f"SELECT {id_col}, list_filter(regexp_split_to_array(lower({text_expr}), "
-        f"'[^a-z0-9]+'), x -> x <> '') AS w FROM documents))"
+        f"'[^a-z0-9]+'), x -> x <> '') AS w FROM {table}))"
     )
 
 
@@ -459,7 +462,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return agg.select("id", sig.alias("simhash"))
 
 
-def simhash_sql(bits: int = 60, id_col: str = "doc_id", text_expr: str = "text") -> str:
+def simhash_sql(
+    bits: int = 60, id_col: str = "doc_id", text_expr: str = "text",
+    table: str = "documents",
+) -> str:
     from ocr_spark.operators.text_analysis import h32_sql, h60_sql
 
     h = (h32_sql if bits <= 32 else h60_sql)("t")
@@ -472,7 +478,7 @@ def simhash_sql(bits: int = 60, id_col: str = "doc_id", text_expr: str = "text")
         f"SELECT id, ({sig}) AS simhash FROM ("
         f"SELECT id, {votes} FROM ("
         f"SELECT {id_col} AS id, unnest(list_filter(regexp_split_to_array("
-        f"lower({text_expr}), '[^a-z0-9]+'), x -> x <> '')) AS t FROM documents) "
+        f"lower({text_expr}), '[^a-z0-9]+'), x -> x <> '')) AS t FROM {table}) "
         f"GROUP BY id)"
     )
 
@@ -575,28 +581,42 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_rounds: int = 30,
     stats: dict | None = None,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Connected components over a candidate-pair frame: (id, rep) for every
     id appearing in any pair, rep = the smallest id in its component.
 
-    Pure DataFrame iterative smallest-label propagation: each round joins the
-    symmetrized edge list to the current labels, takes min(label) per node,
-    and stops at fixpoint. Rounds needed = the component diameter — near-dup
-    clusters are dense (LSH pairs approximate cliques), so this converges in
-    a handful of rounds; each round is ONE shuffle join + ONE groupBy, with
-    `localCheckpoint` truncating the lineage so plans stay flat at any round
-    count. (For adversarial chain-shaped graphs, alternating large-star/
-    small-star gives O(log n) rounds at ~2× the per-round cost — not needed
-    for the dedup workload this serves.)
+    algorithm='label' (default): iterative smallest-label propagation — each
+    round joins the symmetrized edge list to the current labels, takes
+    min(label) per node, and stops at fixpoint. Rounds needed = the component
+    diameter — near-dup clusters are dense (LSH pairs approximate cliques),
+    so this converges in a handful of rounds; each round is ONE shuffle join
+    + ONE groupBy, with `localCheckpoint` truncating the lineage so plans
+    stay flat at any round count.
+
+    algorithm='star': alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — rounds grow
+    with log(n) REGARDLESS of diameter, at ~2× the per-round cost. The scale
+    insurance for adversarial chain-shaped duplicate graphs (template-drift
+    chains A~B~C~… where no two distant members are near-dups of each
+    other): a diameter-10k component finishes in ~a dozen rounds where label
+    propagation needs 10k. Same output contract, bit-identical labels.
 
     `stats`, when provided, receives {'rounds': k, 'converged': bool}.
     """
+    if algorithm not in ("label", "star"):
+        raise ValueError(
+            f"algorithm={algorithm!r}: expected 'label' (diameter-bounded "
+            "min-label propagation) or 'star' (log-round large/small-star)"
+        )
     # materialize the pair list ONCE: the symmetrized edge union evaluates
     # its input per branch, so building edges straight off an expensive
     # near-dup join would run that join twice before any caching fills
     pairs_m = pairs.select(
         F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
     ).localCheckpoint(eager=True)
+    if algorithm == "star":
+        return _clusters_star(pairs_m, max_rounds=max_rounds, stats=stats)
     edges = pairs_m.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs_m.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -648,6 +668,113 @@ def dedup_clusters(
     return labels.select("id", F.col("label").alias("rep"))
 
 
+def _clusters_star(
+    pairs_m: DataFrame, max_rounds: int, stats: dict | None
+) -> DataFrame:
+    """Alternating large-star/small-star connected components over a
+    MATERIALIZED (id_a, id_b) pair frame. O(log n) rounds independent of
+    component diameter (Kiveris et al., SoCC'14).
+
+    Edge set is kept canonical as (lo < hi), deduped, lineage-truncated per
+    round. One round =
+      large-star: every node u points its LARGER neighbors at
+        m(u) = min(N(u) ∪ {u}) — each undirected edge {u,v}, u<v, is
+        rewritten by its smaller endpoint to {m(u), v};
+      small-star: every node u points its SMALLER-or-self neighbors at the
+        minimum of its smaller neighborhood — flattening local chains.
+    Both preserve connectivity and never add edges; at fixpoint the edge set
+    is a star forest whose centers are the component minima. Convergence is
+    detected by an (edge-count, hash-sum) signature match — one cheap agg
+    over the already-materialized frame per round.
+
+    Output contract matches the label-propagation path exactly: (id, rep)
+    for every id appearing in any pair, rep = smallest id in the component.
+    """
+    nodes = (
+        pairs_m.select(F.col("id_a").alias("id"))
+        .unionByName(pairs_m.select(F.col("id_b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    can = (
+        pairs_m.select(
+            F.least("id_a", "id_b").alias("lo"),
+            F.greatest("id_a", "id_b").alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _signature(e: DataFrame):
+        # bit_xor (not sum): ANSI-safe, and the edge set is deduped so each
+        # edge contributes exactly once — (count, xor) is a sound signature
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _signature(can)
+    converged = False
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        sym = can.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).unionByName(
+            can.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+        )
+        # large-star: m(u) = min(u, min N(u)); emit {m, v} for v > u.
+        # m <= src < dst, so the output is already canonical (lo < hi).
+        mins = sym.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("m")
+        )
+        ls = (
+            sym.where(F.col("dst") > F.col("src"))
+            .join(mins, "src")
+            .select(F.col("m").alias("lo"), F.col("dst").alias("hi"))
+            .distinct()
+        )
+        # small-star over the large-star output: for each u, mn = min of its
+        # STRICTLY SMALLER neighbors (mn < u by construction); re-wire those
+        # neighbors and u itself to mn.
+        sym2 = ls.select(F.col("lo").alias("src"), F.col("hi").alias("dst")).unionByName(
+            ls.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+        )
+        small_in = sym2.where(F.col("dst") < F.col("src"))
+        mins2 = small_in.groupBy("src").agg(F.min("dst").alias("mn"))
+        e1 = (
+            small_in.join(mins2, "src")
+            .where(F.col("dst") != F.col("mn"))
+            .select(F.col("mn").alias("lo"), F.col("dst").alias("hi"))
+        )
+        e2 = mins2.select(F.col("mn").alias("lo"), F.col("src").alias("hi"))
+        can = e1.unionByName(e2).distinct().localCheckpoint(eager=True)
+        new_sig = _signature(can)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters(star): edge set still changing after "
+            f"{max_rounds} rounds — labels are an upper bound. log2(n) + a "
+            "few rounds always suffices; raise max_rounds.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
+        stats["algorithm"] = "star"
+    # star forest: every hi's single lo is its component minimum; centers
+    # (and any never-seen self-reps) label themselves via the left join
+    reps = can.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("_rep"))
+    return nodes.join(reps, "id", "left").select(
+        "id", F.coalesce("_rep", F.col("id")).alias("rep")
+    )
+
+
 def dedup_clusters_sql(pairs_sql: str, id_a: str = "id_a", id_b: str = "id_b") -> str:
     """DuckDB twin: recursive-CTE transitive closure over the same pairs,
     min reachable id per node (exact, engine-independent)."""
@@ -671,6 +798,7 @@ def near_dedup(
     text_col: str = "text",
     max_rounds: int = 30,
     stats: dict | None = None,
+    cluster_algorithm: str = "label",
     **method_kw,
 ) -> DataFrame:
     """The keep/drop operator: docs minus non-representative near-dups.
@@ -692,9 +820,23 @@ def near_dedup(
         pairs = simhash_near_pairs(docs, id_col=id_col, text_col=text_col, **method_kw)
     elif method == "jaccard":
         pairs = jaccard_pairs(docs, id_col=id_col, text_col=text_col, **method_kw)
+    elif method == "embedding":
+        # semantic near-dedup: pairs from the sign-LSH embedding family over
+        # a SEPARATE embeddings frame whose vector ids are doc ids
+        from ocr_spark.operators.similarity import embedding_near_dups
+
+        emb = method_kw.pop("embeddings", None)
+        if emb is None:
+            raise ValueError(
+                "method='embedding' needs embeddings=<DataFrame> with "
+                "(vec_id, embedding) keyed by the doc id"
+            )
+        pairs = embedding_near_dups(emb, **method_kw)
     else:
         raise ValueError(f"unknown near-dedup method {method!r}")
-    labels = dedup_clusters(pairs, max_rounds=max_rounds, stats=stats)
+    labels = dedup_clusters(
+        pairs, max_rounds=max_rounds, stats=stats, algorithm=cluster_algorithm
+    )
     drop = labels.where(F.col("id") != F.col("rep")).select(
         F.col("id").alias(id_col)
     )

@@ -1,0 +1,94 @@
+"""Structured Streaming ingestion: continuous extraction over an arriving
+document directory.
+
+The reference is a batch desktop system — no streaming operator exists
+(SURVEY §2.9); this module is the Spark-native widening a production corpus
+build needs. New interleaved-span parquet files land in a directory; each
+micro-batch runs the UNCHANGED batch extractor via foreachBatch, so the plan
+per micro-batch is byte-identical to the audited batch plan (salted
+repartition, codegen'd span normalization, one Arrow stage). The parquet
+file source + checkpointLocation give exactly-once FILE tracking with resume
+across restarts: a restarted query never re-reads a file a committed epoch
+consumed.
+
+Delivery semantics: foreachBatch is at-least-once (a crash between the sink
+write and the epoch commit replays the epoch). The sink therefore writes
+each epoch to its own `epoch=N` subdirectory with mode=overwrite — a
+replayed epoch overwrites its own partial output, composing at-least-once
+replay into exactly-once on disk. `read_stream_output` reads the union.
+
+Scale shape: identical to batch — the streaming layer adds file listing and
+offset tracking only; no extra shuffle, no driver-side rows. Backpressure
+via maxFilesPerTrigger bounds per-epoch memory at any corpus arrival rate.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def streaming_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    rules: Sequence[tuple[str, str]] = (),
+    media_resolver: str = "synthetic",
+    media_engine: str = "local",
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+    **extract_kw,
+) -> StreamingQuery:
+    """Start the streaming extraction query and return its handle.
+
+    available_now=True (default) drains everything pending then stops — the
+    batch-backfill / test mode; False runs continuously with
+    `processing_time` micro-batch cadence. `extract_kw` forwards to
+    pipeline.extract_documents (salt_partitions, span_chunk_threshold, ...).
+    """
+    from ocr_spark.pipeline import extract_documents
+    from ocr_spark.schema import DOC_SCHEMA
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = extract_documents(
+            batch_df,
+            rules=rules,
+            media_resolver=media_resolver,
+            media_engine=media_engine,
+            **extract_kw,
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"epoch={epoch_id}")
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("ocr_spark_streaming_extract")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_stream_output(spark: SparkSession, output_dir: str) -> DataFrame:
+    """The union of all committed epochs, OUTPUT_SCHEMA-shaped (the epoch
+    partition column is dropped — it is a delivery artifact, not data)."""
+    return (
+        spark.read.option("basePath", output_dir)
+        .parquet(os.path.join(output_dir, "epoch=*"))
+        .drop("epoch")
+    )

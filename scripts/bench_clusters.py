@@ -58,38 +58,54 @@ def main() -> None:
     spark = get_spark("bench_clusters", cpus=args.cpus)
     n_dup = int(args.n * args.dup_frac)
     results = []
-    for name, group, with_skip in (("groups4_chain", 4, False), ("groups16_chain_skip", 16, True)):
+    configs = (
+        ("groups4_chain", 4, False, ("label",), 30),
+        ("groups16_chain_skip", 16, True, ("label",), 30),
+        # adversarial diameter: 64-long chains — label propagation needs 63
+        # rounds (capped here to keep the bench bounded); star needs ~log2
+        ("groups64_chain", 64, False, ("star", "label"), 16),
+    )
+    for name, group, with_skip, algorithms, max_rounds in configs:
         pairs = chain_pairs(spark, n_dup, group)
         if with_skip:
             pairs = pairs.unionByName(skip_pairs(spark, n_dup, group, 2))
         pairs = pairs.persist()
         n_pairs = pairs.count()
-        stats: dict = {}
-        t0 = time.perf_counter()
-        labels = dedup_clusters(pairs, stats=stats)
-        agg = labels.agg(
-            F.count("*").alias("n_nodes"),
-            F.countDistinct("rep").alias("n_clusters"),
-            F.sum((F.col("id") != F.col("rep")).cast("long")).alias("n_dropped"),
-        ).collect()[0]
-        wall = round(time.perf_counter() - t0, 2)
-        pairs.unpersist()
         expected_clusters = n_dup // group
-        rec = {
-            "op": "dedup_clusters",
-            "config": name,
-            "n_docs_corpus": args.n,
-            "n_pairs": n_pairs,
-            "n_nodes": int(agg["n_nodes"]),
-            "n_clusters": int(agg["n_clusters"]),
-            "n_dropped": int(agg["n_dropped"]),
-            "rounds": stats.get("rounds"),
-            "converged": stats.get("converged"),
-            "wall_sec": wall,
-        }
-        assert rec["n_clusters"] == expected_clusters, (rec, expected_clusters)
-        assert rec["n_dropped"] == n_dup - expected_clusters
-        results.append(rec)
+        for algorithm in algorithms:
+            stats: dict = {}
+            t0 = time.perf_counter()
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                labels = dedup_clusters(
+                    pairs, stats=stats, algorithm=algorithm, max_rounds=max_rounds
+                )
+                agg = labels.agg(
+                    F.count("*").alias("n_nodes"),
+                    F.countDistinct("rep").alias("n_clusters"),
+                    F.sum((F.col("id") != F.col("rep")).cast("long")).alias("n_dropped"),
+                ).collect()[0]
+            wall = round(time.perf_counter() - t0, 2)
+            rec = {
+                "op": "dedup_clusters",
+                "config": name,
+                "algorithm": algorithm,
+                "n_docs_corpus": args.n,
+                "n_pairs": n_pairs,
+                "n_nodes": int(agg["n_nodes"]),
+                "n_clusters": int(agg["n_clusters"]),
+                "n_dropped": int(agg["n_dropped"]),
+                "rounds": stats.get("rounds"),
+                "converged": stats.get("converged"),
+                "wall_sec": wall,
+            }
+            if rec["converged"]:
+                assert rec["n_clusters"] == expected_clusters, (rec, expected_clusters)
+                assert rec["n_dropped"] == n_dup - expected_clusters
+            results.append(rec)
+        pairs.unpersist()
 
     hist = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

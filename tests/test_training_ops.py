@@ -104,6 +104,193 @@ def test_dedup_clusters_nonconvergence_warns(spark):
         labels.collect()
 
 
+def _uf_reference(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Independent union-find oracle: id -> min id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+class TestClustersStar:
+    """algorithm='star' (large-star/small-star) must be label-identical to
+    the propagation path, with rounds ~ log(n) instead of diameter."""
+
+    def test_star_small_graph(self, spark):
+        from ocr_spark.operators.dedup import dedup_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (9, 3)], "id_a long, id_b long"
+        )
+        stats = {}
+        got = {
+            r.id: r.rep
+            for r in dedup_clusters(pairs, stats=stats, algorithm="star").collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+        assert stats["converged"] and stats["algorithm"] == "star"
+
+    def test_star_matches_label_and_unionfind_on_random_graphs(self, spark):
+        import random
+
+        from ocr_spark.operators.dedup import dedup_clusters
+
+        rng = random.Random(7)
+        for trial in range(3):
+            n = 60 + trial * 40
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(n // 2)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+            want = _uf_reference(edges)
+            star = {
+                r.id: r.rep
+                for r in dedup_clusters(pairs, algorithm="star").collect()
+            }
+            label = {
+                r.id: r.rep for r in dedup_clusters(pairs).collect()
+            }
+            assert star == want == label
+
+    def test_star_chain_converges_in_log_rounds(self, spark):
+        """A 64-node chain (diameter 63): label propagation needs 63 rounds;
+        star must finish in ~log2(64)+slack."""
+        from ocr_spark.operators.dedup import dedup_clusters
+
+        chain = [(i, i + 1) for i in range(64)]
+        pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+        stats = {}
+        got = {
+            r.id: r.rep
+            for r in dedup_clusters(
+                pairs, stats=stats, algorithm="star", max_rounds=12
+            ).collect()
+        }
+        assert got == {i: 0 for i in range(65)}
+        assert stats["converged"] and stats["rounds"] <= 12
+
+    def test_star_nonconvergence_warns(self, spark):
+        from ocr_spark.operators.dedup import dedup_clusters
+
+        chain = [(i, i + 1) for i in range(32)]
+        pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+        with pytest.warns(RuntimeWarning, match="still changing"):
+            dedup_clusters(pairs, algorithm="star", max_rounds=1).collect()
+
+    def test_bad_algorithm_rejected(self, spark):
+        from ocr_spark.operators.dedup import dedup_clusters
+
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="algorithm"):
+            dedup_clusters(pairs, algorithm="bogus")
+
+    def test_near_dedup_star_passthrough(self, spark):
+        from ocr_spark.operators.dedup import near_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog today"),
+                (2, "the quick brown fox jumps over the lazy dog today"),
+                (3, "entirely different content about query optimizers"),
+            ],
+            "doc_id long, text string",
+        )
+        stats = {}
+        kept = {
+            r.doc_id
+            for r in near_dedup(
+                df, method="simhash", cluster_algorithm="star",
+                stats=stats, max_hamming=3,
+            ).collect()
+        }
+        assert kept == {1, 3}
+        assert stats["algorithm"] == "star"
+
+
+class TestCorpusPipeline:
+    def test_stage_composition(self, spark):
+        """Quality filter drops the junk doc; dedup drops the twin;
+        decontamination drops the eval-overlapping doc; PII scrub rewrites
+        the survivor's email."""
+        from ocr_spark.operators.corpus import corpus_pipeline
+
+        good = (
+            "the quick brown fox jumps over the lazy dog and then walks "
+            "away into the quiet evening with a friend from the village"
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, good + " contact me at sam@example.com for details"),
+                (2, good + " contact me at sam@example.com for details"),
+                (3, "@@##$$ 0101 ++ ~~ !! ?? ## @@ 77 ** (( ))"),
+                (4, "benchmark answer alpha beta gamma delta epsilon zeta "
+                    "eta theta iota kappa question forty two exactly"),
+                (5, "a completely unrelated clean document about compilers "
+                    "and the structure of intermediate representations"),
+            ],
+            "doc_id long, text string",
+        )
+        eval_docs = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+            "doc_id long, text string",
+        )
+        out = corpus_pipeline(
+            docs, eval_docs, min_quality=0.4, dedup_method="simhash",
+            contamination_n=8, max_hamming=3,
+        )
+        rows = {r.doc_id: r.text for r in out.collect()}
+        assert set(rows) == {1, 5}
+        assert "sam@example.com" not in rows[1] and "<EMAIL>" in rows[1]
+
+    def test_no_eval_no_scrub_passthrough(self, spark):
+        from ocr_spark.operators.corpus import corpus_pipeline
+
+        docs = spark.createDataFrame(
+            [(1, "mail me at a@b.co about the quick brown fox and the dog")],
+            "doc_id long, text string",
+        )
+        out = corpus_pipeline(docs, None, min_quality=0.0, scrub=False)
+        assert out.collect()[0].text.startswith("mail me at a@b.co")
+
+    def test_embedding_method_requires_frame(self, spark):
+        from ocr_spark.operators.dedup import near_dedup
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="embeddings"):
+            near_dedup(docs, method="embedding")
+
+    def test_embedding_method_drops_cosine_twins(self, spark):
+        from ocr_spark.operators.dedup import near_dedup
+        from ocr_spark.operators.similarity import EMB_DIM
+
+        v = [1.0] + [0.0] * (EMB_DIM - 1)
+        w = [0.0, 1.0] + [0.0] * (EMB_DIM - 2)
+        emb = spark.createDataFrame(
+            [(1, v), (2, v), (3, w)], "vec_id long, embedding array<float>"
+        )
+        docs = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+        )
+        kept = {
+            r.doc_id
+            for r in near_dedup(
+                docs, method="embedding", embeddings=emb,
+                threshold=0.95, n_planes=4,
+            ).collect()
+        }
+        assert kept == {1, 3}
+
+
 def test_near_dedup_keeps_representatives(spark, docs):
     """End-to-end keep/drop: docs 1/2/4 are one near-dup cluster (doc 1 =
     min-id representative survives); docs 3 and 5 are singletons and pass
