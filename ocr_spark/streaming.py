@@ -27,7 +27,7 @@ from __future__ import annotations
 import os
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -76,6 +76,86 @@ def streaming_extract(
         stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .queryName("ocr_spark_streaming_extract")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str = "doc_id long, text string",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+) -> StreamingQuery:
+    """Stateful streaming exact-dedup: emit each document the FIRST time its
+    canonical fingerprint is seen across the whole stream; all later
+    arrivals (and same-batch twins) are dropped. The custom stateful
+    operator the batch `exact_dedup` cannot express — state (one seen-flag
+    per fingerprint) lives in Spark's state store, keyed by the md5
+    fingerprint, survives restarts via the checkpoint, and is maintained by
+    `applyInPandasWithState` (Arrow-batched; grouping shuffles ONLY the
+    fingerprint-keyed rows of each micro-batch, never the corpus).
+
+    Within a micro-batch the min-id row of each new fingerprint wins
+    (deterministic); across batches the earlier batch wins (stream
+    semantics). At cluster scale the state store is RocksDB-backed and
+    partitioned with the shuffle — per-key state is 1 byte of payload, so
+    10^12 fingerprints shard across executors; no timeout is set because
+    dedup state is by definition forever.
+
+    Output goes through the parquet FILE SINK (its _spark_metadata commit
+    log gives exactly-once on disk); read results back with
+    spark.read.parquet(output_dir), not read_stream_output."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ocr_spark.operators.text_analysis import fingerprint
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .withColumn("fp", fingerprint(F.col(text_col)))
+    )
+    out_schema = f"{schema}, fp string"
+
+    def _first_seen(key, pdf_iter, state):
+        if state.exists:
+            # fingerprint already emitted in an earlier micro-batch: the
+            # whole group is duplicates; update() keeps the entry alive
+            state.update((True,))
+            return iter(())
+        best = None  # 1-row DataFrame slice (dtypes preserved)
+        for pdf in pdf_iter:
+            cand = pdf.loc[[pdf[id_col].idxmin()]]
+            if best is None or cand.iloc[0][id_col] < best.iloc[0][id_col]:
+                best = cand
+        state.update((True,))
+        if best is None:
+            return iter(())
+        return iter((best,))
+
+    deduped = stream.groupBy("fp").applyInPandasWithState(
+        _first_seen,
+        outputStructType=out_schema,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    writer = (
+        deduped.drop("fp")
+        .writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .queryName("ocr_spark_streaming_dedup")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

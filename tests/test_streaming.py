@@ -77,6 +77,36 @@ def test_streaming_matches_batch_and_resumes(spark, dirs):
     assert read_stream_output(spark, dirs["out"]).count() == 50
 
 
+def test_streaming_dedup_state_survives_restart(spark, dirs):
+    """The stateful operator: same-batch twins collapse to the min-id row;
+    a later run with the SAME checkpoint drops re-arrivals against the
+    state store (dedup memory survives the restart)."""
+    from ocr_spark.streaming import streaming_dedup
+
+    batch1 = [
+        (1, "the quick brown fox"),
+        (3, "the quick brown fox"),   # same-batch twin of 1
+        (2, "a different document"),
+    ]
+    spark.createDataFrame(batch1, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(dirs["in"])
+    _drain(streaming_dedup(spark, dirs["in"], dirs["out"], dirs["ckpt"]))
+    out1 = {r.doc_id for r in spark.read.parquet(dirs["out"]).collect()}
+    assert out1 == {1, 2}
+
+    batch2 = [
+        (10, "the quick brown fox"),  # re-arrival: state must drop it
+        (11, "an entirely new document"),
+    ]
+    spark.createDataFrame(batch2, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(dirs["in"])
+    _drain(streaming_dedup(spark, dirs["in"], dirs["out"], dirs["ckpt"]))
+    out2 = {r.doc_id for r in spark.read.parquet(dirs["out"]).collect()}
+    assert out2 == {1, 2, 11}
+
+
 def test_streaming_backpressure_bounds_epochs(spark, dirs):
     """maxFilesPerTrigger=1 over two input files → two epochs, same union."""
     for start in (0, 40):
