@@ -18,7 +18,7 @@ Scale notes (100 TB / 10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.text_analysis import fingerprint, h32
@@ -632,9 +632,10 @@ def dedup_clusters(
         prop = edges.join(labels, edges.src == labels.id).select(
             F.col("dst").alias("id"), F.col("label")
         )
-        # carry the old label through the min-agg so the change flag rides
-        # the SAME materialization job; the convergence check is then a
-        # trivial agg over the checkpointed (tiny, AQE-coalesced) frame
+        # carry the old label through the min-agg and read the change count
+        # from an Observation riding the localCheckpoint materialization —
+        # ONE job per round total, no separate convergence scan
+        obs = Observation(f"dedup_clusters_r{rounds}")
         new_labels = (
             labels.select("id", "label", F.col("label").alias("_old"))
             .unionByName(prop.withColumn("_old", F.lit(None).cast(prop.schema["label"].dataType)))
@@ -643,9 +644,13 @@ def dedup_clusters(
                 F.min("label").alias("label"),
                 F.min("_old").alias("_old"),  # exactly one non-null per id
             )
+            .observe(
+                obs,
+                F.sum((F.col("label") < F.col("_old")).cast("long")).alias("n_changed"),
+            )
             .localCheckpoint(eager=True)  # materialize + truncate lineage
         )
-        n_changed = new_labels.where(F.col("label") < F.col("_old")).count()
+        n_changed = obs.get["n_changed"] or 0
         labels = new_labels.select("id", "label")
         if n_changed == 0:
             converged = True
@@ -696,26 +701,29 @@ def _clusters_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    can = (
+    def _materialize(e: DataFrame, name: str):
+        """localCheckpoint + (count, xor-hash) signature from an Observation
+        riding the SAME materialization job — no separate signature scan.
+        bit_xor (not sum): ANSI-safe, and the edge set is deduped so each
+        edge contributes exactly once — (count, xor) is a sound signature."""
+        obs = Observation(name)
+        m = e.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
+        ).localCheckpoint(eager=True)
+        got = obs.get
+        return m, (got["n"], got["h"])
+
+    can, sig = _materialize(
         pairs_m.select(
             F.least("id_a", "id_b").alias("lo"),
             F.greatest("id_a", "id_b").alias("hi"),
         )
         .where(F.col("lo") != F.col("hi"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "star_init",
     )
-
-    def _signature(e: DataFrame):
-        # bit_xor (not sum): ANSI-safe, and the edge set is deduped so each
-        # edge contributes exactly once — (count, xor) is a sound signature
-        row = e.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
-    sig = _signature(can)
     converged = False
     rounds = 0
     for rounds in range(1, max_rounds + 1):
@@ -747,8 +755,9 @@ def _clusters_star(
             .select(F.col("mn").alias("lo"), F.col("dst").alias("hi"))
         )
         e2 = mins2.select(F.col("mn").alias("lo"), F.col("src").alias("hi"))
-        can = e1.unionByName(e2).distinct().localCheckpoint(eager=True)
-        new_sig = _signature(can)
+        can, new_sig = _materialize(
+            e1.unionByName(e2).distinct(), f"star_r{rounds}"
+        )
         if new_sig == sig:
             converged = True
             break
