@@ -92,15 +92,40 @@ def _resolve_sidecar(
     )
     from ocr_spark.operators.multimodal import decode_image, detect_codec
 
-    maps_raw = batch.column(MEDIA_SIDECAR_COL).to_pylist()
-    maps = [dict(m) if m else {} for m in maps_raw]
+    # operate on the MapArray structure directly instead of to_pylist():
+    # offsets/keys/items index the flattened entries, so payload BYTES cross
+    # into Python only for spans that are actually probed (once each) — a
+    # to_pylist() here copied every payload of every doc in the batch up
+    # front, probed or not
+    mcol = batch.column(MEDIA_SIDECAR_COL)
+    offsets = mcol.offsets.to_numpy()
+    mkeys, mitems = mcol.keys, mcol.items
+    doc_is_null = mcol.is_null().to_numpy(zero_copy_only=False)
+    key_idx: dict[int, dict] = {}  # doc → {ref: flattened entry index}
+
+    def _payload(doc: int, ref):
+        if ref is None or doc_is_null[doc]:
+            return None
+        d = key_idx.get(doc)
+        if d is None:
+            d = {
+                mkeys[k].as_py(): k
+                for k in range(int(offsets[doc]), int(offsets[doc + 1]))
+            }
+            key_idx[doc] = d
+        k = d.get(ref)
+        if k is None:
+            return None
+        v = mitems[k]
+        return v.as_py() if v.is_valid else None
+
     n = len(refs)
     grays = np.zeros((n, IMG_SIDE, IMG_SIDE), dtype=np.uint8)
     ok = np.zeros(n, dtype=bool)
     errs: list[tuple[int, Exception]] = []
     for j, ref in enumerate(refs):
         doc = int(doc_of_span[m_idx[j]])
-        payload = maps[doc].get(ref) if ref else None
+        payload = _payload(doc, ref)
         if payload is None:
             errs.append((j, ValueError(f"unresolvable media_ref: {ref!r}")))
             continue
