@@ -124,34 +124,45 @@ def streaming_dedup(
         .parquet(input_dir)
         .withColumn("fp", fingerprint(F.col(text_col)))
     )
-    out_schema = f"{schema}, fp string"
-
     def _first_seen(key, pdf_iter, state):
         if state.exists:
             # fingerprint already emitted in an earlier micro-batch: the
-            # whole group is duplicates; update() keeps the entry alive
-            state.update((True,))
+            # whole group is duplicates (no state write — NoTimeout entries
+            # never expire, so re-putting an identical flag is pure
+            # state-store write amplification)
             return iter(())
+        # min-id row wins; a null id (float64 NaN in pandas) loses to any
+        # real id, and an all-null group emits its first row — a null id
+        # must never crash the query (a poison row that raised here would
+        # be retried on every restart, wedging the stream forever)
         best = None  # 1-row DataFrame slice (dtypes preserved)
+        best_id = None  # None = null id
         for pdf in pdf_iter:
-            cand = pdf.loc[[pdf[id_col].idxmin()]]
-            if best is None or cand.iloc[0][id_col] < best.iloc[0][id_col]:
-                best = cand
+            s = pdf[id_col]
+            if s.notna().any():
+                i = s.idxmin()
+                cid = s.loc[i]
+            else:
+                i, cid = pdf.index[0], None
+            if best is None or (
+                cid is not None and (best_id is None or cid < best_id)
+            ):
+                best, best_id = pdf.loc[[i]], cid
         state.update((True,))
         if best is None:
             return iter(())
-        return iter((best,))
+        # fp was only the grouping key — don't ship it back over Arrow
+        return iter((best.drop(columns=["fp"]),))
 
     deduped = stream.groupBy("fp").applyInPandasWithState(
         _first_seen,
-        outputStructType=out_schema,
+        outputStructType=schema,
         stateStructType="seen boolean",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     writer = (
-        deduped.drop("fp")
-        .writeStream.format("parquet")
+        deduped.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

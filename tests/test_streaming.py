@@ -107,6 +107,30 @@ def test_streaming_dedup_state_survives_restart(spark, dirs):
     assert out2 == {1, 2, 11}
 
 
+def test_streaming_dedup_null_id_and_text_survive(spark, dirs):
+    """Poison rows (null doc_id, null text) must not crash the query: a
+    null id loses to any real id in its fingerprint group; all-null groups
+    emit one row; null texts collapse to one (null fp group) like batch
+    exact_dedup."""
+    from ocr_spark.streaming import streaming_dedup
+
+    rows = [
+        (None, "the quick brown fox"),
+        (5, "the quick brown fox"),    # real id must win over the null id
+        (None, None),
+        (7, None),                     # null-text twin: one of the two survives
+        (9, "unique survivor"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(dirs["in"])
+    _drain(streaming_dedup(spark, dirs["in"], dirs["out"], dirs["ckpt"]))
+    out = spark.read.parquet(dirs["out"])
+    assert out.count() == 3
+    got = {r.doc_id for r in out.collect()}
+    assert 5 in got and 9 in got  # real id beat the null; survivor kept
+
+
 def test_streaming_backpressure_bounds_epochs(spark, dirs):
     """maxFilesPerTrigger=1 over two input files → two epochs, same union."""
     for start in (0, 40):
