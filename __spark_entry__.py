@@ -1127,8 +1127,10 @@ def q_dedup_clusters(spark, sf_dir):
     so equality proves both the pair recall AND the label propagation."""
     from ocr_spark.operators.dedup import dedup_clusters, simhash_near_pairs
 
+    # pin the DISTRIBUTED loop so the driver gate proves it against DuckDB
+    # (the 'auto' default would resolve this small subgraph driver-side)
     pairs = simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
-    return dedup_clusters(pairs)
+    return dedup_clusters(pairs, algorithm="label")
 
 
 def q_near_dedup_keep(spark, sf_dir):

@@ -39,7 +39,7 @@ def corpus_pipeline(
     *,
     min_quality: float = 0.45,
     dedup_method: str = "simhash",
-    cluster_algorithm: str = "label",
+    cluster_algorithm: str = "auto",
     contamination_n: int = 8,
     max_shared_shingles: int = 0,
     scrub: bool = True,

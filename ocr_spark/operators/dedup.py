@@ -581,18 +581,27 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_rounds: int = 30,
     stats: dict | None = None,
-    algorithm: str = "label",
+    algorithm: str = "auto",
+    driver_max_pairs: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a candidate-pair frame: (id, rep) for every
     id appearing in any pair, rep = the smallest id in its component.
 
-    algorithm='label' (default): iterative smallest-label propagation — each
-    round joins the symmetrized edge list to the current labels, takes
-    min(label) per node, and stops at fixpoint. Rounds needed = the component
-    diameter — near-dup clusters are dense (LSH pairs approximate cliques),
-    so this converges in a handful of rounds; each round is ONE shuffle join
-    + ONE groupBy, with `localCheckpoint` truncating the lineage so plans
-    stay flat at any round count.
+    algorithm='auto' (default): the broadcast-join principle applied to
+    graph resolution — the pair count is read for free from an Observation
+    on the mandatory pair materialization; at or below `driver_max_pairs`
+    (2M pairs ≈ 32 MB of longs — near-dup subgraphs are vastly smaller than
+    the corpus) the components are resolved by a single driver-side
+    union-find (zero iterative jobs); above it, the distributed label loop
+    runs. Labels are identical across all paths.
+
+    algorithm='label': iterative smallest-label propagation — each round
+    joins the symmetrized edge list to the current labels, takes min(label)
+    per node, and stops at fixpoint. Rounds needed = the component diameter
+    — near-dup clusters are dense (LSH pairs approximate cliques), so this
+    converges in a handful of rounds; each round is ONE shuffle join + ONE
+    groupBy + ONE job (the convergence count rides the localCheckpoint via
+    observe), with the checkpoint truncating lineage so plans stay flat.
 
     algorithm='star': alternating large-star/small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) — rounds grow
@@ -602,19 +611,30 @@ def dedup_clusters(
     other): a diameter-10k component finishes in ~a dozen rounds where label
     propagation needs 10k. Same output contract, bit-identical labels.
 
-    `stats`, when provided, receives {'rounds': k, 'converged': bool}.
+    `stats`, when provided, receives {'rounds': k, 'converged': bool} (and
+    'algorithm' for the resolved auto choice).
     """
-    if algorithm not in ("label", "star"):
+    if algorithm not in ("auto", "label", "star"):
         raise ValueError(
-            f"algorithm={algorithm!r}: expected 'label' (diameter-bounded "
-            "min-label propagation) or 'star' (log-round large/small-star)"
+            f"algorithm={algorithm!r}: expected 'auto' (driver union-find "
+            "for small pair sets), 'label' (diameter-bounded min-label "
+            "propagation) or 'star' (log-round large/small-star)"
         )
     # materialize the pair list ONCE: the symmetrized edge union evaluates
     # its input per branch, so building edges straight off an expensive
-    # near-dup join would run that join twice before any caching fills
-    pairs_m = pairs.select(
-        F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b")
-    ).localCheckpoint(eager=True)
+    # near-dup join would run that join twice before any caching fills;
+    # the observation gives auto its pair count from the same job
+    obs = Observation("dedup_clusters_pairs")
+    pairs_m = (
+        pairs.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"))
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    if algorithm == "auto":
+        n_pairs = obs.get["n"] or 0
+        if n_pairs <= driver_max_pairs:
+            return _clusters_driver(pairs_m, stats=stats)
+        algorithm = "label"
     if algorithm == "star":
         return _clusters_star(pairs_m, max_rounds=max_rounds, stats=stats)
     edges = pairs_m.select(
@@ -670,7 +690,54 @@ def dedup_clusters(
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
+        stats["algorithm"] = "label"
     return labels.select("id", F.col("label").alias("rep"))
+
+
+def _clusters_driver(pairs_m: DataFrame, stats: dict | None) -> DataFrame:
+    """Driver-side union-find over a MATERIALIZED small pair frame — the
+    graph analogue of a broadcast join: when the near-dup subgraph fits in
+    driver memory (bounded by dedup_clusters(driver_max_pairs), ~16 bytes/
+    pair), one collect + a linear union-find with path halving beats any
+    number of distributed rounds. Exact same (id, rep=component min) labels
+    as the distributed paths."""
+    import pandas as pd
+
+    pdf = pairs_m.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["id_a"].to_list(), pdf["id_b"].to_list()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id root so rep falls out of find() directly
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = pd.DataFrame(
+        {"id": list(parent), "rep": [find(x) for x in parent]}
+    )
+    if stats is not None:
+        stats["rounds"] = 0
+        stats["converged"] = True
+        stats["algorithm"] = "driver"
+    spark = pairs_m.sparkSession
+    schema = pairs_m.schema["id_a"].dataType
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [T.StructField("id", schema), T.StructField("rep", schema)]
+    )
+    if labels.empty:
+        return spark.createDataFrame([], out_schema)
+    return spark.createDataFrame(labels, out_schema)
 
 
 def _clusters_star(
@@ -807,7 +874,7 @@ def near_dedup(
     text_col: str = "text",
     max_rounds: int = 30,
     stats: dict | None = None,
-    cluster_algorithm: str = "label",
+    cluster_algorithm: str = "auto",
     **method_kw,
 ) -> DataFrame:
     """The keep/drop operator: docs minus non-representative near-dups.

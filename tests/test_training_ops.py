@@ -75,7 +75,10 @@ def test_dedup_clusters_small_graph(spark):
         [(1, 2), (2, 3), (5, 6), (9, 3)], "id_a long, id_b long"
     )
     stats = {}
-    got = {r.id: r.rep for r in dedup_clusters(pairs, stats=stats).collect()}
+    got = {
+        r.id: r.rep
+        for r in dedup_clusters(pairs, stats=stats, algorithm="label").collect()
+    }
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
     assert stats["converged"] and stats["rounds"] >= 1
 
@@ -89,7 +92,10 @@ def test_dedup_clusters_long_chain_converges(spark):
     chain = [(i, i + 1) for i in range(1, 12)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     stats = {}
-    got = {r.id: r.rep for r in dedup_clusters(pairs, stats=stats).collect()}
+    got = {
+        r.id: r.rep
+        for r in dedup_clusters(pairs, stats=stats, algorithm="label").collect()
+    }
     assert got == {i: 1 for i in range(1, 13)}
     assert stats["converged"] and stats["rounds"] >= 3
 
@@ -100,7 +106,7 @@ def test_dedup_clusters_nonconvergence_warns(spark):
     chain = [(i, i + 1) for i in range(1, 12)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.warns(RuntimeWarning, match="no fixpoint"):
-        labels = dedup_clusters(pairs, max_rounds=1)
+        labels = dedup_clusters(pairs, max_rounds=1, algorithm="label")
         labels.collect()
 
 
@@ -215,6 +221,59 @@ class TestClustersStar:
         }
         assert kept == {1, 3}
         assert stats["algorithm"] == "star"
+
+
+class TestClustersAuto:
+    """algorithm='auto' resolves small pair sets with a driver union-find
+    (zero iterative jobs) and falls back to the distributed loop above the
+    pair budget — identical labels everywhere."""
+
+    def test_auto_small_uses_driver(self, spark):
+        from ocr_spark.operators.dedup import dedup_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (9, 3)], "id_a long, id_b long"
+        )
+        stats = {}
+        got = {r.id: r.rep for r in dedup_clusters(pairs, stats=stats).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+        assert stats["algorithm"] == "driver" and stats["rounds"] == 0
+        assert stats["converged"]
+
+    def test_auto_over_budget_falls_back_to_label(self, spark):
+        from ocr_spark.operators.dedup import dedup_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        stats = {}
+        got = {
+            r.id: r.rep
+            for r in dedup_clusters(
+                pairs, stats=stats, driver_max_pairs=1
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}
+        assert stats["algorithm"] == "label"
+
+    def test_driver_matches_distributed_on_random_graphs(self, spark):
+        import random
+
+        from ocr_spark.operators.dedup import dedup_clusters
+
+        rng = random.Random(23)
+        edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(50)]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = _uf_reference(edges)
+        auto = {r.id: r.rep for r in dedup_clusters(pairs).collect()}
+        assert auto == want
+
+    def test_empty_pairs(self, spark):
+        from ocr_spark.operators.dedup import dedup_clusters
+
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert dedup_clusters(pairs).count() == 0
 
 
 class TestCorpusPipeline:
