@@ -44,6 +44,19 @@ def main() -> None:
         "path: broadcast-joined on media_ref, decoded in-stage)",
     )
     ap.add_argument("--span-chunk-threshold", type=int, default=None)
+    ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="treat --input as a WATCHED directory: drain newly arrived "
+        "parquet files through the unchanged extractor via Structured "
+        "Streaming (availableNow), exactly-once per file, resume from "
+        "--checkpoint; re-run the same command to pick up new arrivals",
+    )
+    ap.add_argument(
+        "--checkpoint",
+        default=None,
+        help="streaming checkpoint dir (default: <output>/_checkpoint)",
+    )
     args = ap.parse_args()
 
     from ocr_spark.checkpoint import run_resumable
@@ -53,6 +66,28 @@ def main() -> None:
 
     rules = json.loads(args.rules) if args.rules else []
     spark = get_spark("ocr_spark_extract")
+
+    if args.streaming:
+        from ocr_spark.streaming import streaming_extract
+
+        q = streaming_extract(
+            spark,
+            args.input,
+            args.output,
+            args.checkpoint or f"{args.output.rstrip('/')}/_checkpoint",
+            rules=rules,
+            media_engine=args.media_engine,
+            salt_partitions=args.salt_partitions,
+            span_chunk_threshold=args.span_chunk_threshold,
+        )
+        q.awaitTermination()
+        progress = q.lastProgress or {}
+        print(
+            json.dumps(
+                {"mode": "streaming", "last_progress": progress}, default=str
+            )
+        )
+        return
 
     sidecar = sidecar_df(spark, args.media_sidecar) if args.media_sidecar else None
     docs = spark.read.parquet(args.input)
