@@ -880,6 +880,7 @@ def near_dedup(
     """The keep/drop operator: docs minus non-representative near-dups.
 
     Candidate pairs from the chosen near-dup family (minhash | simhash |
+    embedding — sign-LSH cosine over an embeddings=<frame> keyed by doc id |
     jaccard), resolved to connected components (dedup_clusters); every doc
     whose id is not its cluster's representative (min id) is dropped via one
     left_anti join. 'exact' short-circuits to exact_dedup (no pair stage).
