@@ -632,7 +632,15 @@ def dedup_clusters(
     )
     if algorithm == "auto":
         n_pairs = obs.get["n"] or 0
-        if n_pairs <= driver_max_pairs:
+        # the ~16 bytes/pair budget assumes fixed-width ids; string ids
+        # (URLs, hex hashes) cost ~an order more in pandas object columns
+        # and the union-find dict — shrink the cutover accordingly
+        from pyspark.sql import types as T
+
+        budget = driver_max_pairs
+        if isinstance(pairs_m.schema["id_a"].dataType, T.StringType):
+            budget //= 8
+        if n_pairs <= budget:
             return _clusters_driver(pairs_m, stats=stats)
         algorithm = "label"
     if algorithm == "star":
@@ -698,12 +706,17 @@ def _clusters_driver(pairs_m: DataFrame, stats: dict | None) -> DataFrame:
     """Driver-side union-find over a MATERIALIZED small pair frame — the
     graph analogue of a broadcast join: when the near-dup subgraph fits in
     driver memory (bounded by dedup_clusters(driver_max_pairs), ~16 bytes/
-    pair), one collect + a linear union-find with path halving beats any
-    number of distributed rounds. Exact same (id, rep=component min) labels
-    as the distributed paths."""
+    pair for long ids), one collect + a linear union-find with path
+    compression beats any number of distributed rounds. Exact same
+    (id, rep=component min) labels as the distributed paths.
+
+    Null ids are dropped Spark-side before the collect: a null never
+    equi-joins in the distributed paths, and pandas would otherwise turn
+    the long column into float64 whose NaN keys break dict identity
+    (NaN != NaN would spin find() forever)."""
     import pandas as pd
 
-    pdf = pairs_m.toPandas()
+    pdf = pairs_m.na.drop().toPandas()
     parent: dict = {}
 
     def find(x):

@@ -70,6 +70,11 @@ def main() -> None:
     if args.streaming:
         from ocr_spark.streaming import streaming_extract
 
+        # the sidecar is a STATIC frame; inside foreachBatch each micro-batch
+        # is a plain batch DF, so the broadcast sidecar join works unchanged
+        sidecar = (
+            sidecar_df(spark, args.media_sidecar) if args.media_sidecar else None
+        )
         q = streaming_extract(
             spark,
             args.input,
@@ -79,6 +84,7 @@ def main() -> None:
             media_engine=args.media_engine,
             salt_partitions=args.salt_partitions,
             span_chunk_threshold=args.span_chunk_threshold,
+            media_sidecar=sidecar,
         )
         q.awaitTermination()
         progress = q.lastProgress or {}

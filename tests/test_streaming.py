@@ -126,9 +126,9 @@ def test_streaming_dedup_null_id_and_text_survive(spark, dirs):
     ).parquet(dirs["in"])
     _drain(streaming_dedup(spark, dirs["in"], dirs["out"], dirs["ckpt"]))
     out = spark.read.parquet(dirs["out"])
-    assert out.count() == 3
     got = {r.doc_id for r in out.collect()}
-    assert 5 in got and 9 in got  # real id beat the null; survivor kept
+    # real ids beat the null twin in BOTH duplicate groups; no null escapes
+    assert got == {5, 7, 9}
 
 
 def test_streaming_backpressure_bounds_epochs(spark, dirs):

@@ -275,6 +275,34 @@ class TestClustersAuto:
         pairs = spark.createDataFrame([], "id_a long, id_b long")
         assert dedup_clusters(pairs).count() == 0
 
+    def test_null_id_pair_dropped_not_hung(self, spark):
+        """A null id in a pair must not reach the driver union-find: pandas
+        would coerce the column to float64 and a NaN key spins find()
+        forever (NaN != NaN). Nulls never equi-join in the distributed
+        paths either, so dropping the pair is the consistent semantic."""
+        from ocr_spark.operators.dedup import dedup_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (None, 3)], "id_a long, id_b long"
+        )
+        got = {r.id: r.rep for r in dedup_clusters(pairs).collect()}
+        assert got == {1: 1, 2: 1}
+
+    def test_string_ids_supported(self, spark):
+        from ocr_spark.operators.dedup import dedup_clusters
+
+        pairs = spark.createDataFrame(
+            [("urlB", "urlA"), ("urlB", "urlC"), ("urlX", "urlY")],
+            "id_a string, id_b string",
+        )
+        stats = {}
+        got = {r.id: r.rep for r in dedup_clusters(pairs, stats=stats).collect()}
+        assert got == {
+            "urlA": "urlA", "urlB": "urlA", "urlC": "urlA",
+            "urlX": "urlX", "urlY": "urlX",
+        }
+        assert stats["algorithm"] == "driver"
+
 
 class TestCorpusPipeline:
     def test_stage_composition(self, spark):
