@@ -1,7 +1,8 @@
 """Structured Streaming ingestion: continuous extraction over an arriving
 document directory.
 
-The reference is a batch desktop system — no streaming operator exists
+The reference is a batch desktop system — request/response per document
+(ocr_workflow_orchestrator.py:252-319), no streaming operator exists
 (SURVEY §2.9); this module is the Spark-native widening a production corpus
 build needs. New interleaved-span parquet files land in a directory; each
 micro-batch runs the UNCHANGED batch extractor via foreachBatch, so the plan
