@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ocr_spark.operators.dedup import near_dedup
-from ocr_spark.operators.text_analysis import pii_scrub, quality_score
+from ocr_spark.operators.text_analysis import pii_scrub, quality_score, quality_v2
 
 
 def corpus_pipeline(
@@ -38,6 +38,7 @@ def corpus_pipeline(
     eval_docs: DataFrame | None = None,
     *,
     min_quality: float = 0.45,
+    quality: str = "v1",
     dedup_method: str = "simhash",
     cluster_algorithm: str = "auto",
     contamination_n: int = 8,
@@ -53,11 +54,20 @@ def corpus_pipeline(
     by more than `max_shared_shingles` word n-grams, scrub PII from the
     survivors' text. Returns the docs frame (same columns, text scrubbed).
 
+    quality='v1' filters on the ratio-heuristic score (alpha/stopword/punct
+    blend); 'v2' on the Gopher-style composite that also penalizes
+    duplicate lines, top-bigram dominance and character runs — the signal
+    real web filtering needs against boilerplate/spam (both are pure
+    codegen'd expressions at the scan; v2 costs ~3 extra array passes).
+
     `stats` (optional dict) receives the cluster-stage round/convergence
     numbers from dedup_clusters. `dedup_kw` forwards to the chosen pair
     generator (e.g. max_hamming= for simhash, threshold= for minhash).
     """
-    filtered = docs.where(quality_score(F.col(text_col)) >= F.lit(min_quality))
+    if quality not in ("v1", "v2"):
+        raise ValueError(f"quality={quality!r}: expected 'v1' or 'v2'")
+    score = quality_score if quality == "v1" else quality_v2
+    filtered = docs.where(score(F.col(text_col)) >= F.lit(min_quality))
     kept = near_dedup(
         filtered,
         method=dedup_method,

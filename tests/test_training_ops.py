@@ -339,6 +339,33 @@ class TestCorpusPipeline:
         assert set(rows) == {1, 5}
         assert "sam@example.com" not in rows[1] and "<EMAIL>" in rows[1]
 
+    def test_quality_v2_catches_repetitive_spam(self, spark):
+        """A doc whose every line repeats passes the v1 ratio blend but
+        fails the v2 Gopher-style composite (duplicate-line penalty)."""
+        from ocr_spark.operators.corpus import corpus_pipeline
+
+        spam_line = "the best offer for the best price in the town today"
+        docs = spark.createDataFrame(
+            [
+                (1, "\n".join([spam_line] * 12)),
+                (2, "a normal paragraph about the design of compilers and "
+                    "the structure of their intermediate representations"),
+            ],
+            "doc_id long, text string",
+        )
+        # measured: spam v1=0.868 v2=0.735, normal v1=0.873 v2=0.912 —
+        # 0.8 sits between the v2 scores but below both v1 scores
+        v1 = {r.doc_id for r in corpus_pipeline(
+            docs, None, min_quality=0.8, quality="v1", scrub=False
+        ).collect()}
+        v2 = {r.doc_id for r in corpus_pipeline(
+            docs, None, min_quality=0.8, quality="v2", scrub=False
+        ).collect()}
+        assert 1 in v1          # ratio heuristics alone are fooled
+        assert v2 == {2}        # repetition signals reject the spam
+        with pytest.raises(ValueError, match="quality"):
+            corpus_pipeline(docs, None, quality="v3")
+
     def test_no_eval_no_scrub_passthrough(self, spark):
         from ocr_spark.operators.corpus import corpus_pipeline
 
