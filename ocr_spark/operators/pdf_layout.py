@@ -94,10 +94,16 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def pdf_write(blocks: list[dict], page_w: float = PAGE_W, page_h: float = PAGE_H) -> bytes:
-    """Minimal valid single-page PDF: uncompressed content stream, correct
-    xref offsets. blocks = [{x, y, w?, h?, text, size?}] in TOP-LEFT reading
-    coordinates (converted to the PDF's bottom-left origin on write)."""
+def pdf_write(
+    blocks: list[dict],
+    page_w: float = PAGE_W,
+    page_h: float = PAGE_H,
+    compress: bool = False,
+) -> bytes:
+    """Minimal valid single-page PDF with correct xref offsets. blocks =
+    [{x, y, w?, h?, text, size?}] in TOP-LEFT reading coordinates (converted
+    to the PDF's bottom-left origin on write). compress=True emits the
+    content stream FlateDecode'd (zlib), as real exporters do."""
     lines = []
     for b in blocks:
         size = float(b.get("size", 12))
@@ -107,6 +113,12 @@ def pdf_write(blocks: list[dict], page_w: float = PAGE_W, page_h: float = PAGE_H
             f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_pdf_escape(str(b['text']))}) Tj ET"
         )
     content = "\n".join(lines).encode("latin-1")
+    filt = b""
+    if compress:
+        import zlib
+
+        content = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -114,7 +126,8 @@ def pdf_write(blocks: list[dict], page_w: float = PAGE_W, page_h: float = PAGE_H
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:g} {page_h:g}] "
             "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
         ).encode(),
-        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< " + filt + b"/Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
     out = bytearray(b"%PDF-1.4\n")
@@ -180,26 +193,73 @@ _NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)"
 _MEDIABOX = None  # compiled lazily
 
 
+def _inflate_streams(data: bytes) -> bytes:
+    """Decompress every plain /FlateDecode stream in place (zlib — the
+    stdlib filter real exporters use). Unsupported variants raise
+    ValueError: filter CHAINS ([/ASCII85Decode /FlateDecode]) are left in
+    the document and caught by the caller's residual check; /DecodeParms
+    predictors are rejected here (PNG predictors need the row filter
+    pass this text-layer subset does not carry)."""
+    import re as _re
+    import zlib
+
+    # global pre-check: /DecodeParms nests a dict, which the tempered-dot
+    # dict scan below cannot span — reject predictor variants up front
+    # (conservative: any DecodeParms alongside FlateDecode)
+    if b"/DecodeParms" in data or b"/DecodeParams" in data:
+        raise ValueError(
+            "FlateDecode with a predictor (/DecodeParms) is not "
+            "supported; re-export without predictors or rasterize"
+        )
+    pat = _re.compile(
+        rb"<<(?:(?!>>).)*?/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])"
+        rb"(?:(?!>>).)*?>>\s*stream\r?\n",
+        _re.S,
+    )
+    out = []
+    pos = 0
+    for m in pat.finditer(data):
+        end = data.find(b"endstream", m.end())
+        if end < 0:
+            continue
+        raw = data[m.end():end]
+        # the EOL before 'endstream' is not part of the stream data
+        if raw.endswith(b"\r\n"):
+            raw = raw[:-2]
+        elif raw.endswith((b"\n", b"\r")):
+            raw = raw[:-1]
+        try:
+            inflated = zlib.decompress(raw)
+        except zlib.error as e:
+            raise ValueError(f"FlateDecode stream failed to inflate: {e}")
+        out.append(data[pos:m.start()])
+        # the parser scans structurally; the dict only needs the filter gone
+        out.append(b"<< >>\nstream\n" + inflated + b"\nendstream")
+        pos = end + len(b"endstream")
+    out.append(data[pos:])
+    return b"".join(out)
+
+
 def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
-    """Text blocks from a PDF's uncompressed content: scan BT…ET text
-    objects, track Tf (size) and Td/TD/Tm positioning, collect Tj/TJ shows.
-    Returns (blocks in TOP-LEFT reading coords [{x,y,w,h,text}], page_w,
-    page_h). Tolerates missing/garbled xref (the scan is structural) —
-    FlateDecode'd streams are out of scope (ValueError)."""
+    """Text blocks from a PDF's content streams: scan BT…ET text objects,
+    track Tf (size) and Td/TD/Tm positioning, collect Tj/TJ shows. Returns
+    (blocks in TOP-LEFT reading coords [{x,y,w,h,text}], page_w, page_h).
+    Tolerates missing/garbled xref (the scan is structural). Plain
+    FlateDecode'd streams are inflated via stdlib zlib; filter chains and
+    predictors raise ValueError."""
     import re as _re
 
-    if isinstance(data, bytes):
-        if not data.lstrip()[:5] == b"%PDF-":
-            raise ValueError("not a PDF")
-        text = data.decode("latin-1")
-    else:
-        if not data.lstrip().startswith("%PDF-"):
-            raise ValueError("not a PDF")
-        text = data
+    if isinstance(data, str):
+        data = data.encode("latin-1")
+    if not data.lstrip()[:5] == b"%PDF-":
+        raise ValueError("not a PDF")
+    if b"/FlateDecode" in data:
+        data = _inflate_streams(data)
+    text = data.decode("latin-1")
     if "/FlateDecode" in text:
         raise ValueError(
-            "compressed PDF content streams are not supported (no zlib filter "
-            "chain here); re-export uncompressed or rasterize"
+            "unsupported compressed-stream variant (filter chain); only a "
+            "plain /FlateDecode filter is handled — re-export or rasterize"
         )
     page_w, page_h = PAGE_W, PAGE_H
     mb = _re.search(

@@ -79,9 +79,37 @@ def test_mediabox_respected():
     assert parsed[0]["y"] == pytest.approx(20.0)
 
 
-def test_flate_rejected_not_a_pdf_rejected():
-    with pytest.raises(ValueError, match="compressed"):
-        pdf_parse_blocks(b"%PDF-1.5\n<< /Filter /FlateDecode >> stream xx endstream")
+def test_flate_roundtrip_matches_uncompressed():
+    """compress=True writes a real FlateDecode content stream; the parser
+    inflates it via stdlib zlib and produces the identical block set."""
+    plain, _, _ = pdf_parse_blocks(pdf_write(BLOCKS))
+    inflated, w, h = pdf_parse_blocks(pdf_write(BLOCKS, compress=True))
+    assert inflated == plain
+    # str input path inflates too (latin-1 is byte-preserving)
+    via_str, _, _ = pdf_parse_blocks(
+        pdf_write(BLOCKS, compress=True).decode("latin-1")
+    )
+    assert via_str == plain
+
+
+def test_flate_unsupported_variants_and_not_a_pdf_rejected():
+    # corrupt deflate payload → explicit error, not a zlib traceback
+    with pytest.raises(ValueError, match="inflate"):
+        pdf_parse_blocks(
+            b"%PDF-1.5\n<< /Filter /FlateDecode /Length 2 >>\nstream\nxx\nendstream"
+        )
+    # filter CHAIN is out of scope and must say so
+    with pytest.raises(ValueError, match="filter chain"):
+        pdf_parse_blocks(
+            b"%PDF-1.5\n<< /Filter [/ASCII85Decode /FlateDecode] /Length 2 "
+            b">>\nstream\nxx\nendstream"
+        )
+    # predictor variants are rejected before inflation
+    with pytest.raises(ValueError, match="predictor"):
+        pdf_parse_blocks(
+            b"%PDF-1.5\n<< /Filter /FlateDecode /DecodeParms << /Predictor 12 "
+            b">> /Length 2 >>\nstream\nxx\nendstream"
+        )
     with pytest.raises(ValueError, match="not a PDF"):
         pdf_parse_blocks(b"hello")
 
@@ -118,3 +146,19 @@ def test_pdf_real_pipeline_e2e(spark):
     assert rows["p1"].spans[0].text == "left top\nright top\nleft bottom\nright bottom"
     # a %PDF- payload with no BT/ET text objects extracts to empty, no error
     assert rows["p2"].spans[0].text == "" and rows["p2"].error is None
+
+
+def test_pdf_compressed_pipeline_e2e(spark):
+    """FlateDecode'd PDFs (the real-world default) through the FULL
+    pipeline: inflation happens inside the Arrow stage and the extracted
+    reading order matches the uncompressed twin."""
+    from ocr_spark.pipeline import extract_documents
+    from ocr_spark.schema import DOC_SCHEMA
+
+    pdf_c = pdf_write(BLOCKS, compress=True).decode("latin-1")
+    docs = spark.createDataFrame(
+        [("pc", [("pdf", pdf_c, None, 0)])], DOC_SCHEMA
+    )
+    row = extract_documents(docs, rules=[]).collect()[0]
+    assert row.error is None
+    assert row.spans[0].text == "left top\nright top\nleft bottom\nright bottom"
