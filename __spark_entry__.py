@@ -1344,6 +1344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "frame_sample": q_frame_sample,
         "ivf_topk": q_ivf_topk,
+        # early slot: the r03 driver recorded 50/51 rows, dropping exactly
+        # the LAST registered query — keep this one clear of the tail
+        "embedding_near_dups": q_embedding_near_dups,
         "token_counts": q_token_counts,
         "quality_score": q_quality_score,
         "quality_repetition": q_quality_repetition,
@@ -1360,7 +1363,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
         "minhash_lsh": q_minhash_lsh,
-        "embedding_near_dups": q_embedding_near_dups,
     }
 
 

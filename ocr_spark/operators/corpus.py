@@ -30,7 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ocr_spark.operators.dedup import near_dedup
-from ocr_spark.operators.text_analysis import pii_scrub, quality_score, quality_v2
+from ocr_spark.operators.text_analysis import (
+    pii_scrub,
+    quality_repetition_select,
+    quality_score,
+)
 
 
 def corpus_pipeline(
@@ -57,8 +61,9 @@ def corpus_pipeline(
     quality='v1' filters on the ratio-heuristic score (alpha/stopword/punct
     blend); 'v2' on the Gopher-style composite that also penalizes
     duplicate lines, top-bigram dominance and character runs — the signal
-    real web filtering needs against boilerplate/spam (both are pure
-    codegen'd expressions at the scan; v2 costs ~3 extra array passes).
+    real web filtering needs against boilerplate/spam (v1 is a pure
+    codegen'd predicate at the scan; v2 rides the staged array projections
+    of quality_repetition_select — one extra projection chain, no shuffle).
 
     `stats` (optional dict) receives the cluster-stage round/convergence
     numbers from dedup_clusters. `dedup_kw` forwards to the chosen pair
@@ -66,8 +71,29 @@ def corpus_pipeline(
     """
     if quality not in ("v1", "v2"):
         raise ValueError(f"quality={quality!r}: expected 'v1' or 'v2'")
-    score = quality_score if quality == "v1" else quality_v2
-    filtered = docs.where(score(F.col(text_col)) >= F.lit(min_quality))
+    if quality == "v1":
+        filtered = docs.where(quality_score(F.col(text_col)) >= F.lit(min_quality))
+    else:
+        # v2 MUST go through the staged projections: the scalar quality_v2
+        # composition inlines the split/gram array subtrees dozens of times
+        # and falls out of codegen into interpreted eval — measured minutes
+        # vs seconds on a few hundred docs (see quality_repetition_select).
+        # A plain .where(quality_v2 >= x) would undo the staging too:
+        # PushPredicateThroughNonJoin substitutes aliases through
+        # deterministic Projects unconditionally, re-inlining the whole
+        # tree into one interpreted Filter. The rand() column is a pushdown
+        # barrier — a non-deterministic projection blocks the rule, and
+        # referencing it inside the single (non-splittable) comparison
+        # keeps ColumnPruning from stripping the barrier and re-enabling it.
+        staged = quality_repetition_select(
+            docs, F.col(text_col), id_cols=tuple(docs.columns)
+        ).withColumn("_nd", F.rand(7))
+        keep = (
+            F.when(F.col("_nd") > F.lit(-1.0), F.col("quality_v2"))
+            .otherwise(F.lit(None))
+            >= F.lit(min_quality)
+        )
+        filtered = staged.where(keep).select(*docs.columns)
     kept = near_dedup(
         filtered,
         method=dedup_method,
@@ -86,7 +112,10 @@ def corpus_pipeline(
         bad = cont.where(
             F.col("n_shared_shingles") > F.lit(max_shared_shingles)
         ).select(id_col)
-        kept = kept.join(bad, id_col, "left_anti")
+        # The hit set is bounded by the (small) eval-corpus overlap; without
+        # the hint the post-aggregation side plans as SortMergeJoin and the
+        # CORPUS pays a shuffle-map write even when AQE later converts it.
+        kept = kept.join(F.broadcast(bad), id_col, "left_anti")
     if scrub:
         kept = kept.withColumn(text_col, pii_scrub(F.col(text_col)))
     return kept
@@ -99,11 +128,15 @@ def corpus_pipeline_sql(
     contamination_n: int = 8,
     max_shared_shingles: int = 0,
     out_cols: str = "doc_id, text, lang, source, n_chars",
+    quality: str = "v1",
 ) -> str:
     """DuckDB twin of corpus_pipeline for the oracle split:
     corpus = documents with doc_id % eval_mod != 0, eval = the rest; dedup
     via brute-force O(n²) simhash hamming (proving the engine's bucketed
-    path loses nothing) resolved by the recursive-CTE transitive closure."""
+    path loses nothing) resolved by the recursive-CTE transitive closure.
+    `quality` mirrors corpus_pipeline's knob: 'v1' = ratio heuristic,
+    'v2' = the Gopher-style composite (composed from quality_repetition_sql
+    so the filter semantics match quality_v2 exactly)."""
     from ocr_spark.operators.dedup import (
         _shingles_sql,
         dedup_clusters_sql,
@@ -112,10 +145,24 @@ def corpus_pipeline_sql(
     from ocr_spark.operators.text_analysis import (
         h60_sql,
         pii_scrub_sql,
+        quality_repetition_sql,
         quality_score_sql,
     )
 
-    q = quality_score_sql("text")
+    if quality not in ("v1", "v2"):
+        raise ValueError(f"quality={quality!r}: expected 'v1' or 'v2'")
+    if quality == "v1":
+        fd = (
+            f"SELECT * FROM documents WHERE doc_id % {eval_mod} <> 0 "
+            f"AND {quality_score_sql('text')} >= {min_quality}"
+        )
+    else:
+        fd = (
+            f"SELECT d.* FROM documents d JOIN "
+            f"(SELECT doc_id, quality_v2 FROM ({quality_repetition_sql('text')})) qv "
+            f"USING (doc_id) "
+            f"WHERE d.doc_id % {eval_mod} <> 0 AND qv.quality_v2 >= {min_quality}"
+        )
     pairs = (
         f"WITH sig AS ({simhash_sql(table='fd')}) "
         f"SELECT a.id AS id_a, b.id AS id_b FROM sig a JOIN sig b "
@@ -126,8 +173,7 @@ def corpus_pipeline_sql(
         "text", f"{pii_scrub_sql('text')} AS text", 1
     )
     return f"""
-WITH fd AS (SELECT * FROM documents
-            WHERE doc_id % {eval_mod} <> 0 AND {q} >= {min_quality}),
+WITH fd AS ({fd}),
 cl AS ({dedup_clusters_sql(pairs)}),
 kd AS (SELECT * FROM fd
        WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> rep)),

@@ -625,8 +625,12 @@ def dedup_clusters(
     # near-dup join would run that join twice before any caching fills;
     # the observation gives auto its pair count from the same job
     obs = Observation("dedup_clusters_pairs")
+    # drop null-id pairs ONCE here so all three algorithms see the same
+    # edge set (a null never equi-joins in the distributed paths, but the
+    # driver path would otherwise collect it and label a (null,null) row)
     pairs_m = (
         pairs.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"))
+        .na.drop()
         .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )

@@ -180,20 +180,28 @@ def _ycbcr_to_rgb(y, cb, cr):
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline sequential JPEG → uint8 (H,W) gray or (H,W,3) RGB."""
+    """JPEG → uint8 (H,W) gray or (H,W,3) RGB. Baseline sequential
+    (SOF0/1) and progressive (SOF2: spectral selection + successive
+    approximation per T.81 Annex G — the dominant real-web encoding,
+    VERDICT r3 #3; ref loads any PIL format,
+    ocr_workflow_orchestrator.py:153-178)."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
     frame = None
+    progressive = False
     restart_interval = 0
+    planes = None  # progressive: per-component coefficient planes across scans
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and planes is not None:
+                return _jpeg_reconstruct(frame, planes, qt)
             raise ValueError("JPEG EOI before SOS")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue
@@ -222,7 +230,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 syms = list(seg[p + 17 : p + 17 + nsym])
                 huff[(tc, th)] = _canonical_codes(counts, syms)[0]
                 p += 17 + nsym
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
@@ -231,8 +239,12 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG is supported")
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "unsupported JPEG coding process (baseline and progressive "
+                "Huffman only)"
+            )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[0:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -245,13 +257,42 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append({**comp, "dc": tds >> 4, "ac": tds & 15})
             pos += seglen
-            return _jpeg_decode_scan(data, pos, frame, scan, qt, huff, restart_interval)
+            if not progressive:
+                return _jpeg_decode_scan(data, pos, frame, scan, qt, huff, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if planes is None:
+                planes = _alloc_planes(frame)
+            pos = _jpeg_progressive_scan(
+                data, pos, frame, scan, huff, restart_interval, planes,
+                ss, se, ahal >> 4, ahal & 15,
+            )
+            continue
         pos += seglen
+    if progressive and planes is not None:  # EOI missing but scans decoded
+        return _jpeg_reconstruct(frame, planes, qt)
     raise ValueError("JPEG has no SOS segment")
 
 
-def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
-    # de-stuff entropy bytes, splitting at restart markers
+def _mcu_geometry(frame):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_planes(frame):
+    _, _, mcus_x, mcus_y = _mcu_geometry(frame)
+    return {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
+        for c in frame["comps"]
+    }
+
+
+def _destuff_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """De-stuff entropy bytes starting at `pos`, splitting at RSTn markers.
+    Returns (segments, index of the 0xFF of the next real marker)."""
     segments: list[bytearray] = [bytearray()]
     i = pos
     n = len(data)
@@ -270,7 +311,11 @@ def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
             break  # EOI or next marker
         segments[-1].append(b)
         i += 1
+    return [bytes(s) for s in segments], i
 
+
+def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
+    segments, _ = _destuff_entropy(data, pos)
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
@@ -322,9 +367,15 @@ def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
                         k += 1
                     planes[c["id"]][my * c["v"] + by, mx * c["h"] + bx] = coef
 
-    # dequant + vectorized IDCT per component, crop, upsample
+    return _jpeg_reconstruct(frame, planes, qt)
+
+
+def _jpeg_reconstruct(frame, planes, qt):
+    """Dequant + vectorized IDCT per component, upsample, crop, colorspace."""
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _mcu_geometry(frame)
     out_planes = []
-    for c in scan:
+    for c in frame["comps"]:
         q = qt.get(c["tq"])
         if q is None:
             raise ValueError("JPEG scan references undefined quant table")
@@ -343,6 +394,152 @@ def _jpeg_decode_scan(data, pos, frame, scan, qt, huff, restart_interval):
     if len(out_planes) == 3:
         return _ycbcr_to_rgb(*out_planes)
     raise ValueError(f"unsupported JPEG component count {len(out_planes)}")
+
+
+def _jpeg_progressive_scan(
+    data, pos, frame, scan, huff, restart_interval, planes, ss, se, ah, al
+):
+    """Decode ONE progressive scan into the persistent coefficient planes
+    (T.81 Annex G / the libjpeg decode_mcu_{DC,AC}_{first,refine} quartet):
+    DC scans are interleaved over MCUs, AC scans are single-component over
+    that component's non-padded block grid; Ah==0 scans place coefficients
+    scaled by 2^Al, Ah>0 scans add one correction bit at 2^Al. Returns the
+    offset of the next marker."""
+    segments, next_pos = _destuff_entropy(data, pos)
+    hmax, vmax, mcus_x, mcus_y = _mcu_geometry(frame)
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not dc_scan and len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    zz = _ZIGZAG
+
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    eobrun = 0
+    pred = {c["id"]: 0 for c in scan}
+
+    def restart(unit):
+        nonlocal seg_idx, reader, eobrun, pred
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            eobrun = 0
+            pred = {c["id"]: 0 for c in scan}
+
+    if dc_scan:
+        dc_decs = {}
+        for c in scan:
+            if ah == 0:
+                dec = huff.get((0, c["dc"]))
+                if dec is None:
+                    raise ValueError("JPEG scan references undefined Huffman table")
+                dc_decs[c["id"]] = dec
+
+        def dc_block(c, coef):
+            if ah == 0:  # DC first
+                t = reader.read_huffman(dc_decs[c["id"]])
+                pred[c["id"]] += _extend(reader.read_bits(t), t)
+                coef[0] = pred[c["id"]] << al
+            elif reader.read_bit():  # DC refinement: one bit per block
+                coef[0] |= 1 << al
+
+        if len(scan) == 1 and len(frame["comps"]) > 1:
+            # non-interleaved DC scan: component block grid, not MCU grid
+            c = scan[0]
+            comp_w = -(-frame["w"] * c["h"] // hmax)
+            comp_h = -(-frame["h"] * c["v"] // vmax)
+            bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+            for blk in range(bw * bh):
+                restart(blk)
+                by, bx = divmod(blk, bw)
+                dc_block(c, planes[c["id"]][by, bx])
+            return next_pos
+        for mcu in range(mcus_x * mcus_y):
+            restart(mcu)
+            my, mx = divmod(mcu, mcus_x)
+            for c in scan:
+                plane = planes[c["id"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc_block(c, plane[my * c["v"] + by, mx * c["h"] + bx])
+        return next_pos
+
+    c = scan[0]
+    ac_dec = huff.get((1, c["ac"]))
+    if ac_dec is None:
+        raise ValueError("JPEG scan references undefined Huffman table")
+    # non-interleaved scans cover the component's ceil(dim/8) block grid,
+    # NOT the MCU-padded grid (T.81 A.2.2)
+    comp_w = -(-frame["w"] * c["h"] // hmax)
+    comp_h = -(-frame["h"] * c["v"] // vmax)
+    bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+    plane = planes[c["id"]]
+    p1, m1 = 1 << al, -1 << al
+    for blk in range(bw * bh):
+        restart(blk)
+        by, bx = divmod(blk, bw)
+        coef = plane[by, bx]
+        if ah == 0:  # AC first (G.1.2.2)
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.read_huffman(ac_dec)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    k += 16
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC run overflow")
+                coef[zz[k]] = _extend(reader.read_bits(s), s) << al
+                k += 1
+        else:  # AC refinement (G.1.2.3)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.read_huffman(ac_dec)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError("bad refinement magnitude")
+                        newval = p1 if reader.read_bit() else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    while k <= se:
+                        z = zz[k]
+                        if coef[z] != 0:
+                            if reader.read_bit() and (coef[z] & p1) == 0:
+                                coef[z] += p1 if coef[z] >= 0 else m1
+                        else:
+                            if r == 0:
+                                if s:
+                                    coef[z] = newval
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:  # refine remaining nonzeros in the EOB band
+                while k <= se:
+                    z = zz[k]
+                    if coef[z] != 0 and reader.read_bit() and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+    return next_pos
 
 
 class _BitWriter:
@@ -523,6 +720,234 @@ def jpeg_encode(img: np.ndarray, quality: int = 85, subsample: bool = False) -> 
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# flat 8-bit AC Huffman table for the progressive encoder: every (run,size)
+# symbol with size 1-10 (160), the EOBn symbols 0x00-0xE0 (15) and ZRL 0xF0,
+# all at code length 8 (176 codes < 255 — valid canonical table, all-ones
+# unused). The standard Annex-K tables lack the EOBn symbols progressive
+# needs.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted({(r << 4) | s for r in range(16) for s in range(1, 11)}
+           | {n << 4 for n in range(15)} | {0xF0}),
+)
+
+
+def jpeg_encode_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+    """Progressive (SOF2) JFIF encoder, 4:4:4/grayscale, two successive-
+    approximation stages per band: DC first (Al=1) + DC refine, then per
+    component AC first (Ss=1..63, Al=1) + AC refine — so a decoder must
+    implement all four scan kinds of T.81 Annex G, including EOB runs and
+    correction-bit refinement. Pixel output equals the baseline encoding of
+    the same image (identical quantized coefficients, different order)."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    lq = _quality_scale(_STD_LUMA_Q, quality)
+    cq = _quality_scale(_STD_CHROMA_Q, quality)
+    _, dc_l_enc = _canonical_codes(*_DC_LUMA)
+    _, dc_c_enc = _canonical_codes(*_DC_CHROMA)
+    _, ac_enc = _canonical_codes(*_AC_PROG)
+
+    if gray:
+        comps = [(1, img.astype(np.float64), lq, dc_l_enc)]
+    else:
+        rgb = img.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2] + 128.0
+        cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2] + 128.0
+        comps = [(1, y, lq, dc_l_enc), (2, cb, cq, dc_c_enc), (3, cr, cq, dc_c_enc)]
+    # per-component quantized coefficients in zigzag order, block raster order
+    zzc = {}
+    for cid, plane, q, _enc in comps:
+        qc = np.rint(_to_blocks(_pad_to(plane, 8)) / q[None, :]).astype(np.int64)
+        zzc[cid] = qc[:, _ZIGZAG]
+    n_blocks = len(zzc[comps[0][0]])
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+
+    def dqt(tid, q):
+        return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(q[z]) for z in _ZIGZAG
+        )
+
+    out += dqt(0, lq)
+    if not gray:
+        out += dqt(1, cq)
+    nc = 1 if gray else 3
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, nc))
+    for cid, _p, _q, _e in comps:
+        sof += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof  # SOF2
+
+    def dht(tc, th, tbl):
+        counts, syms = tbl
+        payload = bytes([(tc << 4) | th]) + bytes(counts) + bytes(syms)
+        return b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+
+    out += dht(0, 0, _DC_LUMA) + dht(1, 0, _AC_PROG)
+    if not gray:
+        out += dht(0, 1, _DC_CHROMA)
+
+    def sos(comp_tbls, ss, se, ah, al):
+        seg = bytearray([len(comp_tbls)])
+        for cid, tds in comp_tbls:
+            seg += bytes([cid, tds])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
+
+    # ---- scan 1: DC first, interleaved, Al=1 --------------------------------
+    out += sos([(cid, (0 if cid == 1 else 1) << 4) for cid, *_ in comps], 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = {cid: 0 for cid, *_ in comps}
+    for i in range(n_blocks):
+        for cid, _p, _q, dc_enc in comps:
+            v = int(zzc[cid][i, 0]) >> 1  # point transform (arithmetic shift)
+            diff = v - preds[cid]
+            preds[cid] = v
+            t = abs(diff).bit_length()
+            code, length = dc_enc[t]
+            bw.write(code, length)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    bw.flush()
+    out += bw.out
+
+    # ---- scan 2: DC refine, Ah=1 Al=0 ---------------------------------------
+    out += sos([(cid, 0) for cid, *_ in comps], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for i in range(n_blocks):
+        for cid, *_ in comps:
+            bw.write(int(zzc[cid][i, 0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # ---- per component: AC first (Al=1) then AC refine (Ah=1 Al=0) ----------
+    for cid, *_ in comps:
+        out += sos([(cid, 0x00)], 1, 63, 0, 1)
+        bw = _BitWriter()
+        _enc_ac_first_scan(bw, zzc[cid], ac_enc, al=1)
+        bw.flush()
+        out += bw.out
+
+        out += sos([(cid, 0x00)], 1, 63, 1, 0)
+        bw = _BitWriter()
+        _enc_ac_refine_scan(bw, zzc[cid], ac_enc, al=0)
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (T.81 G.1.2.1)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _enc_ac_first_scan(bw, zz_blocks, ac_enc, al):
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            code, length = ac_enc[n << 4]
+            bw.write(code, length)
+            if n:
+                bw.write(eobrun - (1 << n), n)
+            eobrun = 0
+
+    for blk in zz_blocks:
+        vals = [_pt(int(blk[k]), al) for k in range(1, 64)]
+        if not any(vals):
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        last = max(i for i, v in enumerate(vals) if v)
+        run = 0
+        for v in vals[: last + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_enc[0xF0]
+                bw.write(code, length)
+                run -= 16
+            s = abs(v).bit_length()
+            code, length = ac_enc[(run << 4) | s]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 62:
+            eobrun = 1
+    flush_eob()
+
+
+def _enc_ac_refine_scan(bw, zz_blocks, ac_enc, al):
+    """libjpeg encode_mcu_AC_refine: newly-nonzero coefficients (|pt|==1)
+    get (run,1) symbols + a sign bit; previously-nonzero ones contribute
+    buffered correction bits; trailing zeros fold into a shared EOB run."""
+    eobrun = 0
+    be: list[int] = []  # correction bits pending with the EOB run
+
+    def flush_eob():
+        nonlocal eobrun, be
+        if eobrun:
+            n = eobrun.bit_length() - 1
+            code, length = ac_enc[n << 4]
+            bw.write(code, length)
+            if n:
+                bw.write(eobrun - (1 << n), n)
+            eobrun = 0
+        for bit in be:
+            bw.write(bit, 1)
+        be = []
+
+    for blk in zz_blocks:
+        vals = [_pt(int(blk[k]), al) for k in range(1, 64)]
+        absv = [abs(v) for v in vals]
+        eob = 0  # index past the last newly-nonzero coefficient
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i + 1
+        r = 0
+        br: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                flush_eob()
+                code, length = ac_enc[0xF0]
+                bw.write(code, length)
+                r -= 16
+                for bit in br:
+                    bw.write(bit, 1)
+                br = []
+            if a > 1:
+                br.append(a & 1)
+                continue
+            flush_eob()
+            code, length = ac_enc[(r << 4) | 1]
+            bw.write(code, length)
+            bw.write(1 if vals[i] >= 0 else 0, 1)
+            for bit in br:
+                bw.write(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            eobrun += 1
+            be.extend(br)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
 
 
 # ---------------------------------------------------------------------------

@@ -99,11 +99,16 @@ def pdf_write(
     page_w: float = PAGE_W,
     page_h: float = PAGE_H,
     compress: bool = False,
+    predictor: int = 1,
+    columns: int = 64,
 ) -> bytes:
     """Minimal valid single-page PDF with correct xref offsets. blocks =
     [{x, y, w?, h?, text, size?}] in TOP-LEFT reading coordinates (converted
     to the PDF's bottom-left origin on write). compress=True emits the
-    content stream FlateDecode'd (zlib), as real exporters do."""
+    content stream FlateDecode'd (zlib), as real exporters do; predictor=2
+    (TIFF) or 10-15 (PNG rows, written as Up filters) additionally
+    predictor-encodes it with /DecodeParms, the shape linearized PDFs use
+    (content padded with stream whitespace to a row multiple)."""
     lines = []
     for b in blocks:
         size = float(b.get("size", 12))
@@ -117,8 +122,27 @@ def pdf_write(
     if compress:
         import zlib
 
+        if predictor != 1:
+            pad = (-len(content)) % columns
+            content += b" " * pad  # whitespace between operators is inert
+            rows = np.frombuffer(content, np.uint8).reshape(-1, columns)
+            if predictor == 2:
+                d = rows.astype(np.int64)
+                d[:, 1:] = d[:, 1:] - d[:, :-1]
+                content = (d & 0xFF).astype(np.uint8).tobytes()
+            elif 10 <= predictor <= 15:
+                up = np.vstack([np.zeros((1, columns), np.int64), rows[:-1]])
+                enc = (rows.astype(np.int64) - up) & 0xFF
+                content = np.hstack(
+                    [np.full((rows.shape[0], 1), 2, np.uint8), enc.astype(np.uint8)]
+                ).tobytes()
+            else:
+                raise ValueError(f"unsupported writer predictor {predictor}")
+            filt = (
+                f"/DecodeParms << /Predictor {predictor} /Columns {columns} >> "
+            ).encode()
         content = zlib.compress(content)
-        filt = b"/Filter /FlateDecode "
+        filt += b"/Filter /FlateDecode "
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -165,12 +189,18 @@ def _parse_pdf_string(s: str, i: int) -> tuple[str, int]:
             if nxt in esc:
                 out.append(esc[nxt])
                 i += 2
-            elif nxt.isdigit():
+            elif nxt in "01234567":
+                # octal digits only — '\8'/'\9' fall through to the unknown-
+                # escape branch (common readers keep the char literally;
+                # isdigit() here once made int(...,8) raise and drop the text)
                 j = i + 1
-                while j < min(i + 4, n) and s[j].isdigit():
+                while j < min(i + 4, n) and s[j] in "01234567":
                     j += 1
                 out.append(chr(int(s[i + 1 : j], 8) & 0xFF))
                 i = j
+            elif nxt in "89":
+                out.append(nxt)
+                i += 2
             else:
                 i += 2  # line continuation / unknown escape: drop
         elif c == "(":
@@ -193,49 +223,164 @@ _NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)"
 _MEDIABOX = None  # compiled lazily
 
 
+def _png_predictor_unfilter(raw: bytes, bpp: int, rowlen: int) -> bytes:
+    """Undo PNG row filters (types 0-4) over rows of `rowlen` bytes, each
+    prefixed by a filter-type byte — the /Predictor 10-15 payload shape.
+    Same math as the PNG decoder's scanline pass (cloud_engine.png_decode);
+    widths here come from /DecodeParms (Columns × Colors) instead of IHDR."""
+    stride = rowlen + 1
+    if rowlen <= 0 or len(raw) % stride:
+        raise ValueError(
+            f"predictor stream length {len(raw)} is not a multiple of "
+            f"row stride {stride}"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(-1, stride)
+    width = rowlen // bpp
+    if width * bpp != rowlen:
+        raise ValueError(f"row length {rowlen} not divisible by bpp {bpp}")
+    out = np.zeros((rows.shape[0], rowlen), dtype=np.uint8)
+    for y in range(rows.shape[0]):
+        line = rows[y, 1:].astype(np.int64)
+        ft = int(rows[y, 0])
+        up = out[y - 1].astype(np.int64) if y > 0 else np.zeros(rowlen, np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + up) & 0xFF
+        elif ft == 1:  # Sub: per-lane prefix sum (mod 256 distributes)
+            cur = (np.cumsum(line.reshape(width, bpp), axis=0) & 0xFF).reshape(rowlen)
+        elif ft in (3, 4):  # Average / Paeth: left-to-right per pixel
+            cur = np.empty(rowlen, dtype=np.int64)
+            up_px = up.reshape(width, bpp)
+            line_px = line.reshape(width, bpp)
+            cur_px = cur.reshape(width, bpp)
+            prev = np.zeros(bpp, dtype=np.int64)
+            prev_up = np.zeros(bpp, dtype=np.int64)
+            for x in range(width):
+                b = up_px[x]
+                if ft == 3:
+                    pred = (prev + b) >> 1
+                else:
+                    p = prev + b - prev_up
+                    pa, pb, pc = np.abs(p - prev), np.abs(p - b), np.abs(p - prev_up)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), prev, np.where(pb <= pc, b, prev_up)
+                    )
+                prev = (line_px[x] + pred) & 0xFF
+                cur_px[x] = prev
+                prev_up = b
+        else:
+            raise ValueError(f"bad PNG predictor row filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+    return out.tobytes()
+
+
+def _predictor_unfilter(
+    raw: bytes, predictor: int, colors: int = 1, bpc: int = 8, columns: int = 1
+) -> bytes:
+    """Undo a /DecodeParms predictor on an inflated FlateDecode stream:
+    1 = none, 2 = TIFF horizontal differencing, 10-15 = PNG row filters
+    (the per-row filter byte decides, so all six share one path)."""
+    if predictor == 1:
+        return raw
+    if bpc != 8:
+        raise ValueError(f"/BitsPerComponent {bpc} unsupported (8 only)")
+    bpp = max(1, colors)
+    rowlen = columns * bpp
+    if predictor == 2:
+        if rowlen <= 0 or len(raw) % rowlen:
+            raise ValueError(
+                f"predictor-2 stream length {len(raw)} is not a multiple of "
+                f"row length {rowlen}"
+            )
+        arr = np.frombuffer(raw, np.uint8).reshape(-1, columns, bpp).astype(np.int64)
+        return (np.cumsum(arr, axis=1) & 0xFF).astype(np.uint8).tobytes()
+    if 10 <= predictor <= 15:
+        return _png_predictor_unfilter(raw, bpp, rowlen)
+    raise ValueError(f"unsupported /Predictor {predictor}")
+
+
 def _inflate_streams(data: bytes) -> bytes:
     """Decompress every plain /FlateDecode stream in place (zlib — the
-    stdlib filter real exporters use). Unsupported variants raise
-    ValueError: filter CHAINS ([/ASCII85Decode /FlateDecode]) are left in
-    the document and caught by the caller's residual check; /DecodeParms
-    predictors are rejected here (PNG predictors need the row filter
-    pass this text-layer subset does not carry)."""
+    stdlib filter real exporters use), undoing /DecodeParms predictors
+    (TIFF 2 and PNG 10-15). The stream dict is found by balancing
+    '<<'/'>>' backwards from each 'stream' keyword (so nested dicts like
+    /DecodeParms << ... >> are spanned correctly); the body is sliced by
+    the dict's direct /Length when present — deflate bytes may legally
+    contain b'endstream' — falling back to the endstream scan only for a
+    missing/indirect /Length. Filter CHAINS ([/ASCII85Decode /FlateDecode])
+    are left in the document and caught by the caller's residual check."""
     import re as _re
     import zlib
 
-    # global pre-check: /DecodeParms nests a dict, which the tempered-dot
-    # dict scan below cannot span — reject predictor variants up front
-    # (conservative: any DecodeParms alongside FlateDecode)
-    if b"/DecodeParms" in data or b"/DecodeParams" in data:
-        raise ValueError(
-            "FlateDecode with a predictor (/DecodeParms) is not "
-            "supported; re-export without predictors or rasterize"
-        )
-    pat = _re.compile(
-        rb"<<(?:(?!>>).)*?/Filter\s*(?:/FlateDecode\b|\[\s*/FlateDecode\s*\])"
-        rb"(?:(?!>>).)*?>>\s*stream\r?\n",
-        _re.S,
-    )
     out = []
     pos = 0
-    for m in pat.finditer(data):
-        end = data.find(b"endstream", m.end())
-        if end < 0:
-            continue
-        raw = data[m.end():end]
-        # the EOL before 'endstream' is not part of the stream data
-        if raw.endswith(b"\r\n"):
-            raw = raw[:-2]
-        elif raw.endswith((b"\n", b"\r")):
-            raw = raw[:-1]
+    for m in _re.finditer(rb">>\s*stream\r?\n", data):
+        if m.start() < pos:
+            continue  # inside an already-consumed stream body
+        # balance backwards from the closing '>>' to the matching '<<'
+        k, depth = m.start(), 1
+        while k > 0 and depth:
+            k -= 1
+            two = data[k : k + 2]
+            if two == b">>":
+                depth += 1
+                k -= 1
+            elif two == b"<<":
+                depth -= 1
+                if depth:
+                    k -= 1
+        if depth:
+            continue  # no dict start: not a stream dict
+        ddict = data[k : m.start() + 2].decode("latin-1", "replace")
+        fm = _re.search(r"/Filter\s*(/\w+|\[[^\]]*\])", ddict)
+        if not fm or _re.findall(r"/(\w+)", fm.group(1)) != ["FlateDecode"]:
+            continue  # not (plain) Flate: chains hit the caller's residual check
+        body_start = m.end()
+        raw = stream_end = None
+        lm = _re.search(r"/Length\s+(\d+)(\s+\d+\s+R)?", ddict)
+        if lm and not lm.group(2):
+            L = int(lm.group(1))
+            em = _re.match(rb"(?:\r\n|\r|\n)?\s*endstream", data[body_start + L :])
+            if em:
+                raw = data[body_start : body_start + L]
+                stream_end = body_start + L + em.end()
+        if raw is None:  # /Length absent, indirect, or inconsistent
+            end = data.find(b"endstream", body_start)
+            if end < 0:
+                continue
+            raw = data[body_start:end]
+            # the EOL before 'endstream' is not part of the stream data
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith((b"\n", b"\r")):
+                raw = raw[:-1]
+            stream_end = end + len(b"endstream")
         try:
             inflated = zlib.decompress(raw)
         except zlib.error as e:
             raise ValueError(f"FlateDecode stream failed to inflate: {e}")
-        out.append(data[pos:m.start()])
+        pm = _re.search(
+            r"/DecodeParm?s\s*\[?\s*(?:null\s+)?<<([^>]*)>>", ddict
+        )
+        if pm:
+            pd = pm.group(1)
+
+            def _geti(name: str, default: int) -> int:
+                g = _re.search(rf"/{name}\s+(\d+)", pd)
+                return int(g.group(1)) if g else default
+
+            inflated = _predictor_unfilter(
+                inflated,
+                _geti("Predictor", 1),
+                _geti("Colors", 1),
+                _geti("BitsPerComponent", 8),
+                _geti("Columns", 1),
+            )
+        out.append(data[pos:k])
         # the parser scans structurally; the dict only needs the filter gone
         out.append(b"<< >>\nstream\n" + inflated + b"\nendstream")
-        pos = end + len(b"endstream")
+        pos = stream_end
     out.append(data[pos:])
     return b"".join(out)
 

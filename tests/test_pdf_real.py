@@ -104,14 +104,79 @@ def test_flate_unsupported_variants_and_not_a_pdf_rejected():
             b"%PDF-1.5\n<< /Filter [/ASCII85Decode /FlateDecode] /Length 2 "
             b">>\nstream\nxx\nendstream"
         )
-    # predictor variants are rejected before inflation
-    with pytest.raises(ValueError, match="predictor"):
+    # out-of-range predictor values still fail loudly (supported: 1,2,10-15)
+    import zlib
+
+    body = zlib.compress(b"BT ET")
+    with pytest.raises(ValueError, match="unsupported /Predictor"):
+        pdf_parse_blocks(
+            b"%PDF-1.5\n<< /Filter /FlateDecode /DecodeParms << /Predictor 99 "
+            b">> /Length " + str(len(body)).encode() + b" >>\nstream\n"
+            + body + b"\nendstream"
+        )
+    with pytest.raises(ValueError, match="BitsPerComponent"):
         pdf_parse_blocks(
             b"%PDF-1.5\n<< /Filter /FlateDecode /DecodeParms << /Predictor 12 "
-            b">> /Length 2 >>\nstream\nxx\nendstream"
+            b"/BitsPerComponent 16 >> /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream"
         )
     with pytest.raises(ValueError, match="not a PDF"):
         pdf_parse_blocks(b"hello")
+
+
+@pytest.mark.parametrize("predictor,columns", [(2, 64), (10, 64), (12, 64), (12, 7), (15, 32)])
+def test_flate_predictor_roundtrip(predictor, columns):
+    """/DecodeParms predictor streams (TIFF 2 and PNG 10-15) inflate and
+    un-filter to the identical block set (VERDICT r3 #4; the rejection
+    sites previously at pdf_layout.py:199-215 are now real decoders)."""
+    plain, _, _ = pdf_parse_blocks(pdf_write(BLOCKS))
+    dec, w, h = pdf_parse_blocks(
+        pdf_write(BLOCKS, compress=True, predictor=predictor, columns=columns)
+    )
+    assert dec == plain
+
+
+def test_flate_length_slices_literal_endstream():
+    """Deflate stored-blocks may contain the bytes b'endstream'; the dict's
+    /Length must bound the stream body (ADVICE r3: find(b'endstream')
+    truncated such streams)."""
+    import zlib
+
+    content = zlib.compress(
+        b"BT /F1 12 Tf 50 720 Td (sliced endstream ok) Tj ET", 0
+    )  # level 0 = stored blocks, literal bytes survive
+    assert b"endstream" in content
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Page /MediaBox [0 0 612 792] >>\nendobj\n"
+        b"4 0 obj\n<< /Filter /FlateDecode /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+    parsed, _, _ = pdf_parse_blocks(pdf)
+    assert [b["text"] for b in parsed] == ["sliced endstream ok"]
+
+
+def test_flate_indirect_length_falls_back_to_endstream_scan():
+    import zlib
+
+    content = zlib.compress(b"BT /F1 12 Tf 50 720 Td (indirect len) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n4 0 obj\n<< /Filter /FlateDecode /Length 9 0 R "
+        b">>\nstream\n" + content + b"\nendstream\nendobj\n"
+        b"9 0 obj\n" + str(len(content)).encode() + b"\nendobj\n"
+    )
+    parsed, _, _ = pdf_parse_blocks(pdf)
+    assert [b["text"] for b in parsed] == ["indirect len"]
+
+
+def test_string_escape_octal_and_non_octal_digits():
+    """'\\101' is octal 'A'; '\\8'/'\\9' are NOT octal and must stay literal
+    (ADVICE r3: isdigit() let them into int(...,8) which raised and dropped
+    the enclosing string)."""
+    from ocr_spark.operators.pdf_layout import _parse_pdf_string
+
+    s, end = _parse_pdf_string(r"(a\101\8\9b)", 0)
+    assert s == "aA89b"
+    assert end == len(r"(a\101\8\9b)")
 
 
 def test_extract_pdf_text_sniffs_real_vs_json():
