@@ -583,6 +583,7 @@ def dedup_clusters(
     stats: dict | None = None,
     algorithm: str = "auto",
     driver_max_pairs: int = 2_000_000,
+    label_switch_rounds: int = 12,
 ) -> DataFrame:
     """Connected components over a candidate-pair frame: (id, rep) for every
     id appearing in any pair, rep = the smallest id in its component.
@@ -613,6 +614,19 @@ def dedup_clusters(
 
     `stats`, when provided, receives {'rounds': k, 'converged': bool} (and
     'algorithm' for the resolved auto choice).
+
+    auto additionally hedges the large-graph path: label propagation's
+    round count is the component diameter, which auto cannot see up front,
+    so if the label loop has not converged after `label_switch_rounds`
+    rounds it abandons it and restarts with star (the materialized
+    pairs_m makes the restart free of recomputation; star's round count
+    is log-bounded regardless of diameter). Dense near-dup graphs — the
+    overwhelmingly common case — converge in a handful of rounds and
+    never trigger the switch; adversarial template-drift chains pay
+    label_switch_rounds + O(log n) rounds instead of O(diameter). The
+    switch records stats['algorithm'] = 'label->star' and
+    stats['label_rounds_before_switch']. Explicit algorithm='label' never
+    switches (the caller asked for label semantics, warning included).
     """
     if algorithm not in ("auto", "label", "star"):
         raise ValueError(
@@ -634,6 +648,7 @@ def dedup_clusters(
         .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    from_auto = algorithm == "auto"
     if algorithm == "auto":
         n_pairs = obs.get["n"] or 0
         # the ~16 bytes/pair budget assumes fixed-width ids; string ids
@@ -687,6 +702,15 @@ def dedup_clusters(
         if n_changed == 0:
             converged = True
             break
+        if from_auto and rounds >= label_switch_rounds:
+            # auto hedge: still churning after label_switch_rounds means a
+            # high-diameter component — restart on star (log-round bound);
+            # pairs_m is already materialized so nothing upstream re-runs
+            out = _clusters_star(pairs_m, max_rounds=max_rounds, stats=stats)
+            if stats is not None:
+                stats["algorithm"] = "label->star"
+                stats["label_rounds_before_switch"] = rounds
+            return out
     if not converged:
         import warnings
 
