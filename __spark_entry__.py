@@ -1041,6 +1041,75 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_token_counts_bpe(spark, sf_dir):
+    """Real-tokenizer token counts: merges-table BPE (in-repo fixture),
+    ranks broadcast, Arrow pandas UDF with a per-executor word memo."""
+    from ocr_spark.functions.bpe import token_counts_bpe
+
+    return token_counts_bpe(_t(spark, sf_dir, "documents"))
+
+
+def _token_counts_bpe_sql(sf_dir: str) -> str:
+    """VALUES oracle for token_counts_bpe from an INDEPENDENT pure-Python
+    reference tokenizer: the textbook formulation — apply each merge in
+    training order, one left-to-right pass — rather than the engine's
+    min-rank loop (the two are equivalent because merging a pair can only
+    create higher-rank pairs). Cached per sf_dir."""
+    global _BPE_SQL
+    try:
+        return _BPE_SQL[sf_dir]
+    except (NameError, KeyError):
+        pass
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from ocr_spark.functions.bpe import PRETOKEN_PATTERN, load_merges
+
+    merges = load_merges()
+    pre = _re.compile(PRETOKEN_PATTERN)
+
+    def ref_word_len(word: str) -> int:
+        parts = list(word)
+        for a, b in merges:  # strict training order
+            out, i = [], 0
+            while i < len(parts):
+                if i + 1 < len(parts) and parts[i] == a and parts[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            parts = out
+        return len(parts)
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        n = (
+            0
+            if text is None
+            else sum(ref_word_len(w) for w in pre.findall(text))
+        )
+        rows.append(f"({doc_id}, {n})")
+    sql = (
+        f"SELECT * FROM (VALUES {', '.join(rows)}) AS t(doc_id, n_tokens_bpe)"
+        if rows
+        else (
+            "SELECT * FROM (VALUES (NULL::BIGINT, NULL::BIGINT)) "
+            "AS t(doc_id, n_tokens_bpe) WHERE FALSE"
+        )
+    )
+    try:
+        _BPE_SQL
+    except NameError:
+        _BPE_SQL = {}
+    _BPE_SQL[sf_dir] = sql
+    return sql
+
+
 def q_quality_score(spark, sf_dir):
     """Document quality heuristics (alpha/punct/stopword ratios)."""
     from ocr_spark.operators import text_analysis as TA
@@ -1348,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the LAST registered query — keep this one clear of the tail
         "embedding_near_dups": q_embedding_near_dups,
         "token_counts": q_token_counts,
+        "token_counts_bpe": q_token_counts_bpe,
         "quality_score": q_quality_score,
         "quality_repetition": q_quality_repetition,
         "lang_id": q_lang_id,
@@ -1545,6 +1615,7 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"SELECT doc_id, {TA.ws_token_count_sql('text')} AS ws_tokens, "
             f"{TA.bpe_token_count_sql('text')} AS bpe_tokens FROM documents"
         ),
+        "token_counts_bpe": _token_counts_bpe_sql(sf_dir),
         "quality_score": (
             f"SELECT doc_id, {TA.quality_score_sql('text')} AS quality FROM documents"
         ),
