@@ -1363,6 +1363,48 @@ def q_near_dedup_embed(spark, sf_dir):
     return kept.select("doc_id", "n_chars")
 
 
+def _ann_query_vecs() -> list[list[float]]:
+    """Deterministic recall-probe set: embeddings rows vec_id 0..3 at sf0.01
+    (the oracle sf), 6dp literals shared by BOTH engines."""
+    global _ANN_QV
+    try:
+        return _ANN_QV
+    except NameError:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        d = {
+            int(i): [round(float(x), 6) for x in e]
+            for i, e in zip(
+                tbl["vec_id"].to_pylist()[:4], tbl["embedding"].to_pylist()[:4]
+            )
+        }
+        _ANN_QV = [d[i] for i in range(4)]
+        return _ANN_QV
+
+
+def _ann_recall_sql_row() -> str:
+    from ocr_spark.operators.similarity import ann_recall_sql
+
+    return ann_recall_sql(_ann_query_vecs(), centroids=_ivf_centroids(), k=10)
+
+
+def q_ann_recall(spark, sf_dir):
+    """ANN recall harness: recall@10 of the lsh and ivf paths vs exact
+    cosine on the same frame, 4 fixed probe queries — recall regressions
+    become a correctness row instead of silence."""
+    from ocr_spark.operators.similarity import ann_recall
+
+    return ann_recall(
+        _t(spark, sf_dir, "embeddings"),
+        _ann_query_vecs(),
+        centroids=_ivf_centroids(),
+        k=10,
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force exact cosine top-k (similarity-search baseline)."""
     from ocr_spark.operators.similarity import cosine_topk
@@ -1430,6 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_keep": q_near_dedup_keep,
         "corpus_pipeline": q_corpus_pipeline,
         "near_dedup_embed": q_near_dedup_embed,
+        "ann_recall": q_ann_recall,
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
         "minhash_lsh": q_minhash_lsh,
@@ -1645,6 +1688,7 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "pii_scrub": _pii_scrub_sql(),
         "contamination": contamination_sql(eval_mod=37, n=8),
         "ngram_topk": ngram_topk_sql(n=2, k=20),
+        "ann_recall": _ann_recall_sql_row(),
         "cosine_topk": cosine_topk_sql(_query_vec(), k=10),
         "lsh_topk": lsh_topk_sql(_query_vec(), k=10),
         "ivf_topk": ivf_topk_sql(_query_vec(), _ivf_centroids(), k=10, nprobe=4),

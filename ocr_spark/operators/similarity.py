@@ -330,3 +330,95 @@ def embedding_near_dups(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall harness: recall@k of the approximate paths vs exact cosine
+# ---------------------------------------------------------------------------
+
+
+def ann_recall(
+    emb: DataFrame,
+    query_vecs: list[list[float]],
+    centroids: "np.ndarray | None" = None,
+    k: int = 10,
+    n_planes: int = 8,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """recall@k of each approximate method vs brute-force exact cosine on
+    the SAME frame, emitted as a DataFrame so recall regressions surface as
+    a correctness row instead of silence: one row per (method, query) with
+    (method, query_id, n_hits, recall_at_k).
+
+    Methods: 'lsh' always; 'ivf' when `centroids` is given. Each cell is
+    |approx_topk ∩ exact_topk| / k with the engines' shared deterministic
+    tie-break (cos desc, id asc).
+
+    Scale shape: this is an EVAL harness — `query_vecs` is a small fixed
+    probe set, and each (method, query) contributes an independent scan +
+    tiny agg unioned into one plan. Run it over a sampled frame
+    (`emb.sample(...)`) for routine regression checks at corpus scale; the
+    per-query cost is the same linear scan the production top-k pays."""
+    if not query_vecs:
+        raise ValueError("query_vecs must be non-empty")
+    frames = []
+    for qi, qv in enumerate(query_vecs):
+        exact = cosine_topk(emb, qv, k=k, id_col=id_col, vec_col=vec_col).select(
+            id_col
+        )
+        methods = {
+            "lsh": lsh_topk(
+                emb, qv, k=k, n_planes=n_planes, id_col=id_col, vec_col=vec_col
+            )
+        }
+        if centroids is not None:
+            methods["ivf"] = ivf_topk(
+                emb, qv, centroids, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
+            )
+        for m, approx in sorted(methods.items()):
+            hits = (
+                approx.select(id_col)
+                .join(exact, id_col)
+                .agg(F.count(F.lit(1)).alias("n_hits"))
+            )
+            frames.append(
+                hits.select(
+                    F.lit(m).alias("method"),
+                    F.lit(qi).alias("query_id"),
+                    F.col("n_hits"),
+                    F.round(F.col("n_hits") / F.lit(float(k)), 6).alias(
+                        "recall_at_k"
+                    ),
+                )
+            )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def ann_recall_sql(
+    query_vecs: list[list[float]],
+    centroids: "np.ndarray | None" = None,
+    k: int = 10,
+    n_planes: int = 8,
+    nprobe: int = 4,
+) -> str:
+    """DuckDB twin of ann_recall over the pre-registered `embeddings` view,
+    composed from the per-method *_topk_sql twins."""
+    parts = []
+    for qi, qv in enumerate(query_vecs):
+        exact = cosine_topk_sql(qv, k=k)
+        methods = {"lsh": lsh_topk_sql(qv, k=k, n_planes=n_planes)}
+        if centroids is not None:
+            methods["ivf"] = ivf_topk_sql(qv, centroids, k=k, nprobe=nprobe)
+        for m, sql in sorted(methods.items()):
+            parts.append(
+                f"SELECT '{m}' AS method, {qi} AS query_id, "
+                f"count(*)::BIGINT AS n_hits, "
+                f"round(count(*) / {float(k)!r}, 6) AS recall_at_k "
+                f"FROM ({sql}) a JOIN ({exact}) e USING (vec_id)"
+            )
+    return " UNION ALL ".join(parts)
