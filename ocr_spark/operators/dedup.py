@@ -321,23 +321,19 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("sig"))
 
 
-def minhash_lsh_pairs(
+def minhash_band_buckets(
     docs: DataFrame,
-    threshold: float = 0.7,
     k: int = 32,
     bands: int = 8,
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Candidate pairs via LSH banding, verified by signature-estimated
-    Jaccard (fraction of equal minhashes) >= threshold.
-
-    bands×rows = k; a pair lands in a bucket iff one full band matches.
-    Band bucket key = h60 of the band's comma-joined minhashes — an 8-byte
-    join key with a DuckDB twin (minhash_lsh_sql), so the operator is
-    oracle-checkable end to end.
-    """
+    """(id, sig, band, bh) — one row per (document, band): the LSH band
+    bucket keys minhash_lsh_pairs joins on, exposed so the streaming
+    near-dedup registry claims EXACTLY the batch operator's buckets. Band
+    bucket key = h60 of the band's comma-joined minhashes (8-byte key with
+    a DuckDB twin)."""
     from ocr_spark.operators.text_analysis import h60
 
     rows = k // bands
@@ -361,8 +357,44 @@ def minhash_lsh_pairs(
             ]
         )
     ).alias("bb")
-    buckets = sig.select("id", "sig", band_cols).select(
+    return sig.select("id", "sig", band_cols).select(
         "id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
+def minhash_est_jaccard(sig_a, sig_b, k: int):
+    """Signature-estimated Jaccard: fraction of equal minhash members —
+    the verification predicate shared by the batch and streaming paths."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(k)),
+        6,
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs via LSH banding, verified by signature-estimated
+    Jaccard (fraction of equal minhashes) >= threshold.
+
+    bands×rows = k; a pair lands in a bucket iff one full band matches.
+    Band bucket key = h60 of the band's comma-joined minhashes — an 8-byte
+    join key with a DuckDB twin (minhash_lsh_sql), so the operator is
+    oracle-checkable end to end.
+    """
+    buckets = minhash_band_buckets(
+        docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -380,13 +412,10 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(float(k))
     return (
-        cand.withColumn("est_jaccard", F.round(est, 6))
+        cand.withColumn(
+            "est_jaccard", minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"), k)
+        )
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

@@ -32,6 +32,25 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
+def _guard_fresh_checkpoint(output_dir: str, checkpoint_dir: str) -> None:
+    """Epoch-keyed overwrite sinks compose exactly-once only while the SAME
+    checkpoint directory is used: a fresh checkpoint restarts epoch ids at 0
+    and would overwrite prior epochs in an existing output dir. Refuse that
+    combination up front (r3 verdict: one guard line closes it)."""
+    cp_has_offsets = os.path.isdir(os.path.join(checkpoint_dir, "offsets"))
+    out_has_epochs = os.path.isdir(output_dir) and any(
+        e.startswith("epoch=") for e in os.listdir(output_dir)
+    )
+    if out_has_epochs and not cp_has_offsets:
+        raise ValueError(
+            f"output dir {output_dir!r} already holds epoch= outputs but "
+            f"checkpoint {checkpoint_dir!r} is fresh — epoch ids would "
+            "restart at 0 and overwrite committed epochs. Reuse the "
+            "original checkpoint dir to resume, or point at a new output "
+            "dir."
+        )
+
+
 def streaming_extract(
     spark: SparkSession,
     input_dir: str,
@@ -56,6 +75,7 @@ def streaming_extract(
     from ocr_spark.pipeline import extract_documents
     from ocr_spark.schema import DOC_SCHEMA
 
+    _guard_fresh_checkpoint(output_dir, checkpoint_dir)
     reader = spark.readStream.schema(DOC_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -168,6 +188,164 @@ def streaming_dedup(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .queryName("ocr_spark_streaming_dedup")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def streaming_near_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    schema: str = "doc_id long, text string",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+    processing_time: str = "10 seconds",
+) -> StreamingQuery:
+    """Streaming NEAR-dedup, first-seen-wins: emit a document only when no
+    earlier-arrived document is a verified minhash near-duplicate of it —
+    the stream analogue of batch `near_dedup(method='minhash')`, built from
+    the SAME primitives so the two agree (minhash_band_buckets bucket keys,
+    minhash_est_jaccard verification, dedup_clusters resolution).
+
+    Mechanism (per-batch reconcile — the r3 verdict's band-state design,
+    with the batch operator's verification kept intact): every processed
+    document registers its (band, bh) bucket claims AND its signature in a
+    parquet band registry under the output dir. A micro-batch computes its
+    documents' buckets, finds candidate pairs within the batch and against
+    the registry (equi-join on the band keys — never a cross join), verifies
+    est_jaccard >= threshold, resolves connected components, and drops every
+    batch doc whose component is anchored to a registered (earlier) doc or
+    loses the min-id tie-break within the batch. ALL batch docs — kept and
+    dropped — then register their claims, so later arrivals connect to
+    clusters transitively exactly as the batch operator's closure does.
+
+    Equivalence to batch: replaying a corpus in id order yields exactly
+    near_dedup's keep set whenever each cluster member shares a verified
+    band with some EARLIER cluster member (the normal case — the test pins
+    it). The one divergence: a doc whose only link to its cluster runs
+    through a LATER arrival is emitted by the stream (it was genuinely novel
+    at arrival time) but dropped by the batch closure — inherent to
+    first-seen semantics, not a bug.
+
+    Delivery: epoch-keyed overwrite dirs for BOTH the kept docs and the
+    registry claims, and the registry read excludes the current epoch — a
+    replayed epoch sees exactly the pre-epoch registry, recomputes the same
+    decisions, overwrites its own partial output: exactly-once on disk.
+
+    Scale shape: per micro-batch the work is the batch operator's on the
+    BATCH (bounded by maxFilesPerTrigger), plus one equi-join against the
+    registry (shuffles the registry on its band key each batch — bucket the
+    registry store by bh to pre-co-locate at corpus scale) and one
+    broadcast-able anti-join of drops against the batch. Registry size is
+    bands x docs rows of (key, sig) — the same memory class as the batch
+    LSH shuffle, persisted instead of transient."""
+    from ocr_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_band_buckets,
+        minhash_est_jaccard,
+    )
+
+    _guard_fresh_checkpoint(output_dir, checkpoint_dir)
+    registry_dir = os.path.join(output_dir, "_band_registry")
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        sp = batch_df.sparkSession
+        buckets = minhash_band_buckets(
+            batch_df, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col
+        ).localCheckpoint(eager=True)  # reused 3x below: compute sigs once
+        reg = None
+        if os.path.isdir(registry_dir) and any(
+            e.startswith("epoch=") for e in os.listdir(registry_dir)
+        ):
+            reg = (
+                sp.read.option("basePath", registry_dir)
+                .parquet(os.path.join(registry_dir, "epoch=*"))
+                # a replayed epoch must not collide with its own partial
+                # registry write — read strictly earlier epochs
+                .where(F.col("epoch") < F.lit(int(epoch_id)))
+                .drop("epoch")
+            )
+        a, b = buckets.alias("a"), buckets.alias("b")
+        within = a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        pairs = within
+        if reg is not None:
+            r = reg.alias("r")
+            cross = a.join(
+                r,
+                (F.col("a.band") == F.col("r.band"))
+                & (F.col("a.bh") == F.col("r.bh")),
+            ).select(
+                F.col("a.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("r.sig").alias("sig_b"),
+            )
+            pairs = pairs.unionByName(cross)
+        pairs = (
+            pairs.dropDuplicates(["id_a", "id_b"])
+            .where(
+                minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"), k)
+                >= F.lit(threshold)
+            )
+            .select("id_a", "id_b")
+        )
+        labels = dedup_clusters(pairs)
+        anchored = (
+            labels.join(
+                reg.select(F.col("id")).distinct(),
+                "id",
+                "left_semi",
+            ).select(F.col("rep")).distinct()
+            if reg is not None
+            else labels.where(F.lit(False)).select("rep")
+        )
+        drops = (
+            labels.join(F.broadcast(anchored), "rep", "left_semi")
+            .select("id")
+            .unionByName(
+                labels.where(F.col("id") != F.col("rep")).select("id")
+            )
+            .distinct()
+            .withColumnRenamed("id", id_col)
+        )
+        kept = batch_df.join(F.broadcast(drops), id_col, "left_anti")
+        kept.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"epoch={epoch_id}")
+        )
+        buckets.select("id", "sig", "band", "bh").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(registry_dir, f"epoch={epoch_id}"))
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    writer = (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("ocr_spark_streaming_near_dedup")
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
