@@ -16,7 +16,13 @@ manifests, and the next run simply rewrites those buckets (dynamic overwrite
 replaces partial data; no dups, no loss, at-least-once).
 
 Resume = left_anti join of the input against the completed-bucket manifest
-frame (J3, SURVEY.md §2.3) — Spark broadcasts the tiny manifest side.
+frame (J3, SURVEY.md §2.3) — Spark broadcasts the tiny manifest side. When
+the INPUT is itself a bucket-partitioned store (``write_bucketed`` /
+a prior stage's output), pass its path to ``run_resumable`` instead of a
+frame: completed buckets are then excluded at the SCAN via a partition
+filter (``PartitionFilters: [NOT bucket IN (...)]``), so a resume re-reads
+only the incomplete buckets' bytes. ``read_completed_output`` is the
+matching consumer view (partition-pruned to manifested buckets only).
 
 Each manifest carries lineage + metrics: run id, bucket, doc counts, error
 counts, doc_id range, wall seconds and docs/sec for its run — the
@@ -109,6 +115,17 @@ def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
 
 
+def write_bucketed(
+    docs: DataFrame, path: str, n_buckets: int, mode: str = "overwrite"
+) -> None:
+    """Lay a doc frame out as a bucket-partitioned store (this module's
+    bucket scheme), making it eligible for the partition-pruned resume path
+    (`remaining_input_bucketed` / `run_resumable(docs=<path>)`)."""
+    docs.withColumn("bucket", bucket_col(n_buckets)).write.mode(
+        mode
+    ).partitionBy("bucket").parquet(path)
+
+
 def completed_buckets(out_dir: str) -> list[dict]:
     mdir = os.path.join(out_dir, MANIFEST_SUBDIR)
     if not os.path.isdir(mdir):
@@ -134,9 +151,42 @@ def remaining_input(spark: SparkSession, docs: DataFrame, out_dir: str, n_bucket
     return with_bucket.join(F.broadcast(done_df), "bucket", "left_anti")
 
 
+def remaining_input_bucketed(
+    spark: SparkSession, input_dir: str, out_dir: str, n_buckets: int
+) -> DataFrame:
+    """Partition-PRUNED resume for a bucket-partitioned input directory
+    (a doc store laid out by this module's own bucket scheme, e.g. a prior
+    resumable stage's output): completed buckets are excluded with a filter
+    on the `bucket` PARTITION column, so the FileScan shows
+    ``PartitionFilters: [NOT bucket IN (...)]`` and the completed buckets'
+    files are never listed into the scan at all — at 100 TB a resume after
+    a partial run re-reads exactly the incomplete buckets' bytes, not the
+    corpus (`remaining_input` above is the fallback for unpartitioned
+    inputs: same keep set, but the scan reads everything and filters).
+    Dynamic-partition discovery keeps `bucket` as an int column, matching
+    `bucket_col`."""
+    docs = spark.read.option("basePath", input_dir).parquet(input_dir)
+    done = [int(m["bucket"]) for m in completed_buckets(out_dir)]
+    if not done:
+        return docs
+    return docs.where(~F.col("bucket").isin(done))
+
+
+def read_completed_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Downstream-consumer view: ONLY the manifested (complete) buckets,
+    selected via the `bucket` partition column so the scan partition-prunes
+    (``PartitionFilters: [bucket IN (...)]``) — unmanifested partials from
+    a crashed run are invisible without reading a byte of them."""
+    done = [int(m["bucket"]) for m in completed_buckets(out_dir)]
+    docs = spark.read.option("basePath", out_dir).parquet(out_dir)
+    if not done:
+        return docs.where(F.lit(False))
+    return docs.where(F.col("bucket").isin(done))
+
+
 def run_resumable(
     spark: SparkSession,
-    docs: DataFrame,
+    docs: DataFrame | str,
     out_dir: str,
     n_buckets: int = 32,
     run_id: str = "run-0",
@@ -165,6 +215,13 @@ def run_resumable(
     from pyspark.sql import Observation
 
     already = {int(m["bucket"]) for m in completed_buckets(out_dir)}
+    if isinstance(docs, str):
+        # bucket-partitioned input dir: the completed buckets are pruned at
+        # the SCAN (PartitionFilters); the anti-join below then has nothing
+        # to drop and AQE collapses it against the empty manifest frame
+        docs = remaining_input_bucketed(spark, docs, out_dir, n_buckets).drop(
+            "bucket"
+        )
     todo = remaining_input(spark, docs, out_dir, n_buckets)
     t0 = time.perf_counter()
 

@@ -5,6 +5,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from ocr_spark.checkpoint import completed_buckets, remaining_input, run_resumable
 from ocr_spark.fixtures import generate_docs
@@ -155,3 +156,65 @@ def test_stale_partial_bucket_ignored(spark, tmp_path):
     manifested = {m["bucket"] for m in completed_buckets(out_dir)}
     assert manifested and 99 not in manifested
     assert os.path.exists(os.path.join(stale, "part-00000.parquet"))
+
+
+def test_partition_pruned_resume_from_bucketed_input(spark, docs_df, tmp_path):
+    """VERDICT r4 #7: resume over a bucket-partitioned input prunes the
+    SCAN to incomplete buckets (PartitionFilters), and a partially-committed
+    output is repaired by rewriting exactly the incomplete buckets."""
+    from ocr_spark.checkpoint import (
+        read_completed_output,
+        remaining_input_bucketed,
+        write_bucketed,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    write_bucketed(docs_df, src, N_BUCKETS)
+
+    run_resumable(spark, src, out, n_buckets=N_BUCKETS, run_id="r1")
+    all_buckets = sorted(int(m["bucket"]) for m in completed_buckets(out))
+
+    # simulate a partial commit: drop three manifests (their bucket dirs
+    # stay on disk as unmanifested partials)
+    broken = all_buckets[:3]
+    for b in broken:
+        os.remove(os.path.join(out, "_manifests", f"bucket-{b:05d}.json"))
+
+    todo = remaining_input_bucketed(spark, src, out, N_BUCKETS)
+    plan = todo._jdf.queryExecution().executedPlan().toString()
+    # completed buckets are excluded AT THE SCAN, not by a post-filter
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "NOT" in m[0] and "bucket" in m[0], plan
+    src_df = spark.read.option("basePath", src).parquet(src)
+    want_ids = {
+        r["doc_id"]
+        for r in src_df.where(F.col("bucket").isin(broken)).collect()
+    }
+    assert {r["doc_id"] for r in todo.collect()} == want_ids
+
+    # the consumer view hides the unmanifested partials via PartitionFilters
+    done_view = read_completed_output(spark, out)
+    plan2 = done_view._jdf.queryExecution().executedPlan().toString()
+    m2 = [ln for ln in plan2.splitlines() if "PartitionFilters" in ln]
+    assert m2 and "bucket" in m2[0] and "NOT" not in m2[0], plan2
+    assert done_view.count() == N_DOCS - len(want_ids)
+
+    # resume from the PATH: exactly the broken buckets are rewritten
+    stats = run_resumable(spark, src, out, n_buckets=N_BUCKETS, run_id="r2")
+    assert sorted(stats["buckets_written"]) == broken
+    assert stats["n_docs"] == len(want_ids)
+    final = read_completed_output(spark, out)
+    assert final.count() == N_DOCS
+    assert final.select("doc_id").distinct().count() == N_DOCS
+
+
+def test_read_completed_output_empty_when_no_manifests(spark, docs_df, tmp_path):
+    from ocr_spark.checkpoint import read_completed_output, write_bucketed
+
+    out = str(tmp_path / "out")
+    # bucketed data exists but nothing is manifested: the view must be empty
+    from ocr_spark.pipeline import extract_documents
+
+    write_bucketed(extract_documents(docs_df), out, N_BUCKETS)
+    assert read_completed_output(spark, out).count() == 0
