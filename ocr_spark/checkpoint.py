@@ -115,15 +115,31 @@ def bucket_col(n_buckets: int):
     return F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
 
 
+BUCKET_SCHEME_FILE = "_bucket_scheme.json"
+
+
 def write_bucketed(
     docs: DataFrame, path: str, n_buckets: int, mode: str = "overwrite"
 ) -> None:
     """Lay a doc frame out as a bucket-partitioned store (this module's
     bucket scheme), making it eligible for the partition-pruned resume path
-    (`remaining_input_bucketed` / `run_resumable(docs=<path>)`)."""
+    (`remaining_input_bucketed` / `run_resumable(docs=<path>)`). A
+    `_bucket_scheme.json` sidecar records n_buckets so a resume with a
+    DIFFERENT bucket count is rejected loudly instead of silently pruning
+    rows whose stored partition value disagrees with the recomputed hash."""
     docs.withColumn("bucket", bucket_col(n_buckets)).write.mode(
         mode
     ).partitionBy("bucket").parquet(path)
+    with open(os.path.join(path, BUCKET_SCHEME_FILE), "w") as f:
+        json.dump({"n_buckets": int(n_buckets), "hash": "pmod(xxhash64(doc_id), n)"}, f)
+
+
+def _bucket_scheme(path: str) -> int | None:
+    p = os.path.join(path, BUCKET_SCHEME_FILE)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["n_buckets"])
 
 
 def completed_buckets(out_dir: str) -> list[dict]:
@@ -164,7 +180,29 @@ def remaining_input_bucketed(
     corpus (`remaining_input` above is the fallback for unpartitioned
     inputs: same keep set, but the scan reads everything and filters).
     Dynamic-partition discovery keeps `bucket` as an int column, matching
-    `bucket_col`."""
+    `bucket_col`.
+
+    The store's recorded scheme must match `n_buckets`: stored partition
+    values are pruned against manifests keyed by the RECOMPUTED hash, so a
+    count mismatch (say a 16-bucket store resumed at 32) would silently drop
+    every doc whose stored bucket is manifested but whose recomputed bucket
+    is not — refuse loudly instead. Stores without the sidecar (not written
+    by `write_bucketed`) are rejected too: fall back to `remaining_input`,
+    whose keep set never depends on the on-disk layout."""
+    stored = _bucket_scheme(input_dir)
+    if stored is None:
+        raise ValueError(
+            f"{input_dir!r} has no {BUCKET_SCHEME_FILE}: cannot prove its "
+            "partition layout matches bucket_col(n_buckets); lay it out with "
+            "write_bucketed, or resume via remaining_input(spark.read"
+            ".parquet(...)) which recomputes buckets from doc_id"
+        )
+    if stored != n_buckets:
+        raise ValueError(
+            f"bucket-scheme mismatch: {input_dir!r} was written with "
+            f"n_buckets={stored} but resume requested n_buckets={n_buckets}; "
+            "a mismatched prune would silently lose documents"
+        )
     docs = spark.read.option("basePath", input_dir).parquet(input_dir)
     done = [int(m["bucket"]) for m in completed_buckets(out_dir)]
     if not done:
@@ -176,9 +214,24 @@ def read_completed_output(spark: SparkSession, out_dir: str) -> DataFrame:
     """Downstream-consumer view: ONLY the manifested (complete) buckets,
     selected via the `bucket` partition column so the scan partition-prunes
     (``PartitionFilters: [bucket IN (...)]``) — unmanifested partials from
-    a crashed run are invisible without reading a byte of them."""
+    a crashed run are invisible without reading a byte of them.
+
+    Safe to call before the producer's first commit: if the directory is
+    missing or holds no readable data files yet (only `_manifests` /
+    `_temporary`), an empty OUTPUT_SCHEMA frame is returned instead of a
+    schema-inference AnalysisException."""
+    from pyspark.errors import AnalysisException
+
     done = [int(m["bucket"]) for m in completed_buckets(out_dir)]
-    docs = spark.read.option("basePath", out_dir).parquet(out_dir)
+    try:
+        docs = spark.read.option("basePath", out_dir).parquet(out_dir)
+    except AnalysisException:
+        from ocr_spark.schema import OUTPUT_SCHEMA
+
+        return (
+            spark.createDataFrame([], OUTPUT_SCHEMA)
+            .withColumn("bucket", F.lit(None).cast("int"))
+        )
     if not done:
         return docs.where(F.lit(False))
     return docs.where(F.col("bucket").isin(done))

@@ -363,6 +363,15 @@ def _inflate_streams(data: bytes) -> bytes:
         pm = _re.search(
             r"/DecodeParm?s\s*\[?\s*(?:null\s+)?<<([^>]*)>>", ddict
         )
+        if pm is None and _re.search(r"/DecodePar", ddict):
+            # /DecodeParms present but not an inline dict (indirect ref
+            # '7 0 R', or a form this parser can't see): un-predicted
+            # bytes would parse as garbage operators — fail to the per-doc
+            # error envelope instead of silently garbling the text
+            raise ValueError(
+                "unsupported /DecodeParms form (indirect reference?): "
+                + ddict.strip()[:120]
+            )
         if pm:
             pd = pm.group(1)
 

@@ -266,8 +266,20 @@ def streaming_near_dedup(
             batch_df, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col
         ).localCheckpoint(eager=True)  # reused 3x below: compute sigs once
         reg = None
+        # an epoch dir holding only _temporary (crash mid-first-write) has
+        # no data files: reading it would die on schema inference, and the
+        # documented replay-and-overwrite recovery would never complete —
+        # treat a registry with zero committed part files as empty
+        def _epoch_has_data(e: str) -> bool:
+            d = os.path.join(registry_dir, e)
+            return os.path.isdir(d) and any(
+                f.startswith("part-") and not f.endswith(".crc")
+                for f in os.listdir(d)
+            )
+
         if os.path.isdir(registry_dir) and any(
-            e.startswith("epoch=") for e in os.listdir(registry_dir)
+            e.startswith("epoch=") and _epoch_has_data(e)
+            for e in os.listdir(registry_dir)
         ):
             reg = (
                 sp.read.option("basePath", registry_dir)
@@ -289,7 +301,7 @@ def streaming_near_dedup(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        pairs = within
+        pairs = within.withColumn("from_reg", F.lit(False))
         if reg is not None:
             r = reg.alias("r")
             cross = a.join(
@@ -302,19 +314,30 @@ def streaming_near_dedup(
                 F.col("a.sig").alias("sig_a"),
                 F.col("r.sig").alias("sig_b"),
             )
-            pairs = pairs.unionByName(cross)
+            pairs = pairs.unionByName(cross.withColumn("from_reg", F.lit(True)))
+        # verified pairs are the batch's near-dup candidates — tiny. The
+        # localCheckpoint pins them so the GROWING registry is scanned
+        # exactly once per batch: clustering, anchoring, and the drop join
+        # below all reuse this frame instead of re-deriving `cross` (and
+        # re-reading the registry) per consumer. from_reg marks which side
+        # a pair's id_b came from, so anchored reps are found without the
+        # old second registry scan (registry docs only enter the graph via
+        # cross pairs; a duplicate-id arrival self-pairs at jaccard 1.0).
         pairs = (
-            pairs.dropDuplicates(["id_a", "id_b"])
+            pairs.dropDuplicates(["id_a", "id_b", "from_reg"])
             .where(
                 minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"), k)
                 >= F.lit(threshold)
             )
-            .select("id_a", "id_b")
+            .select("id_a", "id_b", "from_reg")
+            .localCheckpoint(eager=True)
         )
-        labels = dedup_clusters(pairs)
+        labels = dedup_clusters(pairs.select("id_a", "id_b"))
         anchored = (
             labels.join(
-                reg.select(F.col("id")).distinct(),
+                pairs.where(F.col("from_reg"))
+                .select(F.col("id_b").alias("id"))
+                .distinct(),
                 "id",
                 "left_semi",
             ).select(F.col("rep")).distinct()

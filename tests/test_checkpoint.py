@@ -209,6 +209,36 @@ def test_partition_pruned_resume_from_bucketed_input(spark, docs_df, tmp_path):
     assert final.select("doc_id").distinct().count() == N_DOCS
 
 
+def test_bucket_scheme_mismatch_refused(spark, docs_df, tmp_path):
+    """A resume whose n_buckets disagrees with the store's recorded scheme
+    would silently prune away live documents — it must raise instead."""
+    from ocr_spark.checkpoint import remaining_input_bucketed, write_bucketed
+
+    src = str(tmp_path / "src")
+    write_bucketed(docs_df, src, 8)
+    with pytest.raises(ValueError, match="mismatch"):
+        remaining_input_bucketed(spark, src, str(tmp_path / "out"), 32)
+    # a store without the scheme sidecar can't be proven safe either
+    os.remove(os.path.join(src, "_bucket_scheme.json"))
+    with pytest.raises(ValueError, match="_bucket_scheme"):
+        remaining_input_bucketed(spark, src, str(tmp_path / "out"), 8)
+
+
+def test_read_completed_output_before_first_commit(spark, tmp_path):
+    """A consumer racing the producer's first commit sees an empty
+    OUTPUT_SCHEMA view, not a schema-inference AnalysisException."""
+    from ocr_spark.checkpoint import read_completed_output
+
+    missing = str(tmp_path / "never_written")
+    df = read_completed_output(spark, missing)
+    assert df.count() == 0
+    assert "doc_id" in df.columns and "bucket" in df.columns
+    # dir exists but holds only _manifests scaffolding: same empty view
+    half = tmp_path / "half"
+    (half / "_manifests").mkdir(parents=True)
+    assert read_completed_output(spark, str(half)).count() == 0
+
+
 def test_read_completed_output_empty_when_no_manifests(spark, docs_df, tmp_path):
     from ocr_spark.checkpoint import read_completed_output, write_bucketed
 

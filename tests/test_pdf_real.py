@@ -122,6 +122,14 @@ def test_flate_unsupported_variants_and_not_a_pdf_rejected():
         )
     with pytest.raises(ValueError, match="not a PDF"):
         pdf_parse_blocks(b"hello")
+    # an INDIRECT /DecodeParms (legal per spec 7.3.8) can't be resolved by
+    # the structural scan: must fail to the per-doc envelope, not silently
+    # parse row-filtered bytes as garbage operators
+    with pytest.raises(ValueError, match="DecodeParms"):
+        pdf_parse_blocks(
+            b"%PDF-1.5\n<< /Filter /FlateDecode /DecodeParms 7 0 R /Length "
+            + str(len(body)).encode() + b" >>\nstream\n" + body + b"\nendstream"
+        )
 
 
 @pytest.mark.parametrize("predictor,columns", [(2, 64), (10, 64), (12, 64), (12, 7), (15, 32)])

@@ -136,6 +136,35 @@ def test_registry_is_not_part_of_output(spark, dirs):
     assert os.path.isdir(os.path.join(dirs["out"], "_band_registry"))
 
 
+def test_partial_first_registry_write_recovers(spark, dirs):
+    """A crash during the very FIRST registry write leaves
+    _band_registry/epoch=0 holding only _temporary (no part files). The
+    replay must treat that as an empty registry and complete — not die on
+    parquet schema inference every retry."""
+    docs, clusters = _mk_corpus()
+    spark.createDataFrame(
+        sorted(docs.items()), SCHEMA
+    ).coalesce(1).write.mode("append").parquet(dirs["in"])
+    partial = os.path.join(
+        dirs["out"], "_band_registry", "epoch=0", "_temporary"
+    )
+    os.makedirs(partial)
+    _drain(
+        streaming_near_dedup(
+            spark, dirs["in"], dirs["out"], dirs["ckpt"], threshold=0.7
+        )
+    )
+    got = {
+        r["doc_id"] for r in read_stream_output(spark, dirs["out"]).collect()
+    }
+    full = spark.createDataFrame(sorted(docs.items()), SCHEMA)
+    want = {
+        r["doc_id"]
+        for r in near_dedup(full, method="minhash", threshold=0.7).collect()
+    }
+    assert got == want
+
+
 class TestFreshCheckpointGuard:
     def test_guard_refuses_fresh_ckpt_over_existing_output(self, tmp_path):
         out = tmp_path / "out"
