@@ -1419,6 +1419,107 @@ def q_lsh_topk(spark, sf_dir):
     return lsh_topk(_t(spark, sf_dir, "embeddings"), _query_vec(), k=10)
 
 
+# ---------------------------------------------------------------------------
+# corpus-cleaning operators (corpus_clean.py): CCNet-style line dedup,
+# unigram surprisal, token-window chunking, stratified sampling, mojibake
+# ---------------------------------------------------------------------------
+
+_LINE_WPL = 2  # words per synthesized line (driver text has no newlines)
+
+
+def _lined_docs(spark, sf_dir):
+    """documents with deterministic 2-word line structure (the driver corpus
+    is single-line; both engines synthesize identical lines from the token
+    array so line_dedup has real cross-doc duplicate lines to remove)."""
+    from ocr_spark.operators import corpus_clean as CC
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = CC.ws_tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(_LINE_WPL)
+    )
+    lined = F.array_join(
+        F.transform(
+            starts,
+            lambda s: F.array_join(F.slice(toks, s, _LINE_WPL), " "),
+        ),
+        "\n",
+    )
+    return docs.select(F.col("doc_id"), lined.alias("text"))
+
+
+def _lined_docs_sql() -> str:
+    from ocr_spark.operators import corpus_clean as CC
+
+    toks = CC.ws_tokens_sql("text")
+    return (
+        "SELECT doc_id, array_to_string(list_transform("
+        f"generate_series(1, greatest(length(toks), 1), {_LINE_WPL}), "
+        f"s -> array_to_string(list_slice(toks, s, least(s + {_LINE_WPL - 1}, "
+        "length(toks))), ' ')), chr(10)) AS text "
+        f"FROM (SELECT doc_id, {toks} AS toks FROM documents)"
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    from ocr_spark.operators.corpus_clean import line_dedup
+
+    return line_dedup(_lined_docs(spark, sf_dir), min_docs=20)
+
+
+def q_unigram_logprob(spark, sf_dir):
+    from ocr_spark.operators.corpus_clean import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"), top_vocab=20)
+
+
+def q_chunk_docs(spark, sf_dir):
+    from ocr_spark.operators.corpus_clean import chunk_docs
+
+    return chunk_docs(_t(spark, sf_dir, "documents"), chunk_tokens=16, overlap=4)
+
+
+def q_stratified_sample(spark, sf_dir):
+    from ocr_spark.operators.corpus_clean import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), target_per_stratum=50, stratum_col="lang"
+    )
+
+
+def _moji_decorated(col):
+    """Driver text is plain ASCII; decorate with repair-target punctuation so
+    the injection has something to corrupt."""
+    return F.concat(F.lit("‘"), col, F.lit("’ — é…"))
+
+
+def q_mojibake_repair(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    dec = _moji_decorated(F.col("text"))
+    inj = F.when(
+        F.col("doc_id") % 3 == 0, TX.mojibake_inject(dec)
+    ).otherwise(dec)
+    fixed = TX.mojibake_repair(inj)
+    return docs.select(
+        F.col("doc_id"),
+        fixed.alias("text_fixed"),
+        (inj != fixed).alias("was_mojibake"),
+    )
+
+
+def _mojibake_repair_oracle() -> str:
+    dec = "'‘' || text || '’ — é…'"
+    inj = (
+        f"CASE WHEN doc_id % 3 = 0 THEN {TX.mojibake_inject_sql(dec)} "
+        f"ELSE {dec} END"
+    )
+    return (
+        f"SELECT doc_id, {TX.mojibake_repair_sql(inj)} AS text_fixed, "
+        f"({inj}) <> ({TX.mojibake_repair_sql(inj)}) AS was_mojibake "
+        "FROM documents"
+    )
+
+
 def q_tail_sentinel(spark, sf_dir):
     """Disposable LAST-slot query: the r03 driver recorded 50/51 rows,
     dropping exactly the final registered query. This one-row region count
@@ -1484,6 +1585,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_topk": q_lsh_topk,
         "minhash_lsh": q_minhash_lsh,
+        # round-4 corpus-cleaning family
+        "line_dedup": q_line_dedup,
+        "unigram_logprob": q_unigram_logprob,
+        "chunk_docs": q_chunk_docs,
+        "stratified_sample": q_stratified_sample,
+        "mojibake_repair": q_mojibake_repair,
         # keep LAST: sacrificial tail slot (see q_tail_sentinel docstring)
         "tail_sentinel": q_tail_sentinel,
     }
@@ -1642,6 +1749,7 @@ def _corpus_pipeline_sql_row() -> str:
 
 
 def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    from ocr_spark.operators import corpus_clean as CC
     from ocr_spark.operators import text_analysis as TA
     from ocr_spark.operators.dedup import (
         contamination_sql,
@@ -1688,6 +1796,19 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
         ),
         "minhash_lsh": minhash_lsh_sql(threshold=0.3),
+        "line_dedup": CC.line_dedup_sql(_lined_docs_sql(), min_docs=20),
+        "unigram_logprob": CC.unigram_logprob_sql(
+            "SELECT doc_id, text FROM documents", top_vocab=20
+        ),
+        "chunk_docs": CC.chunk_docs_sql(
+            "SELECT doc_id, text FROM documents", chunk_tokens=16, overlap=4
+        ),
+        "stratified_sample": CC.stratified_sample_sql(
+            "SELECT doc_id, lang FROM documents",
+            target_per_stratum=50,
+            stratum_col="lang",
+        ),
+        "mojibake_repair": _mojibake_repair_oracle(),
         "tail_sentinel": "SELECT count(*) AS n_regions FROM region",
         "dedup_clusters": clusters_sql,
         "near_dedup_keep": (

@@ -179,3 +179,51 @@ def extract_text_sql(expr: str, rules: Sequence[tuple[str, str]] = ()) -> str:
     out = repair_hyphenation_sql(normalize_newlines_sql(expr))
     out = collapse_blank_lines_sql(squeeze_spaces_sql(strip_all_sql(out)))
     return apply_rules_sql(out, rules)
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair (ftfy-lite): fix the classic UTF-8-bytes-decoded-as-cp1252
+# double encoding for a fixed set of common targets. The rule table is
+# DERIVED (target.encode('utf-8').decode('cp1252')) at import, restricted to
+# targets whose mojibake form is fully printable/non-space so both the
+# F.replace fold and its SQL twin stay literal-safe. Ordered longest-first
+# so 3-char sequences ('â€¦') are consumed before any 2-char prefix rule
+# could split them. Pure codegen via the T5 apply_rules machinery — scales
+# as a literal replace chain at the scan.
+# ---------------------------------------------------------------------------
+
+_MOJIBAKE_TARGETS = "…—–“‘’éèêáóúñüöäç«»°"
+
+
+def _derive_mojibake_rules() -> list[tuple[str, str]]:
+    rules: list[tuple[str, str]] = []
+    for ch in _MOJIBAKE_TARGETS:
+        try:
+            moji = ch.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:  # undefined cp1252 byte -> not a rule
+            continue
+        if all((not c.isspace()) and c.isprintable() for c in moji):
+            rules.append((moji, ch))
+    rules.sort(key=lambda r: len(r[0]), reverse=True)
+    return rules
+
+
+MOJIBAKE_RULES: list[tuple[str, str]] = _derive_mojibake_rules()
+
+
+def mojibake_repair(col: Column) -> Column:
+    return apply_rules(col, MOJIBAKE_RULES)
+
+
+def mojibake_repair_sql(expr: str) -> str:
+    return apply_rules_sql(expr, MOJIBAKE_RULES)
+
+
+def mojibake_inject(col: Column) -> Column:
+    """Inverse chain (clean -> mojibake) for fixtures/oracles; exact inverse
+    of mojibake_repair on text containing no mojibake sequences already."""
+    return apply_rules(col, [(b, a) for a, b in MOJIBAKE_RULES])
+
+
+def mojibake_inject_sql(expr: str) -> str:
+    return apply_rules_sql(expr, [(b, a) for a, b in MOJIBAKE_RULES])

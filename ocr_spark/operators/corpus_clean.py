@@ -1,0 +1,468 @@
+"""Corpus-cleaning operators for large-scale training-data pipelines (task
+directive, beyond-reference scope): CCNet-style frequent-line removal,
+unigram-LM surprisal scoring, token-window chunking, and deterministic
+stratified sampling. The reference processes one document at a time
+(ref ocr_workflow_orchestrator.py:200-260 — per-file loop, no corpus-level
+statistics); these operators are the corpus-wide complement a 100 TB
+training-data build needs, expressed Spark-first.
+
+Cross-engine contract: every operator here has a DuckDB-SQL twin built from
+the same integer/hash primitives (h32/h60 from text_analysis) so the
+driver's value-hash oracle can verify it exactly. Float policy: the only
+transcendental (ln in unigram_logprob) is quantized to integer micro-nats
+per token BEFORE any aggregation, so sums are exact integers and the final
+average is a single IEEE division — bit-identical across engines regardless
+of aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.text_analysis import h32, h32_sql, h60, h60_sql
+
+# ---------------------------------------------------------------------------
+# shared line/token helpers
+# ---------------------------------------------------------------------------
+
+
+def line_norm(col: Column) -> Column:
+    """Canonical form used as the line-dedup key: casefold + whitespace
+    squeeze + trim (CCNet-style 'normalized line')."""
+    return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def line_norm_sql(expr: str) -> str:
+    return f"lower(trim(regexp_replace({expr}, '\\s+', ' ', 'g')))"
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace token array; empty text -> empty array (not [''])."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def ws_tokens_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN length(trim({expr})) = 0 THEN []::VARCHAR[] "
+        f"ELSE regexp_split_to_array(trim({expr}), '\\s+') END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (CCNet-style boilerplate line removal)
+#
+# A line whose normalized text appears in >= min_docs DISTINCT documents is
+# boilerplate (cookie banners, nav text, "all rights reserved") and is
+# removed from every document; per-doc line order is preserved.
+#
+# Scale plan (100 TB): the frequent-line SET is bounded by total_lines /
+# min_docs and in practice is the small boilerplate tail, so the corpus
+# itself never shuffles on the drop side:
+#   * strategy='join'  — fully distributed: line keys shuffle once for the
+#     frequency count (partial-agg combines per-partition duplicates first),
+#     then ONE corpus pass flags lines via a broadcast-hinted left join and
+#     re-assembles per doc (the posexplode and groupBy(doc_id) stay within
+#     the partitioning Spark already has for the doc — the groupBy is the
+#     single corpus shuffle).
+#   * strategy='inline' — zero corpus shuffle: the frequent-key set is
+#     collected (driver-capped like dedup.py's union-find broadcast
+#     analogue) and applied as an in-row array filter; only the key-count
+#     aggregation (line-key-sized, not corpus-sized) runs distributed.
+#   * strategy='auto'  — inline when the frequent set fits the cap, else
+#     join.
+# ---------------------------------------------------------------------------
+
+
+def frequent_line_keys(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """h60 keys of normalized lines appearing in >= min_docs distinct docs.
+    Per-doc duplicates count once (array_distinct BEFORE the explode, so the
+    count is a distinct-doc count without a corpus-wide count(distinct))."""
+    keys = docs.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.split(F.col(text_col), "\n"),
+                        lambda x: F.when(line_norm(x) != "", h60(line_norm(x))),
+                    ),
+                    lambda k: k.isNotNull(),
+                )
+            )
+        ).alias("line_key")
+    )
+    return (
+        keys.groupBy("line_key")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= F.lit(min_docs))
+        .select("line_key")
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "auto",
+    inline_max_lines: int = 100_000,
+) -> DataFrame:
+    """Remove corpus-frequent lines from every document.
+
+    Returns (id_col, text, n_lines, n_dropped) — `text` is the document with
+    boilerplate lines removed, remaining lines joined with '\\n' in original
+    order. Every input doc yields exactly one output row (a doc whose every
+    line was dropped keeps an empty text). Empty-normalized lines are never
+    counted and never dropped.
+    """
+    if strategy not in ("auto", "join", "inline"):
+        raise ValueError(f"strategy={strategy!r}: expected auto|join|inline")
+    freq = frequent_line_keys(docs, min_docs, id_col, text_col)
+
+    if strategy != "join":
+        n_freq = freq.limit(inline_max_lines + 1).count()
+        if n_freq <= inline_max_lines:
+            keys = [r[0] for r in freq.collect()]
+            farr = (
+                F.lit(keys) if keys else F.array().cast("array<bigint>")
+            )
+            lines = F.split(F.col(text_col), "\n")
+            kept = F.filter(
+                lines,
+                lambda x: (line_norm(x) == "")
+                | ~F.array_contains(farr, h60(line_norm(x))),
+            )
+            return docs.select(
+                F.col(id_col),
+                F.array_join(kept, "\n").alias("text"),
+                F.size(lines).cast("long").alias("n_lines"),
+                (F.size(lines) - F.size(kept)).cast("long").alias("n_dropped"),
+            )
+        if strategy == "inline":
+            raise ValueError(
+                f"strategy='inline' but frequent-line set exceeds "
+                f"inline_max_lines={inline_max_lines}; use 'join' or 'auto'"
+            )
+
+    # distributed join path: flag exploded lines against the broadcast
+    # frequent set, one groupBy(doc) re-assembly shuffle
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "k", F.when(line_norm(F.col("line")) != "", h60(line_norm(F.col("line"))))
+    )
+    freqm = freq.withColumn("_freq", F.lit(True))
+    marked = lines.join(
+        F.broadcast(freqm), lines["k"] == freqm["line_key"], "left"
+    ).withColumn("_drop", F.coalesce(F.col("_freq"), F.lit(False)))
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line", "_drop"))
+                    ),
+                    lambda s: ~s["_drop"],
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("_drop").cast("long")).cast("long").alias("n_dropped"),
+    )
+
+
+def line_dedup_sql(src: str, min_docs: int = 2) -> str:
+    """DuckDB twin of line_dedup over `src` (a subquery yielding
+    (doc_id, text)). Mirrors the inline strategy: frequent keys as a list
+    column cross-joined into an in-row list_filter."""
+    norm = line_norm_sql("x")
+    key = h60_sql(norm)
+    return f"""
+WITH src AS ({src}),
+lines AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+doc_keys AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           list_transform(ls, x -> CASE WHEN length({norm}) = 0
+                                        THEN NULL ELSE {key} END),
+           k -> k IS NOT NULL))) AS line_key
+  FROM lines),
+freq AS (SELECT line_key FROM doc_keys GROUP BY line_key
+         HAVING count(*) >= {min_docs}),
+fl AS (SELECT coalesce(list(line_key), []) AS fk FROM freq),
+kept AS (
+  SELECT doc_id, ls,
+         list_filter(ls, x -> length({norm}) = 0
+                              OR NOT list_contains(fk, {key})) AS ks
+  FROM lines CROSS JOIN fl)
+SELECT doc_id,
+       array_to_string(ks, chr(10)) AS text,
+       length(ls)::BIGINT AS n_lines,
+       (length(ls) - length(ks))::BIGINT AS n_dropped
+FROM kept
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# unigram LM surprisal scoring (CCNet-perplexity family)
+#
+# Two-pass: (1) corpus unigram counts with add-one smoothing over a top-K
+# vocabulary (K bounds the broadcast — the standard LM vocab cap; everything
+# else scores as OOV), (2) per-token surprisal quantized to integer
+# micro-nats, summed per doc. The token->count join is BROADCAST (vocab is
+# K rows) so the corpus never shuffles on the skewed token key ("the" would
+# be a catastrophic shuffle key at 100 TB); the per-doc re-agg combines
+# map-side to one row per doc before its shuffle because a doc's exploded
+# tokens stay in one partition.
+# ---------------------------------------------------------------------------
+
+_TOKEN_PATTERN = r"[a-z']+"
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_vocab: int = 50_000,
+) -> DataFrame:
+    """Per-doc average unigram surprisal in micro-nats.
+
+    Returns (id_col, n_tokens, sum_lp_micronat, avg_lp_micronat); docs with
+    zero tokens emit no row. lp(token) = ln((c+1)/(T+V)) with c = corpus
+    count if the token ranks in the top_vocab by (count desc, token asc),
+    else 0 (OOV); T = total corpus tokens, V = corpus distinct tokens.
+    Quantized per token as floor(lp * 1e6) BIGINT before summation.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("tok"),
+    )
+    vocab_all = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    totals = vocab_all.agg(
+        F.sum("c").cast("long").alias("t_total"),
+        F.count("*").cast("long").alias("v_size"),
+    )
+    # global rank over vocab-sized (not corpus-sized) data; at 100 TB the
+    # vocab is capped by K so the single-partition window is bounded
+    rank_w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    vocab = (
+        vocab_all.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= F.lit(top_vocab))
+        .drop("rn")
+    )
+    lp = F.floor(
+        F.log(
+            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.col("t_total") + F.col("v_size")).cast("double")
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    scored = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), lp.alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("lp").cast("long").alias("sum_lp_micronat"),
+        (F.sum("lp").cast("double") / F.count("*")).alias("avg_lp_micronat"),
+    )
+
+
+def unigram_logprob_sql(src: str, top_vocab: int = 50_000) -> str:
+    return f"""
+WITH src AS ({src}),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z'']+')) AS tok
+  FROM src),
+vocab_all AS (SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c)::BIGINT AS t_total, count(*)::BIGINT AS v_size
+        FROM vocab_all),
+vocab AS (
+  SELECT tok, c FROM (
+    SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rn
+    FROM vocab_all) WHERE rn <= {top_vocab}),
+scored AS (
+  SELECT t.doc_id,
+         floor(ln((coalesce(v.c, 0) + 1)::DOUBLE
+                  / (tot.t_total + tot.v_size)::DOUBLE)
+               * 1000000.0)::BIGINT AS lp
+  FROM toks t LEFT JOIN vocab v USING (tok) CROSS JOIN tot)
+SELECT doc_id,
+       count(*)::BIGINT AS n_tokens,
+       sum(lp)::BIGINT AS sum_lp_micronat,
+       (sum(lp)::DOUBLE / count(*)) AS avg_lp_micronat
+FROM scored GROUP BY doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# token-window chunking (training-sequence packing prep)
+#
+# Pure codegen, ZERO shuffle: windows are computed in-row from the token
+# array (sequence + slice + posexplode). Chunk starts advance by
+# (chunk_tokens - overlap); a final window that would contain only overlap
+# tokens already emitted is not produced (starts stop at n - overlap).
+# ---------------------------------------------------------------------------
+
+
+def chunk_docs(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each doc into overlapping whitespace-token windows.
+
+    Returns (id_col, chunk_id, start_token, n_chunk_tokens, chunk_text);
+    docs with zero tokens emit no rows. chunk_id is 0-based in doc order;
+    start_token is the 1-based token offset of the window.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = ws_tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), toks.alias("toks"), F.size(toks).alias("n")
+    ).where(F.col("n") > 0)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("n") - F.lit(overlap), F.lit(1)), F.lit(stride)
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), F.lit(chunk_tokens))
+    return (
+        base.select(
+            F.col(id_col), F.col("toks"), F.explode(starts).alias("start")
+        )
+        .select(
+            F.col(id_col),
+            F.floor((F.col("start") - 1) / F.lit(stride)).cast("int").alias("chunk_id"),
+            F.col("start").cast("long").alias("start_token"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_docs_sql(src: str, chunk_tokens: int = 256, overlap: int = 32) -> str:
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = ws_tokens_sql("text")
+    return f"""
+WITH src AS ({src}),
+base AS (SELECT doc_id, {toks} AS toks FROM src),
+st AS (
+  SELECT doc_id, toks, length(toks) AS n,
+         unnest(generate_series(1, greatest(length(toks) - {overlap}, 1),
+                                {stride})) AS start
+  FROM base WHERE length(toks) > 0)
+SELECT doc_id,
+       ((start - 1) // {stride})::INT AS chunk_id,
+       start::BIGINT AS start_token,
+       (least(start + {chunk_tokens} - 1, n) - start + 1)::BIGINT
+         AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start,
+                                  least(start + {chunk_tokens} - 1, n)), ' ')
+         AS chunk_text
+FROM st
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (corpus mixing / downsampling)
+#
+# Keep decision is a pure function of (doc id, salt): h32 mod 1e6 against a
+# per-stratum integer threshold derived from the stratum's doc count — the
+# same doc is kept or dropped on every engine and every run, the property a
+# resumable 100 TB sampling job needs. Stratum counts are a tiny agg
+# broadcast back; the corpus itself never shuffles.
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    docs: DataFrame,
+    target_per_stratum: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Deterministically sample ~target_per_stratum docs from each stratum.
+
+    Returns (id_col, stratum, n_stratum) for kept docs. The expected kept
+    count per stratum is target_per_stratum (exact when the stratum has
+    <= target docs: threshold saturates at 1e6 and everything is kept).
+    """
+    if target_per_stratum <= 0:
+        raise ValueError("target_per_stratum must be positive")
+    counts = docs.groupBy(stratum_col).agg(F.count("*").cast("long").alias("n_stratum"))
+    thr = F.least(
+        F.lit(1_000_000).cast("long"),
+        F.floor(
+            F.lit(int(target_per_stratum) * 1_000_000).cast("long")
+            / F.col("n_stratum")
+        ).cast("long"),
+    )
+    bucket = h32(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))) % F.lit(
+        1_000_000
+    )
+    return (
+        docs.join(F.broadcast(counts), stratum_col)
+        .where(bucket < thr)
+        .select(
+            F.col(id_col),
+            F.col(stratum_col).alias("stratum"),
+            F.col("n_stratum"),
+        )
+    )
+
+
+def stratified_sample_sql(
+    src: str,
+    target_per_stratum: int,
+    stratum_col: str = "lang",
+    salt: str = "s0",
+) -> str:
+    if target_per_stratum <= 0:
+        raise ValueError("target_per_stratum must be positive")
+    key = h32_sql(f"doc_id::VARCHAR || ':{salt}'")
+    return f"""
+WITH src AS ({src}),
+counts AS (SELECT {stratum_col} AS stratum, count(*)::BIGINT AS n_stratum
+           FROM src GROUP BY {stratum_col})
+SELECT s.doc_id, c.stratum, c.n_stratum
+FROM src s JOIN counts c ON s.{stratum_col} = c.stratum
+WHERE ({key}) % 1000000
+      < least(1000000, ({int(target_per_stratum) * 1_000_000} // c.n_stratum))
+""".strip()
+
+
+__all__ = [
+    "line_norm",
+    "line_norm_sql",
+    "ws_tokens",
+    "ws_tokens_sql",
+    "frequent_line_keys",
+    "line_dedup",
+    "line_dedup_sql",
+    "unigram_logprob",
+    "unigram_logprob_sql",
+    "chunk_docs",
+    "chunk_docs_sql",
+    "stratified_sample",
+    "stratified_sample_sql",
+]

@@ -1,0 +1,282 @@
+"""Corpus-cleaning operators (corpus_clean.py) against pure-Python
+reference implementations, plus strategy-equivalence and edge cases."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.corpus_clean import (
+    chunk_docs,
+    frequent_line_keys,
+    line_dedup,
+    stratified_sample,
+    unigram_logprob,
+)
+
+# ---------------------------------------------------------------------------
+# pure-Python references
+# ---------------------------------------------------------------------------
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _norm(line: str) -> str:
+    return re.sub(r"\s+", " ", line).strip().lower()
+
+
+def ref_line_dedup(docs: list[tuple[str, str]], min_docs: int):
+    per_doc_keys = {}
+    for did, text in docs:
+        per_doc_keys[did] = {
+            _h60(_norm(x)) for x in text.split("\n") if _norm(x) != ""
+        }
+    from collections import Counter
+
+    cnt = Counter(k for ks in per_doc_keys.values() for k in ks)
+    freq = {k for k, c in cnt.items() if c >= min_docs}
+    out = {}
+    for did, text in docs:
+        lines = text.split("\n")
+        kept = [
+            x for x in lines if _norm(x) == "" or _h60(_norm(x)) not in freq
+        ]
+        out[did] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+    return out
+
+
+def ref_chunks(text: str, chunk: int, overlap: int):
+    toks = text.split()
+    if not toks:
+        return []
+    stride = chunk - overlap
+    out = []
+    start = 1
+    limit = max(len(toks) - overlap, 1)
+    while start <= limit:
+        sl = toks[start - 1 : start - 1 + chunk]
+        out.append(((start - 1) // stride, start, len(sl), " ".join(sl)))
+        start += stride
+    return out
+
+
+DOCS = [
+    ("a", "All Rights  Reserved\nalpha beta\ngamma delta\nCookie notice"),
+    ("b", "all rights reserved\nepsilon zeta\nCOOKIE NOTICE"),
+    ("c", "unique only here\nall  RIGHTS reserved"),
+    ("d", "totally distinct\n\n  \n"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+# line dedup
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_line_keys(spark, docs_df):
+    keys = {r[0] for r in frequent_line_keys(docs_df, min_docs=2).collect()}
+    # 'all rights reserved' in 3 docs, 'cookie notice' in 2
+    assert keys == {_h60("all rights reserved"), _h60("cookie notice")}
+
+
+@pytest.mark.parametrize("strategy", ["inline", "join"])
+def test_line_dedup_matches_reference(spark, docs_df, strategy):
+    ref = ref_line_dedup(DOCS, min_docs=2)
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines"], r["n_dropped"])
+        for r in line_dedup(docs_df, min_docs=2, strategy=strategy).collect()
+    }
+    assert got == ref
+    # every input doc present, even all-dropped/blank ones
+    assert set(got) == {d for d, _ in DOCS}
+
+
+def test_line_dedup_blank_lines_never_dropped(spark, docs_df):
+    out = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(docs_df, min_docs=1).collect()
+    }
+    # min_docs=1 drops every non-empty normalized line everywhere, but
+    # blank/whitespace-only lines survive verbatim
+    assert out["d"] == "\n  \n"
+
+
+def test_line_dedup_inline_cap_raises(spark, docs_df):
+    with pytest.raises(ValueError, match="inline_max_lines"):
+        line_dedup(docs_df, min_docs=1, strategy="inline", inline_max_lines=1)
+
+
+def test_line_dedup_auto_falls_back_to_join(spark, docs_df):
+    # auto with a tiny cap must silently use the join path, same answer
+    a = line_dedup(docs_df, min_docs=2, strategy="auto", inline_max_lines=1)
+    b = line_dedup(docs_df, min_docs=2, strategy="join")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_docs_matches_reference(spark):
+    rows = [
+        ("a", " ".join(f"t{i}" for i in range(10))),
+        ("b", "one"),
+        ("c", ""),
+        ("d", "   "),
+        ("e", " ".join(f"w{i}" for i in range(4))),  # n == chunk size
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in chunk_docs(df, chunk_tokens=4, overlap=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_token"], r["n_chunk_tokens"], r["chunk_text"])
+        )
+    for did, text in rows:
+        assert got.get(did, []) == ref_chunks(text, 4, 2), did
+    # zero-token docs emit nothing
+    assert "c" not in got and "d" not in got
+
+
+def test_chunk_docs_no_pure_overlap_tail(spark):
+    # 10 tokens, chunk 8, overlap 4 -> starts 1 and 5 only (start 9 would
+    # add no tokens beyond position 12 > n... actually covers 9-10 which
+    # chunk 2 already covered entirely)
+    df = spark.createDataFrame(
+        [("a", " ".join(str(i) for i in range(1, 11)))], ["doc_id", "text"]
+    )
+    rows = chunk_docs(df, chunk_tokens=8, overlap=4).collect()
+    assert [r["start_token"] for r in rows] == [1, 5]
+    assert rows[1]["chunk_text"] == "5 6 7 8 9 10"
+
+
+def test_chunk_docs_validates_overlap(spark):
+    df = None
+    with pytest.raises(ValueError):
+        chunk_docs(df, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_docs(df, chunk_tokens=4, overlap=-1)
+
+
+# ---------------------------------------------------------------------------
+# unigram surprisal
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_logprob_reference(spark):
+    import math
+
+    rows = [("a", "the cat sat"), ("b", "the the dog"), ("c", "???")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob(df, top_vocab=2).collect()}
+    # corpus: the=3 cat=1 sat=1 dog=1 -> T=6 V=4; vocab top2 by (c desc,
+    # tok asc): the(3), cat(1)
+    T, V = 6, 4
+
+    def lp(c):
+        return math.floor(math.log((c + 1) / (T + V)) * 1e6)
+
+    a = [lp(3), lp(1), lp(0)]  # the cat sat(OOV)
+    b = [lp(3), lp(3), lp(0)]  # the the dog(OOV)
+    assert out["a"]["n_tokens"] == 3
+    assert out["a"]["sum_lp_micronat"] == sum(a)
+    assert out["b"]["sum_lp_micronat"] == sum(b)
+    assert out["a"]["avg_lp_micronat"] == sum(a) / 3
+    # '???' has no [a-z']+ tokens -> no row
+    assert "c" not in out
+
+
+def test_unigram_logprob_ranks_deterministically(spark):
+    # tie at the vocab boundary: cat/dog both count 1; top_vocab=2 keeps
+    # 'the' + the lexicographically smaller tie ('cat')
+    rows = [("a", "the cat"), ("b", "the dog")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob(df, top_vocab=2).collect()}
+    # cat in vocab (c=1), dog OOV (c=0) -> doc a scores higher (less negative)
+    assert out["a"]["sum_lp_micronat"] > out["b"]["sum_lp_micronat"]
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    rows = [(i, "en" if i % 4 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out1 = stratified_sample(df, target_per_stratum=50).collect()
+    out2 = stratified_sample(df, target_per_stratum=50).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    # reference decision per row
+    n = {"en": 300, "de": 100}
+    kept_ref = {
+        (i, lang)
+        for i, lang in rows
+        if _h32(f"{i}:s0") % 1_000_000 < min(1_000_000, 50_000_000 // n[lang])
+    }
+    assert {(r["doc_id"], r["stratum"]) for r in out1} == kept_ref
+    # small stratum kept at ~target rate, and n_stratum is reported
+    for r in out1:
+        assert r["n_stratum"] == n[r["stratum"]]
+
+
+def test_stratified_sample_keeps_all_when_target_exceeds(spark):
+    rows = [(i, "xx") for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    assert stratified_sample(df, target_per_stratum=1000).count() == 30
+
+
+def test_stratified_sample_validates(spark):
+    with pytest.raises(ValueError):
+        stratified_sample(None, target_per_stratum=0)
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair
+# ---------------------------------------------------------------------------
+
+
+def test_mojibake_roundtrip(spark):
+    from ocr_spark.functions.text import (
+        MOJIBAKE_RULES,
+        mojibake_inject,
+        mojibake_repair,
+    )
+
+    clean = "it’s “fine” — café… «ok» 90° naïve-free"
+    df = spark.createDataFrame([(clean,)], ["text"])
+    out = df.select(
+        mojibake_repair(mojibake_inject(F.col("text"))).alias("rt"),
+        mojibake_inject(F.col("text")).alias("inj"),
+    ).collect()[0]
+    assert out["rt"] == clean
+    assert out["inj"] != clean
+    # derived table is non-trivial and every rule actually derives from the
+    # cp1252 double-encoding
+    assert len(MOJIBAKE_RULES) >= 15
+    for moji, good in MOJIBAKE_RULES:
+        assert good.encode("utf-8").decode("cp1252") == moji
+
+
+def test_mojibake_repair_noop_on_clean_ascii(spark):
+    df = spark.createDataFrame([("plain ascii text, no damage",)], ["text"])
+    from ocr_spark.functions.text import mojibake_repair
+
+    assert (
+        df.select(mojibake_repair(F.col("text")).alias("t")).collect()[0]["t"]
+        == "plain ascii text, no damage"
+    )
