@@ -356,47 +356,111 @@ def ann_recall(
     |approx_topk ∩ exact_topk| / k with the engines' shared deterministic
     tie-break (cos desc, id asc).
 
-    Scale shape: this is an EVAL harness — `query_vecs` is a small fixed
-    probe set, and each (method, query) contributes an independent scan +
-    tiny agg unioned into one plan. Run it over a sampled frame
-    (`emb.sample(...)`) for routine regression checks at corpus scale; the
-    per-query cost is the same linear scan the production top-k pays."""
+    Scale shape: BATCHED — ONE scan of the corpus computes every probe's
+    cosine, the sign-LSH bucket (once per row, shared by all probes) and the
+    IVF list assignment (once per row), then explodes only the surviving
+    (method, query) candidates into a narrow (method, query_id, id, cos)
+    frame ranked by one window. The wide embedding column never shuffles;
+    the shuffle carries ≤ |probes|·N 24-byte rows (approx arms are bucket-
+    pruned far below N). The unbatched alternative is 2–3 scans per probe.
+    Run it over a sampled frame (`emb.sample(...)`) for routine regression
+    checks at corpus scale."""
+    from pyspark.sql import Window
+
     if not query_vecs:
         raise ValueError("query_vecs must be non-empty")
-    frames = []
+    planes = hyperplanes(n_planes, dim=len(query_vecs[0]))
+    v = F.col(vec_col).cast("array<double>")
+    qvs_np = [np.array(qv, dtype=np.float64) for qv in query_vecs]
+    q_buckets = [
+        int(sum((1 << i) for i, p in enumerate(planes) if float(p @ qv) > 0))
+        for qv in qvs_np
+    ]
+    methods = ["lsh"] + (["ivf"] if centroids is not None else [])
+    if centroids is not None:
+        qn = [qv / np.linalg.norm(qv) for qv in qvs_np]
+        probes = []
+        for qv in qn:
+            cs = [
+                round(float(c @ qv / np.linalg.norm(c)), 6) for c in centroids
+            ]
+            probes.append(
+                sorted(
+                    range(1, len(centroids) + 1), key=lambda i: (-cs[i - 1], i)
+                )[:nprobe]
+            )
+
+    # one wide projection: per-probe cosine + shared bucket/list assignment
+    cols = [F.col(id_col)]
     for qi, qv in enumerate(query_vecs):
-        exact = cosine_topk(emb, qv, k=k, id_col=id_col, vec_col=vec_col).select(
-            id_col
+        q = F.array(*[F.lit(float(x)) for x in qv])
+        cols.append(F.round(cosine(v, q), 6).alias(f"_cos{qi}"))
+    cols.append(lsh_bucket_expr(v, planes).alias("_bucket"))
+    if centroids is not None:
+        cols.append(ivf_assign(v, centroids).alias("_ivf"))
+    base = emb.select(*cols)
+
+    # candidate entries: (method, query_id, cos) kept when the row survives
+    # that method's pruning for that probe; 'exact' always survives
+    entries = []
+    for qi in range(len(query_vecs)):
+        c = F.col(f"_cos{qi}")
+        entries.append(
+            F.struct(
+                F.lit("exact").alias("method"),
+                F.lit(qi).alias("query_id"),
+                c.alias("cos_sim"),
+                F.lit(True).alias("keep"),
+            )
         )
-        methods = {
-            "lsh": lsh_topk(
-                emb, qv, k=k, n_planes=n_planes, id_col=id_col, vec_col=vec_col
+        entries.append(
+            F.struct(
+                F.lit("lsh").alias("method"),
+                F.lit(qi).alias("query_id"),
+                c.alias("cos_sim"),
+                (F.col("_bucket") == F.lit(q_buckets[qi])).alias("keep"),
             )
-        }
+        )
         if centroids is not None:
-            methods["ivf"] = ivf_topk(
-                emb, qv, centroids, k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
-            )
-        for m, approx in sorted(methods.items()):
-            hits = (
-                approx.select(id_col)
-                .join(exact, id_col)
-                .agg(F.count(F.lit(1)).alias("n_hits"))
-            )
-            frames.append(
-                hits.select(
-                    F.lit(m).alias("method"),
+            entries.append(
+                F.struct(
+                    F.lit("ivf").alias("method"),
                     F.lit(qi).alias("query_id"),
-                    F.col("n_hits"),
-                    F.round(F.col("n_hits") / F.lit(float(k)), 6).alias(
-                        "recall_at_k"
-                    ),
+                    c.alias("cos_sim"),
+                    F.col("_ivf").isin(*probes[qi]).alias("keep"),
                 )
             )
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    cand = base.select(
+        F.col(id_col),
+        F.explode(F.filter(F.array(*entries), lambda s: s["keep"])).alias("e"),
+    ).select(id_col, "e.method", "e.query_id", "e.cos_sim")
+
+    w = Window.partitionBy("method", "query_id").orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    topk = cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    exact = topk.where(F.col("method") == "exact").select("query_id", id_col)
+    approx = topk.where(F.col("method") != "exact").select(
+        "method", "query_id", id_col
+    )
+    hits = (
+        approx.join(exact, ["query_id", id_col])
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # (method, query) cells with zero overlap must still emit a row
+    grid = emb.sparkSession.createDataFrame(
+        [(m, qi) for qi in range(len(query_vecs)) for m in sorted(methods)],
+        "method string, query_id int",
+    )
+    return grid.join(hits, ["method", "query_id"], "left").select(
+        "method",
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")) / F.lit(float(k)), 6
+        ).alias("recall_at_k"),
+    )
 
 
 def ann_recall_sql(
