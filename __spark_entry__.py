@@ -1014,6 +1014,71 @@ def _heavy_kind_goldens(sf_dir: str):
         return _HK_GOLD[sf_dir]
 
 
+def _warc_fixture_dir(sf_dir: str) -> str:
+    """Materialize (once per sf_dir) a deterministic multi-shard .warc.gz
+    archive set under /tmp, built from the documents table's ids with the
+    same html payload arithmetic as q_html_extract — the Common Crawl-shaped
+    input for the WARC ingestion query. Every 5th response is stored with
+    chunked transfer framing so dechunking is load-bearing."""
+    import pyarrow.parquet as pq
+
+    from ocr_spark.sources.warc import write_warc_fixture
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/ocr_spark_warc/{tag}"
+    if os.path.isdir(out) and any(n.endswith(".warc.gz") for n in os.listdir(out)):
+        return out
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    docs = [
+        (f"https://corpus.example/doc/{i}", _html_payload_py(i)) for i in ids
+    ]
+    tmp = out + ".building"
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_warc_fixture(tmp, docs, n_files=8, chunked_every=5)
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
+    return out
+
+
+def q_warc_extract(spark, sf_dir):
+    """WARC ingestion end-to-end: gzip-member split + record/HTTP parse
+    (incl. dechunking) in one mapInArrow stage, html responses reshaped to
+    the interleaved-spans frame, then the REAL extract_documents pipeline.
+    Oracle = python-golden VALUES over the pre-archive payloads, so the
+    writer→reader→extractor roundtrip is what the row locks."""
+    from ocr_spark.sources.warc import warc_extract
+
+    out = warc_extract(spark, _warc_fixture_dir(sf_dir))
+    return out.select(
+        "doc_id", F.element_at("spans", 1)["text"].alias("extracted")
+    )
+
+
+def _warc_goldens(sf_dir: str):
+    from ocr_spark.operators.dispatch import _postprocess_text
+    from ocr_spark.operators.html_extract import extract_main_text
+
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    return [
+        (
+            f"https://corpus.example/doc/{i}",
+            _postprocess_text(extract_main_text(_html_payload_py(i)), []),
+        )
+        for i in ids
+    ]
+
+
 def _values_sql(rows, cols) -> str:
     def esc(s: str) -> str:
         return s.replace("'", "''").replace("\n", "' || chr(10) || '")
@@ -1561,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "pdf_xycut": q_pdf_xycut,
         "pdf_real": q_pdf_real,
+        "warc_extract": q_warc_extract,
         "audio_features": q_audio_features,
         "frame_sample": q_frame_sample,
         "ivf_topk": q_ivf_topk,
@@ -1713,6 +1779,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             _heavy_kind_goldens(sf_dir)[1], ["doc_id", "extracted"]
         ),
         "pdf_real": _values_sql(_pdf_real_goldens(sf_dir), ["doc_id", "extracted"]),
+        "warc_extract": _values_sql(_warc_goldens(sf_dir), ["doc_id", "extracted"]),
         **_training_oracles(sf_dir),
     }
 
