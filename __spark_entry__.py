@@ -712,6 +712,84 @@ def _audio_features_sql(sf_dir: str) -> str:
     return sql
 
 
+def q_audio_compressed(spark, sf_dir):
+    """Audio features through the REAL compressed-WAV codecs (G.711
+    mu-law/A-law + IMA ADPCM — `audio_codecs.wav_decode`, format tags the
+    stdlib `wave` module rejects): seed-chosen compressed containers per
+    doc, decoded executor-side, features vs a numpy-golden VALUES oracle
+    (same code path run driver-side). Ref anchor: media loading contract
+    `ocr_workflow_orchestrator.py:153-178` (any-format decode duty)."""
+    from ocr_spark.operators.multimodal import audio_assets_df, audio_features
+
+    refs = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("audio://"), F.col("doc_id").cast("string")).alias("media_ref")
+    )
+    feats = audio_features(audio_assets_df(refs, encoding="compressed"))
+    return feats.select(
+        "media_ref", "sample_rate", "n_channels", "duration_sec", "rms",
+        "zero_cross_rate",
+    )
+
+
+def _audio_compressed_sql(sf_dir: str) -> str:
+    """Numpy-golden VALUES oracle for audio_compressed (cached per sf_dir),
+    running the same decode driver-side over the compressed fixtures."""
+    global _AC_SQL
+    try:
+        return _AC_SQL[sf_dir]
+    except (NameError, KeyError):
+        pass
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_spark.operators.multimodal import decode_audio
+    from ocr_spark.sources.media import synth_audio_compressed_bytes
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    rows = []
+    for i in ids:
+        samples, sr = decode_audio(synth_audio_compressed_bytes(f"audio://{i}"))
+        x = samples[:, 0].astype(np.float64) / 32768.0
+        rows.append(
+            (
+                f"audio://{i}",
+                sr,
+                samples.shape[1],
+                (len(samples) / sr) if sr else None,
+                float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+                (
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    if len(x) > 1
+                    else 0.0
+                ),
+            )
+        )
+    if rows:
+        body = ", ".join(
+            f"('{r}', {sr}, {ch}, {d!r}::DOUBLE, {rms!r}::DOUBLE, {z!r}::DOUBLE)"
+            for r, sr, ch, d, rms, z in rows
+        )
+        sql = (
+            f"SELECT * FROM (VALUES {body}) AS t(media_ref, sample_rate, "
+            "n_channels, duration_sec, rms, zero_cross_rate)"
+        )
+    else:
+        sql = (
+            "SELECT * FROM (VALUES (NULL::VARCHAR, NULL::INTEGER, NULL::INTEGER, "
+            "NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE)) AS t(media_ref, "
+            "sample_rate, n_channels, duration_sec, rms, zero_cross_rate) "
+            "WHERE FALSE"
+        )
+    try:
+        _AC_SQL
+    except NameError:
+        _AC_SQL = {}
+    _AC_SQL[sf_dir] = sql
+    return sql
+
+
 def q_frame_sample(spark, sf_dir):
     """Video frame sampling through the REAL GIF/LZW codec + mapInPandas
     plumbing: deterministic animated GIFs ('video://<doc_id>') decoded
@@ -1628,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_real": q_pdf_real,
         "warc_extract": q_warc_extract,
         "audio_features": q_audio_features,
+        "audio_compressed": q_audio_compressed,
         "frame_sample": q_frame_sample,
         "ivf_topk": q_ivf_topk,
         # early slot: the r03 driver recorded 50/51 rows, dropping exactly
@@ -1774,6 +1853,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             _heavy_kind_goldens(sf_dir)[0], ["doc_id", "extracted"]
         ),
         "audio_features": _audio_features_sql(sf_dir),
+        "audio_compressed": _audio_compressed_sql(sf_dir),
         "frame_sample": _frame_sample_sql(sf_dir),
         "pdf_xycut": _values_sql(
             _heavy_kind_goldens(sf_dir)[1], ["doc_id", "extracted"]

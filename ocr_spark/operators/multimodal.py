@@ -117,26 +117,15 @@ def decode_image(content: bytes, codec: str = "auto") -> np.ndarray:
 
 
 def decode_audio(content: bytes, codec: str = "wav") -> tuple[np.ndarray, int]:
-    """Decode an audio payload. WAV (RIFF container, 8/16-bit PCM) is a
-    REAL codec (stdlib `wave`): returns (samples (n_frames, n_channels)
-    int16, sample_rate). Headerless raw PCM and compressed codecs
-    (mp3/ogg/aac) remain stubbed pending an audio library."""
+    """Decode an audio payload. WAV is a REAL codec (`audio_codecs.wav_decode`
+    — RIFF container with PCM 8/16-bit, G.711 mu-law/A-law, or IMA ADPCM
+    format tags): returns (samples (n_frames, n_channels) int16,
+    sample_rate). Non-RIFF compressed codecs (mp3/ogg/aac) remain stubbed
+    pending an audio library."""
     if codec == "wav" or (content or b"")[:4] == b"RIFF":
-        import io
-        import wave
+        from ocr_spark.operators.audio_codecs import wav_decode
 
-        with wave.open(io.BytesIO(content)) as w:
-            sr = w.getframerate()
-            ch = w.getnchannels()
-            sw = w.getsampwidth()
-            raw = w.readframes(w.getnframes())
-        if sw == 2:
-            arr = np.frombuffer(raw, dtype="<i2")
-        elif sw == 1:  # 8-bit WAV is unsigned; center and widen
-            arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) * 256
-        else:
-            raise ValueError(f"unsupported WAV sample width {sw}")
-        return arr.reshape(-1, ch), sr
+        return wav_decode(content)
     raise NotImplementedError(
         f"audio codec {codec!r}: compressed decode requires an audio library "
         "not present in this container"
@@ -381,15 +370,23 @@ def video_assets_df(refs: DataFrame) -> DataFrame:
     return refs.select("media_ref").distinct().mapInPandas(gen, schema=ASSET_SCHEMA)
 
 
-def audio_assets_df(refs: DataFrame) -> DataFrame:
+def audio_assets_df(refs: DataFrame, encoding: str = "pcm") -> DataFrame:
     """(media_ref) → ASSET_SCHEMA rows with synthetic WAV payloads resolved
-    executor-side (real RIFF bytes through the real codec downstream)."""
+    executor-side (real RIFF bytes through the real codec downstream).
+    encoding='pcm' gives 16-bit PCM; 'compressed' gives seed-chosen G.711
+    mu-law / A-law / IMA ADPCM containers (the non-PCM decode paths)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ocr_spark.sources.media import synth_audio_bytes
+        from ocr_spark.sources.media import (
+            synth_audio_bytes,
+            synth_audio_compressed_bytes,
+        )
 
+        synth = (
+            synth_audio_compressed_bytes if encoding == "compressed" else synth_audio_bytes
+        )
         for pdf in batches:
-            payloads = [synth_audio_bytes(r) for r in pdf["media_ref"]]
+            payloads = [synth(r) for r in pdf["media_ref"]]
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],

@@ -176,3 +176,21 @@ def synth_audio_bytes(media_ref: str) -> bytes:
         w.setframerate(sr)
         w.writeframes(x.tobytes())
     return buf.getvalue()
+
+
+def synth_audio_compressed_bytes(media_ref: str) -> bytes:
+    """Deterministic synthetic compressed-WAV payload: the same seeded sine
+    as synth_audio_bytes but encoded with a seed-chosen REAL compressed
+    format (G.711 mu-law / A-law or IMA ADPCM, telephony/legacy-voice
+    corpus staples) so the non-PCM WAV decode path has a reproducible
+    fixture corpus."""
+    from ocr_spark.operators.audio_codecs import wav_encode
+
+    seed = media_seed(media_ref)
+    freq = 200.0 + (seed % 600)
+    sr = 8000
+    n = int(sr * (0.1 + ((seed >> 8) % 4) * 0.05))
+    t = np.arange(n) / sr
+    x = (np.sin(2 * np.pi * freq * t) * 18000).astype(np.int16)
+    fmt = ("ulaw", "alaw", "ima_adpcm")[(seed >> 12) % 3]
+    return wav_encode(x, sr, fmt)
