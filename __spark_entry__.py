@@ -1405,6 +1405,21 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_decon_bloom(spark, sf_dir):
+    """Decontamination in the big-eval regime: a broadcast Bloom bitmap
+    (SplitMix64 Kirsch-Mitzenmacher probes) kills non-candidate corpus
+    shingles map-side; only survivors reach the exact verify join, so the
+    output is bit-identical to `contamination` while the corpus side never
+    shuffles for an unbroadcastable eval set. Ref anchor: corpus-hygiene
+    duty `ocr_workflow_orchestrator.py:204-233` (post-extract filtering)."""
+    from ocr_spark.operators.dedup import contamination_bloom
+
+    d = _t(spark, sf_dir, "documents")
+    return contamination_bloom(
+        d.where(F.col("doc_id") % 37 != 0), d.where(F.col("doc_id") % 37 == 0), n=8
+    )
+
+
 def q_ngram_topk(spark, sf_dir):
     """Corpus n-gram statistics: top-20 word bigrams by occurrence count
     (all occurrences — corpus counting, not per-doc sets)."""
@@ -1700,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_images": q_resize_images,
         "pii_scrub": q_pii_scrub,
         "contamination": q_contamination,
+        "decon_bloom": q_decon_bloom,
         "ngram_topk": q_ngram_topk,
         "html_extract": q_html_extract,
         "pdf_xycut": q_pdf_xycut,
@@ -1966,6 +1982,9 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "corpus_pipeline": _corpus_pipeline_sql_row(),
         "pii_scrub": _pii_scrub_sql(),
         "contamination": contamination_sql(eval_mod=37, n=8),
+        # bit-identical to `contamination` by construction (Bloom is a
+        # prefilter; the exact verify join removes false positives)
+        "decon_bloom": contamination_sql(eval_mod=37, n=8),
         "ngram_topk": ngram_topk_sql(n=2, k=20),
         "ann_recall": _ann_recall_sql_row(),
         "cosine_topk": cosine_topk_sql(_query_vec(), k=10),

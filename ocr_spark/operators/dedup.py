@@ -1042,6 +1042,187 @@ FROM co JOIN ev USING (sh) GROUP BY co.id
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefilter decontamination (big-eval regime)
+# ---------------------------------------------------------------------------
+#
+# `contamination` force-broadcasts the eval shingle set — right when the eval
+# side is a benchmark suite (MBs). When the "eval" side is itself large (a
+# held-out split, a licensed set, corpus-vs-corpus hygiene at 100 TB), the
+# raw hash set stops being broadcastable and the join degrades to a full
+# SortMergeJoin: the 100-TB corpus side sorts and shuffles EVERY shingle it
+# produced, almost all of which match nothing. A Bloom filter is the
+# fixed-size broadcastable summary of the eval set: ~1.5 bytes/shingle at
+# k=8 (vs 8-byte keys + hash-table overhead), so a 10^9-shingle eval side
+# becomes a ~1.7 GB bitmap — or, at bits_per_item=12 and the default cap,
+# 256 MiB with a still-tiny false-positive rate. Corpus shingles test
+# against the bitmap map-side (vectorized numpy over Arrow batches, zero
+# per-row Python) and only survivors — true hits plus the fpp sliver —
+# enter the exact verify join, which AQE then usually broadcasts. False
+# positives cost only wasted verify work; the exact join removes them, so
+# the result is bit-identical to `contamination`.
+
+
+def _splitmix64(z: "np.ndarray") -> "np.ndarray":
+    """SplitMix64 finalizer (public Steele/Lea/Flood mixer) — the nonlinear
+    avalanche step. Vectorized uint64, wrap-around multiply by design."""
+    import numpy as np
+
+    z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _bloom_positions(h: "np.ndarray", n_hashes: int, m: int):
+    """Kirsch-Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m with
+    h1, h2 two independent SplitMix64 remixes of the 60-bit shingle hash.
+    Both MUST be nonlinear in h: with a power-of-two modulus, linear probes
+    (e.g. h2 = C*h) make a probe-0 collision imply collisions at EVERY
+    probe — measured fpp 37x above theory before this remix. h2|1 keeps the
+    stride odd (bijective mod 2^64) so a key's k probes never collapse.
+    Yields uint64 position arrays; m must be a power of two."""
+    import numpy as np
+
+    h = h.astype(np.uint64)
+    h1 = _splitmix64(h)
+    h2 = _splitmix64(h ^ np.uint64(0xD6E8FEB86659FD93)) | np.uint64(1)
+    mask = np.uint64(m - 1)
+    for i in range(n_hashes):
+        yield (h1 + np.uint64(i) * h2) & mask
+
+
+def bloom_build(
+    sh: DataFrame,
+    n_items: int | None = None,
+    bits_per_item: int = 12,
+    n_hashes: int = 8,
+    max_bits: int = 1 << 31,
+) -> tuple[bytes, int, int]:
+    """Build a Bloom bitmap from the `sh` (long) column of a DataFrame.
+    Returns (bitmap bytes, m bits, n_hashes).
+
+    Distributed build: each partition folds its shingles into a local bitmap
+    inside one vectorized Arrow stage (np.bitwise_or.at), then the P
+    per-partition bitmaps tree-OR on the cluster (treeReduce, depth 2) so
+    the driver receives O(sqrt(P)) bitmaps, never the raw keys. m is the
+    next power of two >= n_items * bits_per_item, capped at max_bits
+    (2^31 bits = 256 MiB default — past that, fpp rises instead of memory)."""
+    import math
+
+    import numpy as np
+
+    if n_items is None:
+        n_items = sh.count()
+    m = 1 << max(10, math.ceil(math.log2(max(n_items, 1) * bits_per_item)))
+    m = min(m, max_bits)
+    nbytes = m // 8
+
+    def build(batches):
+        import pyarrow as pa
+
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        any_rows = False
+        for b in batches:
+            h = b.column("sh").to_numpy(zero_copy_only=False)
+            if len(h) == 0:
+                continue
+            any_rows = True
+            for pos in _bloom_positions(h, n_hashes, m):
+                np.bitwise_or.at(bm, pos >> np.uint64(3), np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)))
+        if any_rows:
+            yield pa.RecordBatch.from_pydict({"bm": [bm.tobytes()]})
+
+    parts = (
+        sh.select("sh")
+        .mapInArrow(build, schema="bm binary")
+        .rdd.map(lambda r: r[0])
+    )
+    try:
+        merged = parts.treeReduce(
+            lambda a, b: np.bitwise_or(
+                np.frombuffer(a, dtype=np.uint8), np.frombuffer(b, dtype=np.uint8)
+            ).tobytes()
+        )
+    except ValueError:  # every partition empty -> no bitmap rows at all
+        merged = bytes(nbytes)
+    return merged, m, n_hashes
+
+
+def bloom_prefilter(df: DataFrame, bloom: tuple[bytes, int, int], col: str = "sh") -> DataFrame:
+    """Keep rows whose long `col` might be in the Bloom filter — the
+    map-side prefilter stage. The bitmap rides an explicit SparkContext
+    broadcast (one copy per executor, not per task); membership is k
+    vectorized gathers per Arrow batch."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bloom)
+    schema = df.schema
+    idx = [f.name for f in schema.fields].index(col)
+
+    def keep(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        bm_bytes, m, kh = bc.value
+        bm = np.frombuffer(bm_bytes, dtype=np.uint8)
+        for b in batches:
+            h = b.column(idx).to_numpy(zero_copy_only=False)
+            if len(h) == 0:
+                continue
+            ok = np.ones(len(h), dtype=bool)
+            for pos in _bloom_positions(h, kh, m):
+                ok &= (
+                    bm[(pos >> np.uint64(3)).astype(np.int64)]
+                    >> (pos & np.uint64(7)).astype(np.uint8)
+                ) & np.uint8(1) > 0
+            if ok.any():
+                yield b.filter(pa.array(ok))
+
+    return df.mapInArrow(keep, schema=schema)
+
+
+def contamination_bloom(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_items: int | None = None,
+    bits_per_item: int = 12,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """`contamination` for the big-eval regime: identical output (the exact
+    verify join removes Bloom false positives), but the corpus side never
+    sorts or shuffles non-candidate shingles — they die map-side against
+    the broadcast bitmap. Pass n_items (e.g. from parquet footer counts) to
+    skip the sizing count job over the eval side.
+
+    The corpus side deliberately skips shingles_hashed's per-doc .distinct():
+    that distinct is its own full shuffle of every corpus shingle BEFORE the
+    prefilter could drop anything (seen in the physical plan), and the final
+    countDistinct aggregation dedups survivors anyway. Raw shingles flow
+    scan → explode → hash → bloom test with no exchange in between."""
+    from ocr_spark.operators.text_analysis import h60
+
+    sh_c = _exploded_shingles(corpus, n, id_col, text_col).select(
+        "id", h60(F.col("shingle")).alias("sh")
+    )
+    sh_e = shingles_hashed(eval_docs, n=n, id_col=id_col, text_col=text_col)
+    bloom = bloom_build(
+        sh_e.select("sh"), n_items=n_items,
+        bits_per_item=bits_per_item, n_hashes=n_hashes,
+    )
+    surv = bloom_prefilter(sh_c, bloom, col="sh")
+    j = surv.join(
+        sh_e.withColumnRenamed("id", "eval_id"), "sh"
+    )
+    return j.groupBy(F.col("id").alias(id_col)).agg(
+        F.countDistinct("sh").alias("n_shared_shingles"),
+        F.countDistinct("eval_id").alias("n_eval_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus n-gram statistics (frequency, with duplicates — corpus counting,
 # not the per-doc-distinct sets dedup uses)
 # ---------------------------------------------------------------------------

@@ -783,3 +783,58 @@ def test_audio_features_pipeline(spark):
     # doubled frequency → roughly doubled zero-cross rate
     assert b.zero_cross_rate == pytest.approx(2 * a.zero_cross_rate, rel=0.05)
     assert bad.error is not None
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefilter decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fpp(spark):
+    from ocr_spark.operators.dedup import bloom_build, bloom_prefilter
+
+    rs = np.random.RandomState(7)
+    members = [int(x) for x in rs.randint(0, 2**60, 4000)]
+    sh = spark.createDataFrame([(x,) for x in members], "sh long")
+    bloom = bloom_build(sh, n_items=len(members))
+    # no false negatives, ever
+    assert bloom_prefilter(sh, bloom).count() == len(members)
+    # false-positive rate near theory: m/n≈13 bits/key, k=8 → ~0.2%
+    probe = spark.createDataFrame(
+        [(int(x),) for x in np.random.RandomState(8).randint(0, 2**60, 20000)],
+        "sh long",
+    )
+    fpp = bloom_prefilter(probe, bloom).count() / 20000
+    assert fpp < 0.01, fpp
+
+
+def test_contamination_bloom_identical_to_exact(spark):
+    """Bloom is a prefilter + exact verify: output must be bit-identical to
+    `contamination` on the same split, false positives notwithstanding."""
+    from ocr_spark.operators.dedup import contamination, contamination_bloom
+
+    rs = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(40)]
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words → 3 shared 4-grams
+
+    def mk(i):
+        body = " ".join(rs.choice(vocab, 30))
+        return f"{body} {shared}" if i % 5 == 0 else body
+
+    rows = [(i, mk(i)) for i in range(1, 120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.where(F.col("doc_id") % 9 != 0)
+    ev = df.where(F.col("doc_id") % 9 == 0)
+    exact = {tuple(r) for r in contamination(corpus, ev, n=4).collect()}
+    bloom = {tuple(r) for r in contamination_bloom(corpus, ev, n=4).collect()}
+    assert exact and bloom == exact
+
+
+def test_contamination_bloom_empty_eval(spark):
+    from ocr_spark.operators.dedup import contamination_bloom
+
+    corpus = spark.createDataFrame(
+        [(1, "some corpus words here repeated words here")], "doc_id long, text string"
+    )
+    ev = corpus.where(F.lit(False))
+    assert contamination_bloom(corpus, ev, n=2).count() == 0
