@@ -1464,6 +1464,82 @@ def _ivf_centroids():
         return _IVF_C
 
 
+def _pq_books():
+    """Deterministic PQ codebooks trained driver-side on the first 256
+    sf0.01 embeddings (seeded per-subspace k-means) — trained offline like a
+    real IVF-PQ index, shared by the Spark stage and the numpy golden."""
+    global _PQ_B
+    try:
+        return _PQ_B
+    except NameError:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ocr_spark.operators.similarity import pq_train_residual
+
+        tbl = pq.read_table(
+            "/root/testdata/sf0.01/embeddings.parquet", columns=["embedding"]
+        )
+        X = np.array(tbl["embedding"].to_pylist()[:256], dtype=np.float64)
+        _PQ_B = pq_train_residual(
+            X, _ivf_centroids(), m_sub=8, n_codes=16, iters=8, seed=13
+        )
+        return _PQ_B
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ approximate top-k (IVFADC): coarse-quantize, PQ-encode the
+    residual against seeded per-subspace codebooks, ADC-score probed lists
+    in one vectorized Arrow stage, TakeOrdered global top-k — the
+    memory-scale ANN path (8 uint8 codes replace 64 floats per vector)."""
+    from ocr_spark.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(
+        _t(spark, sf_dir, "embeddings"), _query_vec(), _ivf_centroids(),
+        _pq_books(), k=10, nprobe=4,
+    )
+
+
+def _ivfpq_sql(sf_dir: str) -> str:
+    """Numpy-golden VALUES oracle for ivfpq_topk (cached per sf_dir): the
+    SAME scoring core (`ivfpq_scores_np`) run driver-side over the parquet
+    table — deterministic float64 end to end."""
+    global _IVFPQ_SQL
+    try:
+        return _IVFPQ_SQL[sf_dir]
+    except (NameError, KeyError):
+        pass
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ocr_spark.operators.similarity import ivfpq_scores_np
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = np.array(tbl["vec_id"].to_pylist(), dtype=np.int64)
+    X = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    qv = np.asarray(_query_vec(), dtype=np.float64)
+    centroids = _ivf_centroids()
+
+    def cos_np(c):
+        return round(float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv))), 6)
+
+    probe = sorted(
+        range(1, len(centroids) + 1), key=lambda i: (-cos_np(centroids[i - 1]), i)
+    )[:4]
+    gid, gs = ivfpq_scores_np(ids, X, qv, centroids, _pq_books(), probe)
+    top = sorted(zip(gid, gs), key=lambda t: (-t[1], t[0]))[:10]
+    body = ", ".join(f"({int(i)}, {float(s)!r}::DOUBLE)" for i, s in top)
+    sql = f"SELECT * FROM (VALUES {body}) AS t(vec_id, pq_score)"
+    try:
+        _IVFPQ_SQL
+    except NameError:
+        _IVFPQ_SQL = {}
+    _IVFPQ_SQL[sf_dir] = sql
+    return sql
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF approximate top-k: coarse-quantize to the nearest codebook
     centroid, probe the query's 4 nearest lists, exact-cosine re-rank."""
@@ -1725,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_compressed": q_audio_compressed,
         "frame_sample": q_frame_sample,
         "ivf_topk": q_ivf_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         # early slot: the r03 driver recorded 50/51 rows, dropping exactly
         # the LAST registered query — keep this one clear of the tail
         "embedding_near_dups": q_embedding_near_dups,
@@ -1990,6 +2067,7 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "cosine_topk": cosine_topk_sql(_query_vec(), k=10),
         "lsh_topk": lsh_topk_sql(_query_vec(), k=10),
         "ivf_topk": ivf_topk_sql(_query_vec(), _ivf_centroids(), k=10, nprobe=4),
+        "ivfpq_topk": _ivfpq_sql(sf_dir),
         "embedding_near_dups": _embedding_near_dups_sql(
             threshold=0.2, n_planes=_emb_planes(sf_dir)
         ),

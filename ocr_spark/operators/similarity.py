@@ -486,3 +486,171 @@ def ann_recall_sql(
                 f"FROM ({sql}) a JOIN ({exact}) e USING (vec_id)"
             )
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN (the memory-scale path)
+# ---------------------------------------------------------------------------
+#
+# IVF prunes WORK (probe nprobe/n_lists of the corpus) but still reads full
+# vectors. Product quantization prunes MEMORY: a 64-dim float32 vector
+# (256 B) becomes m_sub uint8 codes (8 B at m_sub=8) against per-subspace
+# codebooks, and query scoring is additive table lookups (ADC), never a
+# full dot product. At 100 TB of embeddings that is the difference between
+# an index that fits executor memory and one that doesn't. Scheme (public
+# Jégou/Douze/Schmid IVFADC): coarse-quantize to the nearest centroid,
+# PQ-encode the RESIDUAL, approx_ip(q, x) = q·c_list + Σ_m T_m[code_m]
+# with T_m = codebook_m @ q_m precomputed once per query. Scores are
+# normalized by the exact vector norms (available at encode time) so the
+# ranking is comparable with the cosine family. Everything is seeded and
+# float64-deterministic, so the query has a numpy-golden VALUES oracle.
+
+
+def pq_train(
+    X: "np.ndarray", m_sub: int = 8, n_codes: int = 16, iters: int = 8,
+    seed: int = 13,
+) -> "np.ndarray":
+    """Train PQ codebooks (m_sub, n_codes, d/m_sub) by per-subspace k-means
+    (seeded init, Lloyd iterations, empty clusters keep their previous
+    centroid). Driver-side over a bounded training sample — exactly how a
+    real IVF-PQ index is trained offline; the result is a small ndarray
+    broadcast into the scoring stage's closure."""
+    X = np.asarray(X, dtype=np.float64)
+    n, d = X.shape
+    if d % m_sub:
+        raise ValueError(f"dim {d} not divisible by m_sub {m_sub}")
+    dsub = d // m_sub
+    rs = np.random.RandomState(seed)
+    books = np.empty((m_sub, n_codes, dsub))
+    for m in range(m_sub):
+        S = X[:, m * dsub : (m + 1) * dsub]
+        C = S[rs.choice(n, size=n_codes, replace=n < n_codes)].copy()
+        for _ in range(iters):
+            a = ((S[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+            for c in range(n_codes):
+                pts = S[a == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        books[m] = C
+    return books
+
+
+def pq_train_residual(
+    X: "np.ndarray",
+    centroids: "np.ndarray",
+    m_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 8,
+    seed: int = 13,
+) -> "np.ndarray":
+    """Train PQ codebooks on coarse-assignment RESIDUALS — what IVFADC
+    actually quantizes. Training on raw vectors instead puts every codeword
+    out in the data cloud while the residuals live near the origin, so the
+    ADC term becomes noise that swamps the ranking (measured recall@10
+    collapsing 0.7+ -> 0.1 on a clustered corpus)."""
+    X = np.asarray(X, dtype=np.float64)
+    assign = _coarse_cos(X, centroids).argmax(1)
+    return pq_train(X - centroids[assign], m_sub=m_sub, n_codes=n_codes,
+                    iters=iters, seed=seed)
+
+
+def _list_to_mat(arr) -> "np.ndarray":
+    """pyarrow List<float> column -> (n, d) float64 matrix without per-row
+    Python: flatten the values buffer and reshape via the offsets."""
+    import numpy as np
+
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    widths = np.diff(offs)
+    if len(widths) and (widths == widths[0]).all():
+        return flat[offs[0] : offs[-1]].reshape(len(widths), widths[0])
+    return np.stack([np.asarray(x, dtype=np.float64) for x in arr.to_pylist()])
+
+
+def _coarse_cos(X: "np.ndarray", centroids: "np.ndarray") -> "np.ndarray":
+    """Rounded cosine of every row against every coarse centroid — the same
+    6-dp round + first-max-wins assignment as the JVM ivf_assign expr."""
+    Cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    nrm = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    return np.round((X / nrm) @ Cn.T, 6)
+
+
+def pq_codes(X: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """(n, d) -> (n, m_sub) uint8 nearest-codeword indices per subspace."""
+    m_sub, n_codes, dsub = books.shape
+    codes = np.empty((len(X), m_sub), dtype=np.uint8)
+    for m in range(m_sub):
+        S = X[:, m * dsub : (m + 1) * dsub]
+        codes[:, m] = ((S[:, None, :] - books[m][None]) ** 2).sum(-1).argmin(1)
+    return codes
+
+
+def ivfpq_scores_np(
+    ids: "np.ndarray",
+    X: "np.ndarray",
+    qv: "np.ndarray",
+    centroids: "np.ndarray",
+    books: "np.ndarray",
+    probe: list[int],
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """The shared scoring core (executor batches AND the driver-side golden
+    run the same code): coarse-assign, keep probed lists, PQ-encode the
+    residual, ADC-score, normalize by exact norms. Returns (ids, scores)."""
+    if len(X) == 0:
+        return ids[:0], np.empty(0)
+    m_sub, n_codes, dsub = books.shape
+    assign = _coarse_cos(X, centroids).argmax(1) + 1  # 1-based, ties -> first
+    keep = np.isin(assign, probe)
+    if not keep.any():
+        return ids[:0], np.empty(0)
+    Xk, ak = X[keep], assign[keep] - 1
+    R = Xk - centroids[ak]
+    codes = pq_codes(R, books)
+    T = np.stack(
+        [books[m] @ qv[m * dsub : (m + 1) * dsub] for m in range(m_sub)]
+    )  # (m_sub, n_codes) ADC lookup tables
+    ip = (centroids[ak] @ qv) + T[np.arange(m_sub)[:, None], codes.T].sum(0)
+    score = ip / (np.linalg.norm(Xk, axis=1) * np.linalg.norm(qv))
+    return ids[keep], np.round(score, 6)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    centroids: "np.ndarray",
+    books: "np.ndarray",
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k: one vectorized Arrow stage scores every
+    probed-list vector by ADC (codes computed on the fly here; persist them
+    with pq_codes for a real index), then a TakeOrdered tree-reduce picks
+    the global top-k — no shuffle of the wide embedding column at any
+    point. Output: (id_col, pq_score)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+
+    def cos_np(c):
+        return round(float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv))), 6)
+
+    probe = sorted(
+        range(1, len(centroids) + 1), key=lambda i: (-cos_np(centroids[i - 1]), i)
+    )[:nprobe]
+    id_type = emb.schema[id_col].dataType.simpleString()
+    src = emb.select(id_col, vec_col)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            X = _list_to_mat(b.column(1))
+            kid, ks = ivfpq_scores_np(ids, X, qv, centroids, books, probe)
+            if len(kid):
+                yield pa.RecordBatch.from_pydict(
+                    {id_col: kid, "pq_score": ks}
+                )
+
+    scored = src.mapInArrow(gen, schema=f"{id_col} {id_type}, pq_score double")
+    return scored.orderBy(F.desc("pq_score"), F.col(id_col)).limit(k)

@@ -838,3 +838,89 @@ def test_contamination_bloom_empty_eval(spark):
     )
     ev = corpus.where(F.lit(False))
     assert contamination_bloom(corpus, ev, n=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_corpus(spark):
+    rs = np.random.RandomState(3)
+    base = rs.randn(8, 32)  # 8 latent clusters
+    X = np.repeat(base, 25, axis=0) + 0.05 * rs.randn(200, 32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    return df, X
+
+
+def test_pq_codes_exact_on_codewords(pq_corpus):
+    """A vector equal to one codeword per subspace encodes to exactly those
+    codes (zero quantization error)."""
+    from ocr_spark.operators.similarity import pq_codes, pq_train
+
+    _, X = pq_corpus
+    books = pq_train(X, m_sub=4, n_codes=8)
+    probe = np.concatenate([books[m][3] for m in range(4)])[None, :]
+    assert (pq_codes(probe, books) == 3).all()
+
+
+def test_ivfpq_topk_recall_and_determinism(spark):
+    """Recall is only meaningful when the true neighbors are separable: 10
+    planted near-duplicates of the query against 190 random vectors (cos
+    ~0.99 vs ~0.2) — PQ quantization error is far below that gap, so the
+    approximate top-10 must recover most of the planted set."""
+    from ocr_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        pq_train_residual,
+    )
+
+    rs = np.random.RandomState(5)
+    q = rs.randn(32)
+    planted = q[None, :] + 0.08 * rs.randn(10, 32)
+    X = np.vstack([rs.randn(190, 32), planted])  # planted ids 190..199
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    centroids = np.vstack([q, rs.randn(7, 32)]).round(6)
+    books = pq_train_residual(X, centroids, m_sub=4, n_codes=32)
+    qv = [float(v) for v in q.round(6)]
+    got = [(r.vec_id, r.pq_score) for r in
+           ivfpq_topk(df, qv, centroids, books, k=10, nprobe=8).collect()]
+    again = [(r.vec_id, r.pq_score) for r in
+             ivfpq_topk(df, qv, centroids, books, k=10, nprobe=8).collect()]
+    assert got == again  # deterministic
+    exact = {r.vec_id for r in cosine_topk(df, qv, k=10).collect()}
+    recall = len(exact & {i for i, _ in got}) / 10
+    assert recall >= 0.8, recall
+
+
+def test_ivfpq_probe_pruning(spark, pq_corpus):
+    """nprobe=1 must only return vectors coarse-assigned to the query's own
+    list — the work-pruning contract."""
+    from ocr_spark.operators.similarity import (
+        ivf_assign,
+        ivfpq_topk,
+        pq_train_residual,
+    )
+
+    df, X = pq_corpus
+    centroids = X[::25].round(6)
+    books = pq_train_residual(X, centroids, m_sub=4, n_codes=8)
+    qv = [float(v) for v in X[7].round(6)]
+    got = {r.vec_id for r in ivfpq_topk(df, qv, centroids, books, k=50, nprobe=1).collect()}
+    from pyspark.sql import functions as SF
+    lists = {
+        r.vec_id: r.lst
+        for r in df.select(
+            "vec_id",
+            ivf_assign(SF.col("embedding").cast("array<double>"), centroids).alias("lst"),
+        ).collect()
+    }
+    target = {lists[i] for i in got}
+    assert len(target) == 1
