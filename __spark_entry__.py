@@ -1701,6 +1701,16 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(_lined_docs(spark, sf_dir), min_docs=20)
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. family): every verbatim word 6-gram
+    occurring >= 2 times corpus-wide is removed from every document — one
+    partial-agg shuffle of 8-byte gram keys, broadcast dup set, narrow
+    covered-position patch join."""
+    from ocr_spark.operators.corpus_clean import dup_span_removal
+
+    return dup_span_removal(_t(spark, sf_dir, "documents"), n=6, min_count=2)
+
+
 def q_unigram_logprob(spark, sf_dir):
     from ocr_spark.operators.corpus_clean import unigram_logprob
 
@@ -1825,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         # round-4 corpus-cleaning family
         "line_dedup": q_line_dedup,
+        "dup_span_removal": q_dup_span_removal,
         "unigram_logprob": q_unigram_logprob,
         "chunk_docs": q_chunk_docs,
         "stratified_sample": q_stratified_sample,
@@ -2037,6 +2048,9 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ),
         "minhash_lsh": minhash_lsh_sql(threshold=0.3),
         "line_dedup": CC.line_dedup_sql(_lined_docs_sql(), min_docs=20),
+        "dup_span_removal": CC.dup_span_removal_sql(
+            "SELECT doc_id, text FROM documents", n=6, min_count=2
+        ),
         "unigram_logprob": CC.unigram_logprob_sql(
             "SELECT doc_id, text FROM documents", top_vocab=20
         ),

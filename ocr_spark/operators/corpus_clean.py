@@ -466,3 +466,124 @@ __all__ = [
     "stratified_sample",
     "stratified_sample_sql",
 ]
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicate n-gram span) removal
+#
+# The Lee et al. "Deduplicating Training Data Makes Language Models Better"
+# family: verbatim word runs that appear repeatedly across the corpus are
+# memorization fuel and are removed EVERYWHERE they occur (this is the
+# remove-all variant; keeping one canonical occurrence needs a global
+# occurrence order and buys little for boilerplate). Word-level exact match,
+# case-sensitive — unlike the shingle family there is no normalization,
+# because the target is verbatim repetition.
+#
+# Scale plan (100 TB): grams with positions explode map-side (codegen'd
+# transform over the staged token array, same staging trick as
+# _exploded_shingles); the occurrence count is ONE partial-agg shuffle of
+# 8-byte gram keys; the dup-gram set (count >= min_count) is the bounded
+# boilerplate tail and is broadcast back (escape hatch: broadcast_dups=False
+# leaves it to AQE); covered positions re-aggregate per doc (narrow rows);
+# the final patch join is narrow-into-wide on doc_id — with a bucketed doc
+# store it co-locates, otherwise AQE broadcasts when the covered-doc set is
+# small.
+# ---------------------------------------------------------------------------
+
+
+def dup_span_removal(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_dups: bool = True,
+) -> DataFrame:
+    """Remove every occurrence of any word n-gram whose verbatim corpus-wide
+    occurrence count >= min_count. Returns (id_col, text, n_tokens,
+    n_removed): `text` has the covered word positions deleted (remaining
+    words joined with single spaces), n_removed counts deleted positions.
+    Every input doc yields exactly one output row; null text stays null."""
+    if n < 2:
+        raise ValueError(f"n={n}: need word n-grams of at least 2")
+    staged = docs.select(
+        F.col(id_col).alias("id"), ws_tokens(F.col(text_col)).alias("_w")
+    )
+    wc = F.col("_w")
+    k = F.greatest(F.size(wc) - (n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: h60(
+            F.concat_ws(" ", *[F.element_at(wc, i + j + 1) for j in range(n)])
+        ),
+    )
+    g = staged.select(
+        "id",
+        F.posexplode(
+            F.when(k > 0, grams).otherwise(F.array().cast("array<bigint>"))
+        ).alias("pos", "sh"),
+    )
+    dups = (
+        g.groupBy("sh")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= F.lit(min_count))
+        .select("sh")
+    )
+    if broadcast_dups:
+        dups = F.broadcast(dups)
+    cov = (
+        g.join(dups, "sh")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(
+                            F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+                        )
+                    )
+                )
+            ).alias("_cov")
+        )
+    )
+    joined = docs.join(cov, docs[id_col] == cov["id"], "left").drop("id")
+    w2 = ws_tokens(F.col(text_col))
+    covc = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.filter(w2, lambda x, i: ~F.array_contains(covc, i))
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.array_join(kept, " "))
+        .alias("text"),
+        F.coalesce(F.size(w2), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.size(F.col("_cov")), F.lit(0)).cast("long").alias("n_removed"),
+    )
+
+
+def dup_span_removal_sql(src: str, n: int = 8, min_count: int = 2) -> str:
+    """DuckDB twin of dup_span_removal over `src` (a subquery yielding
+    (doc_id, text)). Positions are 1-based here and 0-based in Spark — each
+    engine is internally consistent, so outputs match exactly."""
+    gram = h60_sql("concat_ws(' ', " + ", ".join(f"w[i+{j}]" for j in range(n)) + ")")
+    return f"""
+WITH src AS ({src}),
+w AS (SELECT doc_id, text, {ws_tokens_sql('text')} AS w FROM src),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - {n - 1}, 0) + 1),
+                    i -> struct_pack(pos := i, sh := {gram}))) AS s
+      FROM w),
+gg AS (SELECT doc_id, s.pos AS pos, s.sh AS sh FROM g),
+dup AS (SELECT sh FROM gg GROUP BY sh HAVING count(*) >= {min_count}),
+cov AS (SELECT doc_id,
+               list_sort(list_distinct(flatten(list(range(pos, pos + {n}))))) AS cov
+        FROM gg JOIN dup USING (sh) GROUP BY doc_id)
+SELECT w.doc_id,
+       CASE WHEN w.text IS NULL THEN NULL
+            -- array_to_string([]) is NULL in DuckDB, '' in Spark
+            ELSE coalesce(array_to_string(list_filter(w.w,
+                 (x, i) -> cov.cov IS NULL OR NOT list_contains(cov.cov, i)), ' '), '')
+       END AS text,
+       coalesce(len(w.w), 0)::BIGINT AS n_tokens,
+       coalesce(len(cov.cov), 0)::BIGINT AS n_removed
+FROM w LEFT JOIN cov USING (doc_id)
+""".strip()

@@ -280,3 +280,86 @@ def test_mojibake_repair_noop_on_clean_ascii(spark):
         df.select(mojibake_repair(F.col("text")).alias("t")).collect()[0]["t"]
         == "plain ascii text, no damage"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicate n-gram span) removal
+# ---------------------------------------------------------------------------
+
+
+def ref_dup_span_removal(docs: list[tuple[int, str | None]], n: int, min_count: int):
+    """Pure-Python reference: remove all word positions covered by any word
+    n-gram occurring >= min_count times corpus-wide (verbatim match)."""
+    from collections import Counter
+
+    words = {
+        did: ([w for w in text.split() if w] if text is not None else None)
+        for did, text in docs
+    }
+    cnt = Counter(
+        " ".join(w[i : i + n])
+        for w in words.values()
+        if w
+        for i in range(len(w) - n + 1)
+    )
+    dup = {g for g, c in cnt.items() if c >= min_count}
+    out = {}
+    for did, text in docs:
+        w = words[did]
+        if w is None:
+            out[did] = (None, 0, 0)
+            continue
+        cov = set()
+        for i in range(len(w) - n + 1):
+            if " ".join(w[i : i + n]) in dup:
+                cov.update(range(i, i + n))
+        kept = [x for i, x in enumerate(w) if i not in cov]
+        out[did] = (" ".join(kept), len(w), len(cov))
+    return out
+
+
+def test_dup_span_removal_matches_reference(spark):
+    from ocr_spark.operators.corpus_clean import dup_span_removal
+
+    import random
+
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(30)]
+    shared = "Alpha Beta GAMMA delta Epsilon zeta"
+    rows = []
+    for i in range(40):
+        body = " ".join(rng.choice(vocab) for _ in range(25))
+        if i % 4 == 0:
+            body = f"{body} {shared}"
+        rows.append((i, body))
+    rows += [(100, None), (101, ""), (102, shared + " " + shared)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = ref_dup_span_removal(rows, n=6, min_count=2)
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in dup_span_removal(df, n=6, min_count=2).collect()
+    }
+    assert got == want
+    # the planted shared 6-gram really was removed everywhere
+    assert all(
+        "GAMMA" not in (got[i][0] or "") for i in range(0, 40, 4)
+    ) and got[102][0] == ""
+
+
+def test_dup_span_removal_case_sensitive_verbatim(spark):
+    """Exact-substring semantics: case differences are DIFFERENT substrings."""
+    from ocr_spark.operators.corpus_clean import dup_span_removal
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "A b c d e f")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_removed for r in dup_span_removal(df, n=6).collect()}
+    assert got == {1: 0, 2: 0}
+
+
+def test_dup_span_removal_validates_n(spark):
+    from ocr_spark.operators.corpus_clean import dup_span_removal
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n="):
+        dup_span_removal(df, n=1)
