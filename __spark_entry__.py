@@ -1701,6 +1701,89 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(_lined_docs(spark, sf_dir), min_docs=20)
 
 
+def _url_docs(spark, sf_dir):
+    """documents with a deterministic synthesized url column (the driver
+    corpus has no URL; both engines derive identical URLs from doc_id,
+    covering mixed case, default/explicit ports, two-level suffixes,
+    tracking params and fragments)."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    scheme = (
+        F.when(i % 3 == 0, F.lit("HTTP"))
+        .when(i % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("http"))
+    )
+    www = F.when(i % 4 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    tld = (
+        F.when(i % 5 == 0, F.lit(".co.uk"))
+        .when(i % 5 == 1, F.lit(".Example.COM"))
+        .otherwise(F.lit(".site.org"))
+    )
+    port = (
+        F.when(i % 6 == 0, F.lit(":80"))
+        .when(i % 6 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    qs = F.when(
+        i % 2 == 0, F.concat(F.lit("?utm_source=x&id="), s)
+    ).otherwise(F.lit(""))
+    frag = F.when(i % 7 == 0, F.lit("#top")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme, F.lit("://"), www, F.lit("Host"), (i % 37).cast("string"),
+        tld, port, F.lit("/p/"), s, qs, frag,
+    )
+    return d.select("doc_id", url.alias("url"), "n_chars")
+
+
+def _url_docs_sql() -> str:
+    return """
+SELECT doc_id,
+       (CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'http' END)
+       || '://'
+       || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
+       || 'Host' || (doc_id % 37)::VARCHAR
+       || (CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.Example.COM'
+           ELSE '.site.org' END)
+       || (CASE doc_id % 6 WHEN 0 THEN ':80' WHEN 1 THEN ':8080' ELSE '' END)
+       || '/p/' || doc_id::VARCHAR
+       || (CASE WHEN doc_id % 2 = 0
+           THEN '?utm_source=x&id=' || doc_id::VARCHAR ELSE '' END)
+       || (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url,
+       n_chars
+FROM documents
+""".strip()
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization for crawl corpora: RFC-3986 parse, lowercased
+    scheme/host, default ports and fragments stripped, tracking params
+    dropped, plus the heuristic registrable domain — pure codegen'd
+    expressions over the scan."""
+    from ocr_spark.functions.url import registrable_domain, url_normalize
+
+    d = _url_docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        url_normalize(F.col("url")).alias("norm_url"),
+        registrable_domain(F.col("url")).alias("domain"),
+    )
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-registrable-domain corpus stats (the sampling/blocklist input):
+    one partial-agg shuffle on the derived domain key."""
+    from ocr_spark.functions.url import registrable_domain
+
+    d = _url_docs(spark, sf_dir)
+    return d.groupBy(
+        registrable_domain(F.col("url")).alias("domain")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def q_dup_span_removal(spark, sf_dir):
     """Exact-substring dedup (Lee et al. family): every verbatim word 6-gram
     occurring >= 2 times corpus-wide is removed from every document — one
@@ -1836,6 +1919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 corpus-cleaning family
         "line_dedup": q_line_dedup,
         "dup_span_removal": q_dup_span_removal,
+        "url_normalize": q_url_normalize,
+        "domain_stats": q_domain_stats,
         "unigram_logprob": q_unigram_logprob,
         "chunk_docs": q_chunk_docs,
         "stratified_sample": q_stratified_sample,
@@ -2000,6 +2085,7 @@ def _corpus_pipeline_sql_row() -> str:
 
 
 def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    from ocr_spark.functions import url as U
     from ocr_spark.operators import corpus_clean as CC
     from ocr_spark.operators import text_analysis as TA
     from ocr_spark.operators.dedup import (
@@ -2048,6 +2134,15 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ),
         "minhash_lsh": minhash_lsh_sql(threshold=0.3),
         "line_dedup": CC.line_dedup_sql(_lined_docs_sql(), min_docs=20),
+        "url_normalize": (
+            f"SELECT doc_id, {U.url_normalize_sql('url')} AS norm_url, "
+            f"{U.registrable_domain_sql('url')} AS domain FROM ({_url_docs_sql()})"
+        ),
+        "domain_stats": (
+            f"SELECT {U.registrable_domain_sql('url')} AS domain, "
+            f"count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars "
+            f"FROM ({_url_docs_sql()}) GROUP BY 1"
+        ),
         "dup_span_removal": CC.dup_span_removal_sql(
             "SELECT doc_id, text FROM documents", n=6, min_count=2
         ),

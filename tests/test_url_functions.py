@@ -1,0 +1,84 @@
+"""URL canonicalization + registrable-domain operators (functions/url.py)
+against a pure-Python urllib reference over the contractual normalization."""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.url import registrable_domain, url_normalize
+
+CASES = [
+    "HTTP://WWW.Example.COM:80/Path/To?utm_source=x&id=5&ref=abc#frag",
+    "https://example.co.uk:443/",
+    "https://user:pw@Sub.Site.ORG:8443/a//b?z=1&utm_campaign=q",
+    "http://example.com",
+    "http://localhost:3000/api?fbclid=XYZ",
+    "ftp://files.example.net/pub",
+    "https://a.b.c.d.co.jp/deep?gclid=1&keep=2&utm_x=y",
+    "http://example.com/?",
+    "http://example.com:8080?x=1",
+]
+
+_TRACKING = ("fbclid", "gclid", "msclkid", "ref")
+
+
+def ref_normalize(u: str) -> str:
+    s = urlsplit(u)
+    scheme = s.scheme.lower()
+    host = (s.hostname or "").lower()
+    port = ""
+    if s.port is not None and not (
+        (scheme == "http" and s.port == 80) or (scheme == "https" and s.port == 443)
+    ):
+        port = f":{s.port}"
+    path = s.path or "/"
+    params = [
+        p
+        for p in s.query.split("&")
+        if p and not (p.split("=")[0].startswith("utm_") or p.split("=")[0] in _TRACKING)
+    ]
+    q = "?" + "&".join(params) if params else ""
+    return f"{scheme}://{host}{port}{path}{q}"
+
+
+def test_url_normalize_matches_urllib_reference(spark):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(CASES)], "i long, url string")
+    got = [
+        r.n
+        for r in df.select("i", url_normalize(F.col("url")).alias("n"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == [ref_normalize(u) for u in CASES]
+
+
+def test_url_normalize_null_and_garbage(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, "not a url at all"), (2, "")], "i long, url string"
+    )
+    got = [
+        r.n
+        for r in df.select("i", url_normalize(F.col("url")).alias("n"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got[0] is None
+    assert got[1] is not None and got[2] is not None  # garbage-tolerant, no raise
+
+
+@pytest.mark.parametrize(
+    "url,want",
+    [
+        ("https://www.example.co.uk/x", "example.co.uk"),
+        ("https://a.b.c.d.co.jp/x", "d.co.jp"),
+        ("http://example.com/x", "example.com"),
+        ("http://deep.sub.example.org/x", "example.org"),
+        ("http://localhost/x", "localhost"),
+    ],
+)
+def test_registrable_domain(spark, url, want):
+    df = spark.createDataFrame([(url,)], "url string")
+    assert df.select(registrable_domain(F.col("url")).alias("d")).collect()[0].d == want
