@@ -48,6 +48,10 @@ BENCH_ENTRY_QUERIES = [
     "quality_repetition",
     "dedup_clusters",
     "corpus_pipeline",
+    # round-4 additions (same shared-subset comparison rule)
+    "decon_bloom",
+    "dup_span_removal",
+    "ivfpq_topk",
 ]
 
 
