@@ -1784,6 +1784,24 @@ def q_domain_stats(spark, sf_dir):
     )
 
 
+def q_blocklist_filter(spark, sf_dir):
+    """Domain-blocklist crawl hygiene, end to end: derive the blocklist from
+    corpus stats (top-3 registrable domains by doc count, deterministic
+    tie-break) and drop every doc under them — one broadcast left_anti, the
+    corpus never shuffles."""
+    from ocr_spark.functions.url import blocklist_filter, registrable_domain
+
+    d = _url_docs(spark, sf_dir)
+    blocked = (
+        d.groupBy(registrable_domain(F.col("url")).alias("domain"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "domain")
+        .limit(3)
+        .select("domain")
+    )
+    return blocklist_filter(d, blocked).select("doc_id", "url")
+
+
 def q_dup_span_removal(spark, sf_dir):
     """Exact-substring dedup (Lee et al. family): every verbatim word 6-gram
     occurring >= 2 times corpus-wide is removed from every document — one
@@ -1921,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_removal": q_dup_span_removal,
         "url_normalize": q_url_normalize,
         "domain_stats": q_domain_stats,
+        "blocklist_filter": q_blocklist_filter,
         "unigram_logprob": q_unigram_logprob,
         "chunk_docs": q_chunk_docs,
         "stratified_sample": q_stratified_sample,
@@ -2142,6 +2161,16 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"SELECT {U.registrable_domain_sql('url')} AS domain, "
             f"count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars "
             f"FROM ({_url_docs_sql()}) GROUP BY 1"
+        ),
+        "blocklist_filter": (
+            "SELECT doc_id, url FROM ("
+            + U.blocklist_filter_sql(
+                _url_docs_sql(),
+                f"SELECT {U.registrable_domain_sql('url')} AS domain "
+                f"FROM ({_url_docs_sql()}) GROUP BY 1 "
+                f"ORDER BY count(*) DESC, domain LIMIT 3",
+            )
+            + ")"
         ),
         "dup_span_removal": CC.dup_span_removal_sql(
             "SELECT doc_id, text FROM documents", n=6, min_count=2

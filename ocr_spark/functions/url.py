@@ -188,3 +188,39 @@ CASE WHEN {expr} IS NULL THEN NULL ELSE (
     WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
     ELSE {host} END FROM x)
 END""".strip()
+
+
+def blocklist_filter(docs, blocked, url_col: str = "url"):
+    """Drop docs whose registrable domain is blocklisted — the standard
+    crawl-hygiene pass (spam/adult/SEO domain lists).
+
+    `blocked` is either a one-column DataFrame of domains (broadcast
+    left_anti — the list never exceeds broadcast size in practice; millions
+    of rows is still MBs) or a Python list (in-row literal array test, zero
+    joins). The corpus never shuffles either way."""
+    dom = registrable_domain(F.col(url_col))
+    if isinstance(blocked, (list, tuple)):
+        if not blocked:
+            return docs
+        arr = F.array(*[F.lit(str(d)) for d in blocked])
+        return docs.where(~F.array_contains(arr, dom))
+    bcol = blocked.columns[0]
+    b = blocked.select(F.col(bcol).alias("_blocked_domain")).distinct()
+    return (
+        docs.withColumn("_dom", dom)
+        .join(
+            F.broadcast(b),
+            F.col("_dom") == F.col("_blocked_domain"),
+            "left_anti",
+        )
+        .drop("_dom")
+    )
+
+
+def blocklist_filter_sql(src: str, blocked_sql: str, url_expr: str = "url") -> str:
+    """DuckDB twin: `blocked_sql` yields one domain column."""
+    dom = registrable_domain_sql(url_expr)
+    return (
+        f"SELECT * FROM ({src}) "
+        f"WHERE {dom} NOT IN (SELECT * FROM ({blocked_sql}))"
+    )

@@ -45,19 +45,43 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--ngram", type=int, default=13)
     ap.add_argument("--eval-mod", type=int, default=1000)
+    ap.add_argument(
+        "--method",
+        choices=("exact", "bloom"),
+        default="exact",
+        help="exact = broadcast eval hash set; bloom = broadcast bitmap "
+        "prefilter + exact verify (the big-eval regime, e.g. --eval-mod 10)",
+    )
+    ap.add_argument(
+        "--eval-split",
+        choices=("mod", "blocks"),
+        default="mod",
+        help="mod: eval = id %% eval_mod == 0 (every 100-id block overlaps "
+        "-> prefilters can prune nothing); blocks: eval = even ids of every "
+        "eval_mod-th block (eval is n/(2*eval_mod) docs but only 1/eval_mod "
+        "of blocks overlap -> the realistic big-eval shape where a "
+        "prefilter kills most corpus shingles map-side)",
+    )
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     args = ap.parse_args()
 
-    from ocr_spark.operators.dedup import contamination
+    from ocr_spark.operators.dedup import contamination, contamination_bloom
     from ocr_spark.session import get_spark
 
     spark = get_spark("bench_contamination", cpus=args.cpus)
     docs = synth_docs(spark, args.n)
-    eval_docs = docs.where(F.col("doc_id") % args.eval_mod == 0)
-    corpus = docs.where(F.col("doc_id") % args.eval_mod != 0)
+    if args.eval_split == "mod":
+        is_eval = F.col("doc_id") % args.eval_mod == 0
+    else:
+        is_eval = ((F.col("doc_id") / 100).cast("long") % args.eval_mod == 0) & (
+            F.col("doc_id") % 2 == 0
+        )
+    eval_docs = docs.where(is_eval)
+    corpus = docs.where(~is_eval)
 
+    op = contamination if args.method == "exact" else contamination_bloom
     t0 = time.perf_counter()
-    hits = contamination(corpus, eval_docs, n=args.ngram)
+    hits = op(corpus, eval_docs, n=args.ngram)
     agg = hits.agg(
         F.count("*").alias("n_contaminated_docs"),
         F.sum("n_shared_shingles").alias("total_shared"),
@@ -66,7 +90,7 @@ def main() -> None:
     wall = round(time.perf_counter() - t0, 2)
 
     rec = {
-        "op": "contamination",
+        "op": f"contamination[{args.method}]",
         "ngram": args.ngram,
         "n_corpus_docs": args.n,
         "n_eval_docs": args.n // args.eval_mod,

@@ -82,3 +82,24 @@ def test_url_normalize_null_and_garbage(spark):
 def test_registrable_domain(spark, url, want):
     df = spark.createDataFrame([(url,)], "url string")
     assert df.select(registrable_domain(F.col("url")).alias("d")).collect()[0].d == want
+
+
+def test_blocklist_filter_df_and_list_agree(spark):
+    from ocr_spark.functions.url import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/a"),
+            (2, "https://www.GOOD.org/b"),
+            (3, "http://sub.spam.example.com:8080/c?x=1"),
+            (4, "https://keep.co.uk/d"),
+        ],
+        "doc_id long, url string",
+    )
+    bdf = spark.createDataFrame([("example.com",)], "domain string")
+    via_df = {r.doc_id for r in blocklist_filter(docs, bdf).collect()}
+    via_list = {r.doc_id for r in blocklist_filter(docs, ["example.com"]).collect()}
+    assert via_df == via_list == {2, 4}
+    # empty list is a no-op, schema untouched
+    assert blocklist_filter(docs, []).columns == docs.columns
+    assert blocklist_filter(docs, []).count() == 4
