@@ -420,15 +420,25 @@ def ann_recall(
                 )[:nprobe]
             )
 
-    # one wide projection: per-probe cosine + shared bucket/list assignment
+    # one wide projection: per-probe cosine + shared bucket/list assignment.
+    # The cast vector and its norm are STAGED (ivf_topk's trick): HOF
+    # aggregates are interpreted, so every probe cosine and all K centroid
+    # cosines would otherwise re-aggregate |v| from scratch.
+    staged = emb.select(
+        F.col(id_col), v.alias("_v")
+    ).select("*", _norm(F.col("_v")).alias("_nv"))
+    sv, nv = F.col("_v"), F.col("_nv")
     cols = [F.col(id_col)]
     for qi, qv in enumerate(query_vecs):
         q = F.array(*[F.lit(float(x)) for x in qv])
-        cols.append(F.round(cosine(v, q), 6).alias(f"_cos{qi}"))
-    cols.append(lsh_bucket_expr(v, planes).alias("_bucket"))
+        qn_const = float(np.linalg.norm(np.asarray(qv, dtype=np.float64)))
+        cols.append(
+            F.round(_dot(sv, q) / (nv * F.lit(qn_const)), 6).alias(f"_cos{qi}")
+        )
+    cols.append(lsh_bucket_expr(sv, planes).alias("_bucket"))
     if centroids is not None:
-        cols.append(ivf_assign(v, centroids).alias("_ivf"))
-    base = emb.select(*cols)
+        cols.append(ivf_assign(sv, centroids, nv=nv).alias("_ivf"))
+    base = staged.select(*cols)
 
     # candidate entries: (method, query_id, cos) kept when the row survives
     # that method's pruning for that probe; 'exact' always survives
