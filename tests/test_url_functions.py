@@ -103,3 +103,14 @@ def test_blocklist_filter_df_and_list_agree(spark):
     # empty list is a no-op, schema untouched
     assert blocklist_filter(docs, []).columns == docs.columns
     assert blocklist_filter(docs, []).count() == 4
+
+
+def test_url_normalize_idempotent(spark):
+    """Normalizing an already-normalized URL is a fixpoint — the property
+    that makes the canonical form usable as a dedup key."""
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(CASES)], "i long, url string")
+    once = df.select("i", url_normalize(F.col("url")).alias("url"))
+    twice = once.select("i", url_normalize(F.col("url")).alias("url"))
+    assert (
+        once.orderBy("i").collect() == twice.orderBy("i").collect()
+    )
