@@ -790,6 +790,96 @@ def _audio_compressed_sql(sf_dir: str) -> str:
     return sql
 
 
+def _phash_goldens(sf_dir: str) -> list[tuple[str, int]]:
+    """Driver-side numpy goldens for the pHash queries (cached per sf_dir):
+    the SAME decode + phash64 code path run over the deterministic
+    near-duplicate image corpus ('img://<doc_id>', groups of 4)."""
+    global _PH_G
+    try:
+        return _PH_G[sf_dir]
+    except (NameError, KeyError):
+        pass
+    import pyarrow.parquet as pq
+
+    from ocr_spark.operators.media_kernels import bytes_to_image, to_grayscale
+    from ocr_spark.operators.multimodal import phash64
+    from ocr_spark.sources.media import synth_similar_image_bytes
+
+    ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )["doc_id"].to_pylist()
+    rows = [
+        (
+            f"img://{i}",
+            phash64(to_grayscale(bytes_to_image(synth_similar_image_bytes(f"img://{i}")))),
+        )
+        for i in ids
+    ]
+    try:
+        _PH_G
+    except NameError:
+        _PH_G = {}
+    _PH_G[sf_dir] = rows
+    return rows
+
+
+def _img_refs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string")).alias("media_ref")
+    )
+
+
+def q_image_phash(spark, sf_dir):
+    """Perceptual hash over the near-duplicate image corpus: decode (real
+    codec dispatch) -> 32x32 block-mean -> 2-D DCT-II -> 64-bit
+    median-threshold hash, vectorized Arrow batches. The image analogue of
+    the text fingerprint — feeds the pigeonhole near-dup join."""
+    from ocr_spark.operators.multimodal import image_phash, similar_image_assets_df
+
+    assets = similar_image_assets_df(_img_refs(spark, sf_dir))
+    return image_phash(assets).select("media_ref", "phash")
+
+
+def _image_phash_sql(sf_dir: str) -> str:
+    rows = _phash_goldens(sf_dir)
+    if not rows:
+        return (
+            "SELECT * FROM (VALUES (NULL::VARCHAR, NULL::BIGINT)) "
+            "AS t(media_ref, phash) WHERE FALSE"
+        )
+    body = ", ".join(f"('{r}', {h})" for r, h in rows)
+    return f"SELECT * FROM (VALUES {body}) AS t(media_ref, phash)"
+
+
+def q_image_near_dups(spark, sf_dir):
+    """Image near-duplicate pairs: pHash signatures through the SAME
+    pigeonhole chunk join the text SimHash family uses (bits=64,
+    max_hamming=4 -> 12-bit chunk keys, no scale warning). The planted
+    groups of 4 re-encoded copies surface as pairs; distinct images sit at
+    hamming >= 22."""
+    from ocr_spark.operators.dedup import simhash_near_pairs
+    from ocr_spark.operators.multimodal import image_phash, similar_image_assets_df
+
+    assets = similar_image_assets_df(_img_refs(spark, sf_dir))
+    sig = image_phash(assets).select(
+        F.col("media_ref").alias("id"), F.col("phash").alias("simhash")
+    )
+    return simhash_near_pairs(None, sig=sig, bits=64, max_hamming=4)
+
+
+def _image_near_dups_sql(sf_dir: str) -> str:
+    """Brute-force DuckDB twin over the golden signatures — the pigeonhole
+    join is lossless, so brute force is the exact oracle."""
+    sig = _image_phash_sql(sf_dir)
+    return (
+        f"WITH sig AS ({sig}) "
+        f"SELECT a.media_ref AS id_a, b.media_ref AS id_b, "
+        f"bit_count(xor(a.phash, b.phash))::INTEGER AS hamming "
+        f"FROM sig a JOIN sig b ON a.media_ref < b.media_ref "
+        f"WHERE bit_count(xor(a.phash, b.phash)) <= 4"
+    )
+
+
 def q_frame_sample(spark, sf_dir):
     """Video frame sampling through the REAL GIF/LZW codec + mapInPandas
     plumbing: deterministic animated GIFs ('video://<doc_id>') decoded
@@ -1911,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_compressed": q_audio_compressed,
         "frame_sample": q_frame_sample,
+        "image_phash": q_image_phash,
+        "image_near_dups": q_image_near_dups,
         "ivf_topk": q_ivf_topk,
         "ivfpq_topk": q_ivfpq_topk,
         # early slot: the r03 driver recorded 50/51 rows, dropping exactly
@@ -2063,6 +2155,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "audio_features": _audio_features_sql(sf_dir),
         "audio_compressed": _audio_compressed_sql(sf_dir),
         "frame_sample": _frame_sample_sql(sf_dir),
+        "image_phash": _image_phash_sql(sf_dir),
+        "image_near_dups": _image_near_dups_sql(sf_dir),
         "pdf_xycut": _values_sql(
             _heavy_kind_goldens(sf_dir)[1], ["doc_id", "extracted"]
         ),

@@ -400,3 +400,102 @@ def audio_assets_df(refs: DataFrame, encoding: str = "pcm") -> DataFrame:
             )
 
     return refs.select("media_ref").distinct().mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image perceptual hash (pHash) — near-dup dedup for IMAGE corpora
+# ---------------------------------------------------------------------------
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("phash", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+_DCT_CACHE: dict[int, "np.ndarray"] = {}
+
+
+def _dct_mat(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis matrix (float64, cached): D = A @ X @ A.T is
+    the 2-D transform. Pure numpy so executor batches and the driver-side
+    oracle golden are bit-identical."""
+    if n not in _DCT_CACHE:
+        k = np.arange(n)[:, None].astype(np.float64)
+        m = np.arange(n)[None, :].astype(np.float64)
+        a = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+        a[0] *= 1.0 / np.sqrt(2.0)
+        _DCT_CACHE[n] = a
+    return _DCT_CACHE[n]
+
+
+def phash64(gray: "np.ndarray") -> int:
+    """64-bit perceptual hash (classic pHash construction): block-mean
+    resize to 32x32, 2-D DCT-II, keep the top-left 8x8 low-frequency block,
+    bit i = coefficient > median of the 63 non-DC coefficients (DC bit
+    forced 0 — it only encodes global brightness). Near-duplicate images
+    (re-encodes, slight crops/noise) land within a small hamming distance;
+    pair generation then reuses the pigeonhole chunk join."""
+    from ocr_spark.operators.media_kernels import block_mean_resize
+
+    g = block_mean_resize(np.asarray(gray, dtype=np.float64), 32, 32)
+    a = _dct_mat(32)
+    d = (a @ g @ a.T)[:8, :8].ravel()
+    med = float(np.median(d[1:]))
+    bits = np.uint64(0)
+    for i in np.nonzero(d > med)[0]:
+        if i == 0:
+            continue
+        bits |= np.uint64(1) << np.uint64(i)
+    return int(np.int64(bits))
+
+
+def image_phash(assets: DataFrame) -> DataFrame:
+    """(media_ref, content, meta) -> (media_ref, phash, error): decode +
+    perceptual-hash per asset, vectorized batches, per-asset error
+    envelopes. Feed the output straight into
+    dedup.simhash_near_pairs(sig=..., bits=64) for near-dup pairs."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.operators.media_kernels import to_grayscale
+
+        for pdf in batches:
+            refs, hashes, errs = [], [], []
+            for ref, content, meta in zip(pdf["media_ref"], pdf["content"], pdf["meta"]):
+                refs.append(ref)
+                try:
+                    img = decode_image(content, (meta or {}).get("codec", "auto"))
+                    hashes.append(phash64(to_grayscale(img)))
+                    errs.append(None)
+                except Exception as e:
+                    hashes.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame({"media_ref": refs, "phash": hashes, "error": errs})
+
+    return assets.mapInPandas(gen, schema=PHASH_SCHEMA)
+
+
+def similar_image_assets_df(refs: DataFrame, group: int = 4) -> DataFrame:
+    """(media_ref) -> ASSET_SCHEMA rows from the deterministic near-duplicate
+    image corpus (sources.media.synth_similar_image_bytes), resolved
+    executor-side."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.sources.media import synth_similar_image_bytes
+
+        for pdf in batches:
+            payloads = [synth_similar_image_bytes(r, group) for r in pdf["media_ref"]]
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": ["image"] * len(pdf),
+                    "content": payloads,
+                    "meta": [
+                        {"width": 32, "height": 32, "n_bytes": len(p), "codec": "synthetic"}
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return refs.select("media_ref").distinct().mapInPandas(gen, schema=ASSET_SCHEMA)

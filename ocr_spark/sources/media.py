@@ -194,3 +194,14 @@ def synth_audio_compressed_bytes(media_ref: str) -> bytes:
     x = (np.sin(2 * np.pi * freq * t) * 18000).astype(np.int16)
     fmt = ("ulaw", "alaw", "ima_adpcm")[(seed >> 12) % 3]
     return wav_encode(x, sr, fmt)
+
+
+def synth_similar_image_bytes(media_ref: str, group: int = 4) -> bytes:
+    """Deterministic NEAR-DUPLICATE image corpus: 'img://<id>' resolves to
+    the group base image (keyed by id // group) plus a small id-keyed pixel
+    perturbation — what re-encoded / re-scraped copies of one image look
+    like in a crawl. Raw 32x32 gray bytes (the 'synthetic' codec)."""
+    m = int(media_ref.rsplit("/", 1)[-1])
+    base = synth_media_batch([f"img-group://{m // group}"])[0].astype(np.int16)
+    noise = np.random.RandomState(m & 0x7FFFFFFF).randint(-3, 4, base.shape)
+    return np.clip(base + noise, 0, 255).astype(np.uint8).tobytes()

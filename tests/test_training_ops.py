@@ -924,3 +924,76 @@ def test_ivfpq_probe_pruning(spark, pq_corpus):
     }
     target = {lists[i] for i in got}
     assert len(target) == 1
+
+
+# ---------------------------------------------------------------------------
+# image perceptual hash (pHash) near-dup family
+# ---------------------------------------------------------------------------
+
+
+def test_phash_separates_groups_and_survives_noise():
+    from ocr_spark.operators.media_kernels import bytes_to_image
+    from ocr_spark.operators.multimodal import phash64
+    from ocr_spark.sources.media import synth_similar_image_bytes
+
+    h = {
+        i: phash64(bytes_to_image(synth_similar_image_bytes(f"img://{i}")))
+        for i in range(16)
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    within = [
+        ham(h[i], h[j])
+        for g in range(4)
+        for i in range(g * 4, g * 4 + 4)
+        for j in range(i + 1, g * 4 + 4)
+    ]
+    cross = [ham(h[i], h[j]) for i in range(4) for j in range(4, 16)]
+    assert max(within) <= 8 and min(cross) >= 16
+
+
+def test_image_phash_error_envelope(spark):
+    from ocr_spark.operators.multimodal import image_phash
+
+    assets = spark.createDataFrame(
+        [
+            ("img://ok", "image", bytes(1024), {"codec": "synthetic"}),
+            ("img://bad", "image", b"\x01\x02", {"codec": "synthetic"}),
+        ],
+        "media_ref string, media_type string, content binary, meta map<string,string>",
+    )
+    got = {r.media_ref: r for r in image_phash(assets).collect()}
+    assert got["img://ok"].error is None and got["img://ok"].phash is not None
+    assert got["img://bad"].phash is None and got["img://bad"].error
+
+
+def test_image_near_dups_pigeonhole_matches_bruteforce(spark):
+    from ocr_spark.operators.dedup import simhash_near_pairs
+    from ocr_spark.operators.media_kernels import bytes_to_image
+    from ocr_spark.operators.multimodal import image_phash, phash64, similar_image_assets_df
+    from ocr_spark.sources.media import synth_similar_image_bytes
+
+    refs = spark.createDataFrame(
+        [(f"img://{i}",) for i in range(24)], "media_ref string"
+    )
+    sig = image_phash(similar_image_assets_df(refs)).select(
+        F.col("media_ref").alias("id"), F.col("phash").alias("simhash")
+    )
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(None, sig=sig, bits=64, max_hamming=4).collect()
+    }
+    h = {
+        f"img://{i}": phash64(bytes_to_image(synth_similar_image_bytes(f"img://{i}")))
+        for i in range(24)
+    }
+    brute = {
+        (a, b): bin((h[a] ^ h[b]) & (2**64 - 1)).count("1")
+        for a in h
+        for b in h
+        if a < b and bin((h[a] ^ h[b]) & (2**64 - 1)).count("1") <= 4
+    }
+    assert got == brute and brute  # lossless AND non-empty (groups planted)
+    assert all(a.split("//")[1] != b.split("//")[1] for a, b in got)
