@@ -131,15 +131,19 @@ def line_dedup(
         n_freq = freq.limit(inline_max_lines + 1).count()
         if n_freq <= inline_max_lines:
             keys = [r[0] for r in freq.collect()]
-            farr = (
-                F.lit(keys) if keys else F.array().cast("array<bigint>")
-            )
             lines = F.split(F.col(text_col), "\n")
-            kept = F.filter(
-                lines,
-                lambda x: (line_norm(x) == "")
-                | ~F.array_contains(farr, h60(line_norm(x))),
-            )
+            if keys:
+                # .isin converts to a hashed InSet even inside the HOF
+                # lambda (verified in the optimized plan) — O(1) per line
+                # vs array_contains' linear scan of the literal key array
+                # (measured 10.6x at 50k keys)
+                kept = F.filter(
+                    lines,
+                    lambda x: (line_norm(x) == "")
+                    | ~h60(line_norm(x)).isin(*keys),
+                )
+            else:
+                kept = lines
             return docs.select(
                 F.col(id_col),
                 F.array_join(kept, "\n").alias("text"),
@@ -207,7 +211,10 @@ kept AS (
                               OR NOT list_contains(fk, {key})) AS ks
   FROM lines CROSS JOIN fl)
 SELECT doc_id,
-       array_to_string(ks, chr(10)) AS text,
+       -- array_to_string([]) is NULL in DuckDB, '' in Spark (a doc whose
+       -- every line dropped keeps empty text); null text stays null
+       CASE WHEN ls IS NULL THEN NULL
+            ELSE coalesce(array_to_string(ks, chr(10)), '') END AS text,
        length(ls)::BIGINT AS n_lines,
        (length(ls) - length(ks))::BIGINT AS n_dropped
 FROM kept
@@ -549,7 +556,17 @@ def dup_span_removal(
     joined = docs.join(cov, docs[id_col] == cov["id"], "left").drop("id")
     w2 = ws_tokens(F.col(text_col))
     covc = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
-    kept = F.filter(w2, lambda x, i: ~F.array_contains(covc, i))
+    # kept indices via array_except (hash-based, preserves left order) then
+    # index back into the token array — O(words + covered). The obvious
+    # filter((x, i) -> !array_contains(cov, i)) is O(words * covered) per
+    # doc: quadratic on a fully-covered giant doc, a straggler at scale.
+    # (size==0 guard: sequence(0, -1) would auto-step DOWN to [0, -1])
+    kept = F.when(F.size(w2) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.array_except(F.sequence(F.lit(0), F.size(w2) - 1), covc),
+            lambda i: F.element_at(w2, i + 1),
+        )
+    )
     return joined.select(
         F.col(id_col),
         F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
