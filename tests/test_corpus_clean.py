@@ -363,3 +363,20 @@ def test_dup_span_removal_validates_n(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n="):
         dup_span_removal(df, n=1)
+
+
+def test_dup_span_removal_giant_covered_doc(spark):
+    """A heavily-covered giant doc routes through the array_except branch
+    (work product > threshold) and must agree with the reference."""
+    from ocr_spark.operators.corpus_clean import dup_span_removal
+
+    giant = " ".join(f"w{i % 7}" for i in range(20000))  # self-repeating
+    rows = [(1, giant), (2, "totally unique words here never repeated once more")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = ref_dup_span_removal(rows, n=6, min_count=2)
+    got = {
+        r.doc_id: (r.text, r.n_tokens, r.n_removed)
+        for r in dup_span_removal(df, n=6, min_count=2).collect()
+    }
+    assert got == want
+    assert got[1][2] == 20000  # fully covered
