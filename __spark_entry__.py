@@ -1602,7 +1602,7 @@ def _ivfpq_sql(sf_dir: str) -> str:
     import numpy as np
     import pyarrow.parquet as pq
 
-    from ocr_spark.operators.similarity import ivfpq_scores_np
+    from ocr_spark.operators.similarity import ivfpq_scores_np, probe_lists
 
     tbl = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
@@ -1611,13 +1611,7 @@ def _ivfpq_sql(sf_dir: str) -> str:
     X = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
     qv = np.asarray(_query_vec(), dtype=np.float64)
     centroids = _ivf_centroids()
-
-    def cos_np(c):
-        return round(float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv))), 6)
-
-    probe = sorted(
-        range(1, len(centroids) + 1), key=lambda i: (-cos_np(centroids[i - 1]), i)
-    )[:4]
+    probe = probe_lists(centroids, qv, 4)
     gid, gs = ivfpq_scores_np(ids, X, qv, centroids, _pq_books(), probe)
     top = sorted(zip(gid, gs), key=lambda t: (-t[1], t[0]))[:10]
     body = ", ".join(f"({int(i)}, {float(s)!r}::DOUBLE)" for i, s in top)

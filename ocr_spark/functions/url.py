@@ -31,7 +31,10 @@ from pyspark.sql import functions as F
 # 7=query, 9=fragment. Works in both Java regex (Spark) and RE2 (DuckDB).
 _URI_RE = r"^(([^:/?#]+):)?(//([^/?#]*))?([^?#]*)(\?([^#]*))?(#(.*))?"
 
-_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)="
+# (=|$) so VALUELESS tracking params ('?fbclid', '&utm_source') are also
+# dropped — otherwise '?fbclid' and '?fbclid=1' canonicalize differently
+# and identical pages escape URL dedup
+_TRACKING_RE = r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|ref)(=|$)"
 
 _TWO_LEVEL_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
@@ -197,13 +200,20 @@ def blocklist_filter(docs, blocked, url_col: str = "url"):
     `blocked` is either a one-column DataFrame of domains (broadcast
     left_anti — the list never exceeds broadcast size in practice; millions
     of rows is still MBs) or a Python list (in-row literal array test, zero
-    joins). The corpus never shuffles either way."""
+    joins). The corpus never shuffles either way.
+
+    Null-URL contract: a doc whose url (hence domain) is NULL is KEPT by
+    every path — it cannot match a blocklist entry. (The naive
+    ~array_contains(...) evaluates NULL and silently dropped such rows,
+    diverging from the left_anti path and the DuckDB twin.)"""
     dom = registrable_domain(F.col(url_col))
     if isinstance(blocked, (list, tuple)):
         if not blocked:
             return docs
         arr = F.array(*[F.lit(str(d)) for d in blocked])
-        return docs.where(~F.array_contains(arr, dom))
+        return docs.where(
+            ~F.coalesce(F.array_contains(arr, dom), F.lit(False))
+        )
     bcol = blocked.columns[0]
     b = blocked.select(F.col(bcol).alias("_blocked_domain")).distinct()
     return (
@@ -218,9 +228,10 @@ def blocklist_filter(docs, blocked, url_col: str = "url"):
 
 
 def blocklist_filter_sql(src: str, blocked_sql: str, url_expr: str = "url") -> str:
-    """DuckDB twin: `blocked_sql` yields one domain column."""
+    """DuckDB twin: `blocked_sql` yields one domain column. NULL domains
+    are kept (same contract as blocklist_filter)."""
     dom = registrable_domain_sql(url_expr)
     return (
         f"SELECT * FROM ({src}) "
-        f"WHERE {dom} NOT IN (SELECT * FROM ({blocked_sql}))"
+        f"WHERE ({dom}) IS NULL OR ({dom}) NOT IN (SELECT * FROM ({blocked_sql}))"
     )

@@ -553,8 +553,16 @@ def dup_span_removal(
             ).alias("_cov")
         )
     )
-    joined = docs.join(cov, docs[id_col] == cov["id"], "left").drop("id")
-    w2 = ws_tokens(F.col(text_col))
+    # token array STAGED as a column (the _exploded_shingles lesson):
+    # element_at inside the transform lambda below re-evaluates inline
+    # subtrees per element, so an unstaged ws_tokens would re-split the
+    # full document text once per surviving word
+    joined = (
+        docs.join(cov, docs[id_col] == cov["id"], "left")
+        .drop("id")
+        .withColumn("_w2", ws_tokens(F.col(text_col)))
+    )
+    w2 = F.col("_w2")
     covc = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
     # Three-way per-row strategy for dropping covered positions:
     #   * untouched doc (the common case after the left join) -> passthrough

@@ -1062,9 +1062,12 @@ FROM co JOIN ev USING (sh) GROUP BY co.id
 # the result is bit-identical to `contamination`.
 
 
-def _splitmix64(z: "np.ndarray") -> "np.ndarray":
-    """SplitMix64 finalizer (public Steele/Lea/Flood mixer) — the nonlinear
-    avalanche step. Vectorized uint64, wrap-around multiply by design."""
+def _bloom_mix64(z: "np.ndarray") -> "np.ndarray":
+    """SplitMix64-style finalizer (public Steele/Lea/Flood mixer) — the
+    nonlinear avalanche step, golden-gamma increment applied FIRST (note:
+    sources/media.py has a same-family mixer withOUT the increment; distinct
+    names on purpose — swapping them would silently move every Bloom bit).
+    Vectorized uint64, wrap-around multiply by design."""
     import numpy as np
 
     z = (z + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
@@ -1084,8 +1087,8 @@ def _bloom_positions(h: "np.ndarray", n_hashes: int, m: int):
     import numpy as np
 
     h = h.astype(np.uint64)
-    h1 = _splitmix64(h)
-    h2 = _splitmix64(h ^ np.uint64(0xD6E8FEB86659FD93)) | np.uint64(1)
+    h1 = _bloom_mix64(h)
+    h2 = _bloom_mix64(h ^ np.uint64(0xD6E8FEB86659FD93)) | np.uint64(1)
     mask = np.uint64(m - 1)
     for i in range(n_hashes):
         yield (h1 + np.uint64(i) * h2) & mask
@@ -1201,13 +1204,22 @@ def contamination_bloom(
     that distinct is its own full shuffle of every corpus shingle BEFORE the
     prefilter could drop anything (seen in the physical plan), and the final
     countDistinct aggregation dedups survivors anyway. Raw shingles flow
-    scan → explode → hash → bloom test with no exchange in between."""
+    scan → explode → hash → bloom test with no exchange in between.
+
+    The eval shingle set is persisted for the operator's lifetime: it is
+    read up to three times (sizing count when n_items is None, bitmap
+    build, verify join) and each read would otherwise re-run the full
+    explode + distinct shuffle — two redundant passes in exactly the
+    big-eval regime this operator targets. Spark evicts the cache LRU; call
+    .unpersist() on the eval side yourself for tight-memory loops."""
     from ocr_spark.operators.text_analysis import h60
 
     sh_c = _exploded_shingles(corpus, n, id_col, text_col).select(
         "id", h60(F.col("shingle")).alias("sh")
     )
-    sh_e = shingles_hashed(eval_docs, n=n, id_col=id_col, text_col=text_col)
+    sh_e = shingles_hashed(
+        eval_docs, n=n, id_col=id_col, text_col=text_col
+    ).persist()
     bloom = bloom_build(
         sh_e.select("sh"), n_items=n_items,
         bits_per_item=bits_per_item, n_hashes=n_hashes,

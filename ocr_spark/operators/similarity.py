@@ -125,6 +125,23 @@ def lsh_topk_sql(query_vec: list[float], k: int = 10, n_planes: int = 8) -> str:
     )
 
 
+def probe_lists(
+    centroids: "np.ndarray", query_vec, nprobe: int
+) -> list[int]:
+    """The query's nprobe nearest coarse lists (1-based), cosine-ranked
+    with the engine-shared 6-dp round + index tie-break. ONE implementation
+    on purpose: the Spark queries and their driver-side SQL goldens must
+    rank probes identically or oracle rows silently diverge."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+
+    def cos_np(c):
+        return round(float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv))), 6)
+
+    return sorted(
+        range(1, len(centroids) + 1), key=lambda i: (-cos_np(centroids[i - 1]), i)
+    )[:nprobe]
+
+
 def ivf_assign(v, centroids: "np.ndarray", nv=None):
     """IVF coarse quantization: 1-based index of the nearest centroid by
     cosine, rounded to 6dp before the argmax so the Spark and DuckDB plans
@@ -177,13 +194,7 @@ def ivf_topk(
     non-cheap aliases survive CollapseProject) so the K+1 cosines share
     them instead of re-aggregating per centroid."""
     qv = np.array(query_vec, dtype=np.float64)
-
-    def cos_np(c):
-        return round(float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv))), 6)
-
-    probe = sorted(
-        range(1, len(centroids) + 1), key=lambda i: (-cos_np(centroids[i - 1]), i)
-    )[:nprobe]
+    probe = probe_lists(centroids, qv, nprobe)
     staged = emb.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     ).select("*", _norm(F.col("_v")).alias("_nv"))
@@ -216,14 +227,7 @@ def _sql_cos(a: str, b: str) -> str:
 def ivf_topk_sql(
     query_vec: list[float], centroids: "np.ndarray", k: int = 10, nprobe: int = 4
 ) -> str:
-    qv = np.array(query_vec, dtype=np.float64)
-
-    def cos_np(c):
-        return round(float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv))), 6)
-
-    probe = sorted(
-        range(1, len(centroids) + 1), key=lambda i: (-cos_np(centroids[i - 1]), i)
-    )[:nprobe]
+    probe = probe_lists(centroids, query_vec, nprobe)
     cos_list = ", ".join(
         f"round({_sql_cos('embedding::DOUBLE[]', _sql_lit(c))}, 6)" for c in centroids
     )
@@ -408,17 +412,7 @@ def ann_recall(
     ]
     methods = ["lsh"] + (["ivf"] if centroids is not None else [])
     if centroids is not None:
-        qn = [qv / np.linalg.norm(qv) for qv in qvs_np]
-        probes = []
-        for qv in qn:
-            cs = [
-                round(float(c @ qv / np.linalg.norm(c)), 6) for c in centroids
-            ]
-            probes.append(
-                sorted(
-                    range(1, len(centroids) + 1), key=lambda i: (-cs[i - 1], i)
-                )[:nprobe]
-            )
+        probes = [probe_lists(centroids, qv, nprobe) for qv in qvs_np]
 
     # one wide projection: per-probe cosine + shared bucket/list assignment.
     # The cast vector and its norm are STAGED (ivf_topk's trick): HOF
@@ -596,9 +590,13 @@ def pq_train_residual(
 
 def _list_to_mat(arr) -> "np.ndarray":
     """pyarrow List<float> column -> (n, d) float64 matrix without per-row
-    Python: flatten the values buffer and reshape via the offsets."""
+    Python: flatten the values buffer and reshape via the offsets. Callers
+    must drop null/empty rows first (see _valid_vec_mask) — a ragged or
+    0-row stack raises here by design rather than silently padding."""
     import numpy as np
 
+    if len(arr) == 0:
+        return np.empty((0, 0))
     offs = arr.offsets.to_numpy(zero_copy_only=False)
     flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
     widths = np.diff(offs)
@@ -670,20 +668,24 @@ def ivfpq_topk(
     the global top-k — no shuffle of the wide embedding column at any
     point. Output: (id_col, pq_score)."""
     qv = np.asarray(query_vec, dtype=np.float64)
-
-    def cos_np(c):
-        return round(float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv))), 6)
-
-    probe = sorted(
-        range(1, len(centroids) + 1), key=lambda i: (-cos_np(centroids[i - 1]), i)
-    )[:nprobe]
+    probe = probe_lists(centroids, qv, nprobe)
     id_type = emb.schema[id_col].dataType.simpleString()
     src = emb.select(id_col, vec_col)
 
     def gen(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         for b in batches:
+            if b.num_rows == 0:
+                continue
+            # drop null vectors (they can't rank) — a null row would also
+            # make the flatten/stack ragged and kill the task
+            valid = pc.is_valid(b.column(1))
+            if not pc.all(valid).as_py():
+                b = b.filter(valid)
+                if b.num_rows == 0:
+                    continue
             ids = b.column(0).to_numpy(zero_copy_only=False)
             X = _list_to_mat(b.column(1))
             kid, ks = ivfpq_scores_np(ids, X, qv, centroids, books, probe)

@@ -114,3 +114,30 @@ def test_url_normalize_idempotent(spark):
     assert (
         once.orderBy("i").collect() == twice.orderBy("i").collect()
     )
+
+
+def test_url_normalize_drops_valueless_tracking_params(spark):
+    """'?fbclid' (bare, no '=') and '?fbclid=1' must canonicalize to the
+    SAME key or identical pages escape URL dedup."""
+    df = spark.createDataFrame(
+        [(0, "https://x.com/p?fbclid"), (1, "https://x.com/p?fbclid=1"),
+         (2, "https://x.com/p?utm_source&keep=2")],
+        "i long, url string",
+    )
+    got = [r.n for r in df.select("i", url_normalize(F.col("url")).alias("n"))
+           .orderBy("i").collect()]
+    assert got[0] == got[1] == "https://x.com/p"
+    assert got[2] == "https://x.com/p?keep=2"
+
+
+def test_blocklist_filter_keeps_null_urls(spark):
+    """NULL url -> NULL domain: kept by BOTH the list and DataFrame paths
+    (it cannot match a blocklist entry)."""
+    from ocr_spark.functions.url import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(1, "https://spam.example.com/a"), (2, None)], "doc_id long, url string"
+    )
+    bdf = spark.createDataFrame([("example.com",)], "domain string")
+    assert {r.doc_id for r in blocklist_filter(docs, ["example.com"]).collect()} == {2}
+    assert {r.doc_id for r in blocklist_filter(docs, bdf).collect()} == {2}
