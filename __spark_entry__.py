@@ -1465,6 +1465,27 @@ def q_corpus_pipeline(spark, sf_dir):
     )
 
 
+def q_corpus_pipeline_full(spark, sf_dir):
+    """The COMPLETE hygiene chain with every text-rewriting stage on:
+    Gopher-style quality v2 → SimHash near-dedup keep → exact-substring
+    (duplicated verbatim 6-gram) span removal on the survivors → 8-gram
+    decontamination (over the CLEANED text) → PII scrub. One oracle row
+    covering all stage interactions."""
+    from ocr_spark.operators.corpus import corpus_pipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_pipeline(
+        docs.where(F.col("doc_id") % 37 != 0),
+        docs.where(F.col("doc_id") % 37 == 0),
+        min_quality=0.55,
+        quality="v2",
+        dedup_method="simhash",
+        contamination_n=8,
+        dup_span_n=6,
+        max_hamming=3,
+    )
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrubbing (training-data hygiene): emails/IPs/phones replaced with
     typed placeholders via an ordered regexp chain (pure codegen). PII is
@@ -2015,6 +2036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "near_dedup_keep": q_near_dedup_keep,
         "corpus_pipeline": q_corpus_pipeline,
+        "corpus_pipeline_full": q_corpus_pipeline_full,
         "near_dedup_embed": q_near_dedup_embed,
         "ann_recall": q_ann_recall,
         "cosine_topk": q_cosine_topk,
@@ -2191,6 +2213,16 @@ def _corpus_pipeline_sql_row() -> str:
     )
 
 
+def _corpus_pipeline_full_sql_row() -> str:
+    from ocr_spark.operators.corpus import corpus_pipeline_sql
+
+    return corpus_pipeline_sql(
+        eval_mod=37, min_quality=0.55, max_hamming=3,
+        contamination_n=8, max_shared_shingles=0,
+        quality="v2", dup_span_n=6,
+    )
+
+
 def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     from ocr_spark.functions import url as U
     from ocr_spark.operators import corpus_clean as CC
@@ -2283,6 +2315,7 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> rep)"
         ),
         "corpus_pipeline": _corpus_pipeline_sql_row(),
+        "corpus_pipeline_full": _corpus_pipeline_full_sql_row(),
         "pii_scrub": _pii_scrub_sql(),
         "contamination": contamination_sql(eval_mod=37, n=8),
         # bit-identical to `contamination` by construction (Bloom is a

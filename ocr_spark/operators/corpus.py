@@ -47,6 +47,8 @@ def corpus_pipeline(
     cluster_algorithm: str = "auto",
     contamination_n: int = 8,
     max_shared_shingles: int = 0,
+    dup_span_n: int | None = None,
+    dup_span_min_count: int = 2,
     scrub: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -54,9 +56,13 @@ def corpus_pipeline(
     **dedup_kw,
 ) -> DataFrame:
     """Clean `docs` for training: drop low-quality docs, keep one
-    representative per near-dup cluster, drop docs overlapping `eval_docs`
-    by more than `max_shared_shingles` word n-grams, scrub PII from the
-    survivors' text. Returns the docs frame (same columns, text scrubbed).
+    representative per near-dup cluster, optionally remove duplicated
+    verbatim word n-gram SPANS from the survivors (dup_span_n — the Lee et
+    al. exact-substring pass, run after doc-level dedup so cluster
+    representatives don't count each other's text as duplicated), drop docs
+    overlapping `eval_docs` by more than `max_shared_shingles` word
+    n-grams, scrub PII from the survivors' text. Returns the docs frame
+    (same columns, text rewritten by the span/scrub stages).
 
     quality='v1' filters on the ratio-heuristic score (alpha/stopword/punct
     blend); 'v2' on the Gopher-style composite that also penalizes
@@ -103,6 +109,19 @@ def corpus_pipeline(
         stats=stats,
         **dedup_kw,
     )
+    if dup_span_n is not None:
+        from ocr_spark.operators.corpus_clean import dup_span_removal
+
+        ds = dup_span_removal(
+            kept, n=dup_span_n, min_count=dup_span_min_count,
+            id_col=id_col, text_col=text_col,
+        )
+        # narrow (id, cleaned-text) patch join back onto the wide row
+        kept = (
+            kept.drop(text_col)
+            .join(ds.select(id_col, text_col), id_col)
+            .select(*docs.columns)
+        )
     if eval_docs is not None:
         from ocr_spark.operators.dedup import contamination
 
@@ -129,6 +148,8 @@ def corpus_pipeline_sql(
     max_shared_shingles: int = 0,
     out_cols: str = "doc_id, text, lang, source, n_chars",
     quality: str = "v1",
+    dup_span_n: int | None = None,
+    dup_span_min_count: int = 2,
 ) -> str:
     """DuckDB twin of corpus_pipeline for the oracle split:
     corpus = documents with doc_id % eval_mod != 0, eval = the rest; dedup
@@ -172,11 +193,29 @@ def corpus_pipeline_sql(
     scrubbed_cols = out_cols.replace(
         "text", f"{pii_scrub_sql('text')} AS text", 1
     )
+    if dup_span_n is not None:
+        from ocr_spark.operators.corpus_clean import dup_span_removal_sql
+
+        ds = dup_span_removal_sql(
+            "SELECT doc_id, text FROM kd0", n=dup_span_n,
+            min_count=dup_span_min_count,
+        )
+        span_ctes = (
+            f"kd0 AS (SELECT * FROM fd "
+            f"WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> rep)),\n"
+            f"ds AS ({ds}),\n"
+            f"kd AS (SELECT kd0.* REPLACE (ds.text AS text) "
+            f"FROM kd0 JOIN ds USING (doc_id))"
+        )
+    else:
+        span_ctes = (
+            "kd AS (SELECT * FROM fd "
+            "WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> rep))"
+        )
     return f"""
 WITH fd AS ({fd}),
 cl AS ({dedup_clusters_sql(pairs)}),
-kd AS (SELECT * FROM fd
-       WHERE doc_id NOT IN (SELECT id FROM cl WHERE id <> rep)),
+{span_ctes},
 ksh AS (SELECT DISTINCT id, {h60_sql('shingle')} AS sh
         FROM ({_shingles_sql(contamination_n, table='kd')})),
 ed AS (SELECT * FROM documents WHERE doc_id % {eval_mod} = 0),

@@ -145,3 +145,30 @@ class TestCorpusSqlQualityKnob:
                 ).collect()
             }
             assert v1 != got
+
+
+def test_corpus_pipeline_dup_span_stage(spark):
+    """dup_span_n wires exact-substring removal between dedup and decon:
+    the shared boilerplate run disappears from every survivor's text, and
+    column order/set is unchanged."""
+    from ocr_spark.operators.corpus import corpus_pipeline
+
+    boiler = "Alpha Beta Gamma Delta Epsilon Zeta"
+    rows = [
+        # the non-boiler prefix must not repeat (within OR across docs):
+        # remove-all semantics would correctly delete it too
+        (i, f"unique{i} words{i} number {i} marker{i} tail{i} " + boiler,
+         "en", "s", 100)
+        for i in range(1, 7)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = corpus_pipeline(
+        docs, None, min_quality=0.0, dedup_method="exact",
+        dup_span_n=6, scrub=False,
+    )
+    assert out.columns == docs.columns
+    texts = {r.doc_id: r.text for r in out.collect()}
+    assert texts and all("Gamma" not in t for t in texts.values())
+    assert all(f"number {i}" in t for i, t in texts.items())
