@@ -1215,6 +1215,56 @@ def _warc_fixture_dir(sf_dir: str) -> str:
     return out
 
 
+def _jsonl_fixture_dir(sf_dir: str) -> str:
+    """Materialize (once per sf_dir) deterministic JSONL shards under /tmp
+    from the documents table, with every doc_id%37==0 line malformed so the
+    error-envelope path is load-bearing."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ocr_spark.sources.jsonl import write_jsonl_fixture
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/ocr_spark_jsonl/{tag}"
+    if os.path.isdir(out) and any(n.endswith(".jsonl") for n in os.listdir(out)):
+        return out
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    tmp = out + ".building"
+    shutil.rmtree(tmp, ignore_errors=True)
+    write_jsonl_fixture(rows, tmp)
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    return out
+
+
+def q_jsonl_ingest(spark, sf_dir):
+    """JSONL corpus ingestion with per-line error envelopes: explicit
+    schema (no inference pass), PERMISSIVE corrupt-record handling —
+    malformed lines survive as (nulls..., error=raw line) rows instead of
+    killing the scan."""
+    from ocr_spark.sources.jsonl import jsonl_docs
+
+    return jsonl_docs(spark, _jsonl_fixture_dir(sf_dir))
+
+
+def _jsonl_ingest_sql(sf_dir: str) -> str:
+    """DuckDB twin reconstructed from the documents table: well-formed
+    lines roundtrip (doc_id, text, NULL); the planted malformed lines come
+    back as (NULL, NULL, the exact raw line the fixture wrote)."""
+    return (
+        "SELECT doc_id, text, NULL::VARCHAR AS error FROM documents "
+        "WHERE doc_id % 37 <> 0 "
+        "UNION ALL "
+        "SELECT NULL::BIGINT, NULL::VARCHAR, "
+        "'{\"doc_id\": ' || doc_id || ', \"text\": BROKEN' "
+        "FROM documents WHERE doc_id % 37 = 0"
+    )
+
+
 def q_warc_extract(spark, sf_dir):
     """WARC ingestion end-to-end: gzip-member split + record/HTTP parse
     (incl. dechunking) in one mapInArrow stage, html responses reshaped to
@@ -2013,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_xycut": q_pdf_xycut,
         "pdf_real": q_pdf_real,
         "warc_extract": q_warc_extract,
+        "jsonl_ingest": q_jsonl_ingest,
         "audio_features": q_audio_features,
         "audio_compressed": q_audio_compressed,
         "frame_sample": q_frame_sample,
@@ -2178,6 +2229,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ),
         "pdf_real": _values_sql(_pdf_real_goldens(sf_dir), ["doc_id", "extracted"]),
         "warc_extract": _values_sql(_warc_goldens(sf_dir), ["doc_id", "extracted"]),
+        "jsonl_ingest": _jsonl_ingest_sql(sf_dir),
         **_training_oracles(sf_dir),
     }
 
