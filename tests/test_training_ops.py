@@ -997,3 +997,27 @@ def test_image_near_dups_pigeonhole_matches_bruteforce(spark):
     }
     assert got == brute and brute  # lossless AND non-empty (groups planted)
     assert all(a.split("//")[1] != b.split("//")[1] for a, b in got)
+
+
+def test_image_phash_real_codec_payload(spark):
+    """pHash through the REAL codec dispatch: the same image as raw
+    synthetic bytes and as an encoded PNG must hash identically (decode is
+    sniffed from magic bytes)."""
+    from ocr_spark.operators.cloud_engine import png_encode
+    from ocr_spark.operators.multimodal import image_phash
+    from ocr_spark.sources.media import synth_media_bytes
+
+    raw = synth_media_bytes("img://real-codec-probe")
+    import numpy as np
+
+    gray = np.frombuffer(raw, dtype=np.uint8).reshape(32, 32)
+    png = png_encode(gray)
+    assets = spark.createDataFrame(
+        [
+            ("raw", "image", raw, {"codec": "synthetic"}),
+            ("png", "image", png, {"codec": "auto"}),
+        ],
+        "media_ref string, media_type string, content binary, meta map<string,string>",
+    )
+    got = {r.media_ref: r.phash for r in image_phash(assets).collect()}
+    assert got["raw"] == got["png"] and got["raw"] is not None
