@@ -1957,6 +1957,46 @@ def q_blocklist_filter(spark, sf_dir):
     return blocklist_filter(d, blocked).select("doc_id", "url")
 
 
+def _temp_thresholds(sf_dir: str) -> dict:
+    """Temperature-sampling thresholds from driver-side parquet counts —
+    computed ONCE in Python and injected into BOTH engines as literals
+    (pow() can differ by an ulp between libm implementations)."""
+    global _TT
+    try:
+        return _TT[sf_dir]
+    except (NameError, KeyError):
+        pass
+    import duckdb
+
+    from ocr_spark.operators.corpus_clean import temperature_targets
+
+    cnt = dict(
+        duckdb.connect().execute(
+            f"SELECT lang, count(*) FROM read_parquet("
+            f"'{os.path.join(sf_dir, 'documents.parquet')}') GROUP BY lang"
+        ).fetchall()
+    )
+    try:
+        _TT
+    except NameError:
+        _TT = {}
+    _TT[sf_dir] = temperature_targets(cnt, total_target=200, temperature=0.7)
+    return _TT[sf_dir]
+
+
+def q_temperature_sample(spark, sf_dir):
+    """Temperature-flattened source mixing (mC4/XLM-R style): ~200 docs
+    sampled with language shares ∝ n^0.7 — the low-resource up-weighting
+    every multilingual corpus build runs. Deterministic h32 buckets against
+    literal thresholds; the corpus never shuffles."""
+    from ocr_spark.operators.corpus_clean import temperature_sample
+
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"), 200, 0.7,
+        thresholds=_temp_thresholds(sf_dir),
+    )
+
+
 def q_dup_span_removal(spark, sf_dir):
     """Exact-substring dedup (Lee et al. family): every verbatim word 6-gram
     occurring >= 2 times corpus-wide is removed from every document — one
@@ -2096,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 corpus-cleaning family
         "line_dedup": q_line_dedup,
         "dup_span_removal": q_dup_span_removal,
+        "temperature_sample": q_temperature_sample,
         "url_normalize": q_url_normalize,
         "domain_stats": q_domain_stats,
         "blocklist_filter": q_blocklist_filter,
@@ -2343,6 +2384,9 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                 f"ORDER BY count(*) DESC, domain LIMIT 3",
             )
             + ")"
+        ),
+        "temperature_sample": CC.temperature_sample_sql(
+            "SELECT doc_id, lang FROM documents", _temp_thresholds(sf_dir)
         ),
         "dup_span_removal": CC.dup_span_removal_sql(
             "SELECT doc_id, text FROM documents", n=6, min_count=2

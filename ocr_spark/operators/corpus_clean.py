@@ -623,3 +623,96 @@ SELECT w.doc_id,
        coalesce(len(cov.cov), 0)::BIGINT AS n_removed
 FROM w LEFT JOIN cov USING (doc_id)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# temperature-flattened source mixing (mC4 / XLM-R style)
+# ---------------------------------------------------------------------------
+
+
+def temperature_targets(
+    counts: dict, total_target: int, temperature: float
+) -> dict:
+    """Per-stratum keep thresholds (micro-units of 1e6) for sampling
+    ~total_target docs with stratum shares ∝ n_i^temperature — T=1 is
+    proportional (one uniform rate), T=0 equal share per stratum, T∈(0,1)
+    the standard low-resource up-weighting. Computed in plain Python floats
+    ONCE and injected into both engines as literals: pow() may differ by an
+    ulp between libm implementations, so deriving thresholds independently
+    per engine could flip a floor boundary."""
+    if total_target <= 0:
+        raise ValueError("total_target must be positive")
+    if temperature < 0:
+        raise ValueError("temperature must be >= 0")
+    w = {s: c**temperature for s, c in counts.items() if c > 0}
+    z = sum(w.values())
+    return {
+        s: min(
+            1_000_000,
+            int(total_target * 1_000_000 * w[s] / z / counts[s]),
+        )
+        for s in w
+    }
+
+
+def temperature_sample(
+    docs: DataFrame,
+    total_target: int,
+    temperature: float = 0.7,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "s0",
+    thresholds: dict | None = None,
+) -> DataFrame:
+    """Sample ~total_target docs with temperature-flattened stratum shares
+    (the multilingual/source-mix reweighting every web-scale corpus build
+    runs before training). Deterministic: the same h32 bucket as
+    stratified_sample decides membership, thresholds ride a literal map.
+
+    Per-stratum counts collect to the driver when `thresholds` is None —
+    strata are languages/domains, few by definition (the broadcast-analogue
+    pattern; the corpus itself never leaves the cluster)."""
+    if thresholds is None:
+        cnt = {
+            r[0]: int(r[1])
+            for r in docs.groupBy(stratum_col).count().collect()
+        }
+        thresholds = temperature_targets(cnt, total_target, temperature)
+    if not thresholds:
+        return docs.where(F.lit(False)).select(
+            F.col(id_col), F.col(stratum_col).alias("stratum")
+        )
+    mapping = F.create_map(
+        *[x for s, t in sorted(thresholds.items()) for x in (F.lit(s), F.lit(t))]
+    )
+    bucket = h32(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))) % F.lit(
+        1_000_000
+    )
+    return docs.where(
+        bucket < F.coalesce(mapping[F.col(stratum_col)], F.lit(0))
+    ).select(F.col(id_col), F.col(stratum_col).alias("stratum"))
+
+
+def temperature_sample_sql(
+    src: str,
+    thresholds: dict,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "s0",
+) -> str:
+    """DuckDB twin over the SAME literal thresholds (see
+    temperature_targets for why neither engine recomputes pow())."""
+    if not thresholds:
+        return (
+            f"SELECT {id_col}, {stratum_col} AS stratum "
+            f"FROM ({src}) WHERE FALSE"
+        )
+    cases = " ".join(
+        f"WHEN '{s}' THEN {t}" for s, t in sorted(thresholds.items())
+    )
+    key_expr = f"({id_col}::VARCHAR || ':{salt}')"
+    bucket = f"{h32_sql(key_expr)} % 1000000"
+    return (
+        f"SELECT {id_col}, {stratum_col} AS stratum FROM ({src}) "
+        f"WHERE {bucket} < (CASE {stratum_col} {cases} ELSE 0 END)"
+    )

@@ -380,3 +380,31 @@ def test_dup_span_removal_giant_covered_doc(spark):
     }
     assert got == want
     assert got[1][2] == 20000  # fully covered
+
+
+def test_temperature_sample_flattens_shares(spark):
+    """T=0 → equal per-stratum sampling RATES toward total/num_strata
+    regardless of stratum size; T=1 → one uniform rate (proportional)."""
+    from ocr_spark.operators.corpus_clean import temperature_sample, temperature_targets
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    counts = {"big": 900, "small": 100}
+    t0 = temperature_targets(counts, 200, 0.0)
+    # equal share: ~100 target each -> small stratum keeps everything
+    assert t0["small"] == 1_000_000 and t0["big"] < t0["small"]
+    t1 = temperature_targets(counts, 200, 1.0)
+    assert t1["big"] == t1["small"]  # one uniform rate
+    kept = temperature_sample(df, 200, 0.0).groupBy("stratum").count().collect()
+    got = {r[0]: r[1] for r in kept}
+    assert got["small"] == 100  # fully kept at T=0
+    assert 50 <= got["big"] <= 160  # ~100 expected, deterministic hash spread
+
+
+def test_temperature_sample_validates(spark):
+    from ocr_spark.operators.corpus_clean import temperature_targets
+
+    with pytest.raises(ValueError, match="total_target"):
+        temperature_targets({"a": 1}, 0, 0.7)
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_targets({"a": 1}, 10, -1)
