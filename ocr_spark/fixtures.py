@@ -14,7 +14,6 @@ what the salted repartition in the pipeline exists to defeat.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
