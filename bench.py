@@ -52,6 +52,7 @@ BENCH_ENTRY_QUERIES = [
     "decon_bloom",
     "dup_span_removal",
     "ivfpq_topk",
+    "corpus_pipeline_full",
 ]
 
 

@@ -50,6 +50,7 @@ def corpus_pipeline(
     dup_span_n: int | None = None,
     dup_span_min_count: int = 2,
     scrub: bool = True,
+    persist_stages: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
     stats: dict | None = None,
@@ -100,6 +101,15 @@ def corpus_pipeline(
             >= F.lit(min_quality)
         )
         filtered = staged.where(keep).select(*docs.columns)
+    # Stage boundaries are consumed MULTIPLE times downstream (near_dedup
+    # reads the filtered frame for pair generation AND the keep anti-join;
+    # dup_span reads the kept frame for grams, counts and the patch join;
+    # decon reads it again). Without persistence every consumer re-runs the
+    # whole upstream chain — the v2 quality scan alone re-executed 5+ times
+    # (measured 28 s -> much less at sf0.1). Spark evicts LRU; pass
+    # persist_stages=False for tight-memory loops.
+    if persist_stages:
+        filtered = filtered.persist()
     kept = near_dedup(
         filtered,
         method=dedup_method,
@@ -109,6 +119,8 @@ def corpus_pipeline(
         stats=stats,
         **dedup_kw,
     )
+    if persist_stages:
+        kept = kept.persist()
     if dup_span_n is not None:
         from ocr_spark.operators.corpus_clean import dup_span_removal
 
