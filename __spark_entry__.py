@@ -1984,6 +1984,24 @@ def _temp_thresholds(sf_dir: str) -> dict:
     return _TT[sf_dir]
 
 
+_RULE_PARAMS = {"min_stop_words": 0, "min_sentences": 1}  # driver corpus has
+# no stopwords/sentence punctuation; the full defaults are unit-tested on
+# crafted docs
+
+
+def q_rule_filter(spark, sf_dir):
+    """C4/Gopher heuristic rule filter with AUDITABLE decisions: every doc
+    gets (keep, reasons[]) naming exactly which rules fired — word-count
+    bounds, mean word length, symbol ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, stop words, sentence count, placeholder text. One
+    codegen'd pass, staged word/line arrays, no shuffle."""
+    from ocr_spark.operators.text_analysis import rule_filter_select
+
+    return rule_filter_select(
+        _t(spark, sf_dir, "documents"), F.col("text"), params=_RULE_PARAMS
+    )
+
+
 def q_temperature_sample(spark, sf_dir):
     """Temperature-flattened source mixing (mC4/XLM-R style): ~200 docs
     sampled with language shares ∝ n^0.7 — the low-resource up-weighting
@@ -2137,6 +2155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "dup_span_removal": q_dup_span_removal,
         "temperature_sample": q_temperature_sample,
+        "rule_filter": q_rule_filter,
         "url_normalize": q_url_normalize,
         "domain_stats": q_domain_stats,
         "blocklist_filter": q_blocklist_filter,
@@ -2385,6 +2404,7 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             )
             + ")"
         ),
+        "rule_filter": TA.rule_filter_sql(params=_RULE_PARAMS),
         "temperature_sample": CC.temperature_sample_sql(
             "SELECT doc_id, lang FROM documents", _temp_thresholds(sf_dir)
         ),

@@ -466,3 +466,185 @@ def pii_scrub_sql(expr: str, rules: list[tuple[str, str]] | None = None) -> str:
         p = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{rep}', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# C4 / Gopher heuristic rule filter — named boolean rules with reasons
+# ---------------------------------------------------------------------------
+#
+# The canonical web-filtering rule sets (public C4 and Gopher papers) as one
+# codegen'd pass: each rule is a named predicate; the output carries WHICH
+# rules fired so filtering decisions are auditable (the operational need the
+# single-score quality_v1/v2 blend can't serve). Word/line arrays are staged
+# projections (the _exploded_shingles lesson); everything else is scalar
+# expressions over them — no shuffle, no UDF, filters evaluate at the scan.
+
+RULE_DEFAULTS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_line_frac": 0.9,
+    "max_ellipsis_line_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_words": 2,
+    "min_sentences": 3,
+}
+
+_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def rule_filter_select(docs, text: Column, id_cols=("doc_id",), params: dict | None = None):
+    """(id_cols..., keep, reasons): Gopher quality rules (word count bounds,
+    mean word length, symbol ratio, bullet/ellipsis line fractions,
+    alpha-word fraction, stop-word presence) + C4 rules (>= min_sentences,
+    no lorem-ipsum / javascript-brace placeholder text). `reasons` lists the
+    fired rule names in a fixed order; keep = (reasons is empty)."""
+    p = {**RULE_DEFAULTS, **(params or {})}
+    t = F.coalesce(text, F.lit(""))
+    lower = F.lower(t)
+    words = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    staged = docs.select(
+        *[F.col(c) for c in id_cols],
+        t.alias("_t"),
+        lower.alias("_lo"),
+        words.alias("_w"),
+        lines.alias("_ln"),
+    )
+    w, ln, lo = F.col("_w"), F.col("_ln"), F.col("_lo")
+    nw = F.size(w)
+    nl = F.size(ln)
+    safe_nw = F.greatest(nw, F.lit(1))
+    safe_nl = F.greatest(nl, F.lit(1))
+    mean_wl = F.aggregate(
+        w, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / safe_nw
+    n_sym = (
+        F.length(F.col("_t"))
+        - F.length(F.regexp_replace(F.col("_t"), r"[#…]", ""))
+        + (
+            F.length(F.col("_t"))
+            - F.length(F.regexp_replace(F.col("_t"), r"\.\.\.", ""))
+        )
+        / F.lit(3)
+    )
+    bullet_frac = (
+        F.size(F.filter(ln, lambda x: x.rlike(r"^[-*•]"))) / safe_nl
+    )
+    ellipsis_frac = (
+        F.size(F.filter(ln, lambda x: x.rlike(r"(\.\.\.|…)$"))) / safe_nl
+    )
+    alpha_frac = (
+        F.size(F.filter(w, lambda x: x.rlike(r"[A-Za-z]"))) / safe_nw
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(
+                F.filter(F.split(lo, r"[^a-z]+"), lambda x: x != "")
+            ),
+            F.array(*[F.lit(s) for s in _STOP_WORDS]),
+        )
+    )
+    n_sentences = F.size(
+        F.filter(
+            F.transform(F.split(F.col("_t"), r"[.!?]"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+    )
+    placeholder = lo.contains("lorem ipsum") | lo.contains("{")
+    checks = [
+        ("word_count", (nw < p["min_words"]) | (nw > p["max_words"])),
+        (
+            "mean_word_len",
+            (mean_wl < p["min_mean_word_len"]) | (mean_wl > p["max_mean_word_len"]),
+        ),
+        ("symbol_ratio", (n_sym / safe_nw) > p["max_symbol_ratio"]),
+        ("bullet_lines", bullet_frac > p["max_bullet_line_frac"]),
+        ("ellipsis_lines", ellipsis_frac > p["max_ellipsis_line_frac"]),
+        ("alpha_ratio", alpha_frac < p["min_alpha_word_frac"]),
+        ("stop_words", n_stop < p["min_stop_words"]),
+        ("min_sentences", n_sentences < p["min_sentences"]),
+        ("placeholder_text", placeholder),
+    ]
+    reasons = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(name)) for name, cond in checks]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return staged.select(
+        *[F.col(c) for c in id_cols],
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+def rule_filter_sql(
+    t_expr: str = "text",
+    table: str = "documents",
+    id_cols: str = "doc_id",
+    params: dict | None = None,
+) -> str:
+    """DuckDB twin of rule_filter_select (same rules, same order)."""
+    p = {**RULE_DEFAULTS, **(params or {})}
+    stops = ", ".join(f"'{s}'" for s in _STOP_WORDS)
+    return f"""
+WITH staged AS (
+  SELECT {id_cols},
+         coalesce({t_expr}, '') AS t,
+         lower(coalesce({t_expr}, '')) AS lo,
+         list_filter(regexp_split_to_array(coalesce({t_expr}, ''), '\\s+'),
+                     x -> x <> '') AS w,
+         list_filter(list_transform(string_split(coalesce({t_expr}, ''), chr(10)),
+                     x -> trim(x)), x -> x <> '') AS ln
+  FROM {table}),
+m AS (
+  SELECT *,
+         len(w) AS nw, len(ln) AS nl,
+         greatest(len(w), 1) AS snw, greatest(len(ln), 1) AS snl,
+         list_sum(list_transform(w, x -> length(x)))::DOUBLE
+           / greatest(len(w), 1) AS mean_wl,
+         (length(t) - length(regexp_replace(t, '[#…]', '', 'g'))
+          + (length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g'))) / 3.0
+         ) AS n_sym,
+         len(list_filter(ln, x -> regexp_matches(x, '^[-*•]')))::DOUBLE
+           / greatest(len(ln), 1) AS bullet_frac,
+         len(list_filter(ln, x -> regexp_matches(x, '(\\.\\.\\.|…)$')))::DOUBLE
+           / greatest(len(ln), 1) AS ellipsis_frac,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           / greatest(len(w), 1) AS alpha_frac,
+         len(list_intersect(
+             list_distinct(list_filter(regexp_split_to_array(lo, '[^a-z]+'),
+                                       x -> x <> '')),
+             [{stops}])) AS n_stop,
+         len(list_filter(list_transform(regexp_split_to_array(t, '[.!?]'),
+             x -> trim(x)), x -> x <> '')) AS n_sentences,
+         (lo LIKE '%lorem ipsum%' OR lo LIKE '%{{%') AS placeholder
+  FROM staged),
+r AS (
+  SELECT {id_cols},
+         list_filter([
+           CASE WHEN nw < {p['min_words']} OR nw > {p['max_words']}
+                THEN 'word_count' END,
+           CASE WHEN mean_wl < {p['min_mean_word_len']}
+                  OR mean_wl > {p['max_mean_word_len']}
+                THEN 'mean_word_len' END,
+           CASE WHEN n_sym / snw > {p['max_symbol_ratio']}
+                THEN 'symbol_ratio' END,
+           CASE WHEN bullet_frac > {p['max_bullet_line_frac']}
+                THEN 'bullet_lines' END,
+           CASE WHEN ellipsis_frac > {p['max_ellipsis_line_frac']}
+                THEN 'ellipsis_lines' END,
+           CASE WHEN alpha_frac < {p['min_alpha_word_frac']}
+                THEN 'alpha_ratio' END,
+           CASE WHEN n_stop < {p['min_stop_words']} THEN 'stop_words' END,
+           CASE WHEN n_sentences < {p['min_sentences']} THEN 'min_sentences' END,
+           CASE WHEN placeholder THEN 'placeholder_text' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM m)
+SELECT {id_cols}, len(reasons) = 0 AS keep, reasons FROM r
+""".strip()

@@ -408,3 +408,46 @@ def test_temperature_sample_validates(spark):
         temperature_targets({"a": 1}, 0, 0.7)
     with pytest.raises(ValueError, match="temperature"):
         temperature_targets({"a": 1}, 10, -1)
+
+
+# ---------------------------------------------------------------------------
+# C4/Gopher heuristic rule filter
+# ---------------------------------------------------------------------------
+
+
+def test_rule_filter_each_rule_fires(spark):
+    from pyspark.sql import functions as SF
+
+    from ocr_spark.operators.text_analysis import rule_filter_select
+
+    good = (
+        "The quick brown fox jumps over the lazy dog and runs far away. "
+        "It was a bright morning with soft light over the hills and fields. "
+        "Every villager came out to watch the chase unfold that day. "
+    ) * 3  # >50 words, sentences, stopwords, alphabetic
+    docs = [
+        (0, good, []),
+        (1, "short text.", ["word_count", "min_sentences", "stop_words"]),
+        (2, good + " ###### " * 20, ["symbol_ratio"]),
+        (3, good.replace(". ", "...\n"), ["ellipsis_lines"]),
+        (4, "\n".join("- " + w for w in good.split(". ")), ["bullet_lines"]),
+        (5, good + " {", ["placeholder_text"]),
+        (6, good + " 111 222 333 444 " * 15, ["alpha_ratio"]),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in docs], "doc_id long, text string")
+    got = {r.doc_id: (r.keep, list(r.reasons)) for r in
+           rule_filter_select(df, SF.col("text")).collect()}
+    assert got[0] == (True, [])
+    for i, _, expect in docs[1:]:
+        keep, reasons = got[i]
+        assert not keep and set(expect) <= set(reasons), (i, reasons)
+
+
+def test_rule_filter_null_and_empty(spark):
+    from pyspark.sql import functions as SF
+
+    from ocr_spark.operators.text_analysis import rule_filter_select
+
+    df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    got = {r.doc_id: r.keep for r in rule_filter_select(df, SF.col("text")).collect()}
+    assert got == {1: False, 2: False}  # degenerate docs never keep
