@@ -451,3 +451,39 @@ def test_rule_filter_null_and_empty(spark):
     df = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
     got = {r.doc_id: r.keep for r in rule_filter_select(df, SF.col("text")).collect()}
     assert got == {1: False, 2: False}  # degenerate docs never keep
+
+
+def test_rule_filter_twin_parity_on_symbol_paths(spark, tmp_path):
+    """The driver corpus has no #/…/bullet characters, so the DuckDB twin's
+    symbol_ratio / bullet_lines / ellipsis_lines branches are only exercised
+    here — parquet-backed so newline/unicode escaping is engine-neutral."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as SF
+
+    from ocr_spark.operators.text_analysis import rule_filter_select, rule_filter_sql
+
+    good = "The quick brown fox jumps over the lazy dog and runs far away. " * 10
+    docs = [
+        (0, good),
+        (1, good + " ### … ... ## "),
+        (2, good + " # " * 30),
+        (3, "• bullet\n- dash\n* star\nplain end..."),
+        (4, "\n".join(["- a"] * 19 + ["z"])),
+    ]
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}), p
+    )
+    got = sorted(
+        (r.doc_id, r.keep, tuple(r.reasons))
+        for r in rule_filter_select(
+            spark.read.parquet(p), SF.col("text")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    orc = sorted((r[0], r[1], tuple(r[2])) for r in con.execute(rule_filter_sql()).fetchall())
+    assert got == orc
+    assert ("symbol_ratio",) in {r[2] for r in got}  # the branch really fired
