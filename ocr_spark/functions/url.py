@@ -229,9 +229,13 @@ def blocklist_filter(docs, blocked, url_col: str = "url"):
 
 def blocklist_filter_sql(src: str, blocked_sql: str, url_expr: str = "url") -> str:
     """DuckDB twin: `blocked_sql` yields one domain column. NULL domains
-    are kept (same contract as blocklist_filter)."""
+    are kept (same contract as blocklist_filter). NULLs are stripped from
+    the blocklist side too — a single NULL in a NOT IN list makes the
+    predicate NULL for every non-matching row (whole corpus dropped),
+    whereas the Spark left_anti join simply never matches on NULL."""
     dom = registrable_domain_sql(url_expr)
     return (
         f"SELECT * FROM ({src}) "
-        f"WHERE ({dom}) IS NULL OR ({dom}) NOT IN (SELECT * FROM ({blocked_sql}))"
+        f"WHERE ({dom}) IS NULL OR ({dom}) NOT IN "
+        f"(SELECT d FROM ({blocked_sql}) AS _b(d) WHERE d IS NOT NULL)"
     )

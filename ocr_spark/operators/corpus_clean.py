@@ -590,7 +590,7 @@ def dup_span_removal(
         F.col(id_col),
         F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
         .otherwise(F.array_join(kept, " "))
-        .alias("text"),
+        .alias(text_col),
         F.coalesce(F.size(w2), F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce(F.size(F.col("_cov")), F.lit(0)).cast("long").alias("n_removed"),
     )
@@ -673,9 +673,13 @@ def temperature_sample(
     strata are languages/domains, few by definition (the broadcast-analogue
     pattern; the corpus itself never leaves the cluster)."""
     if thresholds is None:
+        # null strata are excluded from the driver-side counts (and thus
+        # never sampled — the same ELSE-0 semantics both engines apply to
+        # unknown strata); a None key would break sorted()/create_map below
         cnt = {
             r[0]: int(r[1])
             for r in docs.groupBy(stratum_col).count().collect()
+            if r[0] is not None
         }
         thresholds = temperature_targets(cnt, total_target, temperature)
     if not thresholds:

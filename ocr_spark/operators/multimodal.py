@@ -448,7 +448,11 @@ def phash64(gray: "np.ndarray") -> int:
         if i == 0:
             continue
         bits |= np.uint64(1) << np.uint64(i)
-    return int(np.int64(bits))
+    # two's-complement fold in pure Python: numpy's out-of-range
+    # uint64->int64 conversion wraps on numpy 1.x but raises OverflowError
+    # on numpy >= 2.0 whenever bit 63 is set
+    b = int(bits)
+    return b - (1 << 64) if b >= (1 << 63) else b
 
 
 def image_phash(assets: DataFrame) -> DataFrame:

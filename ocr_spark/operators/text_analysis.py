@@ -606,7 +606,7 @@ m AS (
   SELECT *,
          len(w) AS nw, len(ln) AS nl,
          greatest(len(w), 1) AS snw, greatest(len(ln), 1) AS snl,
-         list_sum(list_transform(w, x -> length(x)))::DOUBLE
+         coalesce(list_sum(list_transform(w, x -> length(x))), 0)::DOUBLE
            / greatest(len(w), 1) AS mean_wl,
          (length(t) - length(regexp_replace(t, '[#…]', '', 'g'))
           + (length(t) - length(regexp_replace(t, '\\.\\.\\.', '', 'g'))) / 3.0
