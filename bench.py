@@ -25,6 +25,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # at sf0.1 → 5000 docs (~5% media-heavy with 256-1024 media spans each)
 DOCS_PER_SF = 50_000
 
+# Round-5 note: queries() was consolidated to 50 rows (driver CORRECTNESS
+# cap), so several r4 bench names map to merged supersets — round-over-round
+# totals must compare per-query where the name survived, and treat renames
+# as supersets (they do strictly more work):
+#   dedup_exact → fingerprint (adds the per-doc fp column)
+#   quality_score + quality_repetition → quality_scores (one row, both)
+#   token_counts (now also carries the real-BPE column of token_counts_bpe)
+#   cosine_topk / ivf_topk → ann_recall (runs exact+lsh+ivf on one scan)
+#   corpus_pipeline → corpus_pipeline_full (the full chain remains)
 BENCH_ENTRY_QUERIES = [
     "process_output",
     "extract_text",
@@ -35,24 +44,21 @@ BENCH_ENTRY_QUERIES = [
     "window_order",
     "confidence_mean",
     # training-data ops (task directive): dedup family + similarity + analysis
-    "dedup_exact",
+    "fingerprint",
     "jaccard_pairs",
     "minhash_lsh",
     "simhash_pairs",
-    "cosine_topk",
-    "ivf_topk",
+    "ann_recall",
     "token_counts",
-    "quality_score",
-    # round-3 additions — the suite grew by 2 queries; round-over-round
-    # totals must compare the shared subset (BENCH/EXTRA.md has the table)
-    "quality_repetition",
+    "quality_scores",
     "dedup_clusters",
-    "corpus_pipeline",
     # round-4 additions (same shared-subset comparison rule)
     "decon_bloom",
     "dup_span_removal",
     "ivfpq_topk",
     "corpus_pipeline_full",
+    # round-5 addition: text→embedding bridge semantic dedup
+    "text_embed_dedup",
 ]
 
 

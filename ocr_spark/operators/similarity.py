@@ -367,6 +367,89 @@ def embedding_near_dups(
 
 
 # ---------------------------------------------------------------------------
+# text -> embedding bridge: deterministic hashing-trick token projection, so
+# the semantic-dedup path runs end-to-end from `documents` alone (no
+# pregenerated embeddings table needed)
+# ---------------------------------------------------------------------------
+
+
+def text_embedding(
+    docs: DataFrame,
+    dim: int = EMB_DIM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(vec_id, embedding): hashing-trick token embedding — each lowercased
+    [a-z0-9]+ token t adds sign(t) to coordinate bucket(t), with
+    bucket = h32(t) % dim and sign = ±1 from h32(t || ':s') % 2 (the
+    cross-engine md5 hash family, so the DuckDB twin is exact). Coordinates
+    are INTEGER-valued sums, making the result independent of summation
+    order — no float-reduction-order parity risk.
+
+    Scale shape: one explode + two partial-agg shuffles ((id, bucket) then
+    id) — the same per-token cost profile as the SimHash signature stage;
+    no per-row Python, no O(dim x tokens) interpreted lambda (the map
+    lookup assembles the dense vector from the ≤dim populated buckets).
+    Docs with zero tokens are dropped (a zero vector has no cosine
+    direction; exact dedup owns empty docs)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    from ocr_spark.operators.text_analysis import h32
+
+    e = docs.select(F.col(id_col).alias("vec_id"), F.explode(toks).alias("_t"))
+    b = e.select(
+        "vec_id",
+        F.pmod(h32(F.col("_t")), F.lit(dim)).alias("_b"),
+        F.when(
+            F.pmod(h32(F.concat(F.col("_t"), F.lit(":s"))), F.lit(2)) == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("_s"),
+    )
+    g = b.groupBy("vec_id", "_b").agg(F.sum("_s").alias("_v"))
+    m = g.groupBy("vec_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_v"))).alias("_m")
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        # keys are LONG (pmod of h32); the sequence yields INT — cast so
+        # the map lookup type-checks
+        lambda d: F.coalesce(
+            F.element_at(F.col("_m"), d.cast("long")), F.lit(0.0)
+        ),
+    )
+    return m.select("vec_id", emb.alias("embedding"))
+
+
+def text_embedding_sql(
+    src: str = "SELECT doc_id, text FROM documents", dim: int = EMB_DIM
+) -> str:
+    """DuckDB twin of text_embedding over `src` (a subquery yielding
+    (doc_id, text)) — same hash family, same integer-sum coordinates."""
+    from ocr_spark.operators.text_analysis import h32_sql
+
+    return f"""
+WITH src AS ({src}),
+tok AS (SELECT doc_id AS vec_id,
+               unnest(list_filter(regexp_split_to_array(lower(text),
+                      '[^a-z0-9]+'), x -> x <> '')) AS t
+        FROM src),
+bs AS (SELECT vec_id, {h32_sql('t')} % {dim} AS b,
+              CASE WHEN {h32_sql("(t || ':s')")} % 2 = 0
+                   THEN 1.0 ELSE -1.0 END AS s
+       FROM tok),
+g AS (SELECT vec_id, b, sum(s) AS v FROM bs GROUP BY vec_id, b),
+m AS (SELECT vec_id, map_from_entries(list(struct_pack(k := b, v := v))) AS m
+      FROM g GROUP BY vec_id)
+SELECT vec_id, list_transform(range(0, {dim}),
+       d -> coalesce(map_extract(m, d)[1], 0.0)) AS embedding
+FROM m
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # ANN recall harness: recall@k of the approximate paths vs exact cosine
 # ---------------------------------------------------------------------------
 

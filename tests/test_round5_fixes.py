@@ -118,6 +118,21 @@ class TestTemperatureSampleNullStratum:
         assert all(r["stratum"] == "en" for r in rows)
 
 
+class TestQueryBoardCap:
+    def test_at_most_50_queries_each_with_an_oracle_twin(self):
+        """The driver records only the FIRST 50 registered queries() in
+        CORRECTNESS_r{N}.json (r4 silently lost 23 of 73). The board must
+        stay at the cap — adding a query means merging or retiring another
+        — and every entry needs its oracle twin."""
+        import __spark_entry__ as E
+
+        qs = E.queries()
+        assert len(qs) <= 50
+        oracles = E.oracle_sql()
+        assert [k for k in qs if k not in oracles] == []
+        assert [k for k in oracles if k not in qs] == []
+
+
 class TestPhash64PurePython:
     def test_high_bit_hash_is_signed_python_int(self):
         from ocr_spark.operators.multimodal import phash64
