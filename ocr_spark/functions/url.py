@@ -16,13 +16,30 @@ Normalization contract (the common crawl-dedup canonical form):
     params kept in original order; '?' omitted when none survive
   * fragment dropped
 
-registrable_domain is a HEURISTIC eTLD+1 (last two labels, or last three
-when the trailing pair is a known two-level public suffix) — the full
-public-suffix list is a data file, not an algorithm change; swap
-_TWO_LEVEL_SUFFIXES for it in production.
+registrable_domain implements the full PUBLIC SUFFIX LIST algorithm
+(publicsuffix.org: longest matching rule wins; `*.base` wildcards match
+exactly one label; `!exception` rules override wildcards) over the pinned
+snapshot at resources/public_suffix_snapshot.dat — a curated subset in the
+standard PSL file format, so a full upstream snapshot drops in without code
+changes. Hosts matching no rule use the implicit default rule `*` (last
+label is the public suffix). When the host IS a public suffix (no
+registrable domain exists per the PSL), the host itself is returned —
+the garbage-tolerant contract every URL operator here follows.
+Punycode (`xn--`) hosts pass through lowercased as-is: IDNA mapping needs
+a Unicode table and is out of scope; byte-identical punycode spellings
+still collapse.
+
+url_normalize additionally canonicalizes percent-encoding (RFC 3986 §6.2.2):
+unreserved characters ([A-Za-z0-9._~-]) are DECODED, every other escape is
+normalized to uppercase hex — '%7e' / '%7E' / '~' spell one canonical URL.
+Safe to apply before parsing: unreserved chars are never delimiters, and
+reserved escapes stay encoded.
 """
 
 from __future__ import annotations
+
+import os
+import re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -41,6 +58,94 @@ _TWO_LEVEL_SUFFIXES = (
     "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
     "co.nz", "com.sg", "com.tr", "co.za", "com.ar",
 )
+
+_PSL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "public_suffix_snapshot.dat",
+)
+
+_PSL_CACHE: dict | None = None
+
+
+def load_psl(path: str = _PSL_PATH) -> dict:
+    """Parse a standard-format PSL file into rule sets keyed by label count:
+    {'exact': {k: frozenset(suffixes)}, 'wild': {k: frozenset(bases)},
+     'exc': {k: frozenset(exception domains)}} — the shape both engines'
+    expression builders consume. Cached for the pinned snapshot."""
+    global _PSL_CACHE
+    if path == _PSL_PATH and _PSL_CACHE is not None:
+        return _PSL_CACHE
+    exact: dict[int, set] = {}
+    wild: dict[int, set] = {}
+    exc: dict[int, set] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            rule = line.strip()
+            if not rule or rule.startswith("//"):
+                continue
+            if rule.startswith("!"):
+                d = rule[1:]
+                exc.setdefault(d.count(".") + 1, set()).add(d)
+            elif rule.startswith("*."):
+                base = rule[2:]
+                wild.setdefault(base.count(".") + 1, set()).add(base)
+            else:
+                exact.setdefault(rule.count(".") + 1, set()).add(rule)
+    psl = {
+        "exact": {k: frozenset(v) for k, v in exact.items()},
+        "wild": {k: frozenset(v) for k, v in wild.items()},
+        "exc": {k: frozenset(v) for k, v in exc.items()},
+    }
+    if path == _PSL_PATH:
+        _PSL_CACHE = psl
+    return psl
+
+
+# RFC 3986 unreserved characters: decode these escapes outright (any hex
+# case); everything else stays encoded with uppercase hex
+_UNRESERVED = (
+    "abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "0123456789-._~"
+)
+
+
+def _pct_rules() -> list[tuple[str, str, str]]:
+    """(pattern, spark_replacement, duck_replacement) triples, applied in
+    order — shared by both engines so the chains are identical. RE2-safe
+    (no lookaround): decode unreserved first (case-insensitive), then
+    uppercase the hex digits of the escapes that remain."""
+    rules: list[tuple[str, str, str]] = []
+    # '$' and '\' never occur in _UNRESERVED, so replacements are literal
+    # in both engines' replacement syntaxes
+    for ch in _UNRESERVED:
+        rules.append((f"(?i)%{ord(ch):02X}", ch, ch))
+    for d in "abcdef":
+        # first hex digit: require a trailing hex digit so a bare '%a' that
+        # is not an escape is left alone (captured and re-emitted)
+        rules.append(
+            (f"%{d}([0-9A-Fa-f])", f"%{d.upper()}$1", f"%{d.upper()}\\1")
+        )
+        # second hex digit (first one is uppercase after the pass above)
+        rules.append((f"%([0-9A-F]){d}", f"%$1{d.upper()}", f"%\\1{d.upper()}"))
+    return rules
+
+
+def pct_normalize(col: Column) -> Column:
+    """Canonicalize percent-encoding (see module docstring): one chained
+    regexp_replace projection, whole-stage codegen, no UDF."""
+    out = col
+    for pat, spark_rep, _ in _pct_rules():
+        out = F.regexp_replace(out, pat, spark_rep)
+    return out
+
+
+def pct_normalize_sql(expr: str) -> str:
+    out = expr
+    for pat, _, duck_rep in _pct_rules():
+        out = f"regexp_replace({out}, '{pat}', '{duck_rep}', 'g')"
+    return out
 
 
 def _part(col: Column, group: int) -> Column:
@@ -82,7 +187,10 @@ def _kept_params(col: Column) -> Column:
 def url_normalize(col: Column) -> Column:
     """Canonical URL string per the module contract. Null in -> null out;
     a scheme-less or host-less string normalizes from whatever parts the
-    RFC grammar finds (garbage-tolerant, never raises)."""
+    RFC grammar finds (garbage-tolerant, never raises). Percent-encoding is
+    canonicalized BEFORE parsing (safe: unreserved chars are never
+    delimiters; reserved escapes stay encoded)."""
+    col = pct_normalize(col)
     scheme = url_scheme(col)
     host = url_host(col)
     port = url_port(col)
@@ -106,18 +214,70 @@ def url_normalize(col: Column) -> Column:
     )
 
 
-def registrable_domain(col: Column) -> Column:
-    """Heuristic eTLD+1 of a URL column (see module docstring)."""
-    labels = F.split(url_host(col), r"\.")
+def _suffix_plan(psl: dict) -> list[tuple[str, int, frozenset]]:
+    """The PSL match plan both engines share: (kind, k, rule set) checks in
+    precedence order — exceptions first (longest first), then exact/wildcard
+    matches longest-suffix first. kind='exc' entries set suffix_len = k-1;
+    'exact' k-label rules and 'wild' (k-1)-label bases set suffix_len = k."""
+    plan: list[tuple[str, int, frozenset]] = []
+    for k in sorted(psl["exc"], reverse=True):
+        plan.append(("exc", k, psl["exc"][k]))
+    lengths = {k for k in psl["exact"]} | {k + 1 for k in psl["wild"]}
+    for k in sorted(lengths, reverse=True):
+        if k in psl["exact"]:
+            plan.append(("exact", k, psl["exact"][k]))
+        if k - 1 in psl["wild"]:
+            plan.append(("wild", k, psl["wild"][k - 1]))
+    return plan
+
+
+def registrable_domain(col: Column, use_psl: bool = True) -> Column:
+    """eTLD+1 of a URL column via the Public Suffix List algorithm over the
+    pinned snapshot (see module docstring). Pure Column expressions —
+    guarded slice/array accesses (ANSI mode), literal rule sets (a few
+    hundred entries; a full PSL snapshot would ride a broadcast join
+    instead — documented swap point). use_psl=False keeps the round-4
+    two-level heuristic for comparison."""
+    host = url_host(col)
+    labels = F.split(host, r"\.")
     n = F.size(labels)
-    last2 = F.concat_ws(
-        ".", F.element_at(labels, -2), F.element_at(labels, -1)
-    )
-    two_level = F.array(*[F.lit(s) for s in _TWO_LEVEL_SUFFIXES])
+    if not use_psl:
+        last2 = F.when(
+            n >= 2,
+            F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1)),
+        )
+        two_level = F.array(*[F.lit(s) for s in _TWO_LEVEL_SUFFIXES])
+        return F.when(
+            (n >= 3) & F.array_contains(two_level, last2),
+            F.concat_ws(".", F.element_at(labels, -3), last2),
+        ).otherwise(F.when(n >= 2, last2).otherwise(host))
+
+    def last_k(k: int) -> Column:
+        # right-most k labels as a dotted string; NULL when n < k
+        return F.when(
+            n >= k, F.array_join(F.slice(labels, n - (k - 1), k), ".")
+        )
+
+    def in_set(c: Column, s: frozenset) -> Column:
+        arr = F.array(*[F.lit(x) for x in sorted(s)])
+        return F.coalesce(F.array_contains(arr, c), F.lit(False))
+
+    suffix_len: Column | None = None
+    for kind, k, rules in _suffix_plan(load_psl()):
+        if kind == "exc":
+            cond, sl = in_set(last_k(k), rules), F.lit(k - 1)
+        elif kind == "exact":
+            cond, sl = in_set(last_k(k), rules), F.lit(k)
+        else:  # wild: (k-1)-label base + one real label in the * position
+            cond, sl = (n >= k) & in_set(last_k(k - 1), rules), F.lit(k)
+        suffix_len = (
+            F.when(cond, sl) if suffix_len is None else suffix_len.when(cond, sl)
+        )
+    suffix_len = suffix_len.otherwise(F.lit(1))  # the implicit '*' rule
     return F.when(
-        (n >= 3) & F.array_contains(two_level, last2),
-        F.concat_ws(".", F.element_at(labels, -3), last2),
-    ).otherwise(F.when(n >= 2, last2).otherwise(url_host(col)))
+        n >= suffix_len + 1,
+        F.array_join(F.slice(labels, n - suffix_len, suffix_len + 1), "."),
+    ).otherwise(host)
 
 
 # ---------------------------------------------------------------------------
@@ -161,14 +321,19 @@ def _kept_params_sql(expr: str) -> str:
 
 
 def url_normalize_sql(expr: str) -> str:
-    scheme = url_scheme_sql(expr)
-    host = url_host_sql(expr)
-    port = url_port_sql(expr)
-    path = url_path_sql(expr)
-    params = _kept_params_sql(expr)
+    # percent-normalize ONCE into a scalar-subquery alias: the chain is ~78
+    # nested regexp_replace calls, and scheme/host/port/path/params each
+    # re-expand their argument — without the alias the SQL text is O(chain x
+    # uses)
+    scheme = url_scheme_sql("s")
+    host = url_host_sql("s")
+    port = url_port_sql("s")
+    path = url_path_sql("s")
+    params = _kept_params_sql("s")
     return f"""
-CASE WHEN {expr} IS NULL THEN NULL ELSE
-  {scheme} || '://' || {host}
+CASE WHEN {expr} IS NULL THEN NULL ELSE (
+  WITH _u AS (SELECT {pct_normalize_sql(expr)} AS s)
+  SELECT {scheme} || '://' || {host}
   || CASE WHEN {port} <> ''
            AND NOT ({scheme} = 'http' AND {port} = '80')
            AND NOT ({scheme} = 'https' AND {port} = '443')
@@ -176,13 +341,17 @@ CASE WHEN {expr} IS NULL THEN NULL ELSE
   || CASE WHEN {path} = '' THEN '/' ELSE {path} END
   || CASE WHEN len({params}) > 0
       THEN '?' || array_to_string({params}, '&') ELSE '' END
+  FROM _u)
 END""".strip()
 
 
-def registrable_domain_sql(expr: str) -> str:
+def registrable_domain_sql(expr: str, use_psl: bool = True) -> str:
+    """DuckDB twin of registrable_domain — the SAME _suffix_plan drives
+    both engines' branch order, so rule precedence cannot drift."""
     host = url_host_sql(expr)
-    suffixes = ", ".join(f"'{s}'" for s in _TWO_LEVEL_SUFFIXES)
-    return f"""
+    if not use_psl:
+        suffixes = ", ".join(f"'{s}'" for s in _TWO_LEVEL_SUFFIXES)
+        return f"""
 CASE WHEN {expr} IS NULL THEN NULL ELSE (
   WITH x AS (SELECT string_split({host}, '.') AS ls)
   SELECT CASE
@@ -190,6 +359,32 @@ CASE WHEN {expr} IS NULL THEN NULL ELSE (
       THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
     WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
     ELSE {host} END FROM x)
+END""".strip()
+
+    def last_k(k: int) -> str:
+        return f"array_to_string(ls[n - {k - 1}:n], '.')"
+
+    branches = []
+    for kind, k, rules in _suffix_plan(load_psl()):
+        inlist = ", ".join(f"'{r}'" for r in sorted(rules))
+        if kind == "exc":
+            branches.append(f"WHEN n >= {k} AND {last_k(k)} IN ({inlist}) THEN {k - 1}")
+        elif kind == "exact":
+            branches.append(f"WHEN n >= {k} AND {last_k(k)} IN ({inlist}) THEN {k}")
+        else:  # wild
+            branches.append(
+                f"WHEN n >= {k} AND {last_k(k - 1)} IN ({inlist}) THEN {k}"
+            )
+    case_sl = "CASE " + " ".join(branches) + " ELSE 1 END"
+    return f"""
+CASE WHEN {expr} IS NULL THEN NULL ELSE (
+  WITH x AS (SELECT string_split({host}, '.') AS ls),
+  y AS (SELECT ls, len(ls) AS n FROM x),
+  z AS (SELECT ls, n, ({case_sl}) AS sl FROM y)
+  SELECT CASE WHEN n >= sl + 1
+              THEN array_to_string(ls[n - sl:n], '.')
+              ELSE array_to_string(ls, '.') END
+  FROM z)
 END""".strip()
 
 

@@ -141,3 +141,111 @@ def test_blocklist_filter_keeps_null_urls(spark):
     bdf = spark.createDataFrame([("example.com",)], "domain string")
     assert {r.doc_id for r in blocklist_filter(docs, ["example.com"]).collect()} == {2}
     assert {r.doc_id for r in blocklist_filter(docs, bdf).collect()} == {2}
+
+
+# ---------------------------------------------------------------------------
+# round 5: PSL-based registrable_domain + percent-encoding normalization
+# ---------------------------------------------------------------------------
+
+
+def ref_psl_registrable(host: str) -> str:
+    """Independent pure-Python PSL algorithm (publicsuffix.org spec) over
+    the same snapshot: collect all matching rules (wildcard * matches one
+    label; exceptions win outright), pick the longest, suffix+1 labels."""
+    from ocr_spark.functions.url import load_psl
+
+    psl = load_psl()
+    labels = host.lower().split(".")
+    n = len(labels)
+
+    def tail(k):
+        return ".".join(labels[n - k:])
+
+    suffix_len = None
+    for k, excs in psl["exc"].items():
+        if n >= k and tail(k) in excs:
+            suffix_len = k - 1
+            break
+    if suffix_len is None:
+        best = 1  # the implicit '*' default rule
+        for k, rules in psl["exact"].items():
+            if n >= k and tail(k) in rules:
+                best = max(best, k)
+        for b, bases in psl["wild"].items():
+            if n >= b + 1 and tail(b) in bases:
+                best = max(best, b + 1)
+        suffix_len = best
+    if n >= suffix_len + 1:
+        return ".".join(labels[n - suffix_len - 1:])
+    return ".".join(labels)
+
+
+PSL_HOSTS = [
+    "www.example.co.uk", "sub.host.co.kr", "mysite.github.io",
+    "foo.ck", "www.ck", "sub.www.ck", "a.b.foo.ck", "ck",
+    "city.kawasaki.jp", "sub.city.kawasaki.jp", "other.kawasaki.jp",
+    "deep.other.kawasaki.jp", "kawasaki.jp", "example.co.jp",
+    "bucket.s3.amazonaws.com", "s3.amazonaws.com", "amazonaws.com",
+    "blog.blogspot.com", "x.com.co", "plain.example.com", "localhost",
+    "a.b.c.d.gov.uk", "web.app", "my.web.app",
+]
+
+
+def test_psl_spark_vs_reference_vs_duckdb(spark):
+    """Spark expression ≡ pure-Python PSL spec ≡ DuckDB twin on wildcard,
+    exception, private-domain, multi-level and degenerate hosts."""
+    import duckdb
+    import pandas as pd
+
+    from ocr_spark.functions.url import registrable_domain_sql
+
+    urls = [f"http://{h}/x" for h in PSL_HOSTS]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", registrable_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(urls)), "url": urls}))
+    duck = dict(
+        con.execute(
+            f"SELECT i, {registrable_domain_sql('url')} FROM t"
+        ).fetchall()
+    )
+    for i, h in enumerate(PSL_HOSTS):
+        want = ref_psl_registrable(h)
+        assert got[i] == want, (h, got[i], want)
+        assert duck[i] == want, (h, duck[i], want)
+
+
+@pytest.mark.parametrize(
+    "url,want",
+    [
+        # unreserved escapes decode (any hex case); reserved stay, uppercased
+        ("http://t.com/%7Efoo%2fbar", "http://t.com/~foo%2Fbar"),
+        ("http://t.com/a?x=%41%42c", "http://t.com/a?x=ABc"),
+        ("http://t.com/%2d%2E%5f%7e", "http://t.com/-._~"),
+        ("http://t.com/100%a1end", "http://t.com/100%A1end"),
+        # malformed escapes pass through untouched
+        ("http://t.com/%zz%4", "http://t.com/%zz%4"),
+        # equivalent spellings collapse to ONE canonical form
+        ("http://t.com/%61bc", "http://t.com/abc"),
+        ("http://t.com/abc", "http://t.com/abc"),
+    ],
+)
+def test_pct_normalization(spark, url, want):
+    import duckdb
+
+    from ocr_spark.functions.url import url_normalize_sql
+
+    df = spark.createDataFrame([(url,)], "url string")
+    assert df.select(url_normalize(F.col("url")).alias("n")).collect()[0].n == want
+    lit = "'" + url.replace("'", "''") + "'"
+    got = duckdb.connect().execute(
+        f"SELECT {url_normalize_sql(lit)}"
+    ).fetchone()[0]
+    assert got == want
