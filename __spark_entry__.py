@@ -1313,12 +1313,15 @@ def q_quality_scores(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    """Language ID via stopword-marker counts, deterministic tie-break."""
-    from ocr_spark.operators import text_analysis as TA
+    """Language ID via char-trigram frequency profiles (21 languages,
+    Cavnar-Trenkle-style, trained offline into an in-repo fixture): the
+    doc's trigram stream joins the BROADCAST profile table, per-lang weight
+    sums argmax with deterministic tie-break; docs with zero profile hits
+    fall back to the round-2 stopword argmax (round-5 upgrade from the
+    4-language stopword heuristic)."""
+    from ocr_spark.operators.text_analysis import lang_id_profile
 
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", TA.lang_id(F.col("text")).alias("lang_pred")
-    )
+    return lang_id_profile(_t(spark, sf_dir, "documents"))
 
 
 def q_fingerprint(spark, sf_dir):
@@ -2175,7 +2178,7 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"ON d.doc_id = v.doc_id"
         ),
         "quality_scores": _quality_scores_sql(),
-        "lang_id": f"SELECT doc_id, {TA.lang_id_sql('text')} AS lang_pred FROM documents",
+        "lang_id": TA.lang_id_profile_sql("SELECT doc_id, text FROM documents"),
         "fingerprint": (
             f"SELECT doc_id, {TA.fingerprint_sql('text')} AS fp, "
             f"doc_id IN (SELECT doc_id FROM ({exact_dedup_sql()})) AS is_kept "

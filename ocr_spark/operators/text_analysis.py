@@ -10,7 +10,9 @@ fingerprinting so oracles can verify hash-dependent operators exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+import os
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -150,6 +152,132 @@ def lang_id_sql(expr: str) -> str:
         f"WHEN {counts[lang]} = {best} THEN '{lang}'" for lang in sorted(LANG_MARKERS)
     )
     return f"CASE WHEN {best} = 0 THEN 'und' {whens} ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# profile-based language ID (round 5): char-trigram frequency profiles for
+# ~20 languages (Cavnar & Trenkle-style, public method), trained offline by
+# scripts/gen_lang_profiles.py into resources/lang_profiles.tsv. The
+# stopword-argmax lang_id above stays as the zero-profile-match fallback.
+# ---------------------------------------------------------------------------
+
+_LANG_PROFILES_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "lang_profiles.tsv",
+)
+
+_LANG_PROFILES: list[tuple[str, str, int]] | None = None
+
+
+def load_lang_profiles() -> list[tuple[str, str, int]]:
+    """(lang, gram, weight) rows from the committed fixture, cached."""
+    global _LANG_PROFILES
+    if _LANG_PROFILES is None:
+        rows = []
+        with open(_LANG_PROFILES_PATH, encoding="utf-8") as f:
+            for line in f:
+                if line.startswith("#") or not line.rstrip("\n"):
+                    continue
+                lang, gram, w = line.rstrip("\n").split("\t")
+                rows.append((lang, gram, int(w)))
+        _LANG_PROFILES = rows
+    return _LANG_PROFILES
+
+
+def _gram_text(col: Column) -> Column:
+    """SHARED trigram normalization (must match gen_lang_profiles.trigrams
+    and _gram_text_sql): lowercase, whitespace runs -> one space, one
+    leading/trailing pad space."""
+    return F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))), r"\s+", " "),
+        F.lit(" "),
+    )
+
+
+def lang_id_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, lang_pred): char-trigram profile scoring. The doc's trigram
+    stream joins the broadcast (gram, lang, weight) profile table; per-doc
+    per-lang weight sums argmax with a deterministic tie-break (score desc,
+    lang asc). Docs with NO profile hit fall back to the stopword-argmax
+    lang_id (which itself falls back to 'und').
+
+    Scale shape: explode + ONE broadcast equi-join on the gram + two
+    partial-agg shuffles keyed by doc id — the idiomatic Spark profile
+    scorer; the 2.1k-row profile table broadcasts everywhere, the corpus
+    never joins against anything non-broadcast."""
+    from pyspark.sql.window import Window
+
+    spark = docs.sparkSession
+    prof = spark.createDataFrame(
+        load_lang_profiles(), "lang string, gram string, w int"
+    )
+    s = _gram_text(F.col(text_col))
+    staged = docs.select(F.col(id_col), s.alias("_s"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("_s") - 2, F.lit(1))),
+        lambda i: F.substring(F.col("_s"), i, 3),
+    )
+    g = staged.select(id_col, F.explode(grams).alias("gram"))
+    scored = (
+        g.join(F.broadcast(prof), "gram")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("w").alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.col("lang"))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("lang").alias("_lang"))
+    )
+    return docs.join(best, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_lang"), lang_id(F.col(text_col))).alias("lang_pred"),
+    )
+
+
+def lang_id_profile_sql(
+    src: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of lang_id_profile over `src` — same fixture rows as a
+    VALUES table, same normalization, same tie-break, same fallback."""
+
+    def esc(x: str) -> str:
+        return x.replace("'", "''")
+
+    values = ", ".join(
+        f"('{esc(lang)}', '{esc(gram)}', {w})"
+        for lang, gram, w in load_lang_profiles()
+    )
+    return f"""
+WITH src AS ({src}),
+d AS (SELECT {id_col},
+             ' ' || regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')
+                 || ' ' AS s,
+             text
+      FROM src),
+g AS (SELECT {id_col},
+             unnest(list_transform(range(1, greatest(length(s) - 2, 1) + 1),
+                    i -> s[i:i+2])) AS gram
+      FROM d),
+p AS (SELECT * FROM (VALUES {values}) AS t(lang, gram, w)),
+sc AS (SELECT {id_col}, lang, sum(w) AS score
+       FROM g JOIN p USING (gram) GROUP BY {id_col}, lang),
+b AS (SELECT {id_col}, lang,
+             row_number() OVER (PARTITION BY {id_col}
+                                ORDER BY score DESC, lang) AS rn
+      FROM sc)
+SELECT d.{id_col},
+       coalesce(b.lang, {lang_id_sql('d.text')}) AS lang_pred
+FROM d LEFT JOIN (SELECT {id_col}, lang FROM b WHERE rn = 1) b
+  USING ({id_col})
+""".strip()
 
 
 # ---------------------------------------------------------------------------

@@ -146,3 +146,84 @@ class TestPhash64PurePython:
             assert -(1 << 63) <= h < (1 << 63)
             seen_negative |= h < 0
         assert seen_negative  # bit 63 set on ~half of hashes
+
+
+# held-out paragraphs for the profile-based language ID (NOT in the training
+# samples of scripts/gen_lang_profiles.py — training on these would make the
+# accuracy bar meaningless)
+LANG_HELD_OUT = {
+ "en": "please close the door before you leave the house tonight. my brother works in a small shop near the station and he often comes home late in the evening. the book you gave me last year is still on the table.",
+ "de": "bitte schließen sie die tür bevor sie heute abend das haus verlassen. mein bruder arbeitet in einem kleinen laden in der nähe des bahnhofs und kommt oft spät nach hause. das buch das du mir letztes jahr gegeben hast liegt noch auf dem tisch.",
+ "fr": "veuillez fermer la porte avant de quitter la maison ce soir. mon frère travaille dans un petit magasin près de la gare et il rentre souvent tard le soir. le livre que tu m'as donné l'année dernière est encore sur la table.",
+ "es": "por favor cierra la puerta antes de salir de la casa esta noche. mi hermano trabaja en una tienda pequeña cerca de la estación y muchas veces vuelve tarde por la noche. el libro que me diste el año pasado todavía está sobre la mesa.",
+ "pt": "por favor feche a porta antes de sair de casa esta noite. meu irmão trabalha numa loja pequena perto da estação e muitas vezes volta tarde da noite. o livro que você me deu no ano passado ainda está em cima da mesa.",
+ "it": "per favore chiudi la porta prima di uscire di casa stasera. mio fratello lavora in un piccolo negozio vicino alla stazione e spesso torna a casa tardi la sera. il libro che mi hai dato l'anno scorso è ancora sul tavolo.",
+ "nl": "sluit alstublieft de deur voordat u vanavond het huis verlaat. mijn broer werkt in een kleine winkel bij het station en hij komt vaak laat thuis. het boek dat je me vorig jaar gaf ligt nog op de tafel.",
+ "sv": "stäng dörren innan du lämnar huset ikväll. min bror arbetar i en liten affär nära stationen och han kommer ofta hem sent på kvällen. boken som du gav mig förra året ligger fortfarande på bordet.",
+ "fi": "sulje ovi ennen kuin lähdet talosta tänä iltana. veljeni työskentelee pienessä kaupassa aseman lähellä ja hän tulee usein myöhään kotiin illalla. kirja jonka annoit minulle viime vuonna on yhä pöydällä.",
+ "pl": "proszę zamknąć drzwi zanim wyjdziesz z domu dzisiaj wieczorem. mój brat pracuje w małym sklepie niedaleko dworca i często wraca do domu późno wieczorem. książka którą dałeś mi w zeszłym roku wciąż leży na stole.",
+ "cs": "prosím zavřete dveře než dnes večer odejdete z domu. můj bratr pracuje v malém obchodě poblíž nádraží a často se vrací domů pozdě večer. kniha kterou jsi mi dal loni je pořád na stole.",
+ "tr": "lütfen bu akşam evden çıkmadan önce kapıyı kapatın. kardeşim istasyonun yakınındaki küçük bir dükkanda çalışıyor ve eve çoğu zaman geç geliyor. geçen yıl bana verdiğin kitap hala masanın üzerinde duruyor.",
+ "id": "tolong tutup pintunya sebelum kamu meninggalkan rumah malam ini. kakak saya bekerja di sebuah toko kecil dekat stasiun dan dia sering pulang larut malam. buku yang kamu berikan kepada saya tahun lalu masih ada di atas meja.",
+ "vi": "vui lòng đóng cửa trước khi bạn rời khỏi nhà tối nay. anh trai tôi làm việc ở một cửa hàng nhỏ gần nhà ga và anh ấy thường về nhà muộn vào buổi tối. cuốn sách bạn tặng tôi năm ngoái vẫn còn trên bàn.",
+ "ru": "пожалуйста закройте дверь прежде чем уйти из дома сегодня вечером. мой брат работает в маленьком магазине возле вокзала и часто приходит домой поздно вечером. книга которую ты дал мне в прошлом году всё ещё лежит на столе.",
+ "el": "παρακαλώ κλείστε την πόρτα πριν φύγετε από το σπίτι απόψε. ο αδερφός μου δουλεύει σε ένα μικρό μαγαζί κοντά στον σταθμό και συχνά γυρίζει σπίτι αργά το βράδυ. το βιβλίο που μου έδωσες πέρυσι είναι ακόμα πάνω στο τραπέζι.",
+ "hu": "kérem csukja be az ajtót mielőtt ma este elhagyja a házat. a bátyám egy kis boltban dolgozik az állomás közelében és gyakran későn ér haza este. a könyv amit tavaly adtál nekem még mindig az asztalon van.",
+ "ro": "vă rog să închideți ușa înainte de a pleca de acasă în seara asta. fratele meu lucrează într-un magazin mic lângă gară și adesea vine acasă târziu seara. cartea pe care mi-ai dat-o anul trecut este încă pe masă.",
+ "sw": "tafadhali funga mlango kabla ya kuondoka nyumbani usiku wa leo. kaka yangu anafanya kazi katika duka dogo karibu na stesheni na mara nyingi hurudi nyumbani usiku. kitabu ulichonipa mwaka jana bado kiko mezani.",
+ "da": "luk venligst døren før du forlader huset i aften. min bror arbejder i en lille butik i nærheden af stationen og han kommer ofte sent hjem om aftenen. bogen som du gav mig sidste år ligger stadig på bordet.",
+ "no": "vennligst lukk døren før du forlater huset i kveld. broren min jobber i en liten butikk i nærheten av stasjonen og han kommer ofte sent hjem om kvelden. boken som du ga meg i fjor ligger fortsatt på bordet.",
+}
+
+# written-form near-identical pairs where confusion is acceptable (Danish /
+# Norwegian Bokmål orthography differs by a handful of words)
+LANG_CONFUSABLE = {("da", "no"), ("no", "da")}
+
+
+class TestLangIdProfiles:
+    def test_held_out_paragraph_accuracy_and_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from ocr_spark.operators.text_analysis import (
+            lang_id_profile,
+            lang_id_profile_sql,
+        )
+
+        langs = list(LANG_HELD_OUT)
+        df = spark.createDataFrame(
+            [(i, LANG_HELD_OUT[l]) for i, l in enumerate(langs)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["lang_pred"] for r in lang_id_profile(df).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "docs",
+            pd.DataFrame(
+                {"doc_id": range(len(langs)),
+                 "text": [LANG_HELD_OUT[l] for l in langs]}
+            ),
+        )
+        duck = dict(
+            con.execute(
+                lang_id_profile_sql("SELECT doc_id, text FROM docs")
+            ).fetchall()
+        )
+        wrong = []
+        for i, lang in enumerate(langs):
+            assert got[i] == duck[i], (lang, got[i], duck[i])  # exact twin
+            if got[i] != lang and (lang, got[i]) not in LANG_CONFUSABLE:
+                wrong.append((lang, got[i]))
+        assert not wrong, wrong
+
+    def test_no_profile_hit_falls_back_to_stopword_then_und(self, spark):
+        from ocr_spark.operators.text_analysis import lang_id_profile
+
+        df = spark.createDataFrame(
+            [(1, "0123456789"), (2, ""), (3, None)],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["lang_pred"] for r in lang_id_profile(df).collect()}
+        assert got == {1: "und", 2: "und", 3: "und"}
