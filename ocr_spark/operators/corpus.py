@@ -107,9 +107,17 @@ def corpus_pipeline(
     # decon reads it again). Without persistence every consumer re-runs the
     # whole upstream chain — the v2 quality scan alone re-executed 5+ times
     # (measured 28 s -> much less at sf0.1). Spark evicts LRU; pass
-    # persist_stages=False for tight-memory loops.
+    # persist_stages=False for tight-memory loops. The persisted handles are
+    # exposed through stats['persisted'] so long-lived sessions composing
+    # many pipelines can release them deterministically after materializing
+    # the output (unpersist_stages) instead of leaning on LRU eviction.
+    persisted: list[DataFrame] = []
+    if stats is not None:
+        stats.setdefault("persisted", persisted)
+        persisted = stats["persisted"]
     if persist_stages:
         filtered = filtered.persist()
+        persisted.append(filtered)
     kept = near_dedup(
         filtered,
         method=dedup_method,
@@ -121,6 +129,7 @@ def corpus_pipeline(
     )
     if persist_stages:
         kept = kept.persist()
+        persisted.append(kept)
     if dup_span_n is not None:
         from ocr_spark.operators.corpus_clean import dup_span_removal
 
@@ -150,6 +159,18 @@ def corpus_pipeline(
     if scrub:
         kept = kept.withColumn(text_col, pii_scrub(F.col(text_col)))
     return kept
+
+
+def unpersist_stages(stats: dict, blocking: bool = False) -> int:
+    """Release the stage caches a corpus_pipeline(stats=...) run persisted.
+    Call AFTER materializing (writing/collecting) the pipeline output —
+    unpersisting earlier would just re-run the upstream chains. Returns the
+    number of frames released; idempotent (the handle list is drained)."""
+    n = 0
+    for df in stats.pop("persisted", []):
+        df.unpersist(blocking)
+        n += 1
+    return n
 
 
 def corpus_pipeline_sql(

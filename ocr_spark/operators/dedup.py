@@ -666,7 +666,13 @@ def dedup_clusters(
     # materialize the pair list ONCE: the symmetrized edge union evaluates
     # its input per branch, so building edges straight off an expensive
     # near-dup join would run that join twice before any caching fills;
-    # the observation gives auto its pair count from the same job
+    # the observation gives auto its pair count from the same job.
+    # persist()+count, NOT localCheckpoint: pairs_m is fully consumed
+    # before every return below, so its blocks are RELEASED on exit (a
+    # localCheckpoint's blocks are unreleasable-by-API and lived for the
+    # whole session — the round-4 cache-accumulation complaint); lineage
+    # truncation is only essential for the ITERATIVE round frames, which
+    # keep their localCheckpoints (bounded by the round count).
     obs = Observation("dedup_clusters_pairs")
     # drop null-id pairs ONCE here so all three algorithms see the same
     # edge set (a null never equi-joins in the distributed paths, but the
@@ -675,8 +681,9 @@ def dedup_clusters(
         pairs.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"))
         .na.drop()
         .observe(obs, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    pairs_m.count()  # one job: fills the cache AND the observation
     from_auto = algorithm == "auto"
     if algorithm == "auto":
         n_pairs = obs.get["n"] or 0
@@ -689,10 +696,14 @@ def dedup_clusters(
         if isinstance(pairs_m.schema["id_a"].dataType, T.StringType):
             budget //= 8
         if n_pairs <= budget:
-            return _clusters_driver(pairs_m, stats=stats)
+            out = _clusters_driver(pairs_m, stats=stats)
+            pairs_m.unpersist()  # toPandas consumed it eagerly
+            return out
         algorithm = "label"
     if algorithm == "star":
-        return _clusters_star(pairs_m, max_rounds=max_rounds, stats=stats)
+        out = _clusters_star(pairs_m, max_rounds=max_rounds, stats=stats)
+        pairs_m.unpersist()  # star's eager round checkpoints consumed it
+        return out
     edges = pairs_m.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs_m.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -736,6 +747,7 @@ def dedup_clusters(
             # high-diameter component — restart on star (log-round bound);
             # pairs_m is already materialized so nothing upstream re-runs
             out = _clusters_star(pairs_m, max_rounds=max_rounds, stats=stats)
+            pairs_m.unpersist()
             if stats is not None:
                 stats["algorithm"] = "label->star"
                 stats["label_rounds_before_switch"] = rounds
@@ -756,6 +768,8 @@ def dedup_clusters(
         stats["rounds"] = rounds
         stats["converged"] = converged
         stats["algorithm"] = "label"
+    pairs_m.unpersist()  # the returned frame reads only the final round's
+    # checkpoint, never pairs_m
     return labels.select("id", F.col("label").alias("rep"))
 
 

@@ -227,3 +227,42 @@ class TestLangIdProfiles:
         )
         got = {r["doc_id"]: r["lang_pred"] for r in lang_id_profile(df).collect()}
         assert got == {1: "und", 2: "und", 3: "und"}
+
+
+class TestUnpersistStages:
+    def test_zero_cached_rdds_after_unpersist(self, spark):
+        """corpus_pipeline(stats=...) exposes its persisted stage handles;
+        unpersist_stages releases every one after the output materializes
+        (no reliance on LRU eviction in long-lived sessions)."""
+        from ocr_spark.operators.corpus import corpus_pipeline, unpersist_stages
+
+        docs = spark.createDataFrame(
+            [
+                (
+                    i,
+                    "the quick brown fox and the lazy dog share many plain "
+                    "words. Good sentence one. Another sentence two. "
+                    f"unique tail {i} keeps the quality filter satisfied.",
+                )
+                for i in range(6)
+            ],
+            "doc_id long, text string",
+        )
+        stats: dict = {}
+        out = corpus_pipeline(docs, min_quality=0.0, stats=stats)
+        out.write.format("noop").mode("overwrite").save()  # materialize
+        assert len(stats["persisted"]) == 2  # filtered + kept boundaries
+        released = unpersist_stages(stats)
+        assert released == 2
+        jsc = spark.sparkContext._jsc.sc()
+        assert jsc.getPersistentRDDs().size() == 0
+        assert unpersist_stages(stats) == 0  # idempotent
+
+    def test_no_stats_dict_still_works(self, spark):
+        from ocr_spark.operators.corpus import corpus_pipeline
+
+        docs = spark.createDataFrame(
+            [(1, "plain words in a sentence. More words here. And more.")],
+            "doc_id long, text string",
+        )
+        assert corpus_pipeline(docs, min_quality=0.0).count() >= 0
