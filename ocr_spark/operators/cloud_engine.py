@@ -54,9 +54,10 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def png_encode(img: np.ndarray) -> bytes:
+def png_encode(img: np.ndarray, interlace: bool = False) -> bytes:
     """Spec-conformant PNG: 8-bit grayscale (2-D) or RGB (H,W,3), filter 0
-    scanlines, one zlib IDAT. Deterministic (fixed compression level)."""
+    scanlines, one zlib IDAT. Deterministic (fixed compression level).
+    interlace=True writes Adam7 (7 reduced images in pass order)."""
     if img.dtype != np.uint8:
         raise ValueError(f"png_encode expects uint8, got {img.dtype}")
     if img.ndim == 2:
@@ -67,11 +68,30 @@ def png_encode(img: np.ndarray) -> bytes:
         flat = img.reshape(h, w * 3)
     else:
         raise ValueError(f"png_encode expects (H,W) or (H,W,3), got {img.shape}")
-    # filter byte 0 prepended to every scanline
-    scanlines = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), flat], axis=1
-    ).tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ch = 1 if color_type == 0 else 3
+    if interlace:
+        # Adam7: 7 reduced images, filter byte 0 per reduced scanline
+        px = flat.reshape(h, w, ch)
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[0], sub.shape[1]
+            parts.append(
+                np.concatenate(
+                    [np.zeros((ph, 1), dtype=np.uint8),
+                     sub.reshape(ph, pw * ch)],
+                    axis=1,
+                ).tobytes()
+            )
+        scanlines = b"".join(parts)
+    else:
+        # filter byte 0 prepended to every scanline
+        scanlines = np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), flat], axis=1
+        ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(bool(interlace)))
     return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
@@ -80,58 +100,31 @@ def png_encode(img: np.ndarray) -> bytes:
     )
 
 
-def png_decode(data: bytes) -> np.ndarray:
-    """Real PNG decoder (stdlib zlib): 8-bit grayscale / RGB / gray+alpha /
-    RGBA, non-interlaced, all five scanline filter types. Returns (H,W) or
-    (H,W,C) uint8. Alpha is dropped (the kernels are opaque-image ops).
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec order
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Unfiltering is vectorized where the filter's data dependence allows:
-    None/Up are whole-row ops, Sub is a per-channel-lane cumulative sum
-    (mod-256 distributes over the prefix sum), Average/Paeth are inherently
-    left-to-right but iterate per PIXEL with channel-vectorized math.
-    Decompression is bounded by the IHDR-derived scanline size, so a
-    crafted zlib-bomb IDAT cannot balloon past the declared image.
 
-    This is a genuine codec, not a stub — with it the binaryFile sidecar
-    path decodes actual .png payloads end to end (S1, ref
-    ocr_workflow_orchestrator.py:153-178 loads real image files)."""
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG (bad signature)")
-    pos = 8
-    width = height = None
-    color_type = bit_depth = interlace = None
-    idat_parts: list[bytes] = []
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack(">I", data[pos : pos + 4])
-        tag = data[pos + 4 : pos + 8]
-        payload = data[pos + 8 : pos + 8 + length]
-        if tag == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", payload)
-            )
-        elif tag == b"IDAT":
-            idat_parts.append(payload)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or interlace != 0:
-        raise ValueError(
-            f"unsupported PNG: bit_depth={bit_depth} interlace={interlace} "
-            "(8-bit non-interlaced only)"
-        )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise ValueError(f"unsupported PNG color type {color_type}")
-    stride = width * channels
-    expected = height * (stride + 1)
+def _png_inflate(idat_parts: list[bytes], expected: int) -> bytes:
+    """Inflate the joined IDAT stream to exactly `expected` bytes.
+    Decompression is bounded by the IHDR-derived size, so a crafted
+    zlib-bomb IDAT cannot balloon past the declared image."""
     dec = zlib.decompressobj()
     raw = dec.decompress(b"".join(idat_parts), expected)
     if len(raw) != expected:
         raise ValueError("corrupt PNG: wrong decompressed length")
     if dec.unconsumed_tail and dec.decompress(dec.unconsumed_tail, 1):
         raise ValueError("corrupt PNG: stream longer than the declared image")
+    return raw
+
+
+def _png_unfilter(raw: bytes, height: int, width: int, channels: int) -> np.ndarray:
+    """Unfilter `height` scanlines of `width` pixels — the core shared by
+    the non-interlaced path and each Adam7 reduced image. Returns
+    (height, width*channels) uint8."""
+    stride = width * channels
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = raw[:, 0]
     out = np.zeros((height, stride), dtype=np.uint8)
@@ -172,7 +165,80 @@ def png_decode(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter type {ft}")
         out[y] = cur
-    img = out.reshape(height, width, channels)
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Real PNG decoder (stdlib zlib): 8-bit grayscale / RGB / gray+alpha /
+    RGBA, non-interlaced AND Adam7-interlaced (round 5), all five scanline
+    filter types. Returns (H,W) or (H,W,C) uint8. Alpha is dropped (the
+    kernels are opaque-image ops).
+
+    Unfiltering is vectorized where the filter's data dependence allows:
+    None/Up are whole-row ops, Sub is a per-channel-lane cumulative sum
+    (mod-256 distributes over the prefix sum), Average/Paeth are inherently
+    left-to-right but iterate per PIXEL with channel-vectorized math.
+
+    This is a genuine codec, not a stub — with it the binaryFile sidecar
+    path decodes actual .png payloads end to end (S1, ref
+    ocr_workflow_orchestrator.py:153-178 loads real image files)."""
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    idat_parts: list[bytes] = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", payload)
+            )
+        elif tag == b"IDAT":
+            idat_parts.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace not in (0, 1):
+        raise ValueError(
+            f"unsupported PNG: bit_depth={bit_depth} interlace={interlace} "
+            "(8-bit, interlace 0 or Adam7 only)"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if interlace == 0:
+        stride = width * channels
+        expected = height * (stride + 1)
+        raw = _png_inflate(idat_parts, expected)
+        img = _png_unfilter(raw, height, width, channels).reshape(
+            height, width, channels
+        )
+    else:
+        # Adam7: the stream is 7 consecutive reduced images, each with its
+        # own filtered scanlines; decode each pass with the same unfilter
+        # core and scatter into the full image on the pass grid
+        passes = [
+            (x0, y0, dx, dy, (width - x0 + dx - 1) // dx, (height - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+        ]
+        expected = sum(
+            ph * (pw * channels + 1) for *_x, pw, ph in passes if pw and ph
+        )
+        raw = _png_inflate(idat_parts, expected)
+        img = np.zeros((height, width, channels), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            if not pw or not ph:
+                continue
+            size = ph * (pw * channels + 1)
+            sub = _png_unfilter(raw[pos : pos + size], ph, pw, channels)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            pos += size
     if channels == 1:
         return img[:, :, 0].copy()
     if channels == 2:  # gray + alpha → gray

@@ -1235,8 +1235,7 @@ def gif_decode_frames(data: bytes) -> list[np.ndarray]:
             n = 2 << (lflags & 7)
             pal = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
             pos += n * 3
-        if lflags & 0x40:
-            raise ValueError("interlaced GIF not supported")
+        interlaced = bool(lflags & 0x40)
         if pal is None:
             raise ValueError("GIF frame has no palette")
         min_code = data[pos]
@@ -1250,6 +1249,12 @@ def gif_decode_frames(data: bytes) -> list[np.ndarray]:
         idx = np.frombuffer(
             _lzw_decode(min_code, bytes(lzw), iw * ih), np.uint8
         ).reshape(ih, iw)
+        if interlaced:
+            # GIF interlace stores rows in 4 passes (0::8, 4::8, 2::4,
+            # 1::2); scatter the stored order back onto the frame grid
+            idx2 = np.empty_like(idx)
+            idx2[_gif_interlace_order(ih)] = idx
+            idx = idx2
         canvas[iy : iy + ih, ix : ix + iw] = pal[idx % len(pal)]
         frames.append(canvas.copy())
     if not frames:
@@ -1257,10 +1262,23 @@ def gif_decode_frames(data: bytes) -> list[np.ndarray]:
     return frames
 
 
-def gif_encode(frames: list[np.ndarray] | np.ndarray) -> bytes:
+def _gif_interlace_order(h: int) -> list[int]:
+    """Frame-row order of an interlaced GIF's stored scanlines."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def gif_encode(
+    frames: list[np.ndarray] | np.ndarray, interlace: bool = False
+) -> bytes:
     """GIF89a encoder: one or more (H,W) gray or (H,W,3) RGB frames, each
     quantized to a per-frame 256-color palette (exact when <=256 distinct
-    colors — always true for our synthetic/grayscale fixtures)."""
+    colors — always true for our synthetic/grayscale fixtures).
+    interlace=True stores each frame's rows in 4-pass interlace order."""
     if isinstance(frames, np.ndarray):
         frames = [frames]
     frames = [
@@ -1292,11 +1310,17 @@ def gif_encode(frames: list[np.ndarray] | np.ndarray) -> bytes:
         if len(frames) > 1:
             out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # GCE: 0.1s delay
         out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
-        out += bytes([0x80 | (bits - 1)])  # local palette
+        lf = 0x80 | (bits - 1)  # local palette
+        if interlace:
+            lf |= 0x40
+        out += bytes([lf])
         out += pal.tobytes()
         min_code = max(2, bits)
         out.append(min_code)
-        lzw = _lzw_encode(min_code, bytes(inv.astype(np.uint8)))
+        idx2d = inv.astype(np.uint8).reshape(h, w)
+        if interlace:
+            idx2d = idx2d[_gif_interlace_order(h)]
+        lzw = _lzw_encode(min_code, idx2d.tobytes())
         for i in range(0, len(lzw), 255):
             chunk = lzw[i : i + 255]
             out.append(len(chunk))

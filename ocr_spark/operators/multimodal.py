@@ -72,6 +72,8 @@ def detect_codec(head: bytes) -> str | None:
         return "tiff"
     if h[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if h[:4] == b"RIFF" and h[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -106,6 +108,10 @@ def decode_image(content: bytes, codec: str = "auto") -> np.ndarray:
         from ocr_spark.operators.image_codecs import gif_decode_frames
 
         return gif_decode_frames(content)[0]
+    if codec == "webp":
+        from ocr_spark.operators.webp_codec import webp_decode
+
+        return webp_decode(content)
     if codec == "synthetic":
         from ocr_spark.operators.media_kernels import bytes_to_image
 

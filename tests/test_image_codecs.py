@@ -258,6 +258,8 @@ def test_sidecar_mixed_formats_end_to_end(spark, tmp_path, gray):
     from ocr_spark.schema import DOC_SCHEMA
     from ocr_spark.sources.media import sidecar_df, synth_media_batch
 
+    from ocr_spark.operators.webp_codec import webp_encode
+
     base = synth_media_batch(["mix-a"])[0]  # 32x32 native kernel size
     d = tmp_path / "mix"
     d.mkdir()
@@ -267,12 +269,25 @@ def test_sidecar_mixed_formats_end_to_end(spark, tmp_path, gray):
     (d / "d.tif").write_bytes(tiff_encode(base))
     (d / "e.gif").write_bytes(gif_encode(np.stack([base] * 3, axis=2)))
     (d / "f.jpeg").write_bytes(jpeg_encode_progressive(base, quality=95))
+    # round-5 formats: WebP lossless (plain + through both transforms),
+    # Adam7-interlaced PNG, interlaced GIF
+    (d / "g.webp").write_bytes(webp_encode(base))
+    (d / "h.webp").write_bytes(
+        webp_encode(base, subtract_green=True, predictor_mode=11)
+    )
+    (d / "i.png").write_bytes(png_encode(base, interlace=True))
+    (d / "j.gif").write_bytes(
+        gif_encode(np.stack([base] * 3, axis=2), interlace=True)
+    )
 
     sidecar = sidecar_df(spark, str(d) + "/*")
-    uris = {r.media_ref.rsplit(".", 1)[-1]: r.media_ref for r in sidecar.collect()}
-    assert set(uris) == {"png", "jpg", "bmp", "tif", "gif", "jpeg"}
+    uris = {r.media_ref.rsplit("/", 1)[-1]: r.media_ref for r in sidecar.collect()}
+    assert set(uris) == {
+        "a.png", "b.jpg", "c.bmp", "d.tif", "e.gif", "f.jpeg",
+        "g.webp", "h.webp", "i.png", "j.gif",
+    }
     docs = spark.createDataFrame(
-        [(ext, [("media", None, uri, 0)]) for ext, uri in uris.items()],
+        [(name, [("media", None, uri, 0)]) for name, uri in uris.items()],
         DOC_SCHEMA,
     )
     out = {r.doc_id: r for r in extract_documents(docs, media_sidecar=sidecar).collect()}
@@ -281,5 +296,287 @@ def test_sidecar_mixed_formats_end_to_end(spark, tmp_path, gray):
     }
     # lossless formats decode to the identical image → identical extraction
     texts = {k: out[k].spans[0].text for k in out}
-    assert texts["png"] == texts["bmp"] == texts["tif"] == texts["gif"]
+    assert (
+        texts["a.png"] == texts["c.bmp"] == texts["d.tif"] == texts["e.gif"]
+        == texts["g.webp"] == texts["h.webp"] == texts["i.png"]
+        == texts["j.gif"]
+    )
     assert all(isinstance(t, str) for t in texts.values())
+
+
+# ---------------------------------------------------------------------------
+# round 5: WebP VP8L codec + Adam7 PNG + interlaced GIF
+# ---------------------------------------------------------------------------
+
+
+class TestAdam7Png:
+    def test_roundtrip_all_shapes(self):
+        from ocr_spark.operators.cloud_engine import png_decode, png_encode
+
+        rng = np.random.RandomState(3)
+        for shape in [(1, 1), (2, 3), (7, 5), (8, 8), (13, 17), (64, 48)]:
+            g = rng.randint(0, 256, size=shape).astype(np.uint8)
+            assert np.array_equal(png_decode(png_encode(g, interlace=True)), g)
+            rgb = rng.randint(0, 256, size=shape + (3,)).astype(np.uint8)
+            assert np.array_equal(
+                png_decode(png_encode(rgb, interlace=True)), rgb
+            )
+
+
+class TestInterlacedGif:
+    def test_roundtrip(self):
+        rng = np.random.RandomState(5)
+        for shape in [(1, 1), (7, 5), (13, 17)]:
+            g = (rng.randint(0, 8, size=shape) * 32).astype(np.uint8)
+            dec = gif_decode_frames(gif_encode(g, interlace=True))[0]
+            assert np.array_equal(dec, np.stack([g] * 3, axis=2)), shape
+
+    def test_multiframe_interlaced(self):
+        rng = np.random.RandomState(6)
+        fr = [(rng.randint(0, 8, size=(9, 11)) * 30).astype(np.uint8) for _ in range(3)]
+        decs = gif_decode_frames(gif_encode(fr, interlace=True))
+        assert len(decs) == 3
+        assert np.array_equal(decs[-1], np.stack([fr[-1]] * 3, axis=2))
+
+
+class TestWebPVp8l:
+    def test_roundtrip_plain_and_transforms(self):
+        from ocr_spark.operators.webp_codec import webp_decode, webp_encode
+
+        rng = np.random.RandomState(11)
+        for shape in [(1, 1), (5, 7), (16, 16), (23, 17)]:
+            rgb = rng.randint(0, 256, size=shape + (3,)).astype(np.uint8)
+            assert np.array_equal(webp_decode(webp_encode(rgb)), rgb)
+            assert np.array_equal(
+                webp_decode(webp_encode(rgb, subtract_green=True)), rgb
+            )
+            assert np.array_equal(
+                webp_decode(
+                    webp_encode(rgb, subtract_green=True, predictor_mode=11)
+                ),
+                rgb,
+            )
+
+    def test_all_14_predictor_modes_invert(self):
+        from ocr_spark.operators.webp_codec import webp_decode, webp_encode
+
+        rng = np.random.RandomState(12)
+        rgb = rng.randint(0, 256, size=(9, 13, 3)).astype(np.uint8)
+        for mode in range(14):
+            got = webp_decode(webp_encode(rgb, predictor_mode=mode))
+            assert np.array_equal(got, rgb), f"predictor mode {mode}"
+
+    def test_lossy_vp8_raises_named_envelope(self):
+        import struct
+
+        from ocr_spark.operators.webp_codec import webp_decode
+
+        payload = b"\x00" * 10
+        chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+        data = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+        with pytest.raises(NotImplementedError, match="VP8"):
+            webp_decode(data)
+
+    def test_decode_image_sniffs_webp(self):
+        from ocr_spark.operators.multimodal import decode_image, detect_codec
+        from ocr_spark.operators.webp_codec import webp_encode
+
+        rng = np.random.RandomState(13)
+        rgb = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+        blob = webp_encode(rgb)
+        assert detect_codec(blob[:12]) == "webp"
+        assert np.array_equal(decode_image(blob), rgb)
+
+    # -- hand-crafted streams for the paths the literal-only encoder
+    #    never emits: LZ77 backward refs, color cache, color indexing -----
+
+    @staticmethod
+    def _wrap(payload: bytes) -> bytes:
+        import struct
+
+        chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunk += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    @staticmethod
+    def _header(bw, w, h):
+        bw.write(0x2F, 8)
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(0, 1)  # no transforms
+
+    @staticmethod
+    def _green_code_two_symbols(bw, sym_a, sym_b):
+        """Code-length-coded green code with exactly two length-1 symbols
+        (sym_a < sym_b can exceed 255 — e.g. length/cache symbols, which
+        SIMPLE codes cannot express). Uses 17/18 zero-runs, so this also
+        covers the repeat paths of the code-length decoder."""
+        assert sym_a < sym_b
+        # plan the code-length-symbol emissions first: max_symbol counts
+        # read ITERATIONS (each 17/18 repeat is ONE read filling many
+        # slots), so it must equal the emission count, not the slot count
+        ops = []
+
+        def plan_zero_run(n):
+            # split into 18-runs (11..138) and 17-runs (3..10), keeping any
+            # remainder >= 3; callers never pass n in 1..2
+            assert n >= 3
+            while n > 0:
+                if n >= 11:
+                    take = min(n, 138)
+                    if 0 < n - take < 3:
+                        take = n - 3
+                    ops.append(("18", take))
+                else:
+                    take = n
+                    ops.append(("17", take))
+                n -= take
+
+        if sym_a > 0:
+            plan_zero_run(sym_a)
+        ops.append(("one",))
+        gap = sym_b - sym_a - 1
+        if gap:
+            plan_zero_run(gap)
+        ops.append(("one",))
+
+        bw.write(0, 1)  # not simple
+        # code-length code over symbols {1, 17, 18}: lengths 1, 2, 2
+        # kOrder = [17,18,0,1,...]: index0=17, index1=18, symbol 1 at index 3
+        bw.write(4 - 4, 4)  # num_code_lengths = 4
+        bw.write(2, 3)  # 17 -> len 2
+        bw.write(2, 3)  # 18 -> len 2
+        bw.write(0, 3)  # 0  -> unused
+        bw.write(1, 3)  # 1  -> len 1
+        bw.write(1, 1)  # use max_symbol
+        bw.write(3, 3)  # length_nbits = 8
+        assert 2 <= len(ops) <= 257
+        bw.write(len(ops) - 2, 8)  # stop after the planned reads
+        # canonical: symbol1 -> '0'; 17 -> '10'; 18 -> '11'
+        for op in ops:
+            if op[0] == "one":
+                bw.write(0, 1)
+            elif op[0] == "17":
+                bw.write(1, 1)
+                bw.write(0, 1)
+                bw.write(op[1] - 3, 3)
+            else:
+                bw.write(1, 1)
+                bw.write(1, 1)
+                bw.write(op[1] - 11, 7)
+
+    def test_lz77_backward_reference_and_distance_map(self):
+        """Green code carries a literal and length-symbol 256; distance code
+        is simple(13) + 5 extra bits -> prefix value 121 -> plain distance 1
+        (the >120 branch). Stream: literal pixel, then a backref copying it
+        3 more times."""
+        from ocr_spark.operators.webp_codec import (
+            _BitWriter,
+            _write_simple_1symbol,
+            webp_decode,
+        )
+
+        bw = _BitWriter()
+        self._header(bw, 4, 1)
+        bw.write(0, 1)  # no meta
+        bw.write(0, 1)  # no cache
+        self._green_code_two_symbols(bw, 7, 256)  # literal g=7, len code 0
+        _write_simple_1symbol(bw, 200)  # red
+        _write_simple_1symbol(bw, 100)  # blue
+        _write_simple_1symbol(bw, 255)  # alpha
+        _write_simple_1symbol(bw, 13)  # distance prefix code 13
+        # pixel 0: literal (green code '0')
+        bw.write(0, 1)
+        # pixels 1-3: length symbol 256 (code '1'), length prefix 0 has no
+        # extra bits in the GREEN alphabet? length code = sym-256 = 0 ->
+        # value 1; emit three backrefs of length 1
+        for _ in range(3):
+            bw.write(1, 1)  # green symbol 256 -> length code 0 -> len 1
+            # distance code symbol 13 costs 0 bits (single-symbol code),
+            # then 5 extra bits valued 24 -> 96+24+1 = 121 -> dist 1
+            bw.write(24, 5)
+        img = webp_decode(self._wrap(bw.done()))
+        assert img.shape == (1, 4, 3)
+        assert (img == np.array([200, 7, 100], dtype=np.uint8)).all()
+
+    def test_color_cache_hit(self):
+        """cache_bits=4; literal pixel inserted into the cache, then the
+        cache symbol re-emits it."""
+        from ocr_spark.operators.webp_codec import (
+            _BitWriter,
+            _write_simple_1symbol,
+            webp_decode,
+        )
+
+        px = (0xFF << 24) | (200 << 16) | (7 << 8) | 100
+        idx = ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - 4)
+        bw = _BitWriter()
+        self._header(bw, 2, 1)
+        bw.write(0, 1)  # no meta
+        bw.write(1, 1)  # cache on
+        bw.write(4, 4)  # cache_bits = 4
+        self._green_code_two_symbols(bw, 7, 256 + 24 + idx)
+        _write_simple_1symbol(bw, 200)
+        _write_simple_1symbol(bw, 100)
+        _write_simple_1symbol(bw, 255)
+        _write_simple_1symbol(bw, 0)  # distance unused
+        bw.write(0, 1)  # literal
+        bw.write(1, 1)  # cache symbol
+        img = webp_decode(self._wrap(bw.done()))
+        assert (img == np.array([200, 7, 100], dtype=np.uint8)).all()
+        assert img.shape == (1, 2, 3)
+
+    def test_color_indexing_with_bundling(self):
+        """4-color palette -> width_bits=2 (four 2-bit indices per green
+        byte): exercises palette delta-decoding AND sub-8-bit bundling."""
+        from ocr_spark.operators.webp_codec import (
+            _BitWriter,
+            _write_literal_image,
+            webp_decode,
+        )
+
+        palette = [
+            (0xFF << 24) | (10 << 16) | (20 << 8) | 30,
+            (0xFF << 24) | (50 << 16) | (60 << 8) | 70,
+            (0xFF << 24) | (90 << 16) | (100 << 8) | 110,
+            (0xFF << 24) | (130 << 16) | (140 << 8) | 150,
+        ]
+        # palette stream is delta-coded per channel
+        deltas = []
+        prev = 0
+        for p in palette:
+            d = 0
+            for shift in (24, 16, 8, 0):
+                d |= (((p >> shift) - (prev >> shift)) & 0xFF) << shift
+            deltas.append(d)
+            prev = p
+        w, h = 6, 2  # packed width ceil(6/4) = 2
+        indices = np.array([[0, 1, 2, 3, 2, 1], [3, 2, 1, 0, 1, 2]])
+        packed = np.zeros((h, 2), dtype=np.uint32)
+        for y in range(h):
+            for x in range(w):
+                byte_i = x >> 2
+                packed[y, byte_i] |= indices[y, x] << ((x % 4) * 2)
+        bw = _BitWriter()
+        bw.write(0x2F, 8)
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+        bw.write(1, 1)  # transform present
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(4 - 1, 8)  # n_colors = 4
+        _write_literal_image(bw, np.array(deltas, dtype=np.uint32), main=False)
+        bw.write(0, 1)  # no more transforms
+        main = (0xFF000000 | (packed << 8)).astype(np.uint32).reshape(-1)
+        _write_literal_image(bw, main, main=True)
+        img = webp_decode(self._wrap(bw.done()))
+        assert img.shape == (2, 6, 3)
+        for y in range(h):
+            for x in range(w):
+                p = palette[indices[y, x]]
+                want = [(p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF]
+                assert list(img[y, x]) == want, (y, x)
