@@ -132,6 +132,21 @@ class TestQueryBoardCap:
         assert [k for k in qs if k not in oracles] == []
         assert [k for k in oracles if k not in qs] == []
 
+    def test_readme_counts_match_reality(self):
+        """README's self-reported query count must equal len(queries()) —
+        r4's VERDICT caught hand-written counters drifting."""
+        import os
+        import re
+
+        import __spark_entry__ as E
+
+        readme = open(
+            os.path.join(os.path.dirname(E.__file__), "README.md"),
+            encoding="utf-8",
+        ).read()
+        m = re.search(r"exactly (\d+) `queries\(\)`", readme)
+        assert m and int(m.group(1)) == len(E.queries())
+
 
 class TestPhash64PurePython:
     def test_high_bit_hash_is_signed_python_int(self):
