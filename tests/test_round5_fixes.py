@@ -263,14 +263,17 @@ class TestUnpersistStages:
             ],
             "doc_id long, text string",
         )
+        jsc = spark.sparkContext._jsc.sc()
+        # other tests in the shared session may hold their own caches —
+        # assert on the DELTA this pipeline adds, not the absolute count
+        before = jsc.getPersistentRDDs().size()
         stats: dict = {}
         out = corpus_pipeline(docs, min_quality=0.0, stats=stats)
         out.write.format("noop").mode("overwrite").save()  # materialize
         assert len(stats["persisted"]) == 2  # filtered + kept boundaries
         released = unpersist_stages(stats)
         assert released == 2
-        jsc = spark.sparkContext._jsc.sc()
-        assert jsc.getPersistentRDDs().size() == 0
+        assert jsc.getPersistentRDDs().size() <= before
         assert unpersist_stages(stats) == 0  # idempotent
 
     def test_no_stats_dict_still_works(self, spark):
