@@ -1,0 +1,696 @@
+"""Container probes: real metadata parsing for media the pipeline cannot
+(or should not) fully decode.
+
+At 100-TB crawl scale the first thing a pipeline does with an audio/video
+payload is NOT decode it — it's read the container header to decide
+whether to keep it at all (duration caps, codec allowlists, bitrate
+floors, resolution filters). This module implements those header walks
+for real, from the public specs, with decode itself left to the real
+codecs (`audio_codecs`, `flac_codec`) where we have them and explicitly
+stubbed where we don't (mp3/ogg/aac payload decode, mp4 video frames):
+
+  mp3_probe  — ID3v2 skip (syncsafe size + footer flag), MPEG frame-header
+               walk across versions 1/2/2.5 × layers I/II/III (full
+               bitrate/sample-rate tables, padding, frame-size formulas),
+               Xing/Info and VBRI VBR headers, resync-on-garbage; emits
+               n_frames, duration, average bitrate, VBR flag, channels.
+  ogg_probe  — page walk ("OggS", lacing segments, granule positions, page
+               CRC-32 poly 0x04C11DB7 verified), codec identification from
+               the BOS page (Vorbis ident header: channels + rate + nominal
+               bitrate; OpusHead: channels + pre-skip, granules at 48 kHz;
+               Theora marker), duration from the stream's last granule.
+  mp4_probe  — ISO-BMFF box walk (32/64-bit sizes), ftyp brand, mvhd
+               movie duration, per-trak mdhd/hdlr/stsd (handler, sample-
+               entry fourcc, track duration), tkhd 16.16 display size.
+  flac_probe / wav_probe — header-only duration/rate/channels (no decode;
+               the real decoders live in flac_codec / audio_codecs).
+
+`media_probe(assets)` is the Spark surface: one mapInPandas stage over
+(media_ref, content) that sniffs the container and emits a typed row per
+asset with a per-asset error envelope — the same contract as
+image_features/audio_features. Fixture synthesizers (`synth_mp3`,
+`synth_ogg`, `synth_mp4`) build valid streams so the probes are
+golden-testable without third-party media.
+
+Reference parity: the reference's media surface is PIL image loading plus
+a spec doc (`OCR-X_Component_Breakdown_OptionB.md:11-18` lists the
+acquisition formats); the probe fields follow the public MPEG-1/2 audio,
+Ogg (RFC 3533), Vorbis I, Opus (RFC 7845) and ISO BMFF (14496-12) specs.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1/2/2.5 audio frame headers)
+# ---------------------------------------------------------------------------
+
+# bitrate tables in kbps, index 1..14 (0 = free, 15 = bad)
+_BR_V1_L1 = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448]
+_BR_V1_L2 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384]
+_BR_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_BR_V2_L1 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256]
+_BR_V2_L23 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+
+_SR_BY_VERSION = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def _mp3_frame_info(hdr: int) -> dict | None:
+    """Parse a 32-bit MPEG audio frame header; None if invalid."""
+    if (hdr >> 21) & 0x7FF != 0x7FF:
+        return None
+    version = (hdr >> 19) & 3  # 0=2.5, 1=reserved, 2=V2, 3=V1
+    layer = (hdr >> 17) & 3  # 1=III, 2=II, 3=I
+    br_idx = (hdr >> 12) & 0xF
+    sr_idx = (hdr >> 10) & 3
+    padding = (hdr >> 9) & 1
+    mode = (hdr >> 6) & 3  # 3 = mono
+    if version == 1 or layer == 0 or br_idx in (0, 15) or sr_idx == 3:
+        return None
+    sample_rate = _SR_BY_VERSION[version][sr_idx]
+    if version == 3:  # MPEG-1
+        table = {3: _BR_V1_L1, 2: _BR_V1_L2, 1: _BR_V1_L3}[layer]
+    else:  # MPEG-2 / 2.5
+        table = _BR_V2_L1 if layer == 3 else _BR_V2_L23
+    bitrate = table[br_idx] * 1000
+    if layer == 3:  # Layer I
+        frame_size = (12 * bitrate // sample_rate + padding) * 4
+        samples = 384
+    elif layer == 2:  # Layer II
+        frame_size = 144 * bitrate // sample_rate + padding
+        samples = 1152
+    else:  # Layer III
+        if version == 3:
+            frame_size = 144 * bitrate // sample_rate + padding
+            samples = 1152
+        else:
+            frame_size = 72 * bitrate // sample_rate + padding
+            samples = 576
+    return {
+        "version": {3: "1", 2: "2", 0: "2.5"}[version],
+        "layer": {3: 1, 2: 2, 1: 3}[layer],
+        "sample_rate": sample_rate,
+        "bitrate": bitrate,
+        "frame_size": frame_size,
+        "samples": samples,
+        "n_channels": 1 if mode == 3 else 2,
+        "mono": mode == 3,
+    }
+
+
+def _skip_id3v2(content: bytes) -> int:
+    if content[:3] != b"ID3" or len(content) < 10:
+        return 0
+    flags = content[5]
+    size = 0
+    for b in content[6:10]:
+        if b & 0x80:
+            return 0  # not syncsafe -> not a real ID3 header
+        size = (size << 7) | b
+    return 10 + size + (10 if flags & 0x10 else 0)
+
+
+def mp3_probe(content: bytes, max_resync: int = 1 << 16) -> dict:
+    """Walk every MPEG audio frame; return container metadata.
+
+    Tolerates leading ID3v2 and up to `max_resync` bytes of junk between
+    frames (real crawls truncate and glue streams). Reads the Xing/Info or
+    VBRI header of the first frame when present (authoritative VBR frame
+    count). Raises ValueError if no valid frame exists.
+    """
+    pos = _skip_id3v2(content)
+    n = len(content)
+    n_frames = 0
+    total_samples = 0
+    bitrate_sum = 0
+    first: dict | None = None
+    xing_frames = None
+    junk = 0
+    while pos + 4 <= n:
+        info = _mp3_frame_info(int.from_bytes(content[pos : pos + 4], "big"))
+        if info is None or info["frame_size"] < 4:
+            pos += 1
+            junk += 1
+            if junk > max_resync:
+                break
+            continue
+        junk = 0
+        if first is None:
+            first = info
+            xing_frames = _read_vbr_header(content, pos, info)
+        n_frames += 1
+        total_samples += info["samples"]
+        bitrate_sum += info["bitrate"]
+        pos += info["frame_size"]
+    if first is None:
+        raise ValueError("no valid MPEG audio frame found")
+    if xing_frames:
+        # VBR header authoritative; payload may be truncated mid-stream
+        total_samples = xing_frames * first["samples"]
+        n_frames = xing_frames
+    duration = total_samples / first["sample_rate"]
+    avg_kbps = (bitrate_sum / n_frames / 1000.0) if n_frames else None
+    vbr = xing_frames is not None or (
+        n_frames > 1 and bitrate_sum != n_frames * first["bitrate"]
+    )
+    return {
+        "container": "mp3",
+        "codec": f"mpeg{first['version']}-layer{first['layer']}",
+        "sample_rate": first["sample_rate"],
+        "n_channels": first["n_channels"],
+        "n_frames": n_frames,
+        "duration_sec": duration,
+        "bitrate_kbps": avg_kbps,
+        "vbr": bool(vbr),
+    }
+
+
+def _read_vbr_header(content: bytes, frame_pos: int, info: dict) -> int | None:
+    """Xing/Info (at the side-info offset) or VBRI (fixed +32) frame count."""
+    if info["layer"] == 3:  # only Layer III carries side info
+        if info["version"] == "1":
+            off = 17 if info["mono"] else 32
+        else:
+            off = 9 if info["mono"] else 17
+        p = frame_pos + 4 + off
+        tag = content[p : p + 4]
+        if tag in (b"Xing", b"Info") and content[p + 7 : p + 8]:
+            flags = int.from_bytes(content[p + 4 : p + 8], "big")
+            if flags & 1 and len(content) >= p + 12:
+                return int.from_bytes(content[p + 8 : p + 12], "big")
+    p = frame_pos + 4 + 32
+    if content[p : p + 4] == b"VBRI" and len(content) >= p + 18:
+        return int.from_bytes(content[p + 14 : p + 18], "big")
+    return None
+
+
+def synth_mp3(
+    n_frames: int = 10,
+    version: str = "1",
+    layer: int = 3,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    mono: bool = False,
+    id3: bytes | None = None,
+    xing: bool = False,
+) -> bytes:
+    """Build a valid MPEG audio stream (zero payload) for probe fixtures."""
+    ver_bits = {"1": 3, "2": 2, "2.5": 0}[version]
+    layer_bits = {1: 3, 2: 2, 3: 1}[layer]
+    if ver_bits == 3:
+        table = {1: _BR_V1_L1, 2: _BR_V1_L2, 3: _BR_V1_L3}[layer]
+    else:
+        table = _BR_V2_L1 if layer == 1 else _BR_V2_L23
+    br_idx = table.index(bitrate_kbps)
+    sr_idx = _SR_BY_VERSION[ver_bits].index(sample_rate)
+    mode = 3 if mono else 0
+    hdr = (
+        (0x7FF << 21) | (ver_bits << 19) | (layer_bits << 17) | (1 << 16)
+        | (br_idx << 12) | (sr_idx << 10) | (mode << 6)
+    )
+    info = _mp3_frame_info(hdr)
+    assert info is not None
+    frame = bytearray(hdr.to_bytes(4, "big")) + b"\x00" * (info["frame_size"] - 4)
+    out = bytearray()
+    if id3 is not None:
+        body = id3
+        size = len(body)
+        ss = bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+        )
+        out += b"ID3\x04\x00\x00" + ss + body
+    if xing:
+        f0 = bytearray(frame)
+        off = (17 if mono else 32) if version == "1" else (9 if mono else 17)
+        p = 4 + off
+        f0[p : p + 4] = b"Xing"
+        f0[p + 4 : p + 8] = (1).to_bytes(4, "big")  # FRAMES flag
+        f0[p + 8 : p + 12] = n_frames.to_bytes(4, "big")
+        out += f0
+        out += frame * (n_frames - 1)
+    else:
+        out += frame * n_frames
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Ogg (RFC 3533) + Vorbis I / Opus (RFC 7845) identification
+# ---------------------------------------------------------------------------
+
+
+def _make_ogg_crc_table() -> np.ndarray:
+    table = np.zeros(256, dtype=np.uint32)
+    for byte in range(256):
+        crc = byte << 24
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if crc & 0x80000000 else (crc << 1) & 0xFFFFFFFF
+        table[byte] = crc
+    return table
+
+
+_OGG_CRC_TABLE = _make_ogg_crc_table()
+
+
+def ogg_crc(data: bytes) -> int:
+    crc = 0
+    tab = _OGG_CRC_TABLE
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ int(tab[((crc >> 24) ^ b) & 0xFF])
+    return crc
+
+
+def ogg_probe(content: bytes, verify_crc: bool = True) -> dict:
+    """Walk Ogg pages; identify the codec from the BOS packet and derive
+    duration from the last granule position of the first audio stream."""
+    pos, n = 0, len(content)
+    codec = None
+    sample_rate = None
+    n_channels = None
+    bitrate_kbps = None
+    pre_skip = 0
+    serial_of_interest = None
+    last_granule = None
+    n_pages = 0
+    while pos + 27 <= n:
+        if content[pos : pos + 4] != b"OggS":
+            raise ValueError(f"bad Ogg capture pattern at byte {pos}")
+        (granule,) = struct.unpack_from("<q", content, pos + 6)
+        (serial,) = struct.unpack_from("<I", content, pos + 14)
+        (crc_given,) = struct.unpack_from("<I", content, pos + 22)
+        nsegs = content[pos + 26]
+        seg_table = content[pos + 27 : pos + 27 + nsegs]
+        body_len = sum(seg_table)
+        page_end = pos + 27 + nsegs + body_len
+        if page_end > n:
+            raise ValueError("truncated Ogg page")
+        if verify_crc:
+            page = bytearray(content[pos:page_end])
+            page[22:26] = b"\x00\x00\x00\x00"
+            if ogg_crc(bytes(page)) != crc_given:
+                raise ValueError(f"Ogg page CRC mismatch at byte {pos}")
+        header_type = content[pos + 5]
+        body = content[pos + 27 + nsegs : page_end]
+        if header_type & 0x02 and codec is None:  # BOS
+            if body[:7] == b"\x01vorbis" and len(body) >= 28:
+                codec = "vorbis"
+                n_channels = body[11]
+                (sample_rate,) = struct.unpack_from("<I", body, 12)
+                (nominal,) = struct.unpack_from("<i", body, 20)
+                bitrate_kbps = nominal / 1000.0 if nominal > 0 else None
+                serial_of_interest = serial
+            elif body[:8] == b"OpusHead" and len(body) >= 19:
+                codec = "opus"
+                n_channels = body[9]
+                (pre_skip,) = struct.unpack_from("<H", body, 10)
+                sample_rate = 48000  # Opus granules are always 48 kHz
+                serial_of_interest = serial
+            elif body[:7] == b"\x80theora":
+                codec = "theora"
+        if serial == serial_of_interest and granule >= 0:
+            last_granule = granule
+        n_pages += 1
+        pos = page_end
+    if n_pages == 0:
+        raise ValueError("no Ogg pages found")
+    duration = None
+    if last_granule is not None and sample_rate:
+        samples = last_granule - (pre_skip if codec == "opus" else 0)
+        duration = max(0, samples) / sample_rate
+    return {
+        "container": "ogg",
+        "codec": codec,
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_frames": n_pages,
+        "duration_sec": duration,
+        "bitrate_kbps": bitrate_kbps,
+        "vbr": None,
+    }
+
+
+def _ogg_page(
+    body: bytes, serial: int, seq: int, granule: int, header_type: int
+) -> bytes:
+    segs = []
+    rest = body
+    while True:
+        segs.append(min(255, len(rest)))
+        if len(rest) < 255:
+            break
+        rest = rest[255:]
+    hdr = (
+        b"OggS\x00"
+        + bytes([header_type])
+        + struct.pack("<qII", granule, serial, seq)
+        + b"\x00\x00\x00\x00"
+        + bytes([len(segs)])
+        + bytes(segs)
+    )
+    page = bytearray(hdr + body)
+    crc = ogg_crc(bytes(page))
+    page[22:26] = struct.pack("<I", crc)
+    return bytes(page)
+
+
+def synth_ogg(
+    codec: str = "vorbis",
+    sample_rate: int = 44100,
+    n_channels: int = 2,
+    total_samples: int = 44100 * 3,
+    nominal_bitrate: int = 112000,
+    pre_skip: int = 312,
+    serial: int = 0x1234,
+) -> bytes:
+    """Build a minimal valid Ogg stream (ident BOS page + one data page
+    carrying the final granule) for probe fixtures."""
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis"
+            + struct.pack("<IB", 0, n_channels)
+            + struct.pack("<iiii", sample_rate, -1, nominal_bitrate, -1)
+            + b"\xb8\x01"
+        )
+        granule_end = total_samples
+    elif codec == "opus":
+        ident = (
+            b"OpusHead\x01"
+            + bytes([n_channels])
+            + struct.pack("<HIhB", pre_skip, sample_rate, 0, 0)
+        )
+        granule_end = total_samples + pre_skip
+    else:
+        raise ValueError(f"unknown synth codec {codec!r}")
+    p0 = _ogg_page(ident, serial, 0, 0, 0x02)
+    p1 = _ogg_page(b"\x00" * 64, serial, 1, granule_end, 0x04)
+    return p0 + p1
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO 14496-12)
+# ---------------------------------------------------------------------------
+
+
+def _walk_boxes(data: bytes, start: int, end: int) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (type, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated 64-bit box header")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError(f"invalid box size {size} for {btype!r}")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, btype: bytes) -> tuple[int, int] | None:
+    for t, b, e in _walk_boxes(data, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def mp4_probe(content: bytes) -> dict:
+    """ISO-BMFF box walk: brand, movie duration, per-track handler/codec/
+    duration, display width/height. Raises ValueError for non-BMFF data."""
+    n = len(content)
+    if n < 8 or content[4:8] not in (b"ftyp", b"moov", b"styp"):
+        raise ValueError("not an ISO-BMFF payload")
+    brand = None
+    duration = None
+    width = height = None
+    tracks: list[dict] = []
+    for btype, b, e in _walk_boxes(content, 0, n):
+        if btype == b"ftyp" and e - b >= 4:
+            brand = content[b : b + 4].decode("latin-1").strip()
+        elif btype == b"moov":
+            mvhd = _find_box(content, b, e, b"mvhd")
+            if mvhd:
+                mb, _ = mvhd
+                ver = content[mb]
+                if ver == 1:
+                    (ts,) = struct.unpack_from(">I", content, mb + 20)
+                    (dur,) = struct.unpack_from(">Q", content, mb + 24)
+                else:
+                    (ts,) = struct.unpack_from(">I", content, mb + 12)
+                    (dur,) = struct.unpack_from(">I", content, mb + 16)
+                if ts:
+                    duration = dur / ts
+            for t2, b2, e2 in _walk_boxes(content, b, e):
+                if t2 != b"trak":
+                    continue
+                trk: dict = {"handler": None, "codec": None, "duration_sec": None}
+                tkhd = _find_box(content, b2, e2, b"tkhd")
+                if tkhd:
+                    tb, te = tkhd
+                    if te - tb >= 8:
+                        (w16,) = struct.unpack_from(">I", content, te - 8)
+                        (h16,) = struct.unpack_from(">I", content, te - 4)
+                        if w16 and h16:
+                            width, height = w16 >> 16, h16 >> 16
+                mdia = _find_box(content, b2, e2, b"mdia")
+                if mdia:
+                    mb2, me2 = mdia
+                    mdhd = _find_box(content, mb2, me2, b"mdhd")
+                    if mdhd:
+                        hb, _ = mdhd
+                        ver = content[hb]
+                        if ver == 1:
+                            (ts2,) = struct.unpack_from(">I", content, hb + 20)
+                            (dur2,) = struct.unpack_from(">Q", content, hb + 24)
+                        else:
+                            (ts2,) = struct.unpack_from(">I", content, hb + 12)
+                            (dur2,) = struct.unpack_from(">I", content, hb + 16)
+                        if ts2:
+                            trk["duration_sec"] = dur2 / ts2
+                    hdlr = _find_box(content, mb2, me2, b"hdlr")
+                    if hdlr:
+                        hb2, _ = hdlr
+                        trk["handler"] = content[hb2 + 8 : hb2 + 12].decode("latin-1")
+                    minf = _find_box(content, mb2, me2, b"minf")
+                    if minf:
+                        stbl = _find_box(content, *minf, b"stbl")
+                        if stbl:
+                            stsd = _find_box(content, *stbl, b"stsd")
+                            if stsd:
+                                sb, se = stsd
+                                if se - sb >= 16:
+                                    trk["codec"] = content[sb + 12 : sb + 16].decode(
+                                        "latin-1"
+                                    )
+                tracks.append(trk)
+    vid = next((t for t in tracks if t["handler"] == "vide"), None)
+    aud = next((t for t in tracks if t["handler"] == "soun"), None)
+    codec = (vid or aud or {"codec": None})["codec"]
+    return {
+        "container": "mp4",
+        "brand": brand,
+        "codec": codec,
+        "duration_sec": duration,
+        "n_tracks": len(tracks),
+        "tracks": tracks,
+        "width": width,
+        "height": height,
+    }
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def synth_mp4(
+    duration_sec: float = 5.0,
+    timescale: int = 1000,
+    width: int = 640,
+    height: int = 360,
+    video_codec: bytes = b"avc1",
+    audio_codec: bytes = b"mp4a",
+) -> bytes:
+    """Build a minimal valid ISO-BMFF tree (ftyp + moov with a video and an
+    audio trak; no mdat) for probe fixtures."""
+    dur = int(duration_sec * timescale)
+    mvhd = _box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", timescale, dur)
+        + b"\x00" * 80,
+    )
+
+    def trak(handler: bytes, codec: bytes, w: int, h: int) -> bytes:
+        tkhd_body = (
+            b"\x00\x00\x00\x07" + b"\x00" * 8 + b"\x00" * 4 + b"\x00" * 4
+            + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+            + struct.pack(">II", w << 16, h << 16)
+        )
+        mdhd = _box(
+            b"mdhd",
+            b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", timescale, dur)
+            + b"\x00\x00\x00\x00",
+        )
+        hdlr = _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12 + b"probe\x00")
+        entry = struct.pack(">I", 16) + codec + b"\x00" * 8
+        stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+        stbl = _box(b"stbl", stsd)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        return _box(b"trak", _box(b"tkhd", tkhd_body) + mdia)
+
+    moov = _box(
+        b"moov",
+        mvhd
+        + trak(b"vide", video_codec, width, height)
+        + trak(b"soun", audio_codec, 0, 0),
+    )
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov
+
+
+# ---------------------------------------------------------------------------
+# header-only probes for formats we CAN decode (skip the decode cost)
+# ---------------------------------------------------------------------------
+
+
+def flac_probe(content: bytes) -> dict:
+    from ocr_spark.operators.flac_codec import flac_parse_streaminfo
+
+    si = flac_parse_streaminfo(content)
+    sr = si["sample_rate"]
+    total = si["total_samples"]
+    dur = total / sr if sr and total else None
+    kbps = (len(content) * 8 / dur / 1000.0) if dur else None
+    return {
+        "container": "flac",
+        "codec": f"flac-{si['bits_per_sample']}bit",
+        "sample_rate": sr,
+        "n_channels": si["n_channels"],
+        "n_frames": total,
+        "duration_sec": dur,
+        "bitrate_kbps": kbps,
+        "vbr": True,
+    }
+
+
+def wav_probe(content: bytes) -> dict:
+    from ocr_spark.operators.audio_codecs import (
+        WAVE_FORMAT_ALAW,
+        WAVE_FORMAT_IMA_ADPCM,
+        WAVE_FORMAT_MULAW,
+        WAVE_FORMAT_PCM,
+        wav_parse,
+    )
+
+    info = wav_parse(content)
+    tag, ch, sr = info["format_tag"], max(1, info["n_channels"]), info["sample_rate"]
+    data_len = len(info["data"])
+    if tag == WAVE_FORMAT_PCM:
+        nframes = data_len // max(1, ch * info["bits_per_sample"] // 8)
+    elif tag in (WAVE_FORMAT_ALAW, WAVE_FORMAT_MULAW):
+        nframes = data_len // ch
+    elif tag == WAVE_FORMAT_IMA_ADPCM:
+        ba = info["block_align"]
+        spb = (ba - 4 * ch) * 2 // ch + 1
+        nframes = info["fact_samples"] or (data_len // ba) * spb
+    else:
+        nframes = 0
+    names = {
+        WAVE_FORMAT_PCM: "pcm", WAVE_FORMAT_ALAW: "alaw",
+        WAVE_FORMAT_MULAW: "ulaw", WAVE_FORMAT_IMA_ADPCM: "ima-adpcm",
+    }
+    dur = nframes / sr if sr else None
+    return {
+        "container": "wav",
+        "codec": names.get(tag, f"0x{tag:04x}"),
+        "sample_rate": sr,
+        "n_channels": ch,
+        "n_frames": nframes,
+        "duration_sec": dur,
+        "bitrate_kbps": (len(content) * 8 / dur / 1000.0) if dur else None,
+        "vbr": False,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("bitrate_kbps", T.DoubleType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("vbr", T.BooleanType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+_PROBE_COLS = [f.name for f in PROBE_SCHEMA.fields]
+
+
+def probe_bytes(content: bytes) -> dict:
+    """Sniff + probe one payload. Raises for unrecognized containers."""
+    head = (content or b"")[:16]
+    if head[:4] == b"fLaC":
+        return flac_probe(content)
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return wav_probe(content)
+    if head[:4] == b"OggS":
+        return ogg_probe(content)
+    if len(head) >= 8 and head[4:8] in (b"ftyp", b"styp"):
+        return mp4_probe(content)
+    if head[:3] == b"ID3" or (
+        len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0
+    ):
+        return mp3_probe(content)
+    raise ValueError("unrecognized media container")
+
+
+def media_probe(assets: DataFrame) -> DataFrame:
+    """Container-metadata probe over (media_ref, content): ONE Arrow stage,
+    header-walk only (no decode), per-asset error envelope. The scale
+    rationale: duration/codec/bitrate filters run BEFORE any decode ever
+    touches a 100-TB corpus."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                row = {k: None for k in _PROBE_COLS}
+                row["media_ref"] = ref
+                try:
+                    info = probe_bytes(bytes(content) if content is not None else b"")
+                    for k in _PROBE_COLS:
+                        if k in info and info[k] is not None:
+                            row[k] = info[k]
+                    if row["duration_sec"] is not None:
+                        row["duration_sec"] = float(row["duration_sec"])
+                    if row["bitrate_kbps"] is not None:
+                        row["bitrate_kbps"] = float(row["bitrate_kbps"])
+                    if row["n_frames"] is not None:
+                        row["n_frames"] = int(row["n_frames"])
+                except Exception as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=_PROBE_COLS)
+
+    return assets.mapInPandas(gen, schema=PROBE_SCHEMA)

@@ -3,10 +3,12 @@
 Media are opaque `binary` columns with typed metadata. The Spark-side
 plumbing — schema, Arrow batch shape, partitioning, UDF signatures — is real
 and tested. REAL pure-stdlib/numpy codecs: PNG (cloud_engine), baseline
-JPEG, BMP, uncompressed TIFF, GIF/LZW (image_codecs), WAV/PCM audio.
-Compressed audio (mp3/ogg) and real video containers (mp4/webm) raise
-NotImplementedError pending a media library; the deterministic synthetic
-decoder serves the `media://` refs the fixture corpus uses.
+JPEG, BMP, uncompressed TIFF, GIF/LZW (image_codecs), WebP-lossless
+(webp_codec), WAV/G.711/ADPCM audio (audio_codecs), FLAC (flac_codec).
+Perceptual audio (mp3/ogg) and video (mp4) decode raises
+NotImplementedError pending a media library, but their CONTAINERS are
+really parsed by `media_probe` (duration/bitrate/codec/track metadata);
+the deterministic synthetic decoder serves the fixture `media://` refs.
 
 Operators:
   media_assets_df   — (media_ref, media_type, content, meta) from the spans
@@ -123,18 +125,34 @@ def decode_image(content: bytes, codec: str = "auto") -> np.ndarray:
 
 
 def decode_audio(content: bytes, codec: str = "wav") -> tuple[np.ndarray, int]:
-    """Decode an audio payload. WAV is a REAL codec (`audio_codecs.wav_decode`
-    — RIFF container with PCM 8/16-bit, G.711 mu-law/A-law, or IMA ADPCM
-    format tags): returns (samples (n_frames, n_channels) int16,
-    sample_rate). Non-RIFF compressed codecs (mp3/ogg/aac) remain stubbed
-    pending an audio library."""
-    if codec == "wav" or (content or b"")[:4] == b"RIFF":
+    """Decode an audio payload. WAV (`audio_codecs.wav_decode` — RIFF with
+    PCM 8/16-bit, G.711 mu-law/A-law, or IMA ADPCM format tags) and FLAC
+    (`flac_codec.flac_decode` — full RFC 9639 decoder: Rice residuals,
+    fixed+LPC predictors, stereo decorrelation, CRC+MD5 verified) are REAL
+    codecs: returns (samples (n_frames, n_channels) int, sample_rate).
+    Perceptual codecs (mp3/ogg/aac) remain stubbed pending an audio
+    library — `media_probe.audio_probe` still parses their container
+    metadata (duration/bitrate/channels) without decoding."""
+    head = (content or b"")[:4]
+    # magic bytes are authoritative: a fLaC payload routed with the default
+    # codec='wav' still reaches the FLAC decoder
+    if codec == "flac" or head == b"fLaC":
+        from ocr_spark.operators.flac_codec import flac_decode, flac_parse_streaminfo
+
+        samples, sr = flac_decode(content)
+        bps = flac_parse_streaminfo(content)["bits_per_sample"]
+        if bps > 16:  # downshift to the pipeline's int16 sample contract
+            samples = samples >> (bps - 16)
+        elif bps < 16:
+            samples = samples << (16 - bps)
+        return samples.astype(np.int16), sr
+    if codec == "wav" or head == b"RIFF":
         from ocr_spark.operators.audio_codecs import wav_decode
 
         return wav_decode(content)
     raise NotImplementedError(
-        f"audio codec {codec!r}: compressed decode requires an audio library "
-        "not present in this container"
+        f"audio codec {codec!r}: perceptual-codec decode requires an audio "
+        "library not present in this container (metadata via audio_probe)"
     )
 
 

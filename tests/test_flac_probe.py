@@ -1,0 +1,362 @@
+"""FLAC codec (RFC 9639) + container probes (MP3 / Ogg / MP4 / FLAC / WAV).
+
+Goldens: bit-level literal vectors for the FLAC primitives (CRC-8/16,
+zigzag Rice, UTF-8-style coded numbers), encode→decode roundtrips across
+every subframe type × stereo mode × partition order, corruption detection
+(frame CRC, MD5), and container-metadata probes against synthesized valid
+streams (MPEG frame-header tables, Ogg page CRC, ISO-BMFF box tree). The
+Spark surface (`media_probe`) is exercised end-to-end over a mixed-codec
+asset DataFrame with the per-asset error-envelope contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators.flac_codec import (
+    _BitReader,
+    _BitWriter,
+    crc8,
+    crc16,
+    flac_decode,
+    flac_encode,
+    flac_parse_streaminfo,
+)
+from ocr_spark.operators.media_probe import (
+    mp3_probe,
+    mp4_probe,
+    ogg_crc,
+    ogg_probe,
+    probe_bytes,
+    synth_mp3,
+    synth_mp4,
+    synth_ogg,
+)
+
+RNG = np.random.default_rng(20260818)
+
+
+def tonal(n: int, ch: int = 1, amp: int = 3000) -> np.ndarray:
+    t = np.arange(n)
+    cols = [
+        (amp * np.sin(t / (19 + 6 * c)) + RNG.integers(-40, 40, n)).astype(np.int32)
+        for c in range(ch)
+    ]
+    return np.stack(cols, axis=1)
+
+
+# --- bit-level primitives ---------------------------------------------------
+
+
+def test_crc8_literal_vectors():
+    # CRC-8 poly 0x07, init 0 — classic check value for "123456789" is 0xF4
+    assert crc8(b"123456789") == 0xF4
+    assert crc8(b"") == 0
+    assert crc8(b"\x00") == 0
+
+
+def test_crc16_literal_vectors():
+    # CRC-16/BUYPASS (poly 0x8005, init 0, no reflect): check = 0xFEE8
+    assert crc16(b"123456789") == 0xFEE8
+    assert crc16(b"") == 0
+
+
+def test_ogg_crc_literal_vector():
+    # CRC-32/MPEG-2 family but init=0, no reflect, no xorout (the Ogg
+    # variant): check value for "123456789" is 0x89A1897F
+    assert ogg_crc(b"123456789") == 0x89A1897F
+
+
+def test_bitreader_msb_first():
+    br = _BitReader(bytes([0b10110100, 0b01100000]))
+    assert br.read(1) == 1
+    assert br.read(3) == 0b011
+    assert br.read(6) == 0b010001
+    assert br.read_signed(4) == -8  # 1000
+
+
+def test_bitwriter_roundtrips_reader():
+    bw = _BitWriter()
+    vals = [(5, 3), (0x3FFE, 14), (1, 1), (0, 7), (123456, 20), (7, 3)]
+    for v, n in vals:
+        bw.write(v, n)
+    bw.align()
+    br = _BitReader(bw.getvalue())
+    for v, n in vals:
+        assert br.read(n) == v
+
+
+def test_unary_across_byte_boundaries():
+    bw = _BitWriter()
+    for q in (0, 1, 7, 8, 37, 100):
+        bw.write_unary(q)
+    bw.align()
+    br = _BitReader(bw.getvalue())
+    for q in (0, 1, 7, 8, 37, 100):
+        assert br.read_unary() == q
+
+
+# --- FLAC roundtrips --------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["independent", "left_side", "mid_side"])
+@pytest.mark.parametrize("force", [None, "verbatim", "lpc"])
+def test_flac_stereo_roundtrip(mode, force):
+    x = tonal(3000, ch=2)
+    enc = flac_encode(x, 44100, stereo_mode=mode, force=force)
+    dec, sr = flac_decode(enc)
+    assert sr == 44100
+    assert np.array_equal(dec, x)
+
+
+@pytest.mark.parametrize("porder", [0, 1, 3])
+def test_flac_rice_partition_orders(porder):
+    x = tonal(2048, ch=1)
+    enc = flac_encode(x, 32000, block_size=1024, partition_order=porder)
+    dec, sr = flac_decode(enc)
+    assert np.array_equal(dec, x) and sr == 32000
+
+
+def test_flac_constant_and_multiframe():
+    c = np.full((700, 1), -123, dtype=np.int32)
+    enc = flac_encode(c, 8000, block_size=192)
+    dec, _ = flac_decode(enc)
+    assert np.array_equal(dec, c)
+    # >0x7F frames exercises the multi-byte coded frame number
+    big = RNG.integers(-2000, 2000, (40000, 1)).astype(np.int32)
+    enc = flac_encode(big, 22050, block_size=256)
+    assert np.array_equal(flac_decode(enc)[0], big)
+
+
+@pytest.mark.parametrize("bps", [8, 16, 24])
+def test_flac_sample_widths(bps):
+    lim = 1 << (bps - 1)
+    x = RNG.integers(-lim, lim, (1500, 1)).astype(np.int64)
+    enc = flac_encode(x, 16000, bps=bps)
+    dec, _ = flac_decode(enc)
+    assert np.array_equal(dec.astype(np.int64), x)
+
+
+def test_flac_compresses_tonal_audio():
+    x = tonal(20000, ch=2)
+    enc = flac_encode(x, 44100)
+    assert len(enc) < 0.7 * x.size * 2  # beats raw int16 PCM comfortably
+
+
+def test_flac_empty_stream():
+    enc = flac_encode(np.zeros((0, 1), dtype=np.int32), 16000)
+    dec, sr = flac_decode(enc)
+    assert dec.shape == (0, 1) and sr == 16000
+
+
+def test_flac_streaminfo_fields():
+    x = tonal(5000, ch=2)
+    si = flac_parse_streaminfo(flac_encode(x, 48000))
+    assert si["sample_rate"] == 48000
+    assert si["n_channels"] == 2
+    assert si["bits_per_sample"] == 16
+    assert si["total_samples"] == 5000
+
+
+def test_flac_detects_payload_corruption():
+    enc = bytearray(flac_encode(tonal(4000, ch=1), 44100))
+    enc[-40] ^= 0x55  # flip bits inside the last frame body
+    with pytest.raises(ValueError):
+        flac_decode(bytes(enc))
+
+
+def test_flac_rejects_non_flac():
+    with pytest.raises(ValueError):
+        flac_decode(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_flac_through_decode_audio_int16_contract():
+    from ocr_spark.operators.multimodal import decode_audio
+
+    x = tonal(4410, ch=2)
+    samples, sr = decode_audio(flac_encode(x, 44100))
+    assert sr == 44100 and samples.dtype == np.int16
+    assert np.array_equal(samples.astype(np.int32), x)
+    # 24-bit payloads downshift to the pipeline's int16 contract
+    x24 = (x.astype(np.int64) << 8).astype(np.int64)
+    samples, _ = decode_audio(flac_encode(x24, 44100, bps=24))
+    assert np.array_equal(samples.astype(np.int32), x)
+
+
+# --- MP3 probe --------------------------------------------------------------
+
+
+def test_mp3_cbr_duration_and_tables():
+    b = synth_mp3(n_frames=20, version="1", layer=3, bitrate_kbps=128, sample_rate=44100)
+    p = mp3_probe(b)
+    assert p["codec"] == "mpeg1-layer3"
+    assert p["n_frames"] == 20 and not p["vbr"]
+    assert p["duration_sec"] == pytest.approx(20 * 1152 / 44100)
+    assert p["bitrate_kbps"] == 128.0 and p["n_channels"] == 2
+
+
+@pytest.mark.parametrize(
+    "version,layer,kbps,sr,spf",
+    [
+        ("1", 1, 192, 48000, 384),
+        ("1", 2, 160, 32000, 1152),
+        ("2", 3, 64, 22050, 576),
+        ("2.5", 2, 48, 8000, 1152),
+        ("2.5", 3, 32, 11025, 576),
+    ],
+)
+def test_mp3_version_layer_matrix(version, layer, kbps, sr, spf):
+    p = mp3_probe(synth_mp3(n_frames=9, version=version, layer=layer,
+                            bitrate_kbps=kbps, sample_rate=sr))
+    assert p["codec"] == f"mpeg{version}-layer{layer}"
+    assert p["sample_rate"] == sr
+    assert p["duration_sec"] == pytest.approx(9 * spf / sr)
+
+
+def test_mp3_id3_and_xing():
+    b = synth_mp3(n_frames=50, id3=b"\x00" * 300, xing=True, mono=True)
+    p = mp3_probe(b)
+    assert p["n_frames"] == 50 and p["vbr"] and p["n_channels"] == 1
+
+
+def test_mp3_xing_authoritative_on_truncation():
+    b = synth_mp3(n_frames=50, xing=True)
+    p = mp3_probe(b[: len(b) * 2 // 3])  # cut the tail off mid-stream
+    assert p["n_frames"] == 50  # Xing count survives truncation
+
+
+def test_mp3_resync_over_junk():
+    one = synth_mp3(n_frames=1)
+    p = mp3_probe(one + b"\xde\xad\xbe\xef" * 16 + one)
+    assert p["n_frames"] == 2
+
+
+def test_mp3_rejects_garbage():
+    with pytest.raises(ValueError):
+        mp3_probe(b"\x00" * 4096)
+
+
+# --- Ogg probe --------------------------------------------------------------
+
+
+def test_ogg_vorbis_ident_and_duration():
+    b = synth_ogg("vorbis", sample_rate=48000, n_channels=2, total_samples=96000)
+    p = ogg_probe(b)
+    assert p == {
+        "container": "ogg", "codec": "vorbis", "sample_rate": 48000,
+        "n_channels": 2, "n_frames": 2, "duration_sec": 2.0,
+        "bitrate_kbps": 112.0, "vbr": None,
+    }
+
+
+def test_ogg_opus_preskip_subtracted():
+    b = synth_ogg("opus", n_channels=1, total_samples=48000 * 3, pre_skip=312)
+    p = ogg_probe(b)
+    assert p["codec"] == "opus" and p["duration_sec"] == pytest.approx(3.0)
+    assert p["sample_rate"] == 48000
+
+
+def test_ogg_crc_verified():
+    b = bytearray(synth_ogg("vorbis"))
+    b[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        ogg_probe(bytes(b))
+
+
+def test_ogg_rejects_truncated_page():
+    b = synth_ogg("vorbis")
+    with pytest.raises(ValueError):
+        ogg_probe(b[: len(b) - 10])
+
+
+# --- MP4 probe --------------------------------------------------------------
+
+
+def test_mp4_box_tree():
+    p = mp4_probe(synth_mp4(duration_sec=12.5, width=1280, height=720))
+    assert p["brand"] == "isom" and p["duration_sec"] == 12.5
+    assert p["width"] == 1280 and p["height"] == 720
+    assert p["n_tracks"] == 2 and p["codec"] == "avc1"
+    assert [t["handler"] for t in p["tracks"]] == ["vide", "soun"]
+    assert p["tracks"][1]["codec"] == "mp4a"
+
+
+def test_mp4_rejects_invalid_box_size():
+    b = bytearray(synth_mp4())
+    b[0:4] = (3).to_bytes(4, "big")  # box size < 8
+    with pytest.raises(ValueError):
+        mp4_probe(bytes(b))
+
+
+def test_mp4_rejects_non_bmff():
+    with pytest.raises(ValueError):
+        mp4_probe(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+# --- sniffing dispatcher + Spark surface ------------------------------------
+
+
+def test_probe_bytes_sniffs_all_containers():
+    from ocr_spark.operators.audio_codecs import wav_encode
+
+    x = tonal(4410, ch=1)
+    cases = {
+        "flac": flac_encode(x, 44100),
+        "wav": wav_encode(x.astype(np.int16), 44100, "ulaw"),
+        "ogg": synth_ogg("vorbis"),
+        "mp4": synth_mp4(),
+        "mp3": synth_mp3(n_frames=3),
+    }
+    for want, payload in cases.items():
+        assert probe_bytes(payload)["container"] == want
+    with pytest.raises(ValueError):
+        probe_bytes(b"GIF89a" + b"\x00" * 32)
+
+
+def test_media_probe_spark_surface(spark):
+    from ocr_spark.operators.audio_codecs import wav_encode
+    from ocr_spark.operators.media_probe import media_probe
+
+    x = tonal(2205, ch=1)
+    rows = [
+        ("a.flac", bytearray(flac_encode(x, 22050))),
+        ("b.wav", bytearray(wav_encode(x.astype(np.int16), 22050, "pcm16"))),
+        ("c.mp3", bytearray(synth_mp3(n_frames=8))),
+        ("d.ogg", bytearray(synth_ogg("opus", total_samples=48000))),
+        ("e.mp4", bytearray(synth_mp4(duration_sec=4.0))),
+        ("f.bad", bytearray(b"not media at all")),
+        ("g.null", None),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+    out = {r["media_ref"]: r.asDict() for r in media_probe(df).collect()}
+    assert len(out) == 7
+    assert out["a.flac"]["container"] == "flac"
+    assert out["a.flac"]["duration_sec"] == pytest.approx(0.1)
+    assert out["b.wav"]["codec"] == "pcm"
+    assert out["c.mp3"]["n_frames"] == 8
+    assert out["d.ogg"]["codec"] == "opus"
+    assert out["d.ogg"]["duration_sec"] == pytest.approx(1.0)
+    assert out["e.mp4"]["duration_sec"] == pytest.approx(4.0)
+    assert out["e.mp4"]["width"] == 640 and out["e.mp4"]["n_tracks"] == 2
+    for ref in ("f.bad", "g.null"):
+        assert out[ref]["error"] is not None and out[ref]["container"] is None
+    # green rows carry no error
+    assert all(out[r]["error"] is None for r in ("a.flac", "b.wav", "c.mp3", "d.ogg", "e.mp4"))
+
+
+def test_audio_features_over_flac(spark):
+    """audio_features decodes FLAC assets through the same Arrow path."""
+    from ocr_spark.operators.multimodal import audio_features
+
+    x = tonal(22050, ch=2, amp=8000)
+    df = spark.createDataFrame(
+        [("t.flac", bytearray(flac_encode(x, 22050)))],
+        "media_ref string, content binary",
+    )
+    row = audio_features(df).collect()[0]
+    assert row["error"] is None
+    assert row["sample_rate"] == 22050 and row["n_channels"] == 2
+    assert row["duration_sec"] == pytest.approx(1.0)
+    ref = x[:, 0].astype(np.float64) / 32768.0
+    assert row["rms"] == pytest.approx(float(np.sqrt(np.mean(ref * ref))), rel=1e-9)
