@@ -171,6 +171,80 @@ def pdf_write(
     return bytes(out)
 
 
+def pdf_write_cid(
+    blocks: list[dict],
+    page_w: float = PAGE_W,
+    page_h: float = PAGE_H,
+    kern_spaces: bool = True,
+) -> bytes:
+    """Single-page PDF the way real exporters with subset-embedded fonts
+    write one: a Type0 /Identity-H font whose show strings are 2-byte CIDs
+    in HEX strings, mapped back to text only through a /ToUnicode CMap
+    (sequential CIDs per distinct character — the subset-font shape), and
+    (kern_spaces=True) inter-word spaces encoded as -250 TJ kern
+    adjustments instead of space glyphs. Exercises the hex-string, TJ-array
+    and ToUnicode paths of pdf_parse_blocks end-to-end."""
+    chars = sorted({c for b in blocks for c in str(b["text"]) if
+                    not (kern_spaces and c == " ")})
+    cid = {c: i + 1 for i, c in enumerate(chars)}
+
+    def _hex(s: str) -> str:
+        return "<" + "".join(f"{cid[c]:04X}" for c in s) + ">"
+
+    lines = []
+    for b in blocks:
+        size = float(b.get("size", 12))
+        x = float(b["x"])
+        y = page_h - float(b["y"]) - size
+        t = str(b["text"])
+        if kern_spaces:
+            shows = " -250 ".join(_hex(w) for w in t.split(" ") if w)
+        else:
+            shows = _hex(t)
+        lines.append(f"BT /F1 {size:g} Tf {x:g} {y:g} Td [{shows}] TJ ET")
+    content = "\n".join(lines).encode("latin-1")
+    bfchars = "\n".join(
+        f"<{cid[c]:04X}> <{c.encode('utf-16-be').hex().upper()}>" for c in chars
+    )
+    cmap = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin begincmap\n"
+        "/CMapName /Adobe-Identity-UCS def\n"
+        "1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+        f"{len(chars)} beginbfchar\n{bfchars}\nendbfchar\n"
+        "endcmap CMapName currentdict /CMap defineresource pop end end\n"
+    ).encode("latin-1")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:g} {page_h:g}] "
+            "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+        ).encode(),
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Synth "
+        b"/Encoding /Identity-H /ToUnicode 6 0 R >>",
+        b"<< /Length " + str(len(cmap)).encode()
+        + b" >>\nstream\n" + cmap + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
 def _parse_pdf_string(s: str, i: int) -> tuple[str, int]:
     """Parse a PDF literal string starting at the '(' at index i; returns
     (decoded, index past the closing paren). Handles \\-escapes, octal and
@@ -217,6 +291,193 @@ def _parse_pdf_string(s: str, i: int) -> tuple[str, int]:
             out.append(c)
             i += 1
     raise ValueError("unterminated PDF string")
+
+
+def _parse_hex_string(s: str, i: int) -> tuple[bytes, int]:
+    """Parse a PDF hex string starting at the '<' at index i; returns
+    (raw bytes, index past the closing '>'). Whitespace inside is ignored
+    and an odd final digit is padded with 0 (PDF spec 7.3.4.3)."""
+    assert s[i] == "<" and (i + 1 >= len(s) or s[i + 1] != "<")
+    j = s.find(">", i + 1)
+    if j < 0:
+        raise ValueError("unterminated PDF hex string")
+    digits = "".join(s[i + 1 : j].split())
+    if not all(c in "0123456789abcdefABCDEF" for c in digits):
+        raise ValueError("non-hex digit in PDF hex string")
+    if len(digits) % 2:
+        digits += "0"
+    return bytes.fromhex(digits), j + 1
+
+
+# --- ToUnicode CMaps (PDF 9.10.3): subset-embedded fonts show CIDs, not
+# character codes — the CMap is the only route back to text. Parsed
+# structurally from the (already-inflated) object graph: page /Resources
+# /Font name → font object → /ToUnicode stream → bfchar/bfrange entries. ---
+
+_MAX_CMAP_ENTRIES = 1 << 16  # a ToUnicode CMap maps at most the 64k CID space
+
+
+def _parse_tounicode(body: str) -> tuple[int, dict[int, str]]:
+    """(code length in bytes, {code -> unicode string}) from a ToUnicode
+    CMap body. Handles begincodespacerange (code width), beginbfchar
+    (<src> <dst> pairs) and beginbfrange (<lo> <hi> <dst> with the last
+    UTF-16 unit incremented, or <lo> <hi> [<d0> <d1> ...] arrays)."""
+    import re as _re
+
+    def _units(hexs: str) -> str:
+        b = bytes.fromhex(hexs if len(hexs) % 2 == 0 else hexs + "0")
+        return b.decode("utf-16-be", "replace")
+
+    codelen = 0
+    cs = _re.search(r"begincodespacerange\s*<([0-9a-fA-F]+)>", body)
+    if cs:
+        codelen = max(1, len(cs.group(1)) // 2)
+    mapping: dict[int, str] = {}
+    for blk in _re.findall(r"beginbfchar(.*?)endbfchar", body, _re.S):
+        for src, dst in _re.findall(
+            r"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>", blk
+        ):
+            if not codelen:
+                codelen = max(1, len(src) // 2)
+            if len(mapping) < _MAX_CMAP_ENTRIES:
+                mapping[int(src, 16)] = _units(dst)
+    _ARR = r"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*\[((?:\s*<[0-9a-fA-F]+>)+)\s*\]"
+    for blk in _re.findall(r"beginbfrange(.*?)endbfrange", body, _re.S):
+        # array form first, then STRIPPED from the block — three adjacent
+        # hex items inside [<d0> <d1> <d2>] would otherwise false-match
+        # the scalar <lo> <hi> <dst> pattern
+        for lo, hi, arr in _re.findall(_ARR, blk):
+            if not codelen:
+                codelen = max(1, len(lo) // 2)
+            dsts = _re.findall(r"<([0-9a-fA-F]+)>", arr)
+            for k, d in enumerate(dsts):
+                if int(lo, 16) + k > int(hi, 16):
+                    break
+                if len(mapping) < _MAX_CMAP_ENTRIES:
+                    mapping[int(lo, 16) + k] = _units(d)
+        for lo, hi, dst in _re.findall(
+            r"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>",
+            _re.sub(_ARR, " ", blk),
+        ):
+            if not codelen:
+                codelen = max(1, len(lo) // 2)
+            base = _units(dst)
+            span = min(int(hi, 16) - int(lo, 16), _MAX_CMAP_ENTRIES)
+            for k in range(span + 1):
+                if len(mapping) >= _MAX_CMAP_ENTRIES:
+                    break
+                # increment the final UTF-16 code unit (spec 9.10.3)
+                mapping[int(lo, 16) + k] = base[:-1] + chr(
+                    (ord(base[-1]) + k) & 0xFFFF
+                ) if base else ""
+    return (codelen or 1), mapping
+
+
+def _font_cmaps(text: str) -> dict[str, tuple[int, dict[int, str]]]:
+    """{resource font name (e.g. 'F1') -> (codelen, cid->unicode map)} for
+    every font whose object carries a /ToUnicode stream. Structural (no
+    xref): objects are located by their 'N 0 obj … endobj' wrappers, the
+    same tolerance contract as the block scan."""
+    import re as _re
+
+    objs: dict[int, str] = {}
+    for m in _re.finditer(r"(\d+)\s+0\s+obj\b(.*?)\bendobj", text, _re.S):
+        objs[int(m.group(1))] = m.group(2)
+    out: dict[str, tuple[int, dict[int, str]]] = {}
+    for fm in _re.finditer(r"/Font\s*<<(.*?)>>", text, _re.S):
+        for name, ref in _re.findall(r"/(\w+)\s+(\d+)\s+0\s+R", fm.group(1)):
+            body = objs.get(int(ref), "")
+            tu = _re.search(r"/ToUnicode\s+(\d+)\s+0\s+R", body)
+            if not tu:
+                continue
+            cm = objs.get(int(tu.group(1)), "")
+            sm = _re.search(r"stream\r?\n(.*?)\r?\n?endstream", cm, _re.S)
+            codelen, mapping = _parse_tounicode(sm.group(1) if sm else cm)
+            if mapping:
+                out[name] = (codelen, mapping)
+    return out
+
+
+def _decode_show(
+    raw: bytes, font: tuple[int, dict[int, str]] | None
+) -> str:
+    """Show-string bytes → text. With a ToUnicode font: split into
+    codelen-byte units and map (unmapped 1-byte units fall back to
+    latin-1, unmapped multi-byte units to U+FFFD). Without: latin-1,
+    the pre-CMap behavior that the golden fixtures lock."""
+    if font is None:
+        return raw.decode("latin-1")
+    codelen, mapping = font
+    out: list[str] = []
+    for k in range(0, len(raw), codelen):
+        unit = int.from_bytes(raw[k : k + codelen], "big")
+        got = mapping.get(unit)
+        if got is None:
+            got = chr(unit) if unit < 256 else "�"
+        out.append(got)
+    return "".join(out)
+
+
+# TJ adjustments are in thousandths of text-space units, subtracted from
+# the advance; word processors encode inter-word gaps as kerns of about
+# -250..-333 (a space glyph's width) instead of space characters. Anything
+# past -180 is restored as a space; smaller magnitudes are letter kerning.
+_TJ_SPACE_KERN = -180.0
+
+
+def _parse_tj_array(
+    text: str, i: int, font: tuple[int, dict[int, str]] | None
+) -> tuple[str | None, int]:
+    """Parse a content-stream array starting at the '[' at index i as a TJ
+    operand: concatenate its show strings, restoring a space wherever a
+    kern adjustment <= _TJ_SPACE_KERN separates them. Returns (joined text,
+    index past ']') — joined text is '' for arrays with no strings (e.g. a
+    dash-pattern '[2 1] 0 d'), None if the array is malformed/unterminated
+    (caller falls back to byte-wise scanning)."""
+    import re as _re
+
+    num_re = _re.compile(_NUM)
+    j = i + 1
+    n = len(text)
+    out: list[str] = []
+    has_str = False
+    while j < n:
+        c = text[j]
+        if c == "]":
+            return ("".join(out) if has_str else ""), j + 1
+        if c == "(":
+            try:
+                s, j = _parse_pdf_string(text, j)
+            except ValueError:
+                return None, i
+            out.append(
+                _decode_show(s.encode("latin-1", "replace"), font) if font else s
+            )
+            has_str = True
+            continue
+        if c == "<" and (j + 1 >= n or text[j + 1] != "<"):
+            try:
+                raw, j = _parse_hex_string(text, j)
+            except ValueError:
+                return None, i
+            out.append(_decode_show(raw, font))
+            has_str = True
+            continue
+        m = num_re.match(text, j)
+        if m:
+            if (
+                float(m.group(0)) <= _TJ_SPACE_KERN
+                and out
+                and not out[-1].endswith(" ")
+            ):
+                out.append(" ")
+            j = m.end()
+            continue
+        if c in " \t\r\n\f\0":
+            j += 1
+            continue
+        return None, i  # not a TJ-shaped array (names, nested arrays, …)
+    return None, i  # unterminated
 
 
 _NUM = r"[-+]?(?:\d+\.?\d*|\.\d+)"
@@ -423,6 +684,9 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
         x0, y0, x1, y1 = (float(mb.group(i)) for i in range(1, 5))
         page_w, page_h = x1 - x0, y1 - y0
     blocks: list[dict] = []
+    # ToUnicode CMaps (subset-embedded fonts show CIDs): parsed once per
+    # document, looked up per Tf by resource name
+    fonts = _font_cmaps(text) if "/ToUnicode" in text else {}
     # one LINEAR pass with an in-text-object state flag: string literals are
     # consumed by the string parser wherever they appear, so 'ET'/'BT' INSIDE
     # a string can neither truncate a text object (BUDGET, SECRET…) nor
@@ -432,7 +696,21 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
     in_bt = False
     size = 12.0
     tx = ty = leading = 0.0
+    cur_font: tuple[int, dict[int, str]] | None = None
+    last_name = ""
     stack: list[float] = []
+
+    def _emit(s: str) -> None:
+        blocks.append(
+            {
+                "x": tx,
+                "y": page_h - ty - size,
+                "w": max(1.0, 0.5 * size * len(s)),
+                "h": size,
+                "text": s,
+            }
+        )
+
     j = 0
     while j < n:
         c = text[j]
@@ -443,15 +721,32 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
                 j += 1  # unbalanced paren in non-text data: skip the byte
                 continue
             if in_bt:
-                blocks.append(
-                    {
-                        "x": tx,
-                        "y": page_h - ty - size,
-                        "w": max(1.0, 0.5 * size * len(s)),
-                        "h": size,
-                        "text": s,
-                    }
+                _emit(
+                    _decode_show(s.encode("latin-1", "replace"), cur_font)
+                    if cur_font
+                    else s
                 )
+            continue
+        if c == "<" and (j + 1 >= n or text[j + 1] != "<"):
+            try:
+                raw, j = _parse_hex_string(text, j)
+            except ValueError:
+                j += 1  # '<' in non-string data (e.g. binary): skip
+                continue
+            if in_bt and raw:  # '' would be the tail of a '<< >>' dict
+                _emit(_decode_show(raw, cur_font))
+            continue
+        if c == "[" and in_bt:
+            # TJ array: strings + kern adjustments → ONE show at the
+            # current position, restoring spaces the exporter encoded as
+            # advance kerns (see _TJ_SPACE_KERN)
+            parts, k = _parse_tj_array(text, j, cur_font)
+            if parts is not None:
+                j = k
+                if parts:
+                    _emit(parts)
+                continue
+            j += 1
             continue
         m = tok_re.match(text, j)
         if not m:
@@ -470,6 +765,7 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
             stack.append(float(tok))
             continue
         if m.group(2) is not None:  # /Name operand
+            last_name = tok[1:]
             continue
         if tok == "BT":
             in_bt = True
@@ -482,6 +778,7 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
             stack.clear()
         elif tok == "Tf" and stack:
             size = stack[-1]
+            cur_font = fonts.get(last_name)
             stack.clear()
         elif tok == "Td" and len(stack) >= 2:
             tx += stack[-2]

@@ -1,0 +1,157 @@
+"""CID/Type0 PDF text extraction: hex show strings, TJ kern arrays and
+ToUnicode CMap decoding (pdf_layout.py round-5 additions).
+
+Real exporters with subset-embedded fonts write text as 2-byte CIDs in hex
+strings inside TJ arrays, with inter-word spaces encoded as kern
+adjustments; the CIDs map back to Unicode only through the font's
+/ToUnicode CMap (PDF 32000-1 §9.10.3). Reference anchor: the input contract
+accepts arbitrary real-world PDFs (OCR-X_Component_Breakdown_OptionB.md:11-18);
+these fixtures are built by pdf_write_cid, the repo's own synthesizer."""
+
+import pytest
+
+from ocr_spark.operators.pdf_layout import (
+    _parse_hex_string,
+    _parse_tounicode,
+    extract_pdf_text,
+    pdf_parse_blocks,
+    pdf_write,
+    pdf_write_cid,
+)
+
+
+def _extract(pdf_bytes: bytes) -> str:
+    return extract_pdf_text(pdf_bytes.decode("latin-1"))
+
+
+class TestCidRoundTrip:
+    BLOCKS = [
+        {"x": 50, "y": 60, "text": "Héllo wörld from CID land"},
+        {"x": 50, "y": 90, "text": "Second line — em dash ✓"},
+    ]
+
+    def test_kern_spaces(self):
+        # spaces exist ONLY as -250 TJ kerns; no space glyph is mapped
+        pdf = pdf_write_cid(self.BLOCKS, kern_spaces=True)
+        assert b"(" not in pdf.split(b"stream")[1].split(b"endstream")[0]
+        assert _extract(pdf) == "\n".join(b["text"] for b in self.BLOCKS)
+
+    def test_space_glyphs(self):
+        pdf = pdf_write_cid(self.BLOCKS, kern_spaces=False)
+        assert _extract(pdf) == "\n".join(b["text"] for b in self.BLOCKS)
+
+    def test_astral_char_survives(self):
+        # a surrogate-pair ToUnicode target (4-byte UTF-16 dst)
+        pdf = pdf_write_cid([{"x": 10, "y": 10, "text": "ok 😀 ok"}])
+        assert _extract(pdf) == "ok 😀 ok"
+
+    def test_xy_cut_order_preserved(self):
+        shuffled = [self.BLOCKS[1], self.BLOCKS[0]]
+        pdf = pdf_write_cid(shuffled)
+        assert _extract(pdf).splitlines()[0].startswith("Héllo")
+
+
+class TestHexAndTjWithoutCmap:
+    """Hex strings / TJ arrays shown with a plain (non-CID) font decode as
+    raw latin-1 bytes — the pre-CMap behavior the goldens lock."""
+
+    def _patched(self, replacement: str) -> str:
+        base = pdf_write([{"x": 50, "y": 60, "text": "PLACEHOLDER"}])
+        return base.decode("latin-1").replace("(PLACEHOLDER) Tj", replacement)
+
+    def test_hex_show_latin1(self):
+        raw = self._patched("<" + b"hex shown".hex() + "> Tj")
+        assert extract_pdf_text(raw) == "hex shown"
+
+    def test_hex_whitespace_and_odd_pad(self):
+        # '7' pads to 0x70 = 'p'; whitespace inside the hex string is inert
+        raw = self._patched("<6f 6b 2 0 7> Tj")
+        assert extract_pdf_text(raw) == "ok p"
+
+    def test_tj_kern_threshold(self):
+        # -30 is letter kerning (joined), -250 is a word gap (space)
+        raw = self._patched("[(Wo) -30 (rd) -250 (gap)] TJ")
+        assert extract_pdf_text(raw) == "Word gap"
+
+    def test_tj_single_block(self):
+        # the array is ONE show: its pieces must not become separate
+        # blocks that XY-cut could reorder
+        raw = self._patched("[(a) -250 (b)] TJ")
+        blocks, _, _ = pdf_parse_blocks(raw)
+        assert [b["text"] for b in blocks] == ["a b"]
+
+    def test_dash_pattern_array_ignored(self):
+        # '[2 1] 0 d' is a graphics-state operand, legal inside BT
+        raw = self._patched("[2 1] 0 d (after) Tj")
+        assert extract_pdf_text(raw) == "after"
+
+    def test_inline_dict_ignored(self):
+        raw = self._patched("<< /Foo /Bar >> (after) Tj")
+        assert extract_pdf_text(raw) == "after"
+
+
+class TestHexStringParser:
+    def test_basic(self):
+        assert _parse_hex_string("<414243>", 0) == (b"ABC", 8)
+
+    def test_odd_pads_zero(self):
+        assert _parse_hex_string("<414>", 0)[0] == b"\x41\x40"
+
+    def test_unterminated_raises(self):
+        with pytest.raises(ValueError):
+            _parse_hex_string("<4142", 0)
+
+    def test_non_hex_raises(self):
+        with pytest.raises(ValueError):
+            _parse_hex_string("</Type>", 0)
+
+
+class TestToUnicodeParser:
+    def test_bfchar(self):
+        codelen, m = _parse_tounicode(
+            "1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            "2 beginbfchar\n<0001> <0048>\n<0002> <00E9>\nendbfchar"
+        )
+        assert codelen == 2
+        assert m == {1: "H", 2: "é"}
+
+    def test_bfrange_scalar_increments_last_unit(self):
+        _, m = _parse_tounicode(
+            "1 beginbfrange\n<0010> <0012> <0061>\nendbfrange"
+        )
+        assert (m[0x10], m[0x11], m[0x12]) == ("a", "b", "c")
+
+    def test_bfrange_array_form(self):
+        _, m = _parse_tounicode(
+            "1 beginbfrange\n<0005> <0007> [<0058> <0059> <005A>]\nendbfrange"
+        )
+        assert (m[5], m[6], m[7]) == ("X", "Y", "Z")
+
+    def test_array_elements_not_misread_as_scalar_range(self):
+        # [<d0> <d1> <d2>] must not also match the scalar <lo> <hi> <dst>
+        # pattern: 0x58..0x59 would gain bogus entries
+        _, m = _parse_tounicode(
+            "1 beginbfrange\n<0005> <0007> [<0058> <0059> <005A>]\nendbfrange"
+        )
+        assert 0x58 not in m
+
+    def test_surrogate_pair_dst(self):
+        _, m = _parse_tounicode(
+            "1 beginbfchar\n<0003> <D83DDE00>\nendbfchar"
+        )
+        assert m[3] == "😀"
+
+    def test_codelen_one_byte(self):
+        codelen, m = _parse_tounicode(
+            "1 begincodespacerange <00> <FF> endcodespacerange\n"
+            "1 beginbfchar\n<41> <0041>\nendbfchar"
+        )
+        assert codelen == 1 and m[0x41] == "A"
+
+
+class TestUnmappedFallback:
+    def test_unmapped_cid_is_replacement_char(self):
+        pdf = pdf_write_cid([{"x": 10, "y": 10, "text": "ab"}])
+        # splice in a CID far outside the subset's map
+        raw = pdf.decode("latin-1").replace("[<", "[<0FFF", 1)
+        assert extract_pdf_text(raw).startswith("�")
