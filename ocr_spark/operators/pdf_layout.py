@@ -711,6 +711,18 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
             }
         )
 
+    # ' and " are move-to-next-line-and-show (PDF 9.4.3, TeX output):
+    # the T* advance applies BEFORE the show, so peek past the string
+    quote_re = _re.compile(r"[ \t\r\n\f\0]*(['\"])")
+
+    def _next_line_if_quoted(k: int) -> int:
+        nonlocal ty
+        qm = quote_re.match(text, k)
+        if qm:
+            ty -= leading
+            return qm.end()
+        return k
+
     j = 0
     while j < n:
         c = text[j]
@@ -721,6 +733,7 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
                 j += 1  # unbalanced paren in non-text data: skip the byte
                 continue
             if in_bt:
+                j = _next_line_if_quoted(j)
                 _emit(
                     _decode_show(s.encode("latin-1", "replace"), cur_font)
                     if cur_font
@@ -734,6 +747,7 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
                 j += 1  # '<' in non-string data (e.g. binary): skip
                 continue
             if in_bt and raw:  # '' would be the tail of a '<< >>' dict
+                j = _next_line_if_quoted(j)
                 _emit(_decode_show(raw, cur_font))
             continue
         if c == "[" and in_bt:

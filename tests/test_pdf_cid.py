@@ -89,6 +89,27 @@ class TestHexAndTjWithoutCmap:
         raw = self._patched("<< /Foo /Bar >> (after) Tj")
         assert extract_pdf_text(raw) == "after"
 
+    def test_quote_show_advances_line(self):
+        # ' = T* + show (PDF 9.4.3): each show lands one leading lower,
+        # so XY-cut keeps the emission order
+        raw = self._patched("14 TL (first) Tj (second) ' (third) '")
+        assert extract_pdf_text(raw) == "first\nsecond\nthird"
+
+    def test_double_quote_show(self):
+        # " = aw ac + T* + show; the spacing operands are consumed inertly
+        raw = self._patched('14 TL (one) Tj 0.25 0 (two) "')
+        assert extract_pdf_text(raw) == "one\ntwo"
+
+    def test_quote_with_hex_string(self):
+        raw = self._patched(
+            "14 TL (lead) Tj <" + b"hexline".hex() + "> '"
+        )
+        assert extract_pdf_text(raw) == "lead\nhexline"
+
+    def test_apostrophe_inside_string_not_an_operator(self):
+        raw = self._patched("(it's fine) Tj")
+        assert extract_pdf_text(raw) == "it's fine"
+
 
 class TestHexStringParser:
     def test_basic(self):
