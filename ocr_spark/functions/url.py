@@ -434,3 +434,99 @@ def blocklist_filter_sql(src: str, blocked_sql: str, url_expr: str = "url") -> s
         f"WHERE ({dom}) IS NULL OR ({dom}) NOT IN "
         f"(SELECT d FROM ({blocked_sql}) AS _b(d) WHERE d IS NOT NULL)"
     )
+
+
+# ---------------------------------------------------------------------------
+# RFC 3986 §5 reference resolution (pure Python, used by the HTML metadata
+# path: rel=canonical and <base href> are routinely RELATIVE). Implements
+# the §5.3 component-recomposition algorithm with §5.2.4 remove_dot_segments
+# verbatim, so the full RFC test-vector table passes — urllib.parse.urljoin
+# exists, but an explicit implementation keeps the semantics pinned and
+# greppable (and matches it on every vector; see tests).
+# ---------------------------------------------------------------------------
+
+_SPLIT_RE = None
+
+
+def _split_ref(ref: str):
+    """(scheme, authority, path, query, fragment) — RFC 3986 appendix B;
+    None marks an ABSENT component (different from empty)."""
+    global _SPLIT_RE
+    if _SPLIT_RE is None:
+        import re
+
+        _SPLIT_RE = re.compile(
+            r"^(?:([A-Za-z][A-Za-z0-9+.-]*):)?(?://([^/?#]*))?([^?#]*)"
+            r"(?:\?([^#]*))?(?:#(.*))?$"
+        )
+    m = _SPLIT_RE.match(ref or "")
+    return m.group(1), m.group(2), m.group(3) or "", m.group(4), m.group(5)
+
+
+def _remove_dot_segments(path: str) -> str:
+    out: list[str] = []
+    while path:
+        if path.startswith("../"):
+            path = path[3:]
+        elif path.startswith("./"):
+            path = path[2:]
+        elif path.startswith("/./"):
+            path = "/" + path[3:]
+        elif path == "/.":
+            path = "/"
+        elif path.startswith("/../"):
+            path = "/" + path[4:]
+            if out:
+                out.pop()
+        elif path == "/..":
+            path = "/"
+            if out:
+                out.pop()
+        elif path in (".", ".."):
+            path = ""
+        else:
+            cut = path.find("/", 1)
+            if cut < 0:
+                out.append(path)
+                path = ""
+            else:
+                out.append(path[:cut])
+                path = path[cut:]
+    return "".join(out)
+
+
+def resolve_url(base: str, ref: str) -> str:
+    """Resolve `ref` against absolute `base` (RFC 3986 §5.3, strict mode:
+    a ref carrying the base's scheme is still treated as absolute-from-
+    scheme, per the spec's recommendation for new schemes)."""
+    b_scheme, b_auth, b_path, b_query, _ = _split_ref(base)
+    r_scheme, r_auth, r_path, r_query, r_frag = _split_ref(ref)
+    if r_scheme is not None:
+        scheme, auth, path, query = r_scheme, r_auth, _remove_dot_segments(r_path), r_query
+    elif r_auth is not None:
+        scheme, auth, path, query = b_scheme, r_auth, _remove_dot_segments(r_path), r_query
+    elif not r_path:
+        scheme, auth, path = b_scheme, b_auth, b_path
+        query = r_query if r_query is not None else b_query
+    else:
+        scheme, auth = b_scheme, b_auth
+        if r_path.startswith("/"):
+            path = _remove_dot_segments(r_path)
+        else:
+            if b_auth is not None and not b_path:
+                merged = "/" + r_path
+            else:
+                merged = b_path[: b_path.rfind("/") + 1] + r_path
+            path = _remove_dot_segments(merged)
+        query = r_query
+    out = ""
+    if scheme is not None:
+        out += scheme + ":"
+    if auth is not None:
+        out += "//" + auth
+    out += path
+    if query is not None:
+        out += "?" + query
+    if r_frag is not None:
+        out += "#" + r_frag
+    return out

@@ -212,3 +212,143 @@ def dom_nodes_df(spark, docs_df):
             yield pd.DataFrame(out)
 
     return docs_df.mapInPandas(gen, schema=DOM_NODE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-hygiene metadata: robots directives, canonical URL, document
+# language, title. A web-scale corpus build drops noindex'd pages (the
+# publisher opted out of indexing) and collapses canonical-URL duplicates
+# BEFORE content dedup ever runs — this is the cheapest dedup signal a
+# crawl carries. Same one-pass stdlib-HTMLParser approach as the
+# extractor; robots semantics follow the public Robots Meta Tag spec
+# (name="robots"/bot-specific, comma-separated case-insensitive tokens).
+# ---------------------------------------------------------------------------
+
+
+class _MetadataParser(HTMLParser):
+    """Collect head/meta signals in one forgiving pass."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.robots_tokens: set[str] = set()
+        self.canonical: str | None = None
+        self.base_href: str | None = None
+        self.lang: str | None = None
+        self.title_runs: list[str] = []
+        self._in_title = 0
+
+    def handle_starttag(self, tag, attrs):
+        a = {k.lower(): (v or "") for k, v in attrs}
+        if tag == "html" and self.lang is None:
+            lang = a.get("lang") or a.get("xml:lang")
+            if lang:
+                self.lang = lang.strip().lower()
+        elif tag == "meta":
+            name = a.get("name", "").strip().lower()
+            if name in ("robots", "googlebot", "bingbot") and "content" in a:
+                for tok in a["content"].split(","):
+                    tok = tok.strip().lower()
+                    if tok:
+                        self.robots_tokens.add(tok)
+        elif tag == "link":
+            rels = a.get("rel", "").lower().split()
+            if "canonical" in rels and a.get("href") and self.canonical is None:
+                self.canonical = a["href"].strip()
+        elif tag == "base":
+            if a.get("href") and self.base_href is None:
+                self.base_href = a["href"].strip()
+        elif tag == "title":
+            self._in_title += 1
+
+    def handle_endtag(self, tag):
+        if tag == "title":
+            self._in_title = max(0, self._in_title - 1)
+
+    def handle_data(self, data):
+        if self._in_title and data:
+            self.title_runs.append(data)
+
+
+def html_metadata(html: str, doc_url: str | None = None) -> dict:
+    """One document → {noindex, nofollow, canonical_url, base_href, lang,
+    title}. `none` implies both noindex and nofollow (robots spec);
+    malformed HTML degrades to whatever was parsed, never raises.
+
+    canonical_url is RESOLVED (RFC 3986 §5) when a base is available:
+    <base href> wins over doc_url, and a relative <base href> is itself
+    resolved against doc_url first — the order browsers apply. With no
+    base at all, a relative canonical is returned as written."""
+    from ocr_spark.functions.url import resolve_url
+
+    p = _MetadataParser()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass
+    toks = p.robots_tokens
+    base = doc_url
+    if p.base_href:
+        base = resolve_url(doc_url, p.base_href) if doc_url else p.base_href
+    canonical = p.canonical
+    if canonical is not None and base:
+        canonical = resolve_url(base, canonical)
+    return {
+        "noindex": "noindex" in toks or "none" in toks,
+        "nofollow": "nofollow" in toks or "none" in toks,
+        "canonical_url": canonical,
+        "base_href": p.base_href,
+        "lang": p.lang,
+        "title": " ".join(" ".join(p.title_runs).split()) or None,
+    }
+
+
+def html_metadata_batch(
+    htmls: list[str], doc_urls: list[str | None] | None = None
+) -> list[dict]:
+    if doc_urls is None:
+        return [html_metadata(h) for h in htmls]
+    return [html_metadata(h, u) for h, u in zip(htmls, doc_urls)]
+
+
+def html_metadata_df(
+    docs_df,
+    html_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+):
+    """(id, noindex, nofollow, canonical_url, base_href, lang, title) per
+    document — Arrow-batched mapInPandas, no shuffle: the frame keeps its
+    scan partitioning, so the typical next step (filter noindex, groupBy
+    canonical_url for URL-level dedup) pays the only exchange."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            docs_df.schema[id_col],
+            T.StructField("noindex", T.BooleanType()),
+            T.StructField("nofollow", T.BooleanType()),
+            T.StructField("canonical_url", T.StringType()),
+            T.StructField("base_href", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("title", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if url_col is not None:
+                urls = [u if isinstance(u, str) else None for u in pdf[url_col]]
+            else:
+                urls = [None] * len(pdf)
+            metas = [
+                html_metadata(h, u)
+                for h, u in zip(pdf[html_col].fillna(""), urls)
+            ]
+            out = pd.DataFrame(metas)
+            out.insert(0, id_col, pdf[id_col].values)
+            yield out
+
+    cols = [id_col, html_col] + ([url_col] if url_col else [])
+    return docs_df.select(*cols).mapInPandas(gen, schema=schema)

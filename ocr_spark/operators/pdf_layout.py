@@ -373,11 +373,118 @@ def _parse_tounicode(body: str) -> tuple[int, dict[int, str]]:
     return (codelen or 1), mapping
 
 
+# Adobe Glyph List (public, adobe-type-tools/agl-aglfn): the subset simple
+# fonts actually reference from /Differences arrays — ASCII names are
+# generated, the table below covers Latin-1 accents, typographic
+# punctuation and the standard ligatures/symbols; uniXXXX / uXXXX[XX]
+# names are decoded by pattern. Unknown names are skipped (no guessing).
+_AGL_TABLE = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "exclamdown": "¡", "cent": "¢", "sterling": "£", "currency": "¤",
+    "yen": "¥", "brokenbar": "¦", "section": "§", "dieresis": "¨",
+    "copyright": "©", "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯", "degree": "°",
+    "plusminus": "±", "acute": "´", "mu": "µ", "paragraph": "¶",
+    "periodcentered": "·", "cedilla": "¸", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿", "multiply": "×",
+    "divide": "÷", "germandbls": "ß",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "perthousand": "‰", "guilsinglleft": "‹",
+    "guilsinglright": "›", "minus": "−", "fraction": "⁄",
+    "florin": "ƒ", "Euro": "€", "trademark": "™",
+    "fi": "ﬁ", "fl": "ﬂ", "dotlessi": "ı",
+    "circumflex": "ˆ", "caron": "ˇ", "breve": "˘",
+    "dotaccent": "˙", "ring": "˚", "ogonek": "˛",
+    "tilde": "˜", "hungarumlaut": "˝",
+    "OE": "Œ", "oe": "œ", "Scaron": "Š", "scaron": "š",
+    "Zcaron": "Ž", "zcaron": "ž", "Ydieresis": "Ÿ",
+    "Lslash": "Ł", "lslash": "ł",
+}
+# ASCII letters name themselves; Latin-1 letters follow base+accent
+for _c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _AGL_TABLE[_c] = _c
+import unicodedata as _ud  # noqa: E402  (AGL table construction)
+
+for _base, _code in [
+    ("grave", "̀"), ("acute", "́"), ("circumflex", "̂"),
+    ("tilde", "̃"), ("dieresis", "̈"), ("ring", "̊"),
+    ("cedilla", "̧"),
+]:
+    for _l in "aeiouyncAEIOUYNC":
+        _comp = _ud.normalize("NFC", _l + _code)
+        if len(_comp) == 1:
+            _AGL_TABLE[_l + _base] = _comp
+for _n, _ch in [("ae", "æ"), ("AE", "Æ"), ("oslash", "ø"), ("Oslash", "Ø"),
+                ("eth", "ð"), ("Eth", "Ð"), ("thorn", "þ"), ("Thorn", "Þ")]:
+    _AGL_TABLE[_n] = _ch
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    """AGL glyph name → unicode string (uniXXXX / uXXXX[XX] by pattern,
+    suffixed variants like 'a.sc' fall back to their base name)."""
+    got = _AGL_TABLE.get(name)
+    if got is not None:
+        return got
+    if name.startswith("uni") and len(name) >= 7:
+        hexs = name[3:]
+        if len(hexs) % 4 == 0 and all(c in "0123456789abcdefABCDEF" for c in hexs):
+            return bytes.fromhex(hexs).decode("utf-16-be", "replace")
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        hexs = name[1:]
+        if all(c in "0123456789abcdefABCDEF" for c in hexs):
+            cp = int(hexs, 16)
+            if cp <= 0x10FFFF:
+                return chr(cp)
+    if "." in name:  # variant suffix (a.sc, one.oldstyle)
+        return _glyph_to_unicode(name.split(".", 1)[0])
+    return None
+
+
+def _parse_differences(enc_body: str) -> dict[int, str]:
+    """/Encoding << /Differences [ code /name /name code /name … ] >> →
+    {byte code -> unicode}. Names the AGL subset can't resolve are skipped
+    (the byte falls back to the base-encoding latin-1 path)."""
+    import re as _re
+
+    dm = _re.search(r"/Differences\s*\[(.*?)\]", enc_body, _re.S)
+    if not dm:
+        return {}
+    mapping: dict[int, str] = {}
+    code = 0
+    for tok in _re.findall(r"(\d+)|/([^\s/\[\]<>()]+)", dm.group(1)):
+        if tok[0]:
+            code = int(tok[0])
+        else:
+            got = _glyph_to_unicode(tok[1])
+            if got is not None and 0 <= code <= 255:
+                mapping[code] = got
+            code += 1
+    return mapping
+
+
 def _font_cmaps(text: str) -> dict[str, tuple[int, dict[int, str]]]:
-    """{resource font name (e.g. 'F1') -> (codelen, cid->unicode map)} for
-    every font whose object carries a /ToUnicode stream. Structural (no
-    xref): objects are located by their 'N 0 obj … endobj' wrappers, the
-    same tolerance contract as the block scan."""
+    """{resource font name (e.g. 'F1') -> (codelen, code->unicode map)}
+    covering BOTH real-world text-mapping mechanisms: /ToUnicode CMap
+    streams (CID/Type0 subset fonts — takes precedence per PDF 9.10.2)
+    and simple-font /Encoding /Differences arrays (glyph names resolved
+    through the Adobe Glyph List subset). Structural (no xref): objects
+    are located by their 'N 0 obj … endobj' wrappers, the same tolerance
+    contract as the block scan."""
     import re as _re
 
     objs: dict[int, str] = {}
@@ -388,13 +495,20 @@ def _font_cmaps(text: str) -> dict[str, tuple[int, dict[int, str]]]:
         for name, ref in _re.findall(r"/(\w+)\s+(\d+)\s+0\s+R", fm.group(1)):
             body = objs.get(int(ref), "")
             tu = _re.search(r"/ToUnicode\s+(\d+)\s+0\s+R", body)
-            if not tu:
-                continue
-            cm = objs.get(int(tu.group(1)), "")
-            sm = _re.search(r"stream\r?\n(.*?)\r?\n?endstream", cm, _re.S)
-            codelen, mapping = _parse_tounicode(sm.group(1) if sm else cm)
-            if mapping:
-                out[name] = (codelen, mapping)
+            if tu:
+                cm = objs.get(int(tu.group(1)), "")
+                sm = _re.search(
+                    r"stream\r?\n(.*?)\r?\n?endstream", cm, _re.S
+                )
+                codelen, mapping = _parse_tounicode(sm.group(1) if sm else cm)
+                if mapping:
+                    out[name] = (codelen, mapping)
+                    continue
+            em = _re.search(r"/Encoding\s+(\d+)\s+0\s+R", body)
+            enc_body = objs.get(int(em.group(1)), "") if em else body
+            diffs = _parse_differences(enc_body)
+            if diffs:
+                out[name] = (1, diffs)
     return out
 
 
@@ -684,9 +798,14 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
         x0, y0, x1, y1 = (float(mb.group(i)) for i in range(1, 5))
         page_w, page_h = x1 - x0, y1 - y0
     blocks: list[dict] = []
-    # ToUnicode CMaps (subset-embedded fonts show CIDs): parsed once per
-    # document, looked up per Tf by resource name
-    fonts = _font_cmaps(text) if "/ToUnicode" in text else {}
+    # font code→unicode maps (ToUnicode CMaps for CID fonts, /Differences
+    # for simple fonts): parsed once per document, looked up per Tf by
+    # resource name
+    fonts = (
+        _font_cmaps(text)
+        if "/ToUnicode" in text or "/Differences" in text
+        else {}
+    )
     # one LINEAR pass with an in-text-object state flag: string literals are
     # consumed by the string parser wherever they appear, so 'ET'/'BT' INSIDE
     # a string can neither truncate a text object (BUDGET, SECRET…) nor

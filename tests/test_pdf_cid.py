@@ -176,3 +176,106 @@ class TestUnmappedFallback:
         # splice in a CID far outside the subset's map
         raw = pdf.decode("latin-1").replace("[<", "[<0FFF", 1)
         assert extract_pdf_text(raw).startswith("�")
+
+
+class TestDifferencesEncoding:
+    """Simple-font /Encoding /Differences arrays — the OTHER real-world
+    text-mapping mechanism (older Type1/TrueType PDFs), glyph names
+    resolved through the Adobe Glyph List subset."""
+
+    def _font_patched(self, font_dict: str, show: str, extra_obj: str = "") -> str:
+        base = pdf_write([{"x": 50, "y": 60, "text": "PLACEHOLDER"}])
+        raw = base.decode("latin-1").replace(
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", font_dict
+        ).replace("(PLACEHOLDER) Tj", show)
+        if extra_obj:
+            raw = raw.replace("trailer", extra_obj + "\ntrailer")
+        return raw
+
+    def test_inline_differences(self):
+        raw = self._font_patched(
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+            "/Encoding << /Differences [ 65 /bullet 233 /Euro ] >> >>",
+            r"(A caf\351) Tj",
+        )
+        assert extract_pdf_text(raw) == "• caf€"
+
+    def test_indirect_encoding_object(self):
+        raw = self._font_patched(
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Custom /Encoding 6 0 R >>",
+            "(A ok) Tj",
+            "6 0 obj\n<< /Type /Encoding /Differences [ 65 /emdash ] >>\nendobj",
+        )
+        assert extract_pdf_text(raw) == "— ok"
+
+    def test_unmapped_bytes_stay_latin1(self):
+        raw = self._font_patched(
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+            "/Encoding << /Differences [ 65 /bullet ] >> >>",
+            r"(caf\351 B) Tj",
+        )
+        assert extract_pdf_text(raw) == "café B"
+
+    def test_unknown_glyph_name_skipped(self):
+        raw = self._font_patched(
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+            "/Encoding << /Differences [ 65 /g12345 66 /bullet ] >> >>",
+            "(AB) Tj",
+        )
+        # unknown name for 65 → latin-1 'A'; 66 is explicitly bullet
+        assert extract_pdf_text(raw) == "A•"
+
+    def test_consecutive_names_advance_code(self):
+        raw = self._font_patched(
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+            "/Encoding << /Differences [ 65 /endash /emdash /bullet ] >> >>",
+            "(ABC) Tj",
+        )
+        assert extract_pdf_text(raw) == "–—•"
+
+
+class TestGlyphNames:
+    @pytest.mark.parametrize(
+        "name,want",
+        [
+            ("eacute", "é"), ("Agrave", "À"), ("ccedilla", "ç"),
+            ("ntilde", "ñ"), ("uuml", None), ("udieresis", "ü"),
+            ("aring", "å"), ("oslash", "ø"), ("germandbls", "ß"),
+            ("quotedblleft", "“"), ("endash", "–"), ("ellipsis", "…"),
+            ("fi", "ﬁ"), ("Euro", "€"), ("uni20AC", "€"),
+            ("uni00480065", "He"), ("u1F600", "😀"),
+            ("a.sc", "a"), ("one.oldstyle", "1"), ("nonsense", None),
+        ],
+    )
+    def test_agl_subset(self, name, want):
+        from ocr_spark.operators.pdf_layout import _glyph_to_unicode
+
+        assert _glyph_to_unicode(name) == want
+
+
+class TestParserRobustness:
+    def test_fuzz_never_raises_unexpected(self):
+        """Property: arbitrary latin-1 content-stream soup inside a valid
+        PDF skeleton either parses or raises ValueError — never anything
+        else, and never hangs on unterminated constructs."""
+        from hypothesis import given, settings, strategies as st
+
+        tokens = st.sampled_from([
+            "BT", "ET", "Tj", "TJ", "Tf", "Td", "TD", "Tm", "TL", "T*",
+            "'", '"', "(abc)", "(a\\351b", "<41", "<4142>", "[", "]",
+            "<<", ">>", "/F1", "/Differences", "12", "-250", "0.5", ".",
+            "(nested (parens))", "<zz>", "\\", ")",
+        ])
+
+        @settings(max_examples=200, deadline=None)
+        @given(parts=st.lists(tokens, min_size=0, max_size=30))
+        def run(parts):
+            base = pdf_write([{"x": 10, "y": 10, "text": "X"}])
+            raw = base.decode("latin-1").replace("(X) Tj", " ".join(parts))
+            try:
+                blocks, w, h = pdf_parse_blocks(raw)
+            except ValueError:
+                return
+            assert isinstance(blocks, list)
+
+        run()

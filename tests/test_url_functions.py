@@ -249,3 +249,103 @@ def test_pct_normalization(spark, url, want):
         f"SELECT {url_normalize_sql(lit)}"
     ).fetchone()[0]
     assert got == want
+
+
+class TestResolveUrl:
+    """RFC 3986 §5.4 reference-resolution examples — normal (§5.4.1) and
+    abnormal (§5.4.2) — plus agreement with urllib.parse.urljoin."""
+
+    BASE = "http://a/b/c/d;p?q"
+    VECTORS = {
+        "g:h": "g:h", "g": "http://a/b/c/g", "./g": "http://a/b/c/g",
+        "g/": "http://a/b/c/g/", "/g": "http://a/g", "//g": "http://g",
+        "?y": "http://a/b/c/d;p?y", "g?y": "http://a/b/c/g?y",
+        "#s": "http://a/b/c/d;p?q#s", "g#s": "http://a/b/c/g#s",
+        "g?y#s": "http://a/b/c/g?y#s", ";x": "http://a/b/c/;x",
+        "g;x": "http://a/b/c/g;x", "g;x?y#s": "http://a/b/c/g;x?y#s",
+        "": "http://a/b/c/d;p?q", ".": "http://a/b/c/", "./": "http://a/b/c/",
+        "..": "http://a/b/", "../": "http://a/b/", "../g": "http://a/b/g",
+        "../..": "http://a/", "../../": "http://a/", "../../g": "http://a/g",
+        "../../../g": "http://a/g", "../../../../g": "http://a/g",
+        "/./g": "http://a/g", "/../g": "http://a/g", "g.": "http://a/b/c/g.",
+        ".g": "http://a/b/c/.g", "g..": "http://a/b/c/g..",
+        "..g": "http://a/b/c/..g", "./../g": "http://a/b/g",
+        "./g/.": "http://a/b/c/g/", "g/./h": "http://a/b/c/g/h",
+        "g/../h": "http://a/b/c/h", "g;x=1/./y": "http://a/b/c/g;x=1/y",
+        "g;x=1/../y": "http://a/b/c/y", "g?y/./x": "http://a/b/c/g?y/./x",
+        "g?y/../x": "http://a/b/c/g?y/../x", "g#s/./x": "http://a/b/c/g#s/./x",
+        "g#s/../x": "http://a/b/c/g#s/../x",
+    }
+
+    def test_rfc_vector_table(self):
+        from ocr_spark.functions.url import resolve_url
+
+        for ref, want in self.VECTORS.items():
+            assert resolve_url(self.BASE, ref) == want, ref
+
+    def test_agrees_with_urljoin(self):
+        from urllib.parse import urljoin
+
+        from ocr_spark.functions.url import resolve_url
+
+        for ref in self.VECTORS:
+            assert resolve_url(self.BASE, ref) == urljoin(self.BASE, ref), ref
+
+    def test_empty_fragment_preserved(self):
+        from ocr_spark.functions.url import resolve_url
+
+        assert resolve_url(self.BASE, "g#") == "http://a/b/c/g#"
+
+
+class TestResolveUrlProperty:
+    def test_empty_query_divergence_is_rfc_correct(self):
+        """Known urllib divergence the fuzzer found: for ref '?' RFC 3986
+        §5.3 recomposition KEEPS the empty query ('if defined(T.query),
+        append "?" + query'); urljoin drops it. resolve_url follows the
+        RFC."""
+        from urllib.parse import urljoin
+
+        from ocr_spark.functions.url import resolve_url
+
+        base = "http://a/b/c/d;p?q"
+        assert resolve_url(base, "?") == "http://a/b/c/d;p?"
+        # the quirk, pinned: urllib treats the empty query as absent and
+        # falls back to the BASE query (pre-RFC-3986 inheritance)
+        assert urljoin(base, "?") == "http://a/b/c/d;p?q"
+        # and urllib COLLAPSES internal empty path segments, which RFC
+        # 3986 (and WHATWG URL) preserve — they are not dot segments
+        assert resolve_url(base, "g//h") == "http://a/b/c/g//h"
+        assert urljoin(base, "g//h") == "http://a/b/c/g/h"
+
+    def test_fuzz_agrees_with_urljoin(self):
+        """Property: resolve_url == urllib.parse.urljoin over generated
+        refs (path/query/fragment/dot-segment soup on an http base).
+        Empty query/fragment refs are excluded — urllib drops a lone
+        '?' or '#' where RFC 3986 recomposition keeps it (pinned above)."""
+        from urllib.parse import urljoin
+
+        from hypothesis import given, settings, strategies as st
+
+        # "" excluded: urllib collapses internal empty segments (pinned above)
+        seg = st.sampled_from(["g", "h", ".", "..", "a;x=1", "g.", ".g"])
+        ref_st = st.builds(
+            lambda segs, lead, q, f: (
+                ("/" if lead else "") + "/".join(segs)
+                + ("?" + q if q is not None else "")
+                + ("#" + f if f is not None else "")
+            ),
+            st.lists(seg, min_size=0, max_size=5),
+            st.booleans(),
+            st.one_of(st.none(), st.sampled_from(["y", "a=b&c=d"])),
+            st.one_of(st.none(), st.sampled_from(["s"])),
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(ref=ref_st)
+        def run(ref):
+            from ocr_spark.functions.url import resolve_url
+
+            base = "http://a/b/c/d;p?q"
+            assert resolve_url(base, ref) == urljoin(base, ref), ref
+
+        run()
