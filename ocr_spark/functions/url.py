@@ -25,9 +25,12 @@ changes. Hosts matching no rule use the implicit default rule `*` (last
 label is the public suffix). When the host IS a public suffix (no
 registrable domain exists per the PSL), the host itself is returned —
 the garbage-tolerant contract every URL operator here follows.
-Punycode (`xn--`) hosts pass through lowercased as-is: IDNA mapping needs
-a Unicode table and is out of scope; byte-identical punycode spellings
-still collapse.
+Punycode (`xn--`) hosts pass through lowercased as-is HERE (column
+expressions can't spell RFC 3492); `functions/idn.py` closes the gap with
+a from-scratch punycode codec behind a sparse vectorized UDF —
+`url_normalize_idn` collapses 'http://BÜCHER.example/' and
+'http://xn--bcher-kva.example/' to one canonical ASCII form, which is
+also the PSL's spelling so registrable_domain groups IDN hosts correctly.
 
 url_normalize additionally canonicalizes percent-encoding (RFC 3986 §6.2.2):
 unreserved characters ([A-Za-z0-9._~-]) are DECODED, every other escape is
