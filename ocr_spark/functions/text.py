@@ -14,7 +14,9 @@ Application order is load-bearing: clean whitespace FIRST, custom rules SECOND
 (ref postprocessing_module.py:130-146); inside cleaning the order is
 normalize newlines → strip → squeeze spaces/tabs → collapse newline runs.
 
-Everything here is a pure Column expression — whole-stage-codegen'd, no UDFs.
+Everything here is a pure Column expression — whole-stage-codegen'd, no UDFs
+— except `unicode_normalize` (bottom section), where NFC/NFKC requires the
+Unicode tables and runs as a SPARSE vectorized UDF (non-ASCII rows only).
 Each Spark expression has a DuckDB-SQL twin (``*_sql``) used by the oracle in
 ``__spark_entry__.py`` so the two can never drift apart silently.
 
@@ -227,3 +229,78 @@ def mojibake_inject(col: Column) -> Column:
 
 def mojibake_inject_sql(expr: str) -> str:
     return apply_rules_sql(expr, [(b, a) for a, b in MOJIBAKE_RULES])
+
+
+# ---------------------------------------------------------------------------
+# Unicode hygiene (crawl text): strip the invisible garbage real pages carry
+# (C0/C1 control chars, zero-width joiners/spaces, BOM, soft hyphens) and
+# canonicalize composition (NFC/NFKC) so byte-different spellings of the
+# same text ('e'+U+0301 vs 'é') hash/dedup identically downstream.
+#
+# The strip is ONE regexp_replace (whole-stage codegen, exact DuckDB twin —
+# same pattern, both engines' regex dialects accept \x{...}). Composition
+# normalization can't be a column expression, so unicode_normalize uses the
+# sparse-UDF pattern from functions/idn.py: only rows containing non-ASCII
+# enter the Arrow batch (ASCII is NFC/NFKC-invariant), the rest
+# short-circuit through coalesce — an ASCII-dominant corpus stays codegen.
+# Cross-engine check: our UDF (stdlib unicodedata) vs DuckDB's independent
+# nfc_normalize() agree per row (tests/test_unicode_clean.py).
+#
+# Kept OUT of the strip class: \t \n (real whitespace) and \r (owned by
+# normalize_newlines — stripping a lone \r here would delete a line break
+# instead of normalizing it). cp1252-mojibake never collides: its decoded
+# forms are the PRINTABLE cp1252 0x80-0x9F glyphs, not C1 code points.
+# ---------------------------------------------------------------------------
+
+# C0 minus \t\n\r, DEL, C1, zero-width (ZWSP/ZWNJ/ZWJ/WJ), BOM, soft hyphen
+_STRIP_CLASS = (
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+    "\\x{0080}-\\x{009F}\\x{200B}-\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}]"
+)
+
+
+def clean_control_chars(col: Column) -> Column:
+    return F.regexp_replace(col, _STRIP_CLASS, "")
+
+
+def clean_control_chars_sql(expr: str) -> str:
+    return f"regexp_replace({expr}, '{_STRIP_CLASS}', '', 'g')"
+
+
+def _make_norm_udf(form: str):
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _norm(texts):
+        return texts.map(
+            lambda t: None if t is None else unicodedata.normalize(form, t)
+        )
+
+    # annotate with the resolved class (pandas_udf infers eval type from
+    # the hints; a string annotation can't resolve from this scope)
+    _norm.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_norm, T.StringType())
+
+
+_NORM_UDFS: dict = {}
+
+
+def unicode_normalize(col: Column, form: str = "NFC") -> Column:
+    """Unicode normalization with the sparse-UDF fast path (see block
+    comment). form in NFC/NFKC/NFD/NFKD."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    udf = _NORM_UDFS.get(form)
+    if udf is None:
+        udf = _NORM_UDFS[form] = _make_norm_udf(form)
+    needs = col.rlike(r"[^\x00-\x7f]")
+    return F.coalesce(udf(F.when(needs, col)), col)
+
+
+def unicode_clean(col: Column, form: str = "NFC") -> Column:
+    """Control/zero-width strip + composition normalization — the full
+    crawl-text Unicode hygiene pass, applied BEFORE whitespace
+    canonicalization and any hashing/dedup."""
+    return unicode_normalize(clean_control_chars(col), form)
