@@ -776,3 +776,137 @@ r AS (
   FROM m)
 SELECT {id_cols}, len(reasons) = 0 AS keep, reasons FROM r
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# model-based quality classifier: hashed-unigram logistic regression
+#
+# The LEARNED layer real corpus builds stack on top of the heuristic
+# filters (quality_score / rule_filter): a fastText-style linear model
+# over hashed token features, trained offline by
+# scripts/gen_quality_weights.py on synthesized positives (sentence-
+# structured pseudo-English) vs the four junk archetypes (char soup,
+# repetition, digit/symbol noise, keyword stuffing) and committed as
+# resources/quality_lr.tsv. Weights are integer MICRO-logits, so both
+# engines aggregate exact integers and the keep decision is
+# engine-independent (same float policy as unigram_logprob); the mean
+# logit uses one floor-division at the end. Like any hashed bag-of-words
+# model it is LEXICON-BOUND: deploying on a new domain means re-running
+# the trainer over that domain's positives/negatives (the fixture is the
+# demonstration artifact, not a universal English model).
+#
+# Scale shape: explode + pmod(h32) bucket + ONE broadcast join against the
+# ≤1024-row weight table + one partial-agg shuffle keyed by doc id — the
+# corpus never joins against anything non-broadcast. Zero-token docs keep
+# mean_logit NULL and are dropped (keep=false): a quality classifier has
+# no evidence either way, and empty docs belong to the length rules.
+# ---------------------------------------------------------------------------
+
+_QLR_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "resources",
+    "quality_lr.tsv",
+)
+
+_QLR_CACHE: tuple[int, int, list[tuple[int, int]]] | None = None
+
+
+def load_quality_lr(path: str = _QLR_PATH) -> tuple[int, int, list[tuple[int, int]]]:
+    """(dim, bias_micro, [(bucket, w_micro)...]) from the committed fixture."""
+    global _QLR_CACHE
+    if path == _QLR_PATH and _QLR_CACHE is not None:
+        return _QLR_CACHE
+    dim, bias = 0, 0
+    rows: list[tuple[int, int]] = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("#dim"):
+                dim = int(line.split("\t")[1])
+            elif line.startswith("#bias"):
+                bias = int(line.split("\t")[1])
+            elif not line.startswith("#"):
+                b, w = line.split("\t")
+                rows.append((int(b), int(w)))
+    out = (dim, bias, rows)
+    if path == _QLR_PATH:
+        _QLR_CACHE = out
+    return out
+
+
+def _clf_tokens(col: Column) -> Column:
+    # the trainer's tokenizer, verbatim: [a-z0-9]+ runs of lowercased text
+    return F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
+
+
+def quality_classifier(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, n_clf_tokens, mean_logit_micro, quality_keep): mean hashed-
+    unigram logit in integer micro-units plus the keep decision
+    (mean logit + bias > 0). See block comment for the scale shape."""
+    spark = docs.sparkSession
+    dim, bias, rows = load_quality_lr()
+    wtab = spark.createDataFrame(rows, "bucket long, w_micro long")
+    e = docs.select(
+        F.col(id_col), F.explode(_clf_tokens(F.col(text_col))).alias("_t")
+    ).select(id_col, F.pmod(h32(F.col("_t")), F.lit(dim)).alias("bucket"))
+    g = (
+        e.join(F.broadcast(wtab), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_clf_tokens"),
+            F.sum(F.coalesce(F.col("w_micro"), F.lit(0))).alias("_z"),
+        )
+    )
+    scored = g.select(
+        F.col(id_col),
+        "n_clf_tokens",
+        F.floor(F.col("_z") / F.col("n_clf_tokens")).alias("mean_logit_micro"),
+    )
+    return docs.join(scored, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_clf_tokens"), F.lit(0)).alias("n_clf_tokens"),
+        F.col("mean_logit_micro"),
+        F.coalesce(
+            F.col("mean_logit_micro") + F.lit(bias) > 0, F.lit(False)
+        ).alias("quality_keep"),
+    )
+
+
+def quality_classifier_sql(
+    src: str = "SELECT doc_id, text FROM documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin over the SAME fixture rows as a VALUES table — same
+    tokenizer, hash, integer aggregation, floor division, and decision."""
+    dim, bias, rows = load_quality_lr()
+    values = ", ".join(f"({b}, {w})" for b, w in rows)
+    return f"""
+WITH src AS ({src}),
+tok AS (SELECT {id_col},
+               unnest(list_filter(regexp_split_to_array(lower(text),
+                      '[^a-z0-9]+'), x -> x <> '')) AS t
+        FROM src),
+bk AS (SELECT {id_col}, {h32_sql('t')} % {dim} AS bucket FROM tok),
+w AS (SELECT * FROM (VALUES {values}) AS t(bucket, w_micro)),
+g AS (SELECT {id_col}, count(*) AS n_clf_tokens,
+             sum(coalesce(w_micro, 0)) AS z
+      FROM bk LEFT JOIN w USING (bucket) GROUP BY {id_col}),
+sc AS (SELECT {id_col}, n_clf_tokens,
+              -- floor(float-div), NOT '//': DuckDB '//' truncates toward
+              -- zero on negatives while Spark F.floor(a/b) floors; both
+              -- engines' '/' is the same IEEE double divide, so
+              -- floor-of-divide is bit-identical
+              floor(z / n_clf_tokens)::BIGINT AS mean_logit_micro
+       FROM g)
+SELECT src.{id_col},
+       coalesce(sc.n_clf_tokens, 0) AS n_clf_tokens,
+       sc.mean_logit_micro,
+       coalesce(sc.mean_logit_micro + {bias} > 0, FALSE) AS quality_keep
+FROM src LEFT JOIN sc USING ({id_col})
+""".strip()
