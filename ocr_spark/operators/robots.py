@@ -1,5 +1,6 @@
 """robots.txt (RFC 9309) parsing and allow/deny evaluation — the crawl
-PERMISSION layer of corpus hygiene.
+PERMISSION layer of corpus hygiene — plus sitemaps.org sitemap parsing
+(the DISCOVERY companion; bottom section).
 
 `html_metadata` already honors in-page opt-outs (meta robots noindex /
 nofollow); this module adds the origin-level one: a corpus build MUST be
@@ -236,3 +237,111 @@ def robots_filter(
         .filter(F.col("robots_allowed"))
         .drop("robots_allowed")
     )
+
+
+# ---------------------------------------------------------------------------
+# sitemap parsing (sitemaps.org protocol) — the discovery companion to
+# robots.txt (whose `sitemap:` lines this module already collects).
+# Real-crawl sitemaps are frequently malformed XML, so parsing is
+# regex-tolerant (never raises, same policy as html_extract) and handles
+# all three shapes: <urlset> leaf sitemaps, <sitemapindex> pointers, and
+# plain-text one-URL-per-line files; gzip members are unwrapped. The
+# Spark surface is ONE mapInPandas explode over (source_url, content) —
+# no shuffle; a fetch loop alternates sitemap_extract over the emitted
+# kind='sitemap' rows until no pointers remain.
+# ---------------------------------------------------------------------------
+
+_LOC_BLOCK_RE = re.compile(
+    r"<(url|sitemap)\b[^>]*>(.*?)</\1>", re.S | re.I
+)
+_LOC_RE = re.compile(r"<loc\b[^>]*>\s*(.*?)\s*</loc>", re.S | re.I)
+_LASTMOD_RE = re.compile(r"<lastmod\b[^>]*>\s*(.*?)\s*</lastmod>", re.S | re.I)
+_XML_ESCAPES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&apos;", "'"), ("&#39;", "'"), ("&amp;", "&"),  # &amp; LAST
+]
+
+
+def _xml_unescape(s: str) -> str:
+    for ent, ch in _XML_ESCAPES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def parse_sitemap(content: bytes | str | None) -> list[dict]:
+    """[{'loc', 'lastmod', 'kind'}] — kind is 'url' (leaf entry) or
+    'sitemap' (index pointer). Accepts XML bytes/str, gzip'd XML, or a
+    plain-text URL list. Never raises; unparseable input yields []."""
+    if content is None:
+        return []
+    if isinstance(content, bytes):
+        if content[:2] == b"\x1f\x8b":
+            import gzip
+
+            try:
+                content = gzip.decompress(content)
+            except Exception:
+                return []
+        try:
+            content = content.decode("utf-8", errors="replace")
+        except Exception:
+            return []
+    out: list[dict] = []
+    if "<" in content and _LOC_RE.search(content):
+        for m in _LOC_BLOCK_RE.finditer(content):
+            kind, body = m.group(1).lower(), m.group(2)
+            loc = _LOC_RE.search(body)
+            if not loc:
+                continue
+            lm = _LASTMOD_RE.search(body)
+            out.append(
+                {
+                    "loc": _xml_unescape(loc.group(1)),
+                    "lastmod": _xml_unescape(lm.group(1)) if lm else None,
+                    "kind": kind,
+                }
+            )
+        return out
+    # plain-text sitemap: one absolute URL per line
+    for line in content.splitlines():
+        line = line.strip()
+        if line.startswith(("http://", "https://")):
+            out.append({"loc": line, "lastmod": None, "kind": "url"})
+    return out
+
+
+_SITEMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("source_url", T.StringType()),
+        T.StructField("loc", T.StringType()),
+        T.StructField("lastmod", T.StringType()),
+        T.StructField("kind", T.StringType()),
+    ]
+)
+
+
+def sitemap_extract(
+    sitemaps: DataFrame,
+    url_col: str = "url",
+    content_col: str = "content",
+) -> DataFrame:
+    """Explode fetched sitemap payloads (url_col, content_col: binary or
+    string) into (source_url, loc, lastmod, kind) rows. One mapInPandas
+    stage, no shuffle."""
+    from typing import Iterator
+
+    cols = sitemaps.select(
+        F.col(url_col).alias("source_url"), F.col(content_col).alias("content")
+    )
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for src, content in zip(pdf["source_url"], pdf["content"]):
+                for e in parse_sitemap(content):
+                    rows.append((src, e["loc"], e["lastmod"], e["kind"]))
+            yield pd.DataFrame(
+                rows, columns=["source_url", "loc", "lastmod", "kind"]
+            )
+
+    return cols.mapInPandas(gen, _SITEMAP_SCHEMA)

@@ -187,3 +187,69 @@ class TestSparkSurface:
         )
         got = {r["doc_id"]: r["robots_allowed"] for r in robots_annotate(docs, robots).collect()}
         assert got == {1: False, 2: True}
+
+
+class TestSitemap:
+    XML = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc>https://e.com/a</loc><lastmod>2024-01-02</lastmod></url>\n"
+        "<url><loc> https://e.com/b?x=1&amp;y=2 </loc></url>\n"
+        "</urlset>"
+    )
+    INDEX = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://e.com/s1.xml</loc></sitemap>"
+        "<sitemap><loc>https://e.com/s2.xml</loc>"
+        "<lastmod>2023-12-31</lastmod></sitemap>"
+        "</sitemapindex>"
+    )
+
+    def test_urlset(self):
+        from ocr_spark.operators.robots import parse_sitemap
+
+        got = parse_sitemap(self.XML)
+        assert got == [
+            {"loc": "https://e.com/a", "lastmod": "2024-01-02", "kind": "url"},
+            {"loc": "https://e.com/b?x=1&y=2", "lastmod": None, "kind": "url"},
+        ]
+
+    def test_index_and_gzip_and_text(self):
+        import gzip
+
+        from ocr_spark.operators.robots import parse_sitemap
+
+        idx = parse_sitemap(self.INDEX)
+        assert [e["kind"] for e in idx] == ["sitemap", "sitemap"]
+        assert idx[1]["lastmod"] == "2023-12-31"
+        gz = parse_sitemap(gzip.compress(self.XML.encode()))
+        assert len(gz) == 2 and gz[0]["loc"] == "https://e.com/a"
+        txt = parse_sitemap("https://e.com/1\n# note\nhttps://e.com/2\n")
+        assert [e["loc"] for e in txt] == ["https://e.com/1", "https://e.com/2"]
+
+    def test_garbage_never_raises(self):
+        from ocr_spark.operators.robots import parse_sitemap
+
+        for junk in [None, b"", "<urlset><url></url>", b"\x1f\x8bnotgzip", "hi"]:
+            assert isinstance(parse_sitemap(junk), list)
+
+    def test_spark_explode(self, spark):
+        from ocr_spark.operators.robots import sitemap_extract
+
+        df = spark.createDataFrame(
+            [
+                ("https://e.com/sitemap.xml", self.XML.encode()),
+                ("https://e.com/idx.xml", self.INDEX.encode()),
+                ("https://e.com/empty.xml", None),
+            ],
+            "url string, content binary",
+        )
+        rows = sitemap_extract(df).collect()
+        assert len(rows) == 4
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source_url"], []).append(r["kind"])
+        assert sorted(by_src["https://e.com/sitemap.xml"]) == ["url", "url"]
+        assert sorted(by_src["https://e.com/idx.xml"]) == ["sitemap", "sitemap"]
+        plan = sitemap_extract(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # one mapInPandas stage, no shuffle
