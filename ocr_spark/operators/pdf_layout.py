@@ -171,6 +171,96 @@ def pdf_write(
     return bytes(out)
 
 
+def pdf_write_objstm(
+    blocks: list[dict],
+    page_w: float = PAGE_W,
+    page_h: float = PAGE_H,
+    font_body: bytes = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+) -> bytes:
+    """PDF 1.5-style fixture: the SAME document pdf_write produces, but
+    with every non-stream object (catalog, page tree, page, font) packed
+    into a FlateDecode'd /ObjStm and the table replaced by a binary
+    cross-reference STREAM (/Type /XRef, W [1 2 2], type-2 entries
+    pointing into the object stream) — the layout every modern exporter
+    emits. Exercises _expand_objstm + the XRef body drop end to end."""
+    import zlib
+
+    lines = []
+    for b in blocks:
+        size = float(b.get("size", 12))
+        x = float(b["x"])
+        y = page_h - float(b["y"]) - size
+        lines.append(
+            f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_pdf_escape(str(b['text']))}) Tj ET"
+        )
+    content = zlib.compress("\n".join(lines).encode("latin-1"))
+
+    packed = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:g} {page_h:g}] "
+            "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+        ).encode(),
+        5: font_body,
+    }
+    offs, body = [], b""
+    for num, obj in packed.items():
+        offs.append((num, len(body)))
+        body += obj + b"\n"
+    header = (" ".join(f"{n} {o}" for n, o in offs) + "\n").encode()
+    stm_plain = header + body
+    first = len(header)
+    stm = zlib.compress(stm_plain)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, obj: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode() + obj + b"\nendobj\n")
+
+    emit(
+        4,
+        b"<< /Filter /FlateDecode /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+    )
+    emit(
+        6,
+        (
+            f"<< /Type /ObjStm /N {len(packed)} /First {first} "
+            f"/Filter /FlateDecode /Length {len(stm)} >>\n"
+        ).encode() + b"stream\n" + stm + b"\nendstream",
+    )
+    # xref stream entries, W [1 2 2]: (type, f2, f3) per object 0..7
+    xref_pos = len(out)
+    entries = []
+    objstm_index = {n: i for i, (n, _) in enumerate(offs)}
+    for num in range(8):
+        if num == 0:
+            entries.append((0, 0, 65535))
+        elif num in objstm_index:
+            entries.append((2, 6, objstm_index[num]))  # in ObjStm 6
+        elif num in offsets:
+            entries.append((1, offsets[num], 0))
+        else:  # 7 = this xref stream itself
+            entries.append((1, xref_pos, 0))
+    xbody = b"".join(
+        bytes([t]) + f2.to_bytes(2, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in entries
+    )
+    xstm = zlib.compress(xbody)
+    emit(
+        7,
+        (
+            "<< /Type /XRef /Size 8 /Root 1 0 R /W [1 2 2] /Index [0 8] "
+            f"/Filter /FlateDecode /Length {len(xstm)} >>\n"
+        ).encode() + b"stream\n" + xstm + b"\nendstream",
+    )
+    out.extend(f"startxref\n{xref_pos}\n%%EOF\n".encode())
+    return bytes(out)
+
+
 def pdf_write_cid(
     blocks: list[dict],
     page_w: float = PAGE_W,
@@ -762,11 +852,56 @@ def _inflate_streams(data: bytes) -> bytes:
                 _geti("Columns", 1),
             )
         out.append(data[pos:k])
-        # the parser scans structurally; the dict only needs the filter gone
-        out.append(b"<< >>\nstream\n" + inflated + b"\nendstream")
+        tm = _re.search(r"/Type\s*/(\w+)", ddict)
+        typ = tm.group(1) if tm else None
+        if typ == "ObjStm":
+            # PDF 1.5+ object stream: non-stream objects (page trees, font
+            # dicts, encodings) live INSIDE this compressed container —
+            # expand them to top-level 'N 0 obj … endobj' blocks so the
+            # structural scan sees them like any other object
+            out.append(_expand_objstm(ddict, inflated))
+        elif typ == "XRef":
+            # cross-reference stream: binary table the structural scan
+            # never reads — drop the body so its bytes can't be misread
+            # as text operators or object wrappers
+            out.append(b"<< >>")
+        else:
+            # the parser scans structurally; the dict only needs the
+            # filter gone
+            out.append(b"<< >>\nstream\n" + inflated + b"\nendstream")
         pos = stream_end
     out.append(data[pos:])
     return b"".join(out)
+
+
+def _expand_objstm(ddict: str, inflated: bytes) -> bytes:
+    """Expand a decoded /ObjStm body (ISO 32000-1 §7.5.7): the first
+    /First bytes hold /N whitespace-separated (objnum, offset) integer
+    pairs, offsets relative to /First; object bodies follow back to back
+    (object streams cannot contain streams). Malformed headers raise to
+    the caller's per-document error envelope."""
+    import re as _re
+
+    nm = _re.search(r"/N\s+(\d+)", ddict)
+    fm = _re.search(r"/First\s+(\d+)", ddict)
+    if not nm or not fm:
+        raise ValueError("ObjStm missing /N or /First: " + ddict.strip()[:120])
+    n, first = int(nm.group(1)), int(fm.group(1))
+    try:
+        ints = [int(x) for x in inflated[:first].split()]
+    except ValueError as e:
+        raise ValueError(f"ObjStm header is not integer pairs: {e}")
+    pairs = list(zip(ints[0::2], ints[1::2]))[:n]
+    if len(pairs) < n:
+        raise ValueError(
+            f"ObjStm header holds {len(pairs)} pairs, /N says {n}"
+        )
+    blocks: list[bytes] = []
+    for i, (num, off) in enumerate(pairs):
+        end = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(inflated)
+        body = inflated[first + off : end].strip()
+        blocks.append(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+    return b"".join(blocks)
 
 
 def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
