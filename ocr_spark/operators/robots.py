@@ -169,10 +169,13 @@ def _make_allowed_udf(agent: str):
     each DISTINCT robots.txt parses/compiles once per Python worker, so the
     per-document cost is one regex walk, not a parse."""
 
+    # closure-level, NOT inside the UDF body: the dict must survive across
+    # Arrow batches within a Python worker so each distinct robots.txt
+    # parses once per executor process, not once per batch
+    cache: dict[int, RobotsMatcher] = {}
+
     @F.pandas_udf(T.BooleanType())
     def _udf(txts: pd.Series, paths: pd.Series) -> pd.Series:
-        cache: dict[int, RobotsMatcher] = {}
-
         def one(txt, path):
             if txt is None:
                 return True  # no robots.txt for this host: allowed
