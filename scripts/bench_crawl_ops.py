@@ -1,0 +1,137 @@
+"""Scale evidence for the round-5 crawl-permission/packing operators:
+robots_filter, url_normalize_idn, quality_classifier, pack_sequences at
+1M synthetic docs on local[32], with exactness assertions (same contract
+as bench_neardup/bench_clusters). Appends one JSON line per operator to
+BENCH/crawl_ops_history.jsonl.
+
+Run: python scripts/bench_crawl_ops.py [--docs 1000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+HIST = os.path.join(REPO, "BENCH", "crawl_ops_history.jsonl")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--hosts", type=int, default=10_000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.idn import url_normalize_idn
+    from ocr_spark.operators.corpus_clean import pack_sequences, pack_stats
+    from ocr_spark.operators.robots import robots_annotate
+    from ocr_spark.operators.text_analysis import quality_classifier
+    from ocr_spark.session import get_spark
+
+    spark = get_spark("bench_crawl_ops", cpus=32)
+    n, H = args.docs, args.hosts
+
+    # synthetic corpus: url over H hosts (1% IDN), ~60-token text
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("http://"),
+            F.when(F.col("id") % 100 == 0, F.lit("bücher")).otherwise(
+                F.concat(F.lit("h"), (F.col("id") % H).cast("string"))
+            ),
+            F.lit(".example/"),
+            F.when(F.col("id") % 7 == 0, F.lit("private/")).otherwise(F.lit("p/")),
+            F.col("id").cast("string"),
+            F.lit("?utm_source=x&q=1"),
+        ).alias("url"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(30) + (F.col("id") % 60).cast("int")),
+                lambda i: F.concat(
+                    F.lit("tok"), ((F.col("id") * 31 + i) % 5000).cast("string")
+                ),
+            ),
+        ).alias("text"),
+    ).persist()
+    docs.count()
+
+    results = {}
+
+    def bench(name: str, fn):
+        t0 = time.time()
+        got = fn()
+        wall = round(time.time() - t0, 2)
+        results[name] = {"wall_s": wall, "docs_per_sec": round(n / wall), **got}
+        print(f"{name:22s} {wall:8.2f} s  {round(n / wall):>9,} docs/s  {got}")
+
+    # 1) URL canonicalization incl. IDN sparse path (1% non-ASCII hosts)
+    def run_urls():
+        out = docs.select(url_normalize_idn(F.col("url")).alias("u"))
+        cnt = out.filter(F.col("u").contains("xn--bcher-kva")).count()
+        assert cnt == n // 100, cnt  # every IDN host canonicalized
+        return {"idn_rows": cnt}
+
+    bench("url_normalize_idn", run_urls)
+
+    # 2) robots permission gate: H-host broadcast table, 1/7 disallowed
+    robots_tab = spark.range(H).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        F.lit("User-agent: *\nDisallow: /private\n").alias("robots_txt"),
+    )
+
+    def run_robots():
+        ann = robots_annotate(docs, robots_tab)
+        blocked = ann.filter(~F.col("robots_allowed")).count()
+        # /private docs on listed hosts are blocked; IDN hosts (id%100==0)
+        # have no robots row -> allowed
+        expect = sum(1 for i in range(0, n, 7) if i % 100 != 0)
+        assert blocked == expect, (blocked, expect)
+        return {"blocked": blocked}
+
+    bench("robots_filter", run_robots)
+
+    # 3) learned quality classifier
+    def run_clf():
+        out = quality_classifier(docs)
+        kept = out.filter(F.col("quality_keep")).count()
+        total = out.count()
+        assert total == n
+        return {"kept": kept}
+
+    bench("quality_classifier", run_clf)
+
+    # 4) context-window packing + fill stats
+    def run_pack():
+        packed = pack_sequences(docs, max_tokens=2048, n_buckets=256)
+        st = pack_stats(packed, 2048).first()
+        assert st["n_docs"] == n
+        assert st["mean_fill"] > 0.9, st["mean_fill"]
+        return {"n_seqs": st["n_seqs"], "mean_fill": float(st["mean_fill"])}
+
+    bench("pack_sequences", run_pack)
+
+    rec = {
+        "ts": int(time.time()),
+        "docs": n,
+        "hosts": H,
+        "cpus": 32,
+        "results": results,
+    }
+    os.makedirs(os.path.dirname(HIST), exist_ok=True)
+    with open(HIST, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print("recorded ->", HIST)
+
+
+if __name__ == "__main__":
+    main()
