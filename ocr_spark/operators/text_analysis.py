@@ -867,15 +867,27 @@ def quality_classifier(
         F.col(id_col),
         "n_clf_tokens",
         F.floor(F.col("_z") / F.col("n_clf_tokens")).alias("mean_logit_micro"),
+    ).select(
+        id_col,
+        "n_clf_tokens",
+        "mean_logit_micro",
+        (F.col("mean_logit_micro") + F.lit(bias) > 0).alias("quality_keep"),
     )
-    return docs.join(scored, id_col, "left").select(
+    # zero-token docs vanish in the explode; re-attach them via a cheap
+    # codegen'd filter + UNION, NOT a corpus-wide join (a left join back
+    # to docs is a full SortMergeJoin shuffle at scale — found in the
+    # PLANS.md audit)
+    empties = docs.where(
+        # size() is NULL for null text (post-3.0 default), 0 for
+        # token-less text — both are evidence-free docs
+        F.coalesce(F.size(_clf_tokens(F.col(text_col))), F.lit(0)) <= 0
+    ).select(
         F.col(id_col),
-        F.coalesce(F.col("n_clf_tokens"), F.lit(0)).alias("n_clf_tokens"),
-        F.col("mean_logit_micro"),
-        F.coalesce(
-            F.col("mean_logit_micro") + F.lit(bias) > 0, F.lit(False)
-        ).alias("quality_keep"),
+        F.lit(0).cast("long").alias("n_clf_tokens"),
+        F.lit(None).cast("long").alias("mean_logit_micro"),
+        F.lit(False).alias("quality_keep"),
     )
+    return scored.unionByName(empties)
 
 
 def quality_classifier_sql(
