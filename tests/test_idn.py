@@ -17,6 +17,7 @@ from ocr_spark.functions.idn import (
     idn_host_ascii,
     idn_host_unicode,
     idn_normalize,
+    normalize_urls_idn,
     punycode_decode,
     punycode_encode,
     url_normalize_idn,
@@ -184,3 +185,38 @@ class TestSparkSurface:
             [("http://日本語.jp/x",)], ["url"]
         ).select(idn_normalize(url_normalize(F.col("url"))).alias("c"))
         assert df.first()["c"] == "http://xn--wgv71a119e.jp/x"
+
+    def test_df_surface_matches_column_form(self, spark):
+        # normalize_urls_idn (staged: url_normalize computed ONCE) must be
+        # value-identical to the convenience Column composition
+        rows = [
+            ("http://BÜCHER.example/a?utm_source=x&q=1", 1),
+            ("http://xn--bcher-kva.example/a?q=1", 2),
+            ("HTTPS://WWW.Example.COM:443/p", 3),
+            ("http://ascii.example/p?q=%C3%BC", 4),  # pure-ASCII spelling:
+            (None, 5),  # skips the UDF gate entirely in both forms
+            ("not a url", 6),
+        ]
+        df = spark.createDataFrame(rows, ["url", "doc_id"])
+        staged = {
+            r["doc_id"]: r["url"]
+            for r in normalize_urls_idn(df, "url").collect()
+        }
+        column = {
+            r["doc_id"]: r["canon"]
+            for r in df.select(
+                "doc_id", url_normalize_idn(F.col("url")).alias("canon")
+            ).collect()
+        }
+        assert staged == column
+        assert staged[1] == staged[2] == "http://xn--bcher-kva.example/a?q=1"
+
+    def test_df_surface_out_col_and_passthrough(self, spark):
+        df = spark.createDataFrame(
+            [("http://日本語.jp/x", "keep-me")], ["url", "other"]
+        )
+        out = normalize_urls_idn(df, "url", out_col="canon").first()
+        assert out["url"] == "http://日本語.jp/x"  # source untouched
+        assert out["canon"] == "http://xn--wgv71a119e.jp/x"
+        assert out["other"] == "keep-me"
+        assert "__url_norm" not in normalize_urls_idn(df, "url").columns
