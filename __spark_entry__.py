@@ -1875,10 +1875,22 @@ def q_dup_span_removal(spark, sf_dir):
     return dup_span_removal(_t(spark, sf_dir, "documents"), n=6, min_count=2)
 
 
-def q_unigram_logprob(spark, sf_dir):
-    from ocr_spark.operators.corpus_clean import unigram_logprob
+def q_ngram_perplexity(spark, sf_dir):
+    """Trigram Stupid-Backoff LM perplexity (CCNet-style quality filter;
+    Brants et al. 2007), self-trained on the corpus. Supersedes the
+    round-4 `unigram_logprob` board row (its strict generalization — the
+    unigram op keeps direct Spark-vs-DuckDB pytest coverage in
+    tests/test_corpus_clean.py). Tight caps + min_count=2 exercise both
+    pruning paths at sf0.01."""
+    from ocr_spark.operators.ngram_lm import ngram_perplexity
 
-    return unigram_logprob(_t(spark, sf_dir, "documents"), top_vocab=20)
+    return ngram_perplexity(
+        _t(spark, sf_dir, "documents"),
+        top_unigrams=2000,
+        top_bigrams=3000,
+        top_trigrams=3000,
+        min_count=2,
+    )
 
 
 def q_chunk_docs(spark, sf_dir):
@@ -1986,7 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": q_temperature_sample,
         "stratified_sample": q_stratified_sample,
         "chunk_docs": q_chunk_docs,
-        "unigram_logprob": q_unigram_logprob,
+        "ngram_perplexity": q_ngram_perplexity,
         # URL family
         "url_normalize": q_url_normalize,
         "blocklist_filter": q_blocklist_filter,
@@ -2150,6 +2162,7 @@ def _corpus_pipeline_full_sql_row() -> str:
 def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     from ocr_spark.functions import url as U
     from ocr_spark.operators import corpus_clean as CC
+    from ocr_spark.operators import ngram_lm as NL
     from ocr_spark.operators import text_analysis as TA
     from ocr_spark.operators.dedup import (
         contamination_sql,
@@ -2217,8 +2230,12 @@ def _training_oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dup_span_removal": CC.dup_span_removal_sql(
             "SELECT doc_id, text FROM documents", n=6, min_count=2
         ),
-        "unigram_logprob": CC.unigram_logprob_sql(
-            "SELECT doc_id, text FROM documents", top_vocab=20
+        "ngram_perplexity": NL.ngram_perplexity_sql(
+            "SELECT doc_id, text FROM documents",
+            top_unigrams=2000,
+            top_bigrams=3000,
+            top_trigrams=3000,
+            min_count=2,
         ),
         "chunk_docs": CC.chunk_docs_sql(
             "SELECT doc_id, text FROM documents", chunk_tokens=16, overlap=4

@@ -57,8 +57,10 @@ BENCH_ENTRY_QUERIES = [
     "dup_span_removal",
     "ivfpq_topk",
     "corpus_pipeline_full",
-    # round-5 addition: text→embedding bridge semantic dedup
+    # round-5 additions: text→embedding bridge semantic dedup, trigram
+    # Stupid-Backoff LM perplexity (supersedes r4's unigram_logprob row)
     "text_embed_dedup",
+    "ngram_perplexity",
 ]
 
 
