@@ -287,20 +287,34 @@ def _make_norm_udf(form: str):
 _NORM_UDFS: dict = {}
 
 
-def unicode_normalize(col: Column, form: str = "NFC") -> Column:
+def unicode_normalize(
+    col: Column, form: str = "NFC", gate_col: Column | None = None
+) -> Column:
     """Unicode normalization with the sparse-UDF fast path (see block
-    comment). form in NFC/NFKC/NFD/NFKD."""
+    comment). form in NFC/NFKC/NFD/NFKD.
+
+    `gate_col` optionally carries the non-ASCII gate probe: when `col` is
+    itself an expression tree (not a plain column), gating on the CHEAP
+    underlying column avoids re-evaluating the tree inside the rlike —
+    any gate is sound as long as gate-ASCII implies col-ASCII (ASCII is
+    normalization-invariant, so extra TRUE gates only cost UDF identity
+    calls, never correctness)."""
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"unknown normalization form {form!r}")
     udf = _NORM_UDFS.get(form)
     if udf is None:
         udf = _NORM_UDFS[form] = _make_norm_udf(form)
-    needs = col.rlike(r"[^\x00-\x7f]")
+    needs = (gate_col if gate_col is not None else col).rlike(r"[^\x00-\x7f]")
     return F.coalesce(udf(F.when(needs, col)), col)
 
 
 def unicode_clean(col: Column, form: str = "NFC") -> Column:
     """Control/zero-width strip + composition normalization — the full
     crawl-text Unicode hygiene pass, applied BEFORE whitespace
-    canonicalization and any hashing/dedup."""
-    return unicode_normalize(clean_control_chars(col), form)
+    canonicalization and any hashing/dedup.
+
+    The sparse-UDF gate probes the RAW column (stripping only ever REMOVES
+    non-ASCII chars, so raw-ASCII implies stripped-ASCII) — the strip
+    regexp_replace is evaluated once per taken branch instead of feeding
+    the gate's rlike a third evaluation of the same tree."""
+    return unicode_normalize(clean_control_chars(col), form, gate_col=col)

@@ -124,12 +124,17 @@ def _pct_rules() -> list[tuple[str, str, str]]:
     # in both engines' replacement syntaxes
     for ch in _UNRESERVED:
         rules.append((f"(?i)%{ord(ch):02X}", ch, ch))
+    # ALL first-digit rules must run before ANY second-digit rule: the
+    # second-digit pattern anchors on an already-uppercase first digit, so
+    # interleaving the two per letter left '%db'-class escapes (both digits
+    # lowercase, second alphabetically before the first) half-normalized
     for d in "abcdef":
         # first hex digit: require a trailing hex digit so a bare '%a' that
         # is not an escape is left alone (captured and re-emitted)
         rules.append(
             (f"%{d}([0-9A-Fa-f])", f"%{d.upper()}$1", f"%{d.upper()}\\1")
         )
+    for d in "abcdef":
         # second hex digit (first one is uppercase after the pass above)
         rules.append((f"%([0-9A-F]){d}", f"%$1{d.upper()}", f"%\\1{d.upper()}"))
     return rules
@@ -448,20 +453,15 @@ def blocklist_filter_sql(src: str, blocked_sql: str, url_expr: str = "url") -> s
 # greppable (and matches it on every vector; see tests).
 # ---------------------------------------------------------------------------
 
-_SPLIT_RE = None
+_SPLIT_RE = re.compile(
+    r"^(?:([A-Za-z][A-Za-z0-9+.-]*):)?(?://([^/?#]*))?([^?#]*)"
+    r"(?:\?([^#]*))?(?:#(.*))?$"
+)
 
 
 def _split_ref(ref: str):
     """(scheme, authority, path, query, fragment) — RFC 3986 appendix B;
     None marks an ABSENT component (different from empty)."""
-    global _SPLIT_RE
-    if _SPLIT_RE is None:
-        import re
-
-        _SPLIT_RE = re.compile(
-            r"^(?:([A-Za-z][A-Za-z0-9+.-]*):)?(?://([^/?#]*))?([^?#]*)"
-            r"(?:\?([^#]*))?(?:#(.*))?$"
-        )
     m = _SPLIT_RE.match(ref or "")
     return m.group(1), m.group(2), m.group(3) or "", m.group(4), m.group(5)
 

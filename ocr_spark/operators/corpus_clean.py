@@ -644,7 +644,12 @@ def temperature_targets(
         raise ValueError("total_target must be positive")
     if temperature < 0:
         raise ValueError("temperature must be >= 0")
-    w = {s: c**temperature for s, c in counts.items() if c > 0}
+    # a None stratum key (null lang in crawl corpora) is dropped here, not
+    # just in temperature_sample's self-computed path: callers computing
+    # counts themselves (GROUP BY lang yields a NULL group) would otherwise
+    # crash sorted()/create_map downstream — null strata are never sampled,
+    # the same ELSE-0 semantics both engines apply to unknown strata
+    w = {s: c**temperature for s, c in counts.items() if s is not None and c > 0}
     z = sum(w.values())
     return {
         s: min(
@@ -784,9 +789,19 @@ def pack_sequences(
         .alias("bucket"),
     )
 
-    out_schema = (
-        f"{id_col} string, n_tokens long, bucket int, "
-        "seq_id string, seq_pos int, oversize boolean"
+    # carry the INPUT id dtype through (doc_id is bigint in the standard
+    # corpus) — a hardcoded string here would silently retype the join key
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, docs.schema[id_col].dataType),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("bucket", T.IntegerType()),
+            T.StructField("seq_id", T.StringType()),
+            T.StructField("seq_pos", T.IntegerType()),
+            T.StructField("oversize", T.BooleanType()),
+        ]
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -809,7 +824,7 @@ def pack_sequences(
                 fill, pos = 0, 0
         return pd.DataFrame(
             {
-                id_col: pdf[id_col].astype(str),
+                id_col: pdf[id_col],
                 "n_tokens": pdf["n_tokens"],
                 "bucket": pdf["bucket"],
                 "seq_id": seq_ids,

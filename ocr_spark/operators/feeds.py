@@ -27,19 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ocr_spark.operators.robots import _xml_unescape as _unescape
+
 _ITEM_RE = re.compile(r"<(item|entry)\b[^>]*>(.*?)</\1>", re.S | re.I)
 _CDATA_RE = re.compile(r"<!\[CDATA\[(.*?)\]\]>", re.S)
-
-_ESCAPES = [
-    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-    ("&apos;", "'"), ("&#39;", "'"), ("&amp;", "&"),  # &amp; LAST
-]
-
-
-def _unescape(s: str) -> str:
-    for ent, ch in _ESCAPES:
-        s = s.replace(ent, ch)
-    return s
 
 
 def _tag(body: str, *names: str) -> str | None:

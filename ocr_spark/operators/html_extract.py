@@ -228,8 +228,14 @@ def dom_nodes_df(spark, docs_df):
 class _MetadataParser(HTMLParser):
     """Collect head/meta signals in one forgiving pass."""
 
-    def __init__(self) -> None:
+    def __init__(self, agent: str | None = None) -> None:
         super().__init__(convert_charrefs=True)
+        # meta names honored: the generic "robots" always; a bot-specific
+        # name (e.g. "googlebot") ONLY when it equals this pipeline's own
+        # agent token — a directive addressed to someone else's crawler is
+        # not a page-wide opt-out (Robots Meta Tag spec: bot-specific names
+        # bind only the named bot)
+        self._names = {"robots"} | ({agent.lower()} if agent else set())
         self.robots_tokens: set[str] = set()
         self.canonical: str | None = None
         self.base_href: str | None = None
@@ -245,7 +251,7 @@ class _MetadataParser(HTMLParser):
                 self.lang = lang.strip().lower()
         elif tag == "meta":
             name = a.get("name", "").strip().lower()
-            if name in ("robots", "googlebot", "bingbot") and "content" in a:
+            if name in self._names and "content" in a:
                 for tok in a["content"].split(","):
                     tok = tok.strip().lower()
                     if tok:
@@ -269,10 +275,17 @@ class _MetadataParser(HTMLParser):
             self.title_runs.append(data)
 
 
-def html_metadata(html: str, doc_url: str | None = None) -> dict:
+def html_metadata(
+    html: str, doc_url: str | None = None, agent: str | None = None
+) -> dict:
     """One document → {noindex, nofollow, canonical_url, base_href, lang,
     title}. `none` implies both noindex and nofollow (robots spec);
     malformed HTML degrades to whatever was parsed, never raises.
+
+    `agent` is this pipeline's own crawler token: only <meta name="robots">
+    and <meta name="{agent}"> directives bind; a directive addressed to a
+    DIFFERENT named bot (googlebot, bingbot, ...) is ignored — it is that
+    bot's opt-out, not the page's.
 
     canonical_url is RESOLVED (RFC 3986 §5) when a base is available:
     <base href> wins over doc_url, and a relative <base href> is itself
@@ -280,7 +293,7 @@ def html_metadata(html: str, doc_url: str | None = None) -> dict:
     base at all, a relative canonical is returned as written."""
     from ocr_spark.functions.url import resolve_url
 
-    p = _MetadataParser()
+    p = _MetadataParser(agent)
     try:
         p.feed(html or "")
         p.close()
@@ -304,11 +317,13 @@ def html_metadata(html: str, doc_url: str | None = None) -> dict:
 
 
 def html_metadata_batch(
-    htmls: list[str], doc_urls: list[str | None] | None = None
+    htmls: list[str],
+    doc_urls: list[str | None] | None = None,
+    agent: str | None = None,
 ) -> list[dict]:
     if doc_urls is None:
-        return [html_metadata(h) for h in htmls]
-    return [html_metadata(h, u) for h, u in zip(htmls, doc_urls)]
+        return [html_metadata(h, agent=agent) for h in htmls]
+    return [html_metadata(h, u, agent=agent) for h, u in zip(htmls, doc_urls)]
 
 
 def html_metadata_df(
@@ -316,6 +331,7 @@ def html_metadata_df(
     html_col: str = "text",
     id_col: str = "doc_id",
     url_col: str | None = None,
+    agent: str | None = None,
 ):
     """(id, noindex, nofollow, canonical_url, base_href, lang, title) per
     document — Arrow-batched mapInPandas, no shuffle: the frame keeps its
@@ -343,7 +359,7 @@ def html_metadata_df(
             else:
                 urls = [None] * len(pdf)
             metas = [
-                html_metadata(h, u)
+                html_metadata(h, u, agent=agent)
                 for h, u in zip(pdf[html_col].fillna(""), urls)
             ]
             out = pd.DataFrame(metas)

@@ -567,39 +567,133 @@ def _parse_differences(enc_body: str) -> dict[int, str]:
     return mapping
 
 
-def _font_cmaps(text: str) -> dict[str, tuple[int, dict[int, str]]]:
-    """{resource font name (e.g. 'F1') -> (codelen, code->unicode map)}
-    covering BOTH real-world text-mapping mechanisms: /ToUnicode CMap
-    streams (CID/Type0 subset fonts — takes precedence per PDF 9.10.2)
-    and simple-font /Encoding /Differences arrays (glyph names resolved
-    through the Adobe Glyph List subset). Structural (no xref): objects
-    are located by their 'N 0 obj … endobj' wrappers, the same tolerance
-    contract as the block scan."""
+def _font_from_body(
+    body: str, objs: dict[int, str]
+) -> tuple[int, dict[int, str]] | None:
+    """A font object's body → (codelen, code->unicode map), covering BOTH
+    real-world text-mapping mechanisms: /ToUnicode CMap streams (CID/Type0
+    subset fonts — takes precedence per PDF 9.10.2) and simple-font
+    /Encoding /Differences arrays (glyph names resolved through the Adobe
+    Glyph List subset). None when the font carries neither."""
+    import re as _re
+
+    tu = _re.search(r"/ToUnicode\s+(\d+)\s+0\s+R", body)
+    if tu:
+        cm = objs.get(int(tu.group(1)), "")
+        sm = _re.search(r"stream\r?\n(.*?)\r?\n?endstream", cm, _re.S)
+        codelen, mapping = _parse_tounicode(sm.group(1) if sm else cm)
+        if mapping:
+            return (codelen, mapping)
+    em = _re.search(r"/Encoding\s+(\d+)\s+0\s+R", body)
+    enc_body = objs.get(int(em.group(1)), "") if em else body
+    diffs = _parse_differences(enc_body)
+    if diffs:
+        return (1, diffs)
+    return None
+
+
+def _scan_objects(text: str):
+    """'N 0 obj … endobj' wrappers → ({num: body}, [(start, end, num)]
+    sorted by start). Structural (no xref), the same tolerance contract as
+    the block scan."""
     import re as _re
 
     objs: dict[int, str] = {}
+    spans: list[tuple[int, int, int]] = []
     for m in _re.finditer(r"(\d+)\s+0\s+obj\b(.*?)\bendobj", text, _re.S):
-        objs[int(m.group(1))] = m.group(2)
+        num = int(m.group(1))
+        objs[num] = m.group(2)
+        spans.append((m.start(), m.end(), num))
+    spans.sort()
+    return objs, spans
+
+
+def _balanced_dict_body(text: str, i: int) -> str:
+    """text[i:i+2] == '<<': inner body of the balanced dict (nested <<>>
+    tracked; unterminated input degrades to the remaining tail)."""
+    depth = 0
+    j, n = i, len(text)
+    while j < n - 1:
+        two = text[j : j + 2]
+        if two == "<<":
+            depth += 1
+            j += 2
+        elif two == ">>":
+            depth -= 1
+            if depth == 0:
+                return text[i + 2 : j]
+            j += 2
+        else:
+            j += 1
+    return text[i + 2 :]
+
+
+def _font_cmaps(text: str) -> dict[str, tuple[int, dict[int, str]]]:
+    """{resource font name (e.g. 'F1') -> font} pooled DOCUMENT-WIDE —
+    the fallback table for page-less fixtures/truncated documents; pages
+    that redeclare a name shadow it via _font_tables' per-stream scoping
+    (last declaration wins here, which is exactly why this map alone is
+    not enough for multi-page documents)."""
+    import re as _re
+
+    objs, _ = _scan_objects(text)
     out: dict[str, tuple[int, dict[int, str]]] = {}
     for fm in _re.finditer(r"/Font\s*<<(.*?)>>", text, _re.S):
         for name, ref in _re.findall(r"/(\w+)\s+(\d+)\s+0\s+R", fm.group(1)):
-            body = objs.get(int(ref), "")
-            tu = _re.search(r"/ToUnicode\s+(\d+)\s+0\s+R", body)
-            if tu:
-                cm = objs.get(int(tu.group(1)), "")
-                sm = _re.search(
-                    r"stream\r?\n(.*?)\r?\n?endstream", cm, _re.S
-                )
-                codelen, mapping = _parse_tounicode(sm.group(1) if sm else cm)
-                if mapping:
-                    out[name] = (codelen, mapping)
-                    continue
-            em = _re.search(r"/Encoding\s+(\d+)\s+0\s+R", body)
-            enc_body = objs.get(int(em.group(1)), "") if em else body
-            diffs = _parse_differences(enc_body)
-            if diffs:
-                out[name] = (1, diffs)
+            got = _font_from_body(objs.get(int(ref), ""), objs)
+            if got is not None:
+                out[name] = got
     return out
+
+
+def _font_tables(text: str):
+    """(global name map, {content-stream obj num: page's name map},
+    object spans) — fonts are scoped to the PAGE whose /Resources declares
+    them: real exporters reuse resource names (/F1) across pages for
+    DIFFERENT fonts, so a document-wide name map would decode one page's
+    shows through another page's CMap. /Contents may be a single ref or an
+    array; /Resources may be inline or a ref; /Font likewise."""
+    import re as _re
+
+    objs, spans = _scan_objects(text)
+    stream_map: dict[int, dict[str, tuple[int, dict[int, str]]]] = {}
+    for num, body in objs.items():
+        head = body.split("stream", 1)[0]
+        if not _re.search(r"/Type\s*/Page\b", head):
+            continue
+        arr = _re.search(r"/Contents\s*\[(.*?)\]", body, _re.S)
+        if arr:
+            crefs = [int(x) for x in _re.findall(r"(\d+)\s+0\s+R", arr.group(1))]
+        else:
+            one = _re.search(r"/Contents\s+(\d+)\s+0\s+R", body)
+            crefs = [int(one.group(1))] if one else []
+        if not crefs:
+            continue
+        rm = _re.search(r"/Resources\s+(\d+)\s+0\s+R", body)
+        if rm:
+            res_body = objs.get(int(rm.group(1)), "")
+        else:
+            rm2 = _re.search(r"/Resources\s*<<", body)
+            res_body = (
+                _balanced_dict_body(body, rm2.end() - 2) if rm2 else None
+            )
+        if res_body is None:
+            continue
+        fm = _re.search(r"/Font\s*<<(.*?)>>", res_body, _re.S)
+        if fm:
+            font_pairs = fm.group(1)
+        else:
+            fr = _re.search(r"/Font\s+(\d+)\s+0\s+R", res_body)
+            font_pairs = objs.get(int(fr.group(1)), "") if fr else ""
+        page_fonts: dict[str, tuple[int, dict[int, str]]] = {}
+        for name, ref in _re.findall(r"/(\w+)\s+(\d+)\s+0\s+R", font_pairs):
+            got = _font_from_body(objs.get(int(ref), ""), objs)
+            if got is not None:
+                page_fonts[name] = got
+        if page_fonts:
+            for c in crefs:
+                stream_map[c] = page_fonts
+    return _font_cmaps(text), stream_map, spans
 
 
 def _decode_show(
@@ -935,12 +1029,27 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
     blocks: list[dict] = []
     # font code→unicode maps (ToUnicode CMaps for CID fonts, /Differences
     # for simple fonts): parsed once per document, looked up per Tf by
-    # resource name
-    fonts = (
-        _font_cmaps(text)
-        if "/ToUnicode" in text or "/Differences" in text
-        else {}
-    )
+    # resource name WITHIN the enclosing content stream's page scope (two
+    # pages reusing /F1 for different fonts must not clobber each other);
+    # the document-wide name map is only the page-less fallback
+    if "/ToUnicode" in text or "/Differences" in text:
+        fonts, stream_fonts, obj_spans = _font_tables(text)
+    else:
+        fonts, stream_fonts, obj_spans = {}, {}, []
+    span_starts = [s for s, _, _ in obj_spans]
+
+    def _font_at(pos: int, name: str):
+        if stream_fonts:
+            import bisect
+
+            k = bisect.bisect_right(span_starts, pos) - 1
+            if k >= 0:
+                _, e0, onum = obj_spans[k]
+                if pos < e0:
+                    pf = stream_fonts.get(onum)
+                    if pf is not None and name in pf:
+                        return pf[name]
+        return fonts.get(name)
     # one LINEAR pass with an in-text-object state flag: string literals are
     # consumed by the string parser wherever they appear, so 'ET'/'BT' INSIDE
     # a string can neither truncate a text object (BUDGET, SECRET…) nor
@@ -1046,7 +1155,7 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
             stack.clear()
         elif tok == "Tf" and stack:
             size = stack[-1]
-            cur_font = fonts.get(last_name)
+            cur_font = _font_at(j, last_name)
             stack.clear()
         elif tok == "Td" and len(stack) >= 2:
             tx += stack[-2]

@@ -171,19 +171,21 @@ def _make_allowed_udf(agent: str):
 
     # closure-level, NOT inside the UDF body: the dict must survive across
     # Arrow batches within a Python worker so each distinct robots.txt
-    # parses once per executor process, not once per batch
-    cache: dict[int, RobotsMatcher] = {}
+    # parses once per executor process, not once per batch. Keyed by the
+    # FULL text, not hash(txt): dict lookup hashes-then-compares anyway,
+    # and a bare-hash key would silently evaluate one host's documents
+    # under another host's rules on a 64-bit collision
+    cache: dict[str, RobotsMatcher] = {}
 
     @F.pandas_udf(T.BooleanType())
     def _udf(txts: pd.Series, paths: pd.Series) -> pd.Series:
         def one(txt, path):
             if txt is None:
                 return True  # no robots.txt for this host: allowed
-            k = hash(txt)
-            m = cache.get(k)
+            m = cache.get(txt)
             if m is None:
                 m = RobotsMatcher(parse_robots(txt), agent)
-                cache[k] = m
+                cache[txt] = m
             return m.allowed(path if path else "/")
 
         return pd.Series(
@@ -259,16 +261,27 @@ _LOC_BLOCK_RE = re.compile(
 )
 _LOC_RE = re.compile(r"<loc\b[^>]*>\s*(.*?)\s*</loc>", re.S | re.I)
 _LASTMOD_RE = re.compile(r"<lastmod\b[^>]*>\s*(.*?)\s*</lastmod>", re.S | re.I)
-_XML_ESCAPES = [
-    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-    ("&apos;", "'"), ("&#39;", "'"), ("&amp;", "&"),  # &amp; LAST
-]
+# one shared entity decoder for every crawl-XML surface (sitemaps here,
+# feeds.py imports it): named XML entities + numeric character references,
+# decoded in a SINGLE regex pass so '&amp;lt;' yields the literal '&lt;'
+# instead of double-decoding (sequential .replace chains get that wrong
+# for numeric refs)
+_XML_NAMED = {"lt": "<", "gt": ">", "quot": '"', "apos": "'", "amp": "&"}
+_XML_ENT_RE = re.compile(r"&(lt|gt|quot|apos|amp|#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6});")
 
 
 def _xml_unescape(s: str) -> str:
-    for ent, ch in _XML_ESCAPES:
-        s = s.replace(ent, ch)
-    return s
+    def one(m: re.Match) -> str:
+        t = m.group(1)
+        named = _XML_NAMED.get(t)
+        if named is not None:
+            return named
+        cp = int(t[2:], 16) if t[1] in "xX" else int(t[1:])
+        if cp == 0 or 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+            return m.group(0)  # invalid code point: keep the raw reference
+        return chr(cp)
+
+    return _XML_ENT_RE.sub(one, s)
 
 
 def parse_sitemap(content: bytes | str | None) -> list[dict]:

@@ -94,3 +94,27 @@ class TestParseFeed:
         assert kinds == ["atom", "atom", "rss", "rss"]
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestEntityDecoding:
+    """The shared crawl-XML entity decoder (robots._xml_unescape, imported
+    here): named entities, numeric charrefs, no double-decode."""
+
+    def test_numeric_charrefs(self):
+        from ocr_spark.operators.robots import _xml_unescape
+
+        assert _xml_unescape("a&#39;b &#x27;c") == "a'b 'c"
+        assert _xml_unescape("caf&#233; &#x10348;") == "café \U00010348"
+
+    def test_no_double_decode(self):
+        from ocr_spark.operators.robots import _xml_unescape
+
+        # '&amp;lt;' is the AUTHOR writing a literal '&lt;'
+        assert _xml_unescape("&amp;lt; &amp;#39;") == "&lt; &#39;"
+
+    def test_invalid_refs_kept_raw(self):
+        from ocr_spark.operators.robots import _xml_unescape
+
+        assert _xml_unescape("&#0; &#xD800; &#1114112; &bogus;") == (
+            "&#0; &#xD800; &#1114112; &bogus;"
+        )

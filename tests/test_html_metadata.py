@@ -24,9 +24,32 @@ class TestRobots:
         m = html_metadata('<meta name="robots" content="index, follow">')
         assert not m["noindex"] and not m["nofollow"]
 
-    def test_bot_specific_names_count(self):
-        assert html_metadata('<meta name="googlebot" content="noindex">')["noindex"]
-        assert html_metadata('<meta name="bingbot" content="nofollow">')["nofollow"]
+    def test_other_bots_directives_ignored(self):
+        # a directive addressed to someone else's crawler is NOT a
+        # page-wide opt-out for this pipeline
+        assert not html_metadata('<meta name="googlebot" content="noindex">')[
+            "noindex"
+        ]
+        assert not html_metadata('<meta name="bingbot" content="nofollow">')[
+            "nofollow"
+        ]
+
+    def test_own_agent_name_counts(self):
+        m = html_metadata(
+            '<meta name="ocr-spark" content="noindex">'
+            '<meta name="googlebot" content="nofollow">',
+            agent="ocr-spark",
+        )
+        assert m["noindex"] and not m["nofollow"]
+
+    def test_generic_robots_overridden_only_for_named_bot(self):
+        # per-spec: generic says index, googlebot says noindex — this
+        # (non-Google) pipeline follows the generic directive
+        m = html_metadata(
+            '<meta name="robots" content="index">'
+            '<meta name="googlebot" content="noindex">'
+        )
+        assert not m["noindex"]
 
     def test_unrelated_meta_ignored(self):
         m = html_metadata('<meta name="description" content="noindex sale!">')

@@ -103,3 +103,17 @@ class TestPacking:
     def test_bad_budget_raises(self, spark):
         with pytest.raises(ValueError):
             pack_sequences(_docs(spark), max_tokens=0)
+
+
+def test_id_dtype_preserved(spark):
+    """bigint doc_id must come back bigint — a hardcoded string schema
+    silently retyped the join key (round-5 review finding)."""
+    from ocr_spark.operators.corpus_clean import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f")], "doc_id long, text string"
+    )
+    packed = pack_sequences(docs, max_tokens=4)
+    assert dict(packed.dtypes)["doc_id"] == "bigint"
+    # and the natural next step — joining back on the id — works typed
+    assert docs.join(packed, "doc_id").count() == 3

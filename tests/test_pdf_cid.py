@@ -304,3 +304,63 @@ class TestPipelineE2E:
         assert len(rows) == 1 and rows[0].error is None
         # XY-cut reading order recovered from the CID blocks
         assert rows[0].spans[0].text == "Éins oben\nZwei — unten"
+
+
+class TestPerPageFontScope:
+    """Real exporters reuse resource names (/F1) across pages for DIFFERENT
+    fonts; a document-wide name map decoded one page's shows through another
+    page's CMap (round-5 review finding). Fonts must bind per page."""
+
+    @staticmethod
+    def _two_page_pdf() -> str:
+        cmap = (
+            "/CIDInit /ProcSet findresource begin\n"
+            "12 dict begin begincmap\n"
+            "1 begincodespacerange <0000> <FFFF> endcodespacerange\n"
+            "2 beginbfchar\n"
+            "<0001> <0058>\n<0002> <0059>\nendbfchar\n"
+            "endcmap end end\n"
+        )
+        objs = {
+            1: "<< /Type /Catalog /Pages 2 0 R >>",
+            2: "<< /Type /Pages /Kids [3 0 R 8 0 R] /Count 2 >>",
+            # page 1: /F1 is a SIMPLE font with /Differences (A->é, B->ö)
+            3: (
+                "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+            ),
+            4: "<< >>\nstream\nBT /F1 12 Tf 50 700 Td (AB) Tj ET\nendstream",
+            5: (
+                "<< /Type /Font /Subtype /Type1 /Encoding "
+                "<< /Differences [ 65 /eacute 66 /odieresis ] >> >>"
+            ),
+            # page 2: /F1 is a Type0 font with a 2-byte ToUnicode CMap
+            8: (
+                "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                "/Contents 9 0 R /Resources << /Font << /F1 6 0 R >> >> >>"
+            ),
+            9: (
+                "<< >>\nstream\nBT /F1 12 Tf 50 600 Td <00010002> Tj ET"
+                "\nendstream"
+            ),
+            6: (
+                "<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+                "/ToUnicode 7 0 R >>"
+            ),
+            7: "<< >>\nstream\n" + cmap + "\nendstream",
+        }
+        out = ["%PDF-1.4\n"]
+        for num, body in objs.items():
+            out.append(f"{num} 0 obj\n{body}\nendobj\n")
+        out.append("%%EOF\n")
+        return "".join(out)
+
+    def test_each_page_uses_its_own_f1(self):
+        text = extract_pdf_text(self._two_page_pdf())
+        assert "éö" in text    # page 1 via /Differences, NOT the CMap
+        assert "XY" in text    # page 2 via the ToUnicode CMap
+
+    def test_single_page_fallback_unchanged(self):
+        # the page-less/global path still decodes (goldens lock this)
+        pdf = pdf_write_cid([{"x": 10, "y": 10, "text": "plain ok"}])
+        assert extract_pdf_text(pdf.decode("latin-1")) == "plain ok"

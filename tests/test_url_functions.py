@@ -230,6 +230,12 @@ def test_psl_spark_vs_reference_vs_duckdb(spark):
         ("http://t.com/a?x=%41%42c", "http://t.com/a?x=ABc"),
         ("http://t.com/%2d%2E%5f%7e", "http://t.com/-._~"),
         ("http://t.com/100%a1end", "http://t.com/100%A1end"),
+        # BOTH hex digits lowercase letters with the second alphabetically
+        # before the first — the class the interleaved rule order missed
+        # (%db -> %Db): first-digit rules must all run before second-digit
+        ("http://t.com/%db%ca", "http://t.com/%DB%CA"),
+        ("http://t.com/%ea%b0%80", "http://t.com/%EA%B0%80"),
+        ("http://t.com/%EA%B0%80", "http://t.com/%EA%B0%80"),
         # malformed escapes pass through untouched
         ("http://t.com/%zz%4", "http://t.com/%zz%4"),
         # equivalent spellings collapse to ONE canonical form
