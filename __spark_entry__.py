@@ -1703,11 +1703,16 @@ def _lined_docs_sql() -> str:
     from ocr_spark.operators import corpus_clean as CC
 
     toks = CC.ws_tokens_sql("text")
+    # the inner coalesce pins empty/whitespace-only/null text to '' on both
+    # engines: DuckDB's array_to_string([]) is NULL while Spark's
+    # array_join([]) is '' (and Spark's array_join SKIPS null elements), so
+    # without it a wordless doc's synthesized text went NULL here and only
+    # here — degenerate-corpus twin finding, round 5
     return (
         "SELECT doc_id, array_to_string(list_transform("
         f"generate_series(1, greatest(length(toks), 1), {_LINE_WPL}), "
-        f"s -> array_to_string(list_slice(toks, s, least(s + {_LINE_WPL - 1}, "
-        "length(toks))), ' ')), chr(10)) AS text "
+        f"s -> coalesce(array_to_string(list_slice(toks, s, least(s + {_LINE_WPL - 1}, "
+        "length(toks))), ' '), '')), chr(10)) AS text "
         f"FROM (SELECT doc_id, {toks} AS toks FROM documents)"
     )
 
@@ -1823,7 +1828,8 @@ def _temp_thresholds(sf_dir: str) -> dict:
     cnt = dict(
         duckdb.connect().execute(
             f"SELECT lang, count(*) FROM read_parquet("
-            f"'{os.path.join(sf_dir, 'documents.parquet')}') GROUP BY lang"
+            f"'{os.path.join(sf_dir, 'documents.parquet')}') "
+            f"WHERE lang IS NOT NULL GROUP BY lang"
         ).fetchall()
     )
     try:
@@ -2300,13 +2306,15 @@ def _embedding_near_dups_sql(
         f"THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
+    from ocr_spark.operators.similarity import _sql_cos
+
+    # _sql_cos carries the shared zero-norm guard (greatest(den, 1e-300)):
+    # a zero vector pairs at cos 0.0 on both engines, matching cosine()
+    cos = f"round({_sql_cos('a.v', 'bb.v')}, 6)"
     return (
         f"WITH b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, ({bucket}) AS bucket "
         f"FROM ({src})) "
-        f"SELECT a.id AS id_a, bb.id AS id_b, "
-        f"round(list_dot_product(a.v, bb.v) / (sqrt(list_dot_product(a.v, a.v)) * "
-        f"sqrt(list_dot_product(bb.v, bb.v))), 6) AS cos_sim "
+        f"SELECT a.id AS id_a, bb.id AS id_b, {cos} AS cos_sim "
         f"FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.id < bb.id "
-        f"WHERE round(list_dot_product(a.v, bb.v) / (sqrt(list_dot_product(a.v, a.v)) * "
-        f"sqrt(list_dot_product(bb.v, bb.v))), 6) >= {threshold}"
+        f"WHERE {cos} >= {threshold}"
     )

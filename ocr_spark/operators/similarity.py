@@ -34,7 +34,12 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # greatest(den, 1e-300) is the shared zero-norm convention (identical
+    # to the numpy _coarse_cos guard and the SQL twins): a zero vector has
+    # dot 0 exactly, so 0/1e-300 = 0.0 — no ±inf, no ANSI DIVIDE_BY_ZERO,
+    # and no double evaluation of the interpreted HOF norms that an
+    # F.when(den > 0, ...) guard would cost
+    return _dot(a, b) / F.greatest(_norm(a) * _norm(b), F.lit(1e-300))
 
 
 def cosine_topk(
@@ -56,9 +61,8 @@ def cosine_topk(
 def cosine_topk_sql(query_vec: list[float], k: int = 10) -> str:
     q = "[" + ", ".join(f"{float(v)!r}" for v in query_vec) + "]::DOUBLE[]"
     return (
-        f"SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], {q}) / "
-        f"(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
-        f"sqrt(list_dot_product({q}, {q}))), 6) AS cos_sim "
+        f"SELECT vec_id, round({_sql_cos('embedding::DOUBLE[]', q)}, 6) "
+        f"AS cos_sim "
         f"FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT {k}"
     )
 
@@ -117,9 +121,8 @@ def lsh_topk_sql(query_vec: list[float], k: int = 10, n_planes: int = 8) -> str:
     )
     q = lit(query_vec)
     return (
-        f"SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], {q}) / "
-        f"(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
-        f"sqrt(list_dot_product({q}, {q}))), 6) AS cos_sim "
+        f"SELECT vec_id, round({_sql_cos('embedding::DOUBLE[]', q)}, 6) "
+        f"AS cos_sim "
         f"FROM embeddings WHERE ({bucket}) = {q_bucket} "
         f"ORDER BY cos_sim DESC, vec_id LIMIT {k}"
     )
@@ -135,7 +138,8 @@ def probe_lists(
     qv = np.asarray(query_vec, dtype=np.float64)
 
     def cos_np(c):
-        return round(float(c @ qv / (np.linalg.norm(c) * np.linalg.norm(qv))), 6)
+        den = max(np.linalg.norm(c) * np.linalg.norm(qv), 1e-300)
+        return round(float(c @ qv / den), 6)
 
     return sorted(
         range(1, len(centroids) + 1), key=lambda i: (-cos_np(centroids[i - 1]), i)
@@ -162,11 +166,12 @@ def ivf_assign(v, centroids: "np.ndarray", nv=None):
         *[
             F.round(
                 _dot(v, F.array(*[F.lit(float(x)) for x in c]))
-                / (
+                / F.greatest(
                     nv
                     * F.lit(
                         float(np.linalg.norm(np.asarray(c, dtype=np.float64)))
-                    )
+                    ),
+                    F.lit(1e-300),
                 ),
                 6,
             )
@@ -206,7 +211,9 @@ def ivf_topk(
         .where(F.col("ivf_list").isin(*probe))
         .select(
             F.col(id_col),
-            F.round(_dot(v, q) / (nv * F.lit(q_norm)), 6).alias("cos_sim"),
+            F.round(
+                _dot(v, q) / F.greatest(nv * F.lit(q_norm), F.lit(1e-300)), 6
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.col(id_col))
         .limit(k)
@@ -218,9 +225,12 @@ def _sql_lit(arr) -> str:
 
 
 def _sql_cos(a: str, b: str) -> str:
+    # greatest(..., 1e-300): same zero-norm convention as cosine()/
+    # _coarse_cos — a zero vector scores exactly 0.0 instead of NULL
     return (
         f"list_dot_product({a}, {b}) / "
-        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        f"greatest(sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})), 1e-300)"
     )
 
 
@@ -510,7 +520,10 @@ def ann_recall(
         q = F.array(*[F.lit(float(x)) for x in qv])
         qn_const = float(np.linalg.norm(np.asarray(qv, dtype=np.float64)))
         cols.append(
-            F.round(_dot(sv, q) / (nv * F.lit(qn_const)), 6).alias(f"_cos{qi}")
+            F.round(
+                _dot(sv, q) / F.greatest(nv * F.lit(qn_const), F.lit(1e-300)),
+                6,
+            ).alias(f"_cos{qi}")
         )
     cols.append(lsh_bucket_expr(sv, planes).alias("_bucket"))
     if centroids is not None:
@@ -731,7 +744,12 @@ def ivfpq_scores_np(
         [books[m] @ qv[m * dsub : (m + 1) * dsub] for m in range(m_sub)]
     )  # (m_sub, n_codes) ADC lookup tables
     ip = (centroids[ak] @ qv) + T[np.arange(m_sub)[:, None], codes.T].sum(0)
-    score = ip / (np.linalg.norm(Xk, axis=1) * np.linalg.norm(qv))
+    # zero-norm vectors (zeroed-out failed encodes) score 0, not ±inf: the
+    # quantized ip is quantization noise for them, and an unguarded divide
+    # poisons the top-k with inf (and the SQL golden with unparseable
+    # literals). A directionless vector has cosine 0 by convention.
+    den = np.linalg.norm(Xk, axis=1) * np.linalg.norm(qv)
+    score = np.divide(ip, den, out=np.zeros_like(ip), where=den > 0)
     return ids[keep], np.round(score, 6)
 
 

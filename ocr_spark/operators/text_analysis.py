@@ -539,7 +539,11 @@ s3 AS (SELECT *,
 s4 AS (SELECT doc_id, t,
   CASE WHEN len(lines) <= 0 THEN 0.0
        ELSE (len(lines) - len(dl)) / len(lines) END AS dup_line_frac,
-  CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) <= 0 THEN 0.0
+  CASE WHEN t IS NULL THEN NULL
+       -- coalesce maps list_sum([]) = NULL (empty/whitespace-only text) to
+       -- the 0-chars branch, but must NOT fire for NULL text: Spark yields
+       -- NULL there (the same null-propagation every other column follows)
+       WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) <= 0 THEN 0.0
        ELSE coalesce(list_sum(list_transform(list_filter(dlc, s -> s.c > 1),
                                              s -> s.c * s.l)), 0)
             / coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
