@@ -325,3 +325,85 @@ SELECT doc_id,
        (sum(lp)::DOUBLE / count(*)) AS avg_lp_micronat
 FROM scored GROUP BY doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail split (Wenzek et al. 2020 §4.3): per-language
+# perplexity terciles partition the corpus into head (best), middle, tail;
+# corpus builds keep head+middle (or reweight by bucket). Thresholds are
+# computed ONCE driver-side and injected into BOTH engines as literals —
+# the same policy as temperature_targets (strata are languages, few by
+# definition; the corpus itself never leaves the cluster). At test scale
+# the thresholds come from Spark's exact `percentile` aggregate; at 100 TB
+# swap in percentile_approx (t-digest) — the injected-literal design makes
+# the estimator a drop-in choice, not a twin-parity hazard.
+# ---------------------------------------------------------------------------
+
+
+def perplexity_split_thresholds(
+    scored: DataFrame,
+    stratum_col: str = "lang",
+    score_col: str = "avg_lp_micronat",
+    quantiles: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> dict:
+    """{stratum: (t_head, t_middle)} — per-stratum score quantiles.
+
+    `score_col` is the ngram_perplexity output (mean log-prob in
+    micro-nats, HIGHER = better/lower perplexity), so the head cut is the
+    UPPER quantile: score >= t_head -> head, >= t_middle -> middle.
+    Null strata are dropped (never split — the temperature_targets
+    convention)."""
+    q1, q2 = quantiles
+    if not (0.0 < q1 < q2 < 1.0):
+        raise ValueError(f"quantiles must satisfy 0 < q1 < q2 < 1, got {quantiles}")
+    rows = (
+        scored.where(F.col(stratum_col).isNotNull())
+        .groupBy(stratum_col)
+        .agg(
+            F.percentile(F.col(score_col), F.lit(1.0 - q1)).alias("t_head"),
+            F.percentile(F.col(score_col), F.lit(1.0 - q2)).alias("t_middle"),
+        )
+        .collect()
+    )
+    return {r[0]: (float(r[1]), float(r[2])) for r in rows}
+
+
+def perplexity_split(
+    scored: DataFrame,
+    thresholds: dict,
+    stratum_col: str = "lang",
+    score_col: str = "avg_lp_micronat",
+) -> DataFrame:
+    """Adds `ppl_bucket` ('head'|'middle'|'tail'): pure literal-CASE column,
+    no shuffle — the corpus-side cost of the CCNet split is zero beyond the
+    scoring pass itself. Docs in strata absent from `thresholds` (including
+    null strata) bucket as 'tail', the conservative keep-nothing default."""
+    expr = F.lit("tail")
+    branches = F.lit(None).cast("string")
+    for s, (t1, t2) in sorted(thresholds.items()):
+        branches = F.when(
+            F.col(stratum_col) == F.lit(s),
+            F.when(F.col(score_col) >= F.lit(t1), F.lit("head"))
+            .when(F.col(score_col) >= F.lit(t2), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        ).otherwise(branches)
+    return scored.withColumn("ppl_bucket", F.coalesce(branches, expr))
+
+
+def perplexity_split_sql(
+    src: str,
+    thresholds: dict,
+    stratum_col: str = "lang",
+    score_col: str = "avg_lp_micronat",
+) -> str:
+    """DuckDB twin over the SAME literal thresholds: `src` yields the
+    scored frame; output adds ppl_bucket with identical branch order."""
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN "
+        f"(CASE WHEN {score_col} >= {t1!r} THEN 'head' "
+        f"WHEN {score_col} >= {t2!r} THEN 'middle' ELSE 'tail' END)"
+        for s, (t1, t2) in sorted(thresholds.items())
+    )
+    return (
+        f"SELECT *, CASE {cases} ELSE 'tail' END AS ppl_bucket FROM ({src})"
+    )

@@ -197,3 +197,72 @@ class TestDuckDBTwin:
         sql = ngram_perplexity_sql("SELECT doc_id, text FROM documents", **kw)
         orc = {r[0]: (r[1], r[2], r[3]) for r in con.execute(sql).fetchall()}
         assert got == orc
+
+
+class TestPerplexitySplit:
+    """CCNet head/middle/tail split: per-stratum literal thresholds, exact
+    twin parity, conservative 'tail' default for unknown/null strata."""
+
+    @staticmethod
+    def _scored(spark):
+        rows = [
+            (i, "en", float(-1000 - 100 * i)) for i in range(9)
+        ] + [
+            (100 + i, "fr", float(-5000 - 10 * i)) for i in range(6)
+        ] + [
+            (900, None, -1234.0),          # null stratum
+            (901, "zz", -1.0),             # stratum absent from thresholds
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, avg_lp_micronat double"
+        )
+
+    def test_split_and_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from ocr_spark.operators.ngram_lm import (
+            perplexity_split,
+            perplexity_split_sql,
+            perplexity_split_thresholds,
+        )
+
+        scored = self._scored(spark)
+        th = perplexity_split_thresholds(
+            scored.where(F.col("lang").isin("en", "fr"))
+        )
+        assert set(th) == {"en", "fr"}
+        out = perplexity_split(scored, th)
+        got = {r["doc_id"]: r["ppl_bucket"] for r in out.collect()}
+
+        con = duckdb.connect()
+        con.register("scored", scored.toPandas())
+        duck = {
+            r[0]: r[-1]
+            for r in con.execute(
+                perplexity_split_sql("SELECT * FROM scored", th)
+            ).fetchall()
+        }
+        assert got == duck
+        # head has the HIGHEST scores (lowest perplexity)
+        assert got[0] == "head" and got[8] == "tail"
+        # unknown / null strata bucket conservatively
+        assert got[900] == "tail" and got[901] == "tail"
+        # each known stratum has all three buckets
+        for lang, lo, hi in (("en", 0, 9), ("fr", 100, 106)):
+            bs = {got[i] for i in got if lo <= i < hi}
+            assert bs == {"head", "middle", "tail"}, (lang, bs)
+
+    def test_quantile_validation(self, spark):
+        from ocr_spark.operators.ngram_lm import perplexity_split_thresholds
+
+        with pytest.raises(ValueError):
+            perplexity_split_thresholds(
+                self._scored(spark), quantiles=(0.7, 0.3)
+            )
+
+    def test_null_stratum_dropped_from_thresholds(self, spark):
+        from ocr_spark.operators.ngram_lm import perplexity_split_thresholds
+
+        th = perplexity_split_thresholds(self._scored(spark))
+        assert None not in th and set(th) == {"en", "fr", "zz"}
