@@ -374,20 +374,28 @@ def perplexity_split(
     stratum_col: str = "lang",
     score_col: str = "avg_lp_micronat",
 ) -> DataFrame:
-    """Adds `ppl_bucket` ('head'|'middle'|'tail'): pure literal-CASE column,
-    no shuffle — the corpus-side cost of the CCNet split is zero beyond the
-    scoring pass itself. Docs in strata absent from `thresholds` (including
-    null strata) bucket as 'tail', the conservative keep-nothing default."""
-    expr = F.lit("tail")
-    branches = F.lit(None).cast("string")
-    for s, (t1, t2) in sorted(thresholds.items()):
-        branches = F.when(
-            F.col(stratum_col) == F.lit(s),
-            F.when(F.col(score_col) >= F.lit(t1), F.lit("head"))
-            .when(F.col(score_col) >= F.lit(t2), F.lit("middle"))
-            .otherwise(F.lit("tail")),
-        ).otherwise(branches)
-    return scored.withColumn("ppl_bucket", F.coalesce(branches, expr))
+    """Adds `ppl_bucket` ('head'|'middle'|'tail'): two literal-map lookups
+    + one CASE, no shuffle — the corpus-side cost of the CCNet split is
+    zero beyond the scoring pass itself. Docs in strata absent from
+    `thresholds` (including null strata) get null lookups, so both
+    comparisons are null and they bucket as 'tail' — the conservative
+    keep-nothing default. create_map (the temperature_sample shape) keeps
+    the expression FLAT: a per-stratum nested CASE chain would nest one
+    level per language and blow up analysis at real stratum counts."""
+    items = sorted(thresholds.items())
+    m_head = F.create_map(
+        *[x for s, (t1, _) in items for x in (F.lit(s), F.lit(t1))]
+    )
+    m_mid = F.create_map(
+        *[x for s, (_, t2) in items for x in (F.lit(s), F.lit(t2))]
+    )
+    sc = F.col(score_col)
+    bucket = (
+        F.when(sc >= m_head[F.col(stratum_col)], F.lit("head"))
+        .when(sc >= m_mid[F.col(stratum_col)], F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.withColumn("ppl_bucket", bucket)
 
 
 def perplexity_split_sql(
