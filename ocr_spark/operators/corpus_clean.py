@@ -716,8 +716,11 @@ def temperature_sample_sql(
             f"SELECT {id_col}, {stratum_col} AS stratum "
             f"FROM ({src}) WHERE FALSE"
         )
+    # '' -escape stratum literals: the Spark side's F.lit handles any
+    # string, so a quote in a (corrupt) lang value must not break the twin
     cases = " ".join(
-        f"WHEN '{s}' THEN {t}" for s, t in sorted(thresholds.items())
+        f"WHEN '{str(s).replace(chr(39), chr(39) * 2)}' THEN {t}"
+        for s, t in sorted(thresholds.items())
     )
     key_expr = f"({id_col}::VARCHAR || ':{salt}')"
     bucket = f"{h32_sql(key_expr)} % 1000000"

@@ -365,7 +365,14 @@ def perplexity_split_thresholds(
         )
         .collect()
     )
-    return {r[0]: (float(r[1]), float(r[2])) for r in rows}
+    # percentile skips nulls: a stratum whose every score is NULL yields
+    # NULL thresholds — drop it (its docs bucket 'tail' like any stratum
+    # absent from the map) instead of crashing float()
+    return {
+        r[0]: (float(r[1]), float(r[2]))
+        for r in rows
+        if r[1] is not None and r[2] is not None
+    }
 
 
 def perplexity_split(
@@ -382,6 +389,8 @@ def perplexity_split(
     keep-nothing default. create_map (the temperature_sample shape) keeps
     the expression FLAT: a per-stratum nested CASE chain would nest one
     level per language and blow up analysis at real stratum counts."""
+    if not thresholds:
+        return scored.withColumn("ppl_bucket", F.lit("tail"))
     items = sorted(thresholds.items())
     m_head = F.create_map(
         *[x for s, (t1, _) in items for x in (F.lit(s), F.lit(t1))]
@@ -405,9 +414,14 @@ def perplexity_split_sql(
     score_col: str = "avg_lp_micronat",
 ) -> str:
     """DuckDB twin over the SAME literal thresholds: `src` yields the
-    scored frame; output adds ppl_bucket with identical branch order."""
+    scored frame; output adds ppl_bucket with identical branch order.
+    Stratum literals are ''-escaped (F.lit on the Spark side handles any
+    string; the twin must too), and an empty threshold map emits a plain
+    'tail' literal — `CASE ELSE ...` with zero WHENs is a parse error."""
+    if not thresholds:
+        return f"SELECT *, 'tail' AS ppl_bucket FROM ({src})"
     cases = " ".join(
-        f"WHEN {stratum_col} = '{s}' THEN "
+        f"WHEN {stratum_col} = '{str(s).replace(chr(39), chr(39) * 2)}' THEN "
         f"(CASE WHEN {score_col} >= {t1!r} THEN 'head' "
         f"WHEN {score_col} >= {t2!r} THEN 'middle' ELSE 'tail' END)"
         for s, (t1, t2) in sorted(thresholds.items())

@@ -628,15 +628,20 @@ def _balanced_dict_body(text: str, i: int) -> str:
     return text[i + 2 :]
 
 
-def _font_cmaps(text: str) -> dict[str, tuple[int, dict[int, str]]]:
+def _font_cmaps(
+    text: str, objs: dict[int, str] | None = None
+) -> dict[str, tuple[int, dict[int, str]]]:
     """{resource font name (e.g. 'F1') -> font} pooled DOCUMENT-WIDE —
     the fallback table for page-less fixtures/truncated documents; pages
     that redeclare a name shadow it via _font_tables' per-stream scoping
     (last declaration wins here, which is exactly why this map alone is
-    not enough for multi-page documents)."""
+    not enough for multi-page documents). Pass `objs` to reuse an
+    already-computed object scan (the whole-document finditer is the
+    expensive part on large PDFs)."""
     import re as _re
 
-    objs, _ = _scan_objects(text)
+    if objs is None:
+        objs, _ = _scan_objects(text)
     out: dict[str, tuple[int, dict[int, str]]] = {}
     for fm in _re.finditer(r"/Font\s*<<(.*?)>>", text, _re.S):
         for name, ref in _re.findall(r"/(\w+)\s+(\d+)\s+0\s+R", fm.group(1)):
@@ -693,7 +698,7 @@ def _font_tables(text: str):
         if page_fonts:
             for c in crefs:
                 stream_map[c] = page_fonts
-    return _font_cmaps(text), stream_map, spans
+    return _font_cmaps(text, objs), stream_map, spans
 
 
 def _decode_show(

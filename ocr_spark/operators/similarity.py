@@ -704,9 +704,13 @@ def _list_to_mat(arr) -> "np.ndarray":
 def _coarse_cos(X: "np.ndarray", centroids: "np.ndarray") -> "np.ndarray":
     """Rounded cosine of every row against every coarse centroid — the same
     6-dp round + first-max-wins assignment as the JVM ivf_assign expr."""
-    Cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    # BOTH norms floored: an unguarded zero-norm centroid (k-means can
+    # collapse a cluster to 0 on corpora with zero vectors) made its whole
+    # cosine column NaN, and NaN wins numpy argmax — diverging from the
+    # guarded Spark ivf_assign, which scores it 0.0
+    cn = np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-300)
     nrm = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
-    return np.round((X / nrm) @ Cn.T, 6)
+    return np.round((X / nrm) @ (centroids / cn).T, 6)
 
 
 def pq_codes(X: "np.ndarray", books: "np.ndarray") -> "np.ndarray":

@@ -131,3 +131,18 @@ class TestTemperatureTargetsNullStratum:
             {"en": 70, None: 20, "fr": 10}, total_target=50, temperature=0.7
         )
         assert None not in t and set(t) == {"en", "fr"}
+
+
+class TestZeroNormCentroid:
+    def test_coarse_cos_zero_centroid_matches_spark_convention(self):
+        import numpy as np
+
+        from ocr_spark.operators.similarity import _coarse_cos
+
+        X = np.array([[1.0, 0.0], [0.5, 0.5]])
+        C = np.array([[1.0, 0.0], [0.0, 0.0], [0.0, 1.0]])
+        cos = _coarse_cos(X, C)
+        assert np.isfinite(cos).all()
+        # the zero centroid scores 0.0 for everyone (never NaN-wins argmax)
+        assert (cos[:, 1] == 0.0).all()
+        assert cos.argmax(1).tolist() == [0, 0]

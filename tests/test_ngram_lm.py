@@ -266,3 +266,65 @@ class TestPerplexitySplit:
 
         th = perplexity_split_thresholds(self._scored(spark))
         assert None not in th and set(th) == {"en", "fr", "zz"}
+
+
+class TestPerplexitySplitDegenerate:
+    """The second review pass's findings: empty/quoted/all-null-stratum
+    threshold edges must behave identically across engines, not crash."""
+
+    def test_empty_thresholds_all_tail_both_engines(self, spark):
+        import duckdb
+
+        from ocr_spark.operators.ngram_lm import (
+            perplexity_split,
+            perplexity_split_sql,
+        )
+
+        scored = spark.createDataFrame(
+            [(1, "en", -5.0)], "doc_id long, lang string, avg_lp_micronat double"
+        )
+        out = perplexity_split(scored, {}).collect()
+        assert out[0]["ppl_bucket"] == "tail"
+        con = duckdb.connect()
+        con.register("scored", scored.toPandas())
+        r = con.execute(
+            perplexity_split_sql("SELECT * FROM scored", {})
+        ).fetchone()
+        assert r[-1] == "tail"
+
+    def test_all_null_score_stratum_dropped(self, spark):
+        from ocr_spark.operators.ngram_lm import perplexity_split_thresholds
+
+        scored = spark.createDataFrame(
+            [(1, "en", -5.0), (2, "en", -6.0), (3, "xx", None)],
+            "doc_id long, lang string, avg_lp_micronat double",
+        )
+        th = perplexity_split_thresholds(scored)
+        assert set(th) == {"en"}
+
+    def test_quoted_stratum_twin_parses(self, spark):
+        import duckdb
+
+        from ocr_spark.operators.ngram_lm import (
+            perplexity_split,
+            perplexity_split_sql,
+        )
+
+        th = {"x'y": (-5.0, -10.0)}
+        scored = spark.createDataFrame(
+            [(1, "x'y", -3.0), (2, "x'y", -20.0)],
+            "doc_id long, lang string, avg_lp_micronat double",
+        )
+        got = {
+            r["doc_id"]: r["ppl_bucket"]
+            for r in perplexity_split(scored, th).collect()
+        }
+        con = duckdb.connect()
+        con.register("scored", scored.toPandas())
+        duck = dict(
+            (r[0], r[-1])
+            for r in con.execute(
+                perplexity_split_sql("SELECT * FROM scored", th)
+            ).fetchall()
+        )
+        assert got == duck == {1: "head", 2: "tail"}
