@@ -116,3 +116,59 @@ class TestOperator:
             F.sum("n_tokens_bpe").alias("t"), F.sum("n").alias("c")
         ).first()
         assert agg["t"] < 0.6 * agg["c"]
+
+
+class TestDistributedTraining:
+    """bpe_train_df: the distributed word-count front end must reproduce
+    the pure-Python trainer exactly, and the train->count->pack chain must
+    run end-to-end from a documents frame alone."""
+
+    TEXTS = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "widest wide wider new low",
+        "the the the them theme",
+    ]
+
+    def test_equals_pure_python_trainer(self, spark):
+        from ocr_spark.functions.bpe import bpe_train, bpe_train_df
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)], "doc_id long, text string"
+        )
+        assert bpe_train_df(docs, n_merges=40) == bpe_train(self.TEXTS, 40)
+
+    def test_top_words_cap_deterministic(self, spark):
+        from ocr_spark.functions.bpe import corpus_word_counts
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)], "doc_id long, text string"
+        )
+        full = corpus_word_counts(docs)
+        capped = corpus_word_counts(docs, top_words=3)
+        want = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert sorted(capped.items(), key=lambda kv: (-kv[1], kv[0])) == want
+
+    def test_degenerate_docs_tolerated(self, spark):
+        from ocr_spark.functions.bpe import bpe_train_df
+
+        docs = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "   "), (4, "ab ab ab")],
+            "doc_id long, text string",
+        )
+        merges = bpe_train_df(docs, n_merges=4)
+        assert merges[0] == ("a", "b")
+
+    def test_train_count_pack_chain(self, spark):
+        from ocr_spark.functions.bpe import bpe_train_df, token_counts_bpe
+        from ocr_spark.operators.corpus_clean import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)], "doc_id long, text string"
+        )
+        merges = bpe_train_df(docs, n_merges=30)
+        counted = token_counts_bpe(docs, merges=merges)
+        joined = docs.join(counted, "doc_id")
+        packed = pack_sequences(joined, max_tokens=8, tokens_col="n_tokens_bpe")
+        assert packed.count() == 4
+        assert packed.where(F.col("n_tokens") <= 0).count() == 0
