@@ -172,3 +172,46 @@ class TestDistributedTraining:
         packed = pack_sequences(joined, max_tokens=8, tokens_col="n_tokens_bpe")
         assert packed.count() == 4
         assert packed.where(F.col("n_tokens") <= 0).count() == 0
+
+
+class TestIncrementalTrainerEquality:
+    """bpe_train_from_counts uses incremental pair maintenance; it must
+    equal the naive full-recount reference EXACTLY, including tie-breaks."""
+
+    def test_randomized_equality(self):
+        import random
+
+        from ocr_spark.functions.bpe import (
+            _bpe_train_naive,
+            bpe_train_from_counts,
+        )
+
+        rng = random.Random(41)
+        for trial in range(30):
+            words = {
+                "".join(
+                    rng.choice("abcde") for _ in range(rng.randint(1, 10))
+                ): rng.randint(1, 50)
+                for _ in range(rng.randint(1, 60))
+            }
+            n = rng.randint(1, 40)
+            assert bpe_train_from_counts(words, n) == _bpe_train_naive(
+                words, n
+            ), (trial, words, n)
+
+    def test_repeat_symbol_words(self):
+        from ocr_spark.functions.bpe import (
+            _bpe_train_naive,
+            bpe_train_from_counts,
+        )
+
+        # overlapping-pair stress: runs of one symbol
+        words = {"aaaa": 5, "aaab": 3, "abab": 2, "bbbb": 4, "ab": 9}
+        for n in (1, 2, 3, 8, 32):
+            assert bpe_train_from_counts(words, n) == _bpe_train_naive(words, n)
+
+    def test_exhaustion_stops_early(self):
+        from ocr_spark.functions.bpe import bpe_train_from_counts
+
+        merges = bpe_train_from_counts({"ab": 1}, n_merges=100)
+        assert merges == [("a", "b")]
