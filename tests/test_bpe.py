@@ -215,3 +215,26 @@ class TestIncrementalTrainerEquality:
 
         merges = bpe_train_from_counts({"ab": 1}, n_merges=100)
         assert merges == [("a", "b")]
+
+    def test_hypothesis_equality(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ocr_spark.functions.bpe import (
+            _bpe_train_naive,
+            bpe_train_from_counts,
+        )
+
+        words_st = st.dictionaries(
+            st.text(alphabet="abcxyz", min_size=1, max_size=12),
+            st.integers(min_value=1, max_value=99),
+            min_size=0,
+            max_size=40,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(words=words_st, n=st.integers(min_value=0, max_value=48))
+        def run(words, n):
+            assert bpe_train_from_counts(words, n) == _bpe_train_naive(words, n)
+
+        run()
