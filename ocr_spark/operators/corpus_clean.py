@@ -857,3 +857,68 @@ def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
         ).alias("mean_fill"),
         F.sum("has_oversize").alias("n_oversize"),
     )
+
+
+# ---------------------------------------------------------------------------
+# packed-sequence materialization: turn pack_sequences' assignments into the
+# actual training text — per sequence, member documents concatenated in
+# seq_pos order with a separator token. ONE groupBy(seq_id) shuffle; the
+# in-group ordering uses the same array_sort(struct(pos, text)) reassembly
+# pattern as line_dedup's distributed path, so no Window and no sort of the
+# whole corpus. DuckDB twin: string_agg(... ORDER BY seq_pos) — exact,
+# because the separator join over a deterministic order is string-identical.
+# ---------------------------------------------------------------------------
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    packed: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n<|endofdoc|>\n",
+) -> DataFrame:
+    """(seq_id, text, n_docs, n_tokens): the packed training sequences.
+
+    `packed` is pack_sequences output (carries seq_id/seq_pos/n_tokens).
+    Null member text joins as '' (the doc still occupies its slot — token
+    counts came from the packing pass, and dropping it here would silently
+    shift seq_pos semantics)."""
+    j = docs.select(F.col(id_col), F.col(text_col)).join(
+        packed.select(id_col, "seq_id", "seq_pos", "n_tokens"), id_col
+    )
+    return j.groupBy("seq_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("seq_pos"),
+                            F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def materialize_sequences_sql(
+    docs_src: str,
+    packed_src: str,
+    sep: str = "\n<|endofdoc|>\n",
+) -> str:
+    """DuckDB twin: `docs_src` yields (doc_id, text), `packed_src` yields
+    pack_sequences columns."""
+    sep_lit = "'" + sep.replace("'", "''").replace(chr(10), "' || chr(10) || '") + "'"
+    return f"""
+SELECT p.seq_id,
+       string_agg(coalesce(d.text, ''), {sep_lit} ORDER BY p.seq_pos) AS text,
+       count(*)::BIGINT AS n_docs,
+       sum(p.n_tokens)::BIGINT AS n_tokens
+FROM ({packed_src}) p JOIN ({docs_src}) d USING (doc_id)
+GROUP BY p.seq_id
+""".strip()

@@ -926,3 +926,52 @@ SELECT src.{id_col},
        coalesce(sc.mean_logit_micro + {bias} > 0, FALSE) AS quality_keep
 FROM src LEFT JOIN sc USING ({id_col})
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# rule-filter audit report: per-rule fire rates over a corpus — the
+# diagnostic every filtering run publishes (which rule drops how much, and
+# whether a config change silently nukes the corpus). One explode + one
+# groupBy on the (tiny) reason key; the corpus total rides a broadcast
+# 1-row crossJoin (the corpus_clean totals pattern), so the corpus itself
+# shuffles only the exploded reason rows.
+# ---------------------------------------------------------------------------
+
+
+def rule_filter_report(rf: DataFrame) -> DataFrame:
+    """(reason, n_docs, frac) over rule_filter_select output: one row per
+    fired rule, plus the synthetic '__kept__' and '__dropped__' totals
+    (dropped docs count once under '__dropped__' AND once per fired rule —
+    rules overlap, so per-rule fracs don't sum to the drop rate)."""
+    tot = rf.agg(F.count("*").cast("long").alias("_n"))
+    reasons = rf.select(
+        F.explode(
+            F.when(F.col("keep"), F.array(F.lit("__kept__"))).otherwise(
+                F.concat(F.col("reasons"), F.array(F.lit("__dropped__")))
+            )
+        ).alias("reason")
+    )
+    counted = reasons.groupBy("reason").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return counted.crossJoin(F.broadcast(tot)).select(
+        "reason",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("_n").cast("double")).alias(
+            "frac"
+        ),
+    )
+
+
+def rule_filter_report_sql(rf_sql: str) -> str:
+    """DuckDB twin over the rule_filter_sql subquery."""
+    return f"""
+WITH rf AS ({rf_sql}),
+tot AS (SELECT count(*)::BIGINT AS n FROM rf),
+r AS (SELECT unnest(CASE WHEN keep THEN ['__kept__']
+                         ELSE list_concat(reasons, ['__dropped__']) END
+      ) AS reason FROM rf)
+SELECT reason, count(*)::BIGINT AS n_docs,
+       (count(*)::BIGINT)::DOUBLE / n::DOUBLE AS frac
+FROM r CROSS JOIN tot GROUP BY reason, n
+""".strip()

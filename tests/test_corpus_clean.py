@@ -487,3 +487,69 @@ def test_rule_filter_twin_parity_on_symbol_paths(spark, tmp_path):
     orc = sorted((r[0], r[1], tuple(r[2])) for r in con.execute(rule_filter_sql()).fetchall())
     assert got == orc
     assert ("symbol_ratio",) in {r[2] for r in got}  # the branch really fired
+
+
+class TestRuleFilterReport:
+    def test_twin_parity_and_totals(self, spark):
+        import duckdb
+        import pandas as pd
+
+        from ocr_spark.operators.text_analysis import (
+            rule_filter_report,
+            rule_filter_report_sql,
+            rule_filter_select,
+            rule_filter_sql,
+        )
+
+        texts = [
+            "This is a fine document with enough words and the usual "
+            "structure. It has sentences. It has an end.",
+            "short",
+            "!!! ### ...",
+            None,
+            "lorem ipsum dolor sit amet and then some more words here "
+            "to pass length. Another sentence here.",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        params = {"min_stop_words": 0, "min_sentences": 1, "min_words": 5}
+        rf = rule_filter_select(df, F.col("text"), params=params)
+        got = {
+            r["reason"]: (r["n_docs"], r["frac"])
+            for r in rule_filter_report(rf).collect()
+        }
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts}
+        ))
+        duck = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                rule_filter_report_sql(rule_filter_sql(params=params))
+            ).fetchall()
+        }
+        assert got == duck
+        # kept + dropped partition the corpus
+        assert got["__kept__"][0] + got["__dropped__"][0] == len(texts)
+        assert got["placeholder_text"][0] >= 1
+        assert abs(got["__kept__"][1] - got["__kept__"][0] / len(texts)) < 1e-15
+
+    def test_all_kept_report(self, spark):
+        from ocr_spark.operators.text_analysis import (
+            rule_filter_report,
+            rule_filter_select,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "A perfectly ordinary sentence with plenty of good words "
+                 "in it. And one more for sentences.")],
+            "doc_id long, text string",
+        )
+        rf = rule_filter_select(
+            df,
+            F.col("text"),
+            params={"min_stop_words": 0, "min_sentences": 1, "min_words": 5},
+        )
+        rows = {r["reason"]: r["n_docs"] for r in rule_filter_report(rf).collect()}
+        assert rows == {"__kept__": 1}

@@ -117,3 +117,64 @@ def test_id_dtype_preserved(spark):
     assert dict(packed.dtypes)["doc_id"] == "bigint"
     # and the natural next step — joining back on the id — works typed
     assert docs.join(packed, "doc_id").count() == 3
+
+
+class TestMaterializeSequences:
+    def _frames(self, spark):
+        from ocr_spark.operators.corpus_clean import pack_sequences
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "gamma"), (3, None), (4, "delta eps zeta")],
+            "doc_id long, text string",
+        )
+        return docs, pack_sequences(docs, max_tokens=4, n_buckets=2)
+
+    def test_twin_parity_and_order(self, spark):
+        import duckdb
+
+        from ocr_spark.operators.corpus_clean import (
+            materialize_sequences,
+            materialize_sequences_sql,
+        )
+
+        docs, packed = self._frames(spark)
+        got = {
+            r["seq_id"]: (r["text"], r["n_docs"], r["n_tokens"])
+            for r in materialize_sequences(docs, packed).collect()
+        }
+        con = duckdb.connect()
+        con.register("d", docs.toPandas())
+        con.register("p", packed.toPandas())
+        duck = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(
+                materialize_sequences_sql("SELECT * FROM d", "SELECT * FROM p")
+            ).fetchall()
+        }
+        assert got == duck
+        # every doc's text appears exactly once across sequences
+        all_text = "".join(t for t, _, _ in got.values())
+        for w in ("alpha beta", "gamma", "delta eps zeta"):
+            assert w in all_text
+        # members join in seq_pos order with the separator
+        multi = [t for t, nd, _ in got.values() if nd > 1]
+        for t in multi:
+            assert "<|endofdoc|>" in t
+
+    def test_null_text_keeps_slot(self, spark):
+        from ocr_spark.operators.corpus_clean import materialize_sequences
+
+        docs, packed = self._frames(spark)
+        out = materialize_sequences(docs, packed)
+        # doc 3 (null text, floored to 1 token) still occupies a slot
+        assert out.agg(F.sum("n_docs")).first()[0] == 4
+
+    def test_token_totals_conserved(self, spark):
+        from ocr_spark.operators.corpus_clean import materialize_sequences
+
+        docs, packed = self._frames(spark)
+        out = materialize_sequences(docs, packed)
+        assert (
+            out.agg(F.sum("n_tokens")).first()[0]
+            == packed.agg(F.sum("n_tokens")).first()[0]
+        )
