@@ -1069,6 +1069,22 @@ def _heavy_kind_goldens(sf_dir: str):
         return _HK_GOLD[sf_dir]
 
 
+def _fixture_tag(sf_dir: str) -> str:
+    """Cache key for /tmp-materialized fixtures derived from a corpus dir:
+    dir basename + documents.parquet row count + byte size (footer-only
+    reads). Keying on the basename alone served STALE fixtures when the
+    corpus at that path changed — e.g. a regenerated degenerate corpus —
+    and the oracle (recomputed fresh from parquet) then disagreed with the
+    Spark side (reading the old archive) on row COUNT, not semantics."""
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    return (
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{pq.read_metadata(p).num_rows}-{os.path.getsize(p)}"
+    )
+
+
 def _warc_fixture_dir(sf_dir: str) -> str:
     """Materialize (once per sf_dir) a deterministic multi-shard .warc.gz
     archive set under /tmp, built from the documents table's ids with the
@@ -1079,7 +1095,7 @@ def _warc_fixture_dir(sf_dir: str) -> str:
 
     from ocr_spark.sources.warc import write_warc_fixture
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _fixture_tag(sf_dir)
     out = f"/tmp/ocr_spark_warc/{tag}"
     if os.path.isdir(out) and any(n.endswith(".warc.gz") for n in os.listdir(out)):
         return out
@@ -1112,7 +1128,7 @@ def _jsonl_fixture_dir(sf_dir: str) -> str:
 
     from ocr_spark.sources.jsonl import write_jsonl_fixture
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = _fixture_tag(sf_dir)
     out = f"/tmp/ocr_spark_jsonl/{tag}"
     if os.path.isdir(out) and any(n.endswith(".jsonl") for n in os.listdir(out)):
         return out

@@ -57,6 +57,11 @@ ADVERSARIAL_DOCS: list[tuple[str | None, str | None, str | None]] = [
     ("'''' '' '", "en", "web"),                  # apostrophes only (token re)
     ("éöü 中文 рус", "zh", "web"),
     (". . . . . . . .", "en", "web"),            # dots (mean_word_len edge)
+    ("😀🎉 astral 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𐍈", "en", "web"),     # astral-plane code points
+    ("مرحبا بالعالم hello שלום", "ar", "web"),   # RTL + mixed direction
+    ("́̈ lone combining marks", "en", "web"),
+    ("x" * 4000, "en", "web"),                   # one huge token
+    ("same line\nsame line\nsame line", "en", "web"),  # self-boilerplate
 ]
 
 # No NULL doc_id row here: the query board's SYNTHETIC-PAYLOAD harness
