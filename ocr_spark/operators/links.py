@@ -1,0 +1,330 @@
+"""Outlink extraction and the domain link graph — the link-based quality
+layer of a crawl corpus build (the signal behind harmonic-centrality /
+PageRank-style domain ranking used to prioritize crawl frontiers and to
+weight sources).
+
+Three stages, each independently testable:
+
+  * `html_links` / `html_links_df` — per-document `<a href>` outlinks with
+    flattened anchor text and rel-nofollow flags, hrefs resolved through
+    the browser-order base chain (doc URL → `<base href>`), non-navigational
+    schemes (javascript/mailto/data/tel) and fragment-only refs dropped.
+    ONE mapInPandas stage, Exchange-free (plan-asserted in tests).
+  * `domain_link_graph` — outlinks → (src_domain, dst_domain, n_links)
+    edges over PSL registrable domains (functions/url.py): ONE groupBy
+    shuffle on the (already tiny) domain pair key. Exact DuckDB twin.
+  * `domain_centrality` — damped PageRank power iteration over the domain
+    graph in INTEGER micro-units: every contribution is
+    floor(d · rank · w / out_w), so partial-sum order cannot perturb the
+    result — ranks are bit-identical across any partitioning/parallelism,
+    and a pure-Python reference asserts exact equality (the repo's
+    determinism policy for iterative float algorithms; same approach as
+    the ngram-LM micro-nat quantization).
+
+Scale shape (10^12 docs → ~10^8 domains): link extraction is embarrassingly
+parallel; the graph groupBy shuffles (src,dst) pairs (output ~10^9 rows,
+tiny next to the corpus); each PageRank round is one shuffle join on
+dst_domain + one groupBy — the frames never exceed the domain count, and
+round frames are localCheckpoint-truncated so plans stay flat. Dangling
+mass (domains with no outlinks) is DROPPED each round, the "dangling sink"
+PageRank variant — documented, deterministic, and rank-order-equivalent
+for frontier-prioritization use.
+
+Reference anchor: the reference is a desktop OCR app with no crawl layer
+(ocr_workflow_orchestrator.py); this module is part of the task-directive
+web-corpus family (robots.py, functions/url.py are its siblings).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_SKIP_SCHEMES = ("javascript", "mailto", "data", "tel", "about")
+
+
+class _LinkParser(HTMLParser):
+    """Collect (href, anchor_runs, rel) for every <a href=...>; forgiving of
+    unbalanced markup (an unclosed <a> ends at the next <a> or EOF)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.links: list[dict] = []
+        self.base_href: str | None = None
+        self._open: dict | None = None
+        self._ignore = 0
+
+    def _close_link(self) -> None:
+        if self._open is not None:
+            self.links.append(self._open)
+            self._open = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style"):
+            self._ignore += 1
+            return
+        a = {k.lower(): (v or "") for k, v in attrs}
+        if tag == "base":
+            if self.base_href is None and a.get("href"):
+                self.base_href = a["href"].strip()
+        elif tag == "a":
+            self._close_link()
+            href = a.get("href", "").strip()
+            if href:
+                rel = {t for t in a.get("rel", "").lower().split() if t}
+                self._open = {"href": href, "runs": [], "rel": rel}
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style"):
+            self._ignore = max(0, self._ignore - 1)
+        elif tag == "a":
+            self._close_link()
+
+    def handle_data(self, data):
+        if self._open is not None and not self._ignore and data:
+            run = " ".join(data.split())
+            if run:
+                self._open["runs"].append(run)
+
+    def close(self):
+        super().close()
+        self._close_link()
+
+
+def html_links(html: str, doc_url: str | None = None) -> list[dict]:
+    """One document → [{href, anchor, nofollow}] with hrefs resolved against
+    the base chain (doc_url → <base href>, browser order — the same chain
+    html_metadata applies to rel=canonical). Fragment-only refs and
+    non-navigational schemes are dropped; with no base at all, relative
+    hrefs are returned as written (a frontier can still resolve them
+    later). Malformed HTML degrades, never raises."""
+    from ocr_spark.functions.url import resolve_url
+
+    p = _LinkParser()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass
+    base = doc_url
+    if p.base_href:
+        base = resolve_url(doc_url, p.base_href) if doc_url else p.base_href
+    out = []
+    for lk in p.links:
+        href = lk["href"]
+        if href.startswith("#"):
+            continue
+        scheme = href.split(":", 1)[0].lower() if ":" in href.split("/", 1)[0] else None
+        if scheme in _SKIP_SCHEMES:
+            continue
+        resolved = resolve_url(base, href) if base else href
+        # a resolved fragment-only self-link is still navigation-free
+        if resolved.startswith("#"):
+            continue
+        out.append(
+            {
+                "href": resolved.split("#", 1)[0],  # frontier ignores fragments
+                "anchor": " ".join(" ".join(lk["runs"]).split()),
+                "nofollow": "nofollow" in lk["rel"],
+            }
+        )
+    return out
+
+
+LINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("src_url", T.StringType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("anchor", T.StringType()),
+        T.StructField("nofollow", T.BooleanType()),
+    ]
+)
+
+
+def html_links_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """(doc_id, src_url, href, anchor, nofollow) — one row per outlink.
+    ONE mapInPandas stage over (id, html, url); no shuffle."""
+    import pandas as pd
+
+    cols = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(html_col).alias("html"),
+        F.col(url_col).alias("url"),
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            rows = []
+            for doc_id, html, url in zip(b["doc_id"], b["html"], b["url"]):
+                u = None if url is None or (isinstance(url, float)) else url
+                for lk in html_links(html if isinstance(html, str) else "", u):
+                    rows.append(
+                        (doc_id, u, lk["href"], lk["anchor"], lk["nofollow"])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "src_url", "href", "anchor", "nofollow"]
+            )
+
+    return cols.mapInPandas(gen, schema=LINKS_SCHEMA)
+
+
+def domain_link_graph(
+    links: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "href",
+    drop_nofollow: bool = True,
+    drop_self: bool = True,
+) -> DataFrame:
+    """(src_domain, dst_domain, n_links) over PSL registrable domains.
+    Rows whose src or dst has no extractable host are dropped (relative
+    hrefs that never resolved, mailto leftovers). One groupBy shuffle on
+    the domain-pair key."""
+    from ocr_spark.functions.url import registrable_domain, url_host
+
+    e = links
+    if drop_nofollow and "nofollow" in e.columns:
+        e = e.where(~F.coalesce(F.col("nofollow"), F.lit(False)))
+    e = e.select(
+        registrable_domain(F.col(src_col)).alias("src_domain"),
+        registrable_domain(F.col(dst_col)).alias("dst_domain"),
+        url_host(F.col(src_col)).alias("__sh"),
+        url_host(F.col(dst_col)).alias("__dh"),
+    ).where(
+        (F.col("__sh") != "") & (F.col("__dh") != "")
+        & F.col("src_domain").isNotNull() & F.col("dst_domain").isNotNull()
+    )
+    if drop_self:
+        e = e.where(F.col("src_domain") != F.col("dst_domain"))
+    return (
+        e.groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+
+
+def domain_link_graph_sql(
+    links_src: str,
+    src_expr: str = "src_url",
+    dst_expr: str = "href",
+    drop_nofollow: bool = True,
+    drop_self: bool = True,
+) -> str:
+    """DuckDB twin over the same links relation (PSL twin expressions)."""
+    from ocr_spark.functions.url import registrable_domain_sql, url_host_sql
+
+    nf = "AND NOT coalesce(nofollow, FALSE)" if drop_nofollow else ""
+    sd, dd = registrable_domain_sql(src_expr), registrable_domain_sql(dst_expr)
+    self_f = "AND src_domain <> dst_domain" if drop_self else ""
+    return f"""
+WITH lk AS (SELECT *, {sd} AS src_domain, {dd} AS dst_domain,
+                   {url_host_sql(src_expr)} AS sh, {url_host_sql(dst_expr)} AS dh
+            FROM ({links_src}))
+SELECT src_domain, dst_domain, count(*) AS n_links
+FROM lk
+WHERE sh <> '' AND dh <> '' AND src_domain IS NOT NULL
+  AND dst_domain IS NOT NULL {nf} {self_f}
+GROUP BY src_domain, dst_domain
+"""
+
+
+MICRO = 1_000_000  # rank unit: 1.0 per node == 1e6 micro-units
+
+
+def domain_centrality(
+    edges: DataFrame,
+    iters: int = 8,
+    damping_ppm: int = 850_000,
+    weighted: bool = True,
+) -> DataFrame:
+    """(domain, rank_micro) — damped PageRank over (src_domain, dst_domain,
+    n_links), per-node-1 normalization (rank_micro starts at 1e6; a rank of
+    3.2e6 means "3.2× the default mass"). All arithmetic is int64
+    floor-division in micro-units, so results are EXACTLY reproducible
+    under any partitioning — asserted against a pure-Python reference.
+
+    damping_ppm: damping factor in parts-per-million (850_000 = 0.85).
+    weighted=False treats every distinct edge as weight 1.
+
+    Each round: contributions = floor(damping · rank_src · w / out_w),
+    re-aggregated per dst; new rank = (1-d)·1e6 + Σ contribs. Dangling
+    domains keep receiving but forward nothing (sink variant, documented
+    above). Round frames are localCheckpoint-truncated — iters is small
+    and fixed, the classic Spark PageRank shape."""
+    w = F.col("n_links") if weighted else F.lit(1)
+    e = edges.select(
+        F.col("src_domain").alias("src"),
+        F.col("dst_domain").alias("dst"),
+        w.cast("long").alias("w"),
+    )
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = e.join(out_w, "src")  # static over rounds
+    e = e.localCheckpoint(eager=False)
+
+    nodes = (
+        e.select(F.col("src").alias("domain"))
+        .unionByName(e.select(F.col("dst").alias("domain")))
+        .distinct()
+    )
+    ranks = nodes.withColumn("rank_micro", F.lit(MICRO).cast("long"))
+    base = MICRO - damping_ppm
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["domain"])
+            .select(
+                F.col("dst").alias("domain"),
+                # exact int64 chain, identical to the Python reference's
+                # (rank·d // 1e6)·w // out_w (all operands non-negative, so
+                # Spark's truncating `div` == Python's floor `//`).
+                # Overflow bound: rank·d ≤ N·1e6·8.5e5 needs N ≲ 1e7 nodes,
+                # then (·div 1e6)·w needs N·w ≲ 1e12 — ANSI mode raises
+                # loudly beyond it (documented; shard the graph first)
+                F.expr(
+                    f"(rank_micro * {damping_ppm} div {MICRO}) * w div out_w"
+                ).alias("c"),
+            )
+            .groupBy("domain")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, "domain", "left")
+            .select(
+                "domain",
+                (
+                    F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))
+                ).alias("rank_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def domain_centrality_ref(
+    edges: list[tuple[str, str, int]],
+    iters: int = 8,
+    damping_ppm: int = 850_000,
+    weighted: bool = True,
+) -> dict[str, int]:
+    """Pure-Python reference with IDENTICAL integer arithmetic (the golden
+    oracle for domain_centrality)."""
+    out_w: dict[str, int] = {}
+    for s, d, w in edges:
+        out_w[s] = out_w.get(s, 0) + (w if weighted else 1)
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    ranks = {n: MICRO for n in nodes}
+    base = MICRO - damping_ppm
+    for _ in range(iters):
+        in_mass: dict[str, int] = {}
+        for s, d, w in edges:
+            ww = w if weighted else 1
+            c = (ranks[s] * damping_ppm // MICRO) * ww // out_w[s]
+            in_mass[d] = in_mass.get(d, 0) + c
+        ranks = {n: base + in_mass.get(n, 0) for n in nodes}
+    return ranks
