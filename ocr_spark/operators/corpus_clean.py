@@ -922,3 +922,158 @@ SELECT p.seq_id,
 FROM ({packed_src}) p JOIN ({docs_src}) d USING (doc_id)
 GROUP BY p.seq_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# repeat-factor upsampling (mC4/PaLM-style source mixing with factors > 1)
+#
+# temperature_sample can only DOWN-sample (keep rate <= 1); real mixing
+# specs also UP-sample low-resource strata (epochs > 1 per source). The
+# materialized form every trainer consumes is one row per (doc, copy):
+# copies = floor(r_s) + Bernoulli(frac(r_s)), with the Bernoulli decided by
+# the same deterministic h32 bucket the samplers use — reproducible under
+# any parallelism, exact DuckDB twin, and E[rows per stratum] hits the
+# target exactly.
+# ---------------------------------------------------------------------------
+
+
+def repeat_factors(counts: dict, total_target: int, temperature: float) -> dict:
+    """{stratum: repeat factor in micro-units} with stratum shares
+    ∝ n_i^temperature summing to ~total_target rows. Unlike
+    temperature_targets there is NO cap at 1e6 — factors above 1.0 mean
+    upsampling (multiple epochs of that stratum). Same float policy:
+    computed ONCE in Python, injected into both engines as literals."""
+    if total_target <= 0:
+        raise ValueError("total_target must be positive")
+    if temperature < 0:
+        raise ValueError("temperature must be >= 0")
+    w = {s: c**temperature for s, c in counts.items() if s is not None and c > 0}
+    z = sum(w.values())
+    out = {
+        s: int(total_target * 1_000_000 * w[s] / z / counts[s]) for s in w
+    }
+    # parity bound: the Spark side floors via double-truncate, exact only
+    # below 2^53 (a repeat factor of 9e9 epochs — unreachable; raising keeps
+    # the twin contract airtight instead of silently diverging)
+    for s, r in out.items():
+        if r >= 1 << 53:
+            raise ValueError(
+                f"repeat factor for {s!r} is {r} micro-units (≥2^53): "
+                "beyond exact float/int parity — rescale total_target"
+            )
+    return out
+
+
+def _copies_col(factors: dict, stratum_col: str, id_col: str, salt: str) -> Column:
+    mapping = F.create_map(
+        *[x for s, r in sorted(factors.items()) for x in (F.lit(s), F.lit(r))]
+    )
+    r = F.coalesce(mapping[F.col(stratum_col)], F.lit(0)).cast("long")
+    bucket = h32(
+        F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))
+    ) % F.lit(1_000_000)
+    return (r / F.lit(1_000_000)).cast("long") + (
+        bucket < r % F.lit(1_000_000)
+    ).cast("long")
+
+
+def upsample_corpus(
+    docs: DataFrame,
+    total_target: int,
+    temperature: float = 0.7,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "u0",
+    factors: dict | None = None,
+) -> DataFrame:
+    """(doc_id, stratum, copy) — one row per materialized training copy;
+    `copy` is 0-based so copy=0 rows are the original pass and copy>=1 the
+    upsampled epochs. Null/unknown strata get 0 copies (the
+    temperature_sample convention). Per-stratum counts collect to the
+    driver when `factors` is None (strata are few by definition).
+
+    Scale shape: one narrow projection + explode — no shuffle; the row
+    multiplication happens at the scan, so downstream packing/shuffling
+    sees copies as ordinary rows. E[output rows] = total_target exactly;
+    per-doc copies differ by at most 1 (floor vs floor+1)."""
+    if factors is None:
+        cnt = {
+            r[0]: int(r[1])
+            for r in docs.groupBy(stratum_col).count().collect()
+            if r[0] is not None
+        }
+        factors = repeat_factors(cnt, total_target, temperature)
+    if not factors:
+        return docs.where(F.lit(False)).select(
+            F.col(id_col),
+            F.col(stratum_col).alias("stratum"),
+            F.lit(0).cast("long").alias("copy"),
+        )
+    copies = _copies_col(factors, stratum_col, id_col, salt)
+    seq = F.when(
+        copies > 0, F.sequence(F.lit(0).cast("long"), copies - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return docs.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        F.explode(seq).alias("copy"),
+    )
+
+
+def upsample_corpus_sql(
+    src: str,
+    factors: dict,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "u0",
+) -> str:
+    """DuckDB twin: same literal factors, same h32 Bernoulli, unnest(range)
+    materialization (range(0) is empty, so 0-copy docs vanish exactly like
+    the empty-array explode)."""
+    if not factors:
+        return (
+            f"SELECT {id_col}, {stratum_col} AS stratum, 0::BIGINT AS copy "
+            f"FROM ({src}) WHERE FALSE"
+        )
+    cases = " ".join(
+        f"WHEN '{str(s).replace(chr(39), chr(39) * 2)}' THEN {r}"
+        for s, r in sorted(factors.items())
+    )
+    key_expr = f"({id_col}::VARCHAR || ':{salt}')"
+    bucket = f"{h32_sql(key_expr)} % 1000000"
+    copies = (
+        f"((CASE {stratum_col} {cases} ELSE 0 END) // 1000000"
+        f" + CASE WHEN {bucket} < (CASE {stratum_col} {cases} ELSE 0 END) % 1000000"
+        f" THEN 1 ELSE 0 END)"
+    )
+    return (
+        f"SELECT {id_col}, {stratum_col} AS stratum, unnest(range({copies}))::BIGINT AS copy "
+        f"FROM ({src})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic training order
+# ---------------------------------------------------------------------------
+
+
+def shuffle_key(
+    seed: str, id_col: str = "doc_id", copy_col: str | None = None
+) -> Column:
+    """60-bit deterministic shuffle key: ORDER BY this column is the
+    training order for the given seed/epoch. Including `copy_col`
+    interleaves upsampled copies away from their originals (a copy-adjacent
+    order would defeat the point of shuffling). Global sort at corpus scale
+    is Spark's range-partitioned sort — no single-node bottleneck; writing
+    the sorted frame preserves order within and across part files."""
+    parts = [F.col(id_col).cast("string"), F.lit(":" + seed)]
+    if copy_col is not None:
+        parts.insert(1, F.concat(F.lit("#"), F.col(copy_col).cast("string")))
+    return h60(F.concat(*parts))
+
+
+def shuffle_key_sql(
+    seed: str, id_col: str = "doc_id", copy_col: str | None = None
+) -> str:
+    cp = f" || '#' || {copy_col}::VARCHAR" if copy_col else ""
+    return h60_sql(f"({id_col}::VARCHAR{cp} || ':{seed}')")

@@ -345,6 +345,7 @@ def perplexity_split_thresholds(
     stratum_col: str = "lang",
     score_col: str = "avg_lp_micronat",
     quantiles: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    approx_accuracy: int | None = None,
 ) -> dict:
     """{stratum: (t_head, t_middle)} — per-stratum score quantiles.
 
@@ -352,17 +353,40 @@ def perplexity_split_thresholds(
     micro-nats, HIGHER = better/lower perplexity), so the head cut is the
     UPPER quantile: score >= t_head -> head, >= t_middle -> middle.
     Null strata are dropped (never split — the temperature_targets
-    convention)."""
+    convention).
+
+    `approx_accuracy` switches to percentile_approx (Greenwald-Khanna
+    sketch) — the corpus-scale path this function's docstring always
+    promised: exact percentile buffers every stratum's scores in one
+    aggregation state, fine at test scale but not for 10^10 docs per
+    language; the sketch is mergeable map-side state with rank error
+    ≤ 1/accuracy (accuracy 10_000 ⇒ the cut moves by ≤0.01% of the
+    stratum — tests bound the resulting bucket drift). Thresholds stay
+    driver-side literals either way, so perplexity_split and its SQL twin
+    are unchanged (and twin-exact: both engines apply the SAME numbers)."""
     q1, q2 = quantiles
     if not (0.0 < q1 < q2 < 1.0):
         raise ValueError(f"quantiles must satisfy 0 < q1 < q2 < 1, got {quantiles}")
+    if approx_accuracy is None:
+        aggs = [
+            F.percentile(F.col(score_col), F.lit(1.0 - q1)).alias("t_head"),
+            F.percentile(F.col(score_col), F.lit(1.0 - q2)).alias("t_middle"),
+        ]
+    else:
+        if approx_accuracy < 1:
+            raise ValueError(f"approx_accuracy must be >= 1, got {approx_accuracy}")
+        aggs = [
+            F.percentile_approx(
+                F.col(score_col), F.lit(1.0 - q1), F.lit(approx_accuracy)
+            ).alias("t_head"),
+            F.percentile_approx(
+                F.col(score_col), F.lit(1.0 - q2), F.lit(approx_accuracy)
+            ).alias("t_middle"),
+        ]
     rows = (
         scored.where(F.col(stratum_col).isNotNull())
         .groupBy(stratum_col)
-        .agg(
-            F.percentile(F.col(score_col), F.lit(1.0 - q1)).alias("t_head"),
-            F.percentile(F.col(score_col), F.lit(1.0 - q2)).alias("t_middle"),
-        )
+        .agg(*aggs)
         .collect()
     )
     # percentile skips nulls: a stratum whose every score is NULL yields
