@@ -1046,9 +1046,14 @@ def upsample_corpus_sql(
         f" + CASE WHEN {bucket} < (CASE {stratum_col} {cases} ELSE 0 END) % 1000000"
         f" THEN 1 ELSE 0 END)"
     )
+    # WHERE id IS NOT NULL pins the twin to the Spark side's behavior: a
+    # null id nulls the whole Spark copies expression (concat/h32/+ all
+    # propagate) so those docs emit nothing, while this CASE's ELSE-0 arm
+    # would still grant them their floor copies — the exact divergence
+    # class the degenerate-corpus sweep exists to catch
     return (
         f"SELECT {id_col}, {stratum_col} AS stratum, unnest(range({copies}))::BIGINT AS copy "
-        f"FROM ({src})"
+        f"FROM ({src}) WHERE {id_col} IS NOT NULL"
     )
 
 
@@ -1066,14 +1071,26 @@ def shuffle_key(
     order would defeat the point of shuffling). Global sort at corpus scale
     is Spark's range-partitioned sort — no single-node bottleneck; writing
     the sorted frame preserves order within and across part files."""
-    parts = [F.col(id_col).cast("string"), F.lit(":" + seed)]
+    # coalesce null ids/copies to '' so the key is never NULL — Spark sorts
+    # nulls FIRST ascending, DuckDB LAST, so a null key would silently
+    # diverge the training order between the engine and its twin
+    parts = [
+        F.coalesce(F.col(id_col).cast("string"), F.lit("")),
+        F.lit(":" + seed),
+    ]
     if copy_col is not None:
-        parts.insert(1, F.concat(F.lit("#"), F.col(copy_col).cast("string")))
+        parts.insert(
+            1,
+            F.concat(
+                F.lit("#"),
+                F.coalesce(F.col(copy_col).cast("string"), F.lit("")),
+            ),
+        )
     return h60(F.concat(*parts))
 
 
 def shuffle_key_sql(
     seed: str, id_col: str = "doc_id", copy_col: str | None = None
 ) -> str:
-    cp = f" || '#' || {copy_col}::VARCHAR" if copy_col else ""
-    return h60_sql(f"({id_col}::VARCHAR{cp} || ':{seed}')")
+    cp = f" || '#' || coalesce({copy_col}::VARCHAR, '')" if copy_col else ""
+    return h60_sql(f"(coalesce({id_col}::VARCHAR, ''){cp} || ':{seed}')")

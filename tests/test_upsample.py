@@ -206,3 +206,71 @@ class TestApproxThresholds:
         # guard
         with pytest.raises(ValueError, match=">= 1"):
             perplexity_split_thresholds(scored, approx_accuracy=0)
+
+
+class TestDegenerateTwins:
+    """The ADVICE-class inputs: null ids, null strata, quoted strata."""
+
+    def test_null_id_and_null_stratum_twin(self, spark, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / "degen.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, None, 3, 4], type=pa.int64()),
+                    "text": ["a", "b", "c", None],
+                    "lang": ["en", "en", None, "o'brien"],
+                }
+            ),
+            p,
+        )
+        docs = spark.read.parquet(p)
+        factors = {"en": 2_500_000, "o'brien": 1_200_000}
+        got = sorted(
+            (r.doc_id, r.stratum, r.copy)
+            for r in upsample_corpus(docs, 10, factors=factors).collect()
+        )
+        con = duckdb.connect()
+        orc = sorted(
+            tuple(r)
+            for r in con.execute(
+                upsample_corpus_sql(
+                    f"SELECT * FROM read_parquet('{p}')", factors
+                )
+            ).fetchall()
+        )
+        assert got == orc
+        ids = {g[0] for g in got}
+        assert None not in ids  # null-id docs emit nothing in BOTH engines
+        assert 3 not in ids  # null stratum → 0 copies
+        assert 1 in ids and got[0][2] == 0  # en doc got its floor copies
+
+    def test_null_id_shuffle_key_twin(self, spark, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        p = str(tmp_path / "degen2.parquet")
+        pq.write_table(
+            pa.table({"doc_id": pa.array([2, None, 9, 4], type=pa.int64())}), p
+        )
+        docs = spark.read.parquet(p)
+        got = [
+            r.doc_id
+            for r in docs.select("doc_id", shuffle_key("e").alias("sk"))
+            .orderBy("sk", F.col("doc_id").asc_nulls_first())
+            .collect()
+        ]
+        con = duckdb.connect()
+        orc = [
+            r[0]
+            for r in con.execute(
+                f"SELECT doc_id FROM read_parquet('{p}') "
+                f"ORDER BY {shuffle_key_sql('e')}, doc_id ASC NULLS FIRST"
+            ).fetchall()
+        ]
+        assert got == orc  # non-null keys → engines agree on the order
