@@ -234,16 +234,24 @@ def incremental_dedup(
     # the batch's distinct fingerprints are the small side: broadcast them
     # against the index scan, collect the HIT set (small), then drop batch
     # rows by fingerprint membership — the index side never shuffles.
+    # Both joins are NULL-SAFE: fingerprint(null text) is NULL, and
+    # exact_dedup's window PARTITIONs all null fingerprints into one group
+    # (standard SQL null grouping, oracle-pinned), so the cross-snapshot
+    # match must treat NULL as a value too or null-text batch docs would
+    # survive a corpus that already holds one — a silent one-shot
+    # divergence (pinned in tests/test_dedup_index.py).
     batch_fps = fp_new.select(F.col("__fp").alias("fp")).distinct()
     hit_fps = (
-        index.exact.join(F.broadcast(batch_fps), "fp")
-        .select(F.col("fp").alias("__hit_fp"))
+        index.exact.join(
+            F.broadcast(batch_fps), index.exact["fp"].eqNullSafe(batch_fps["fp"])
+        )
+        .select(index.exact["fp"].alias("__hit_fp"))
         .distinct()
     )
     ex_survivors = (
         fp_new.join(
             F.broadcast(hit_fps),
-            fp_new["__fp"] == hit_fps["__hit_fp"],
+            fp_new["__fp"].eqNullSafe(hit_fps["__hit_fp"]),
             "left_anti",
         )
         .withColumn(

@@ -294,3 +294,27 @@ def test_unique_only_batch_passthrough(spark, snap):
     idx = read_dedup_index(spark, snap["path"])
     kept = incremental_dedup(batch, idx, threshold=0.7)
     assert {r["doc_id"] for r in kept.collect()} == {r[0] for r in rows}
+
+
+def test_null_text_cross_snapshot(spark, tmp_path):
+    """Null-text docs fingerprint to NULL; exact_dedup groups them as ONE
+    duplicate class (SQL null grouping), so incremental must too: a corpus
+    holding a null-text doc absorbs every later null-text batch doc, and a
+    null-free corpus keeps exactly the min-id batch null."""
+    corpus = spark.createDataFrame([(0, "real text here"), (1, None)], SCHEMA)
+    batch = spark.createDataFrame(
+        [(10, None), (11, None), (12, "unique words entirely")], SCHEMA
+    )
+    path = str(tmp_path / "idx")
+    write_dedup_index(corpus, path, n_buckets=2)
+    idx = read_dedup_index(spark, path)
+    kept = {r["doc_id"] for r in incremental_dedup(batch, idx).collect()}
+    assert kept == {12}  # both batch nulls fell to the corpus null
+
+    # null-free corpus: the batch nulls collapse within the batch only
+    corpus2 = spark.createDataFrame([(0, "real text here")], SCHEMA)
+    path2 = str(tmp_path / "idx2")
+    write_dedup_index(corpus2, path2, n_buckets=2)
+    idx2 = read_dedup_index(spark, path2)
+    kept2 = {r["doc_id"] for r in incremental_dedup(batch, idx2).collect()}
+    assert kept2 == {10, 12}  # min-id null survives
