@@ -1166,11 +1166,20 @@ def bloom_build(
     return merged, m, n_hashes
 
 
-def bloom_prefilter(df: DataFrame, bloom: tuple[bytes, int, int], col: str = "sh") -> DataFrame:
+def bloom_prefilter(
+    df: DataFrame,
+    bloom: tuple[bytes, int, int],
+    col: str = "sh",
+    negate: bool = False,
+) -> DataFrame:
     """Keep rows whose long `col` might be in the Bloom filter — the
     map-side prefilter stage. The bitmap rides an explicit SparkContext
     broadcast (one copy per executor, not per task); membership is k
-    vectorized gathers per Arrow batch."""
+    vectorized gathers per Arrow batch.
+
+    negate=True keeps the DEFINITELY-NOT-members instead (no false
+    negatives, so these rows can skip an exact verification join entirely
+    — the frontier seen-set pattern)."""
     spark = df.sparkSession
     bc = spark.sparkContext.broadcast(bloom)
     schema = df.schema
@@ -1192,6 +1201,8 @@ def bloom_prefilter(df: DataFrame, bloom: tuple[bytes, int, int], col: str = "sh
                     bm[(pos >> np.uint64(3)).astype(np.int64)]
                     >> (pos & np.uint64(7)).astype(np.uint8)
                 ) & np.uint8(1) > 0
+            if negate:
+                ok = ~ok
             if ok.any():
                 yield b.filter(pa.array(ok))
 
