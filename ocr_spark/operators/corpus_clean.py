@@ -77,6 +77,15 @@ def ws_tokens_sql(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _sql_str(s: str) -> str:
+    """''-escape a python string for embedding in a single-quoted SQL
+    literal — applied to every caller-supplied salt/seed (the same escape
+    the stratum CASE literals already get); the Spark side passes the raw
+    string through F.lit, so an unescaped quote would either break the
+    twin's parse or silently hash a different key."""
+    return str(s).replace("'", "''")
+
+
 def frequent_line_keys(
     docs: DataFrame,
     min_docs: int = 2,
@@ -446,7 +455,7 @@ def stratified_sample_sql(
 ) -> str:
     if target_per_stratum <= 0:
         raise ValueError("target_per_stratum must be positive")
-    key = h32_sql(f"doc_id::VARCHAR || ':{salt}'")
+    key = h32_sql(f"doc_id::VARCHAR || ':{_sql_str(salt)}'")
     return f"""
 WITH src AS ({src}),
 counts AS (SELECT {stratum_col} AS stratum, count(*)::BIGINT AS n_stratum
@@ -722,7 +731,7 @@ def temperature_sample_sql(
         f"WHEN '{str(s).replace(chr(39), chr(39) * 2)}' THEN {t}"
         for s, t in sorted(thresholds.items())
     )
-    key_expr = f"({id_col}::VARCHAR || ':{salt}')"
+    key_expr = f"({id_col}::VARCHAR || ':{_sql_str(salt)}')"
     bucket = f"{h32_sql(key_expr)} % 1000000"
     return (
         f"SELECT {id_col}, {stratum_col} AS stratum FROM ({src}) "
@@ -1039,7 +1048,7 @@ def upsample_corpus_sql(
         f"WHEN '{str(s).replace(chr(39), chr(39) * 2)}' THEN {r}"
         for s, r in sorted(factors.items())
     )
-    key_expr = f"({id_col}::VARCHAR || ':{salt}')"
+    key_expr = f"({id_col}::VARCHAR || ':{_sql_str(salt)}')"
     bucket = f"{h32_sql(key_expr)} % 1000000"
     copies = (
         f"((CASE {stratum_col} {cases} ELSE 0 END) // 1000000"
@@ -1093,4 +1102,4 @@ def shuffle_key_sql(
     seed: str, id_col: str = "doc_id", copy_col: str | None = None
 ) -> str:
     cp = f" || '#' || coalesce({copy_col}::VARCHAR, '')" if copy_col else ""
-    return h60_sql(f"(coalesce({id_col}::VARCHAR, ''){cp} || ':{seed}')")
+    return h60_sql(f"(coalesce({id_col}::VARCHAR, ''){cp} || ':{_sql_str(seed)}')")

@@ -30,6 +30,18 @@ from ocr_spark.operators.corpus_clean import ws_tokens, ws_tokens_sql
 from ocr_spark.functions.url import registrable_domain, registrable_domain_sql
 
 
+def _ntok(text_col: str):
+    """Per-doc whitespace token count; NULL text → NULL (excluded from
+    sums/percentiles in both engines — DuckDB's len(NULL) is NULL). The
+    explicit isNotNull guard pins that invariant independent of ANSI mode:
+    with spark.sql.ansi.enabled=false, size(NULL) is -1 (legacy
+    sizeOfNull) and would silently skew totals while the twin returned
+    NULLs."""
+    return F.when(
+        F.col(text_col).isNotNull(), F.size(ws_tokens(F.col(text_col)))
+    ).cast("long")
+
+
 def corpus_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -44,11 +56,10 @@ def corpus_stats(
     Exact mode is the oracle/test path; approx=True is the corpus-scale
     path (HLL distinct, GK percentiles) with identical column names so a
     report pipeline can flip the flag without downstream changes."""
-    nt = F.size(ws_tokens(F.col(text_col)))  # -1 never: ws_tokens yields []
     base = docs.select(
         F.col(text_col).alias("__t"),
         F.col(lang_col).alias("__l"),
-        nt.cast("long").alias("__nt"),
+        _ntok(text_col).alias("__nt"),
         *(
             [registrable_domain(F.col(url_col)).alias("__d")]
             if url_col
@@ -137,19 +148,20 @@ def lang_histogram(
     integer parts-per-million (int64 div, twin-exact)."""
     per = docs.groupBy(F.col(lang_col).alias("lang")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(ws_tokens(F.col(text_col))).cast("long")).alias(
-            "n_tokens"
-        ),
+        F.sum(_ntok(text_col)).alias("n_tokens"),
     )
-    total = docs.select(F.count(F.lit(1)).alias("__total"))
-    return (
-        per.crossJoin(F.broadcast(total))
-        .select(
-            "lang",
-            "n_docs",
-            "n_tokens",
-            F.expr("n_docs * 1000000 div __total").alias("share_ppm"),
-        )
+    # the denominator is a whole-frame window over the TINY per-language
+    # frame (hundreds of rows → one single-partition exchange of that
+    # frame), not a second corpus aggregation: a separate per.agg branch
+    # would be column-pruned into a DIFFERENT aggregate and re-scan the
+    # corpus (no exchange reuse) — caught by the plan test
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.expr("n_docs * 1000000 div (sum(n_docs) OVER ())").alias(
+            "share_ppm"
+        ),
     )
 
 

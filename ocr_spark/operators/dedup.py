@@ -396,6 +396,16 @@ def minhash_lsh_pairs(
     buckets = minhash_band_buckets(
         docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col
     )
+    return pairs_from_band_buckets(buckets, k=k, threshold=threshold)
+
+
+def pairs_from_band_buckets(
+    buckets: DataFrame, k: int, threshold: float
+) -> DataFrame:
+    """The candidate-join + verify stage over an ALREADY-computed
+    (id, sig, band, bh) bucket frame — the single definition shared by
+    minhash_lsh_pairs and the incremental index's batch pass
+    (dedup_index.py), so a verification change cannot diverge them."""
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

@@ -64,6 +64,7 @@ from pyspark.sql import functions as F
 from ocr_spark.operators.dedup import (
     minhash_band_buckets,
     minhash_est_jaccard,
+    pairs_from_band_buckets,
     dedup_clusters,
 )
 from ocr_spark.operators.text_analysis import fingerprint
@@ -82,30 +83,6 @@ class DedupIndex(NamedTuple):
 
 def _bucket(col, n_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
-
-
-def index_tables(
-    docs: DataFrame,
-    k: int = 32,
-    bands: int = 8,
-    n: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """The three index frames for a KEPT (already-deduped) doc frame —
-    exact fingerprints, band bucket keys, minhash signatures. Pure
-    transformations; `write_dedup_index` adds the bucket layout."""
-    ex = docs.select(
-        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp")
-    )
-    bb = minhash_band_buckets(
-        docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col
-    )
-    bands_df = bb.select(F.col("id").alias("doc_id"), "band", "bh")
-    sigs_df = bb.where(F.col("band") == 0).select(
-        F.col("id").alias("doc_id"), "sig"
-    )
-    return ex, bands_df, sigs_df
 
 
 def write_dedup_index(
@@ -143,28 +120,47 @@ def write_dedup_index(
                 f"dedup index at {path} was built with {stored}; "
                 f"appending with {meta} would corrupt it"
             )
-    ex, bands_df, sigs_df = index_tables(
-        docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col
-    )
+    # stage the input and the bucket frame across the three write actions:
+    # `docs` is typically a LAZY dedup output (near_dedup/incremental_dedup)
+    # whose plan would otherwise re-execute once per table write, and
+    # bands/sigs both derive from the same minhash aggregation — persist
+    # both, release both on every exit path (the repo's cache discipline)
+    docs = docs.persist()
+    bb = None
     nb = meta["n_buckets"]
-    (
-        ex.withColumn("bucket", _bucket(F.col("fp"), nb))
-        .write.mode(mode)
-        .partitionBy("bucket")
-        .parquet(os.path.join(path, "exact"))
-    )
-    (
-        bands_df.withColumn("bucket", _bucket(F.col("bh"), nb))
-        .write.mode(mode)
-        .partitionBy("bucket")
-        .parquet(os.path.join(path, "bands"))
-    )
-    (
-        sigs_df.withColumn("bucket", _bucket(F.col("doc_id"), nb))
-        .write.mode(mode)
-        .partitionBy("bucket")
-        .parquet(os.path.join(path, "sigs"))
-    )
+    try:
+        ex = docs.select(
+            F.col(id_col).alias("doc_id"),
+            fingerprint(F.col(text_col)).alias("fp"),
+        )
+        (
+            ex.withColumn("bucket", _bucket(F.col("fp"), nb))
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "exact"))
+        )
+        bb = minhash_band_buckets(
+            docs, k=k, bands=bands, n=n, id_col=id_col, text_col=text_col
+        ).persist()
+        (
+            bb.select(F.col("id").alias("doc_id"), "band", "bh")
+            .withColumn("bucket", _bucket(F.col("bh"), nb))
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "bands"))
+        )
+        (
+            bb.where(F.col("band") == 0)
+            .select(F.col("id").alias("doc_id"), "sig")
+            .withColumn("bucket", _bucket(F.col("doc_id"), nb))
+            .write.mode(mode)
+            .partitionBy("bucket")
+            .parquet(os.path.join(path, "sigs"))
+        )
+    finally:
+        if bb is not None:
+            bb.unpersist()
+        docs.unpersist()
     with open(meta_path, "w") as f:
         json.dump(meta, f)
 
@@ -177,34 +173,6 @@ def read_dedup_index(spark: SparkSession, path: str) -> DedupIndex:
         bands=spark.read.parquet(os.path.join(path, "bands")).drop("bucket"),
         sigs=spark.read.parquet(os.path.join(path, "sigs")).drop("bucket"),
         meta=meta,
-    )
-
-
-def _batch_pairs_from_buckets(buckets: DataFrame, k: int, threshold: float) -> DataFrame:
-    """minhash_lsh_pairs' verify stage over an ALREADY-computed bucket frame
-    (saves recomputing signatures for the batch↔batch pass)."""
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.withColumn(
-            "est_jaccard", minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"), k)
-        )
-        .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b")
     )
 
 
@@ -266,7 +234,13 @@ def incremental_dedup(
     bb = minhash_band_buckets(
         ex_survivors, k=k, bands=bands_n, n=n, id_col=id_col, text_col=text_col
     )
-    bb = bb.persist()  # consumed by the corpus join AND the batch-pair join
+    # persist spans the two consumers (corpus join + batch self-join); the
+    # cache is POPULATED during dedup_clusters' mandatory pair
+    # materialization below (an action inside this function), and the
+    # returned `kept` frame carries no bb lineage afterwards — labels come
+    # from the clusterer's own checkpoint/driver frame and ex_survivors
+    # derives from the exact stage only — so the unpersist before return
+    # is deterministic release, not a cache-miss setup
 
     # batch ↔ corpus candidates: broadcast the batch's (band, bh, id, sig)
     # against the index band scan, then verify against the corpus signature
@@ -296,7 +270,9 @@ def incremental_dedup(
     )
 
     # batch ↔ batch pairs over the same bucket frame
-    pairs_bb = _batch_pairs_from_buckets(bb, k=k, threshold=threshold)
+    pairs_bb = pairs_from_band_buckets(bb, k=k, threshold=threshold).select(
+        "id_a", "id_b"
+    )
 
     # --- stage 3: cluster the union; corpus members taint their cluster
     edges = pairs_bb.unionByName(
@@ -354,7 +330,19 @@ def update_dedup_index(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> None:
-    """Append the kept batch's index rows, under the STORED parameters."""
+    """Append the kept batch's index rows, under the STORED parameters.
+
+    Read-after-append hazard (pinned by the iterated test): when
+    `kept_docs` is the still-lazy incremental_dedup output, its plan READS
+    this same index — re-executing it AFTER the append can observe the
+    newly appended files (Spark refreshes file listings when relation
+    caches are invalidated) and each doc then finds its own fingerprint
+    and drops itself. The three writes here are internally consistent
+    (the input is persisted across them and materialized against the
+    pre-append listing), but the CALLER must materialize `kept_docs`
+    (write it to storage, collect it, or persist+count) BEFORE calling
+    this if it needs the frame afterwards — which is the natural pipeline
+    order anyway: persist the kept batch, then index it."""
     with open(os.path.join(path, INDEX_META_FILE)) as f:
         meta = json.load(f)
     write_dedup_index(

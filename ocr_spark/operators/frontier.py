@@ -86,7 +86,15 @@ def crawl_frontier(
         # split on the fixed-size broadcast bitmap: bloom-NEGATIVE rows are
         # definitely unseen (no false negatives) and skip the join; only
         # the bloom-positive sliver pays the exact anti-join — output is
-        # bit-identical to the plain anti-join (asserted in tests)
+        # bit-identical to the plain anti-join (asserted in tests).
+        # Reviewed trade-off: the two complementary prefilter branches each
+        # run the k vectorized bitmap gathers (the agg EXCHANGE below them
+        # is reused, only the map-side bloom stage duplicates). The
+        # alternatives are worse at the scale this path exists for:
+        # persisting agg caches ~10^9 aggregated URL rows for one reuse,
+        # and a conditional NULL join key (null out definitely-unseen keys
+        # so they skip the probe) funnels the dominant unseen mass into the
+        # single null hash partition of the shuffle join.
         h = agg.withColumn("__uh", h60(F.col("url")))
         fresh = bloom_prefilter(h, seen_bloom, col="__uh", negate=True)
         maybe = bloom_prefilter(h, seen_bloom, col="__uh")

@@ -33,11 +33,16 @@ def synth_html_docs(spark, n: int, fanout: int):
     """(doc_id, url, html) — html with `fanout` absolute links, one
     nofollow-marked link per 10 docs, one mailto and one #fragment."""
     base = spark.range(n)
-    # target domain: skew via id*k mod pool with a square to bias low ids
+    # target domain: real zipf-ish skew — u uniform in [0,997), u² div 997
+    # concentrates density at LOW domain ids (P(target < t) = sqrt(t/997)),
+    # so popular domains receive ~sqrt-law more inlinks like a real web graph
     anchors = [
         F.concat(
             F.lit('<a href="https://t'),
-            ((F.col("id") * (7 + k) + k * k) % F.lit(997)) % F.lit(997),
+            F.expr(
+                f"(((id * {7 + k} + {k}) % 997) * ((id * {7 + k} + {k}) % 997))"
+                f" div 997"
+            ),
             F.lit(".example/p"),
             (F.col("id") + k) % F.lit(50_000),
             F.lit('"'),

@@ -140,13 +140,16 @@ def test_iterated_append_matches_priority(spark, snap):
 
     idx = read_dedup_index(spark, path)
     kept_a = incremental_dedup(snap["df"](b2a), idx, threshold=0.7)
+    # materialize BEFORE appending — kept_a's lazy plan reads the same
+    # index the append writes to (the update_dedup_index docstring's
+    # read-after-append hazard; re-collecting after the append would let
+    # each kept doc find its own appended fingerprint and drop itself)
+    kept_a_ids = {r["doc_id"] for r in kept_a.collect()}
     update_dedup_index(kept_a, path)
     idx2 = read_dedup_index(spark, path)
     kept_b = incremental_dedup(snap["df"](b2b), idx2, threshold=0.7)
 
-    got = {r["doc_id"] for r in kept_a.collect()} | {
-        r["doc_id"] for r in kept_b.collect()
-    }
+    got = kept_a_ids | {r["doc_id"] for r in kept_b.collect()}
     oneshot = {
         r["doc_id"]
         for r in near_dedup(
