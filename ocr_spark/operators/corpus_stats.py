@@ -177,3 +177,88 @@ tot AS (SELECT count(*)::BIGINT AS total FROM b)
 SELECT lang, n_docs, n_tokens, (n_docs * 1000000 // total)::BIGINT AS share_ppm
 FROM per, tot
 """
+
+
+# ---------------------------------------------------------------------------
+# domain-level quality curation: aggregate per-doc quality signals to the
+# registrable domain and DERIVE a blocklist from them — the closed loop
+# between the quality layer (text_analysis) and the URL hygiene layer
+# (functions/url.blocklist_filter). Real corpus builds maintain their
+# blocklists this way: a domain whose pages are overwhelmingly junk is
+# cheaper to drop at the URL stage (before fetch/decode) than per-page.
+# ---------------------------------------------------------------------------
+
+
+def domain_quality_stats(
+    docs: DataFrame,
+    score_col: str,
+    url_col: str = "url",
+    keep_threshold_micro: int = 450_000,
+) -> DataFrame:
+    """(domain, n_docs, mean_score_micro, bad_ppm): per-registrable-domain
+    aggregation of an integer-micro quality score (quality_score·1e6,
+    quality_classifier logits, or ngram_perplexity micro-nats — any
+    HIGHER-IS-BETTER integer column). `bad_ppm` = fraction of the domain's
+    docs scoring BELOW keep_threshold_micro, in integer ppm (int64 div —
+    twin-exact). Docs with a NULL url/domain or NULL score are excluded
+    (they carry no domain evidence).
+
+    ONE groupBy shuffle on the domain key; integer sums keep the mean
+    deterministic (sum first, ONE division at the end — the repo's float
+    policy)."""
+    dom = registrable_domain(F.col(url_col))
+    base = docs.select(
+        dom.alias("domain"), F.col(score_col).cast("long").alias("__s")
+    ).where(F.col("domain").isNotNull() & F.col("__s").isNotNull())
+    return base.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("sum(__s) div count(1)").alias("mean_score_micro"),
+        F.expr(
+            f"sum(CASE WHEN __s < {int(keep_threshold_micro)} THEN 1 ELSE 0 END)"
+            " * 1000000 div count(1)"
+        ).alias("bad_ppm"),
+    )
+
+
+def domain_quality_stats_sql(
+    src: str,
+    score_expr: str,
+    url_expr: str = "url",
+    keep_threshold_micro: int = 450_000,
+) -> str:
+    dom = registrable_domain_sql(url_expr)
+    return f"""
+WITH b AS (SELECT {dom} AS domain, ({score_expr})::BIGINT AS s FROM ({src}))
+SELECT domain, count(*)::BIGINT AS n_docs,
+       (sum(s) // count(*))::BIGINT AS mean_score_micro,
+       (sum(CASE WHEN s < {int(keep_threshold_micro)} THEN 1 ELSE 0 END)
+        * 1000000 // count(*))::BIGINT AS bad_ppm
+FROM b WHERE domain IS NOT NULL AND s IS NOT NULL
+GROUP BY domain
+"""
+
+
+def derive_blocklist(
+    stats: DataFrame,
+    min_docs: int = 20,
+    max_bad_ppm: int = 800_000,
+) -> DataFrame:
+    """One `domain` column: domains with enough evidence (>= min_docs) whose
+    bad-doc fraction exceeds max_bad_ppm — feed straight into
+    blocklist_filter / crawl_frontier(blocked_domains=). The evidence floor
+    keeps a domain with 2 junk pages from being banned forever; thresholds
+    are policy, reported not hidden (pair with the stats frame in review
+    tooling)."""
+    return stats.where(
+        (F.col("n_docs") >= F.lit(int(min_docs)))
+        & (F.col("bad_ppm") > F.lit(int(max_bad_ppm)))
+    ).select("domain")
+
+
+def derive_blocklist_sql(
+    stats_src: str, min_docs: int = 20, max_bad_ppm: int = 800_000
+) -> str:
+    return (
+        f"SELECT domain FROM ({stats_src}) "
+        f"WHERE n_docs >= {int(min_docs)} AND bad_ppm > {int(max_bad_ppm)}"
+    )

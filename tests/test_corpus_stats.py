@@ -4,6 +4,7 @@ DuckDB twin parity, approx-mode error bounds, degenerate inputs."""
 import random
 
 import pytest
+from pyspark.sql import functions as F
 
 from ocr_spark.operators.corpus_stats import (
     corpus_stats,
@@ -164,3 +165,110 @@ class TestLangHistogram:
             if "Exchange" in ln and "Broadcast" not in ln
         ]
         assert len(shuffles) <= 2  # lang agg + single-partition total agg
+
+
+class TestDomainCuration:
+    """domain_quality_stats + derive_blocklist: the quality→URL-hygiene loop."""
+
+    def _docs(self):
+        rows = []
+        # good.example: 30 docs, scores 600k..629k (all above threshold)
+        for i in range(30):
+            rows.append((i, f"https://good.example/p{i}", 600_000 + i * 1000))
+        # junk.example: 25 docs, 90% bad
+        for i in range(25):
+            s = 100_000 if i < 23 else 700_000
+            rows.append((100 + i, f"https://junk.example/p{i}", s))
+        # tiny.example: 3 docs all bad — below the evidence floor
+        for i in range(3):
+            rows.append((200 + i, f"https://tiny.example/p{i}", 50_000))
+        # null url and null score rows must be excluded
+        rows.append((300, None, 10_000))
+        rows.append((301, "https://good.example/x", None))
+        return rows
+
+    def test_stats_twin_and_blocklist(self, spark, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_spark.operators.corpus_stats import (
+            derive_blocklist,
+            derive_blocklist_sql,
+            domain_quality_stats,
+            domain_quality_stats_sql,
+        )
+
+        rows = self._docs()
+        p = str(tmp_path / "scored.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "url": [r[1] for r in rows],
+                    "score": pa.array([r[2] for r in rows], type=pa.int64()),
+                }
+            ),
+            p,
+        )
+        docs = spark.read.parquet(p)
+        stats = domain_quality_stats(docs, "score")
+        got = sorted(
+            (r.domain, r.n_docs, r.mean_score_micro, r.bad_ppm)
+            for r in stats.collect()
+        )
+        con = duckdb.connect()
+        sql = domain_quality_stats_sql(
+            f"SELECT * FROM read_parquet('{p}')", "score"
+        )
+        orc = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == orc
+        by_dom = {g[0]: g for g in got}
+        assert by_dom["good.example"][3] == 0  # bad_ppm
+        assert by_dom["junk.example"][1] == 25
+        assert by_dom["junk.example"][3] == 920_000  # 23/25 in ppm
+        assert "300" not in by_dom  # null url excluded
+        assert by_dom["good.example"][1] == 30  # null-score doc excluded
+
+        blocked = {r.domain for r in derive_blocklist(stats).collect()}
+        assert blocked == {"junk.example"}  # tiny.example lacks evidence
+        orc_blocked = {
+            r[0]
+            for r in con.execute(
+                derive_blocklist_sql(f"({sql})")
+            ).fetchall()
+        }
+        assert orc_blocked == blocked
+
+    def test_feeds_blocklist_filter(self, spark, tmp_path):
+        """The derived list plugs straight into blocklist_filter."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_spark.functions.url import blocklist_filter
+        from ocr_spark.operators.corpus_stats import (
+            derive_blocklist,
+            domain_quality_stats,
+        )
+
+        rows = self._docs()
+        p = str(tmp_path / "scored2.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "url": [r[1] for r in rows],
+                    "score": pa.array([r[2] for r in rows], type=pa.int64()),
+                }
+            ),
+            p,
+        )
+        docs = spark.read.parquet(p)
+        blocked = derive_blocklist(domain_quality_stats(docs, "score"))
+        kept = blocklist_filter(docs, blocked)
+        urls = [r.url for r in kept.collect() if r.url]
+        assert not any("junk.example" in u for u in urls)
+        assert any("good.example" in u for u in urls)
+        assert any("tiny.example" in u for u in urls)  # evidence floor
+        # null-url doc kept (blocklist_filter's null contract)
+        assert kept.where(F.col("url").isNull()).count() == 1
