@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
-def synth_html_docs(spark, n: int, fanout: int):
+def synth_html_docs(spark, n: int, fanout: int, pool: int = 997):
     """(doc_id, url, html) — html with `fanout` absolute links, one
     nofollow-marked link per 10 docs, one mailto and one #fragment."""
     base = spark.range(n)
@@ -40,8 +40,8 @@ def synth_html_docs(spark, n: int, fanout: int):
         F.concat(
             F.lit('<a href="https://t'),
             F.expr(
-                f"(((id * {7 + k} + {k}) % 997) * ((id * {7 + k} + {k}) % 997))"
-                f" div 997"
+                f"(((id * {7 + k} + {k}) % {pool}) * ((id * {7 + k} + {k}) % {pool}))"
+                f" div {pool}"
             ),
             F.lit(".example/p"),
             (F.col("id") + k) % F.lit(50_000),
@@ -65,7 +65,7 @@ def synth_html_docs(spark, n: int, fanout: int):
     return base.select(
         F.col("id").alias("doc_id"),
         F.concat(
-            F.lit("https://s"), F.col("id") % F.lit(1000), F.lit(".example/d"),
+            F.lit("https://s"), F.col("id") % F.lit(pool), F.lit(".example/d"),
             F.col("id"),
         ).alias("url"),
         html.alias("html"),
@@ -77,6 +77,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=200_000)
     ap.add_argument("--fanout", type=int, default=5)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--pool", type=int, default=997, help="domain pool size per side")
     ap.add_argument(
         "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 32))
     )
@@ -91,7 +92,7 @@ def main() -> None:
     from ocr_spark.operators.frontier import crawl_frontier
 
     spark = get_spark("bench_links", cpus=args.cpus, shuffle_partitions=args.cpus)
-    docs = synth_html_docs(spark, args.n, args.fanout)
+    docs = synth_html_docs(spark, args.n, args.fanout, pool=args.pool)
 
     t0 = time.time()
     links = html_links_df(docs)
@@ -110,7 +111,7 @@ def main() -> None:
     ranks = domain_centrality(graph, iters=args.iters)
     n_nodes = ranks.count()
     t_rank = time.time() - t0
-    assert n_nodes <= 1000 + 997  # src + target domain pools
+    assert n_nodes <= 2 * args.pool  # src + target domain pools
 
     seen = links.select(F.col("href").alias("url")).limit(args.n // 2)
     t0 = time.time()
@@ -134,6 +135,7 @@ def main() -> None:
         "graph_sec": round(t_graph, 3),
         "rank_sec": round(t_rank, 3),
         "rank_iters": args.iters,
+        "domain_pool": args.pool,
         "frontier_sec": round(t_frontier, 3),
         "cpus": args.cpus,
         "ts": int(time.time()),
