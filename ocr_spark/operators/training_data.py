@@ -48,6 +48,7 @@ def materialize_sequences(
     pad_id: int = PAD_ID,
     id_col: str = "doc_id",
     ids_col: str = "input_ids",
+    boundaries: bool = False,
 ) -> DataFrame:
     """Reference materializer: (seq_id, input_ids, n_docs, n_tokens,
     truncated) — input_ids is EXACTLY max_tokens long (pad_id-padded;
@@ -56,20 +57,23 @@ def materialize_sequences(
     pack_sequences output on MATCHING token counts (pass
     tokens_col=size(input_ids) so the budget is what gets filled).
 
+    boundaries=True adds `doc_starts: array<int>` — the 0-based token
+    offset where each doc begins in slot order (the block-diagonal
+    attention mask over packed sequences derives from it). Every start is
+    < max_tokens by the packer's budget invariant, so no clipping.
+
     Deterministic under any partitioning: the per-sequence order is the
     packer's seq_pos, unique within a sequence."""
     j = packed.select(id_col, "seq_id", "seq_pos").join(ids, id_col)
-    flat = F.flatten(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seq_pos", ids_col))),
-            lambda s: s[ids_col],
-        )
-    )
+    sorted_arr = F.array_sort(F.collect_list(F.struct("seq_pos", ids_col)))
     agg = j.groupBy("seq_id").agg(
-        flat.alias("_flat"), F.count("*").alias("n_docs")
+        sorted_arr.alias("_arr"), F.count("*").alias("n_docs")
     )
-    return agg.select(
-        "seq_id",
+    agg = agg.withColumn(
+        "_flat", F.flatten(F.transform("_arr", lambda s: s[ids_col]))
+    )
+    cols = [
+        F.col("seq_id"),
         F.concat(
             F.slice("_flat", 1, max_tokens),
             F.array_repeat(
@@ -77,10 +81,26 @@ def materialize_sequences(
                 F.greatest(F.lit(0), F.lit(max_tokens) - F.size("_flat")),
             ),
         ).alias("input_ids"),
-        "n_docs",
+        F.col("n_docs"),
         F.size("_flat").cast("long").alias("n_tokens"),
         (F.size("_flat") > F.lit(max_tokens)).alias("truncated"),
-    )
+    ]
+    if boundaries:
+        # exclusive running sum of doc lengths in slot order
+        starts = F.aggregate(
+            "_arr",
+            F.struct(
+                F.lit(0).alias("off"),
+                F.expr("array()").cast("array<int>").alias("starts"),
+            ),
+            lambda acc, s: F.struct(
+                (acc["off"] + F.size(s[ids_col])).alias("off"),
+                F.concat(acc["starts"], F.array(acc["off"])).alias("starts"),
+            ),
+            lambda acc: acc["starts"],
+        )
+        cols.append(starts.alias("doc_starts"))
+    return agg.select(*cols)
 
 
 def materialize_sequences_sql(
@@ -90,6 +110,7 @@ def materialize_sequences_sql(
     packed_table: str = "packed",
     id_col: str = "doc_id",
     ids_col: str = "input_ids",
+    boundaries: bool = False,
 ) -> str:
     """DuckDB twin of materialize_sequences. Slice + generated pad list,
     mirroring the Spark slice+array_repeat pair — NOT list_resize, whose
@@ -97,14 +118,24 @@ def materialize_sequences_sql(
     with 0 on some rows; a synthetic multi-row probe even crashes with
     std::bad_array_new_length)."""
     mt = int(max_tokens)
+    starts_sql = (
+        ",\n         list(start ORDER BY seq_pos) AS doc_starts" if boundaries else ""
+    )
+    starts_col = (
+        ",\n       doc_starts" if boundaries else ""
+    )
     return f"""
 WITH j AS (
-  SELECT p.seq_id, p.seq_pos, i.{ids_col} AS ids
+  SELECT p.seq_id, p.seq_pos, i.{ids_col} AS ids,
+         coalesce(sum(len(i.{ids_col}))
+                    OVER (PARTITION BY p.seq_id ORDER BY p.seq_pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0)::INT AS start
   FROM {packed_table} p JOIN {ids_table} i USING ({id_col})
 ), a AS (
   SELECT seq_id,
          flatten(list(ids ORDER BY seq_pos)) AS flat,
-         count(*) AS n_docs
+         count(*) AS n_docs{starts_sql}
   FROM j GROUP BY seq_id
 )
 SELECT seq_id,
@@ -115,7 +146,7 @@ SELECT seq_id,
        ) AS input_ids,
        n_docs,
        len(flat)::BIGINT AS n_tokens,
-       len(flat) > {mt} AS truncated
+       len(flat) > {mt} AS truncated{starts_col}
 FROM a
 """
 
@@ -128,26 +159,31 @@ def materialize_sequences_grouped(
     n_buckets: int = 64,
     id_col: str = "doc_id",
     ids_col: str = "input_ids",
+    boundaries: bool = False,
 ) -> DataFrame:
     """Scale materializer: cogroup the id payload with the pack assignment
     on the pack bucket and build every sequence inside its bucket
     partition — ONE wide exchange of the token payload (the reference
     implementation pays two: the doc_id join, then the seq_id agg).
     n_buckets MUST equal the pack_sequences call's. Output is
-    bit-identical to materialize_sequences (tested)."""
+    bit-identical to materialize_sequences (tested), including the
+    boundaries=True doc_starts column."""
     import pandas as pd
 
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(
-        [
-            T.StructField("seq_id", T.StringType()),
-            T.StructField("input_ids", T.ArrayType(T.IntegerType())),
-            T.StructField("n_docs", T.LongType()),
-            T.StructField("n_tokens", T.LongType()),
-            T.StructField("truncated", T.BooleanType()),
-        ]
-    )
+    fields = [
+        T.StructField("seq_id", T.StringType()),
+        T.StructField("input_ids", T.ArrayType(T.IntegerType())),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("truncated", T.BooleanType()),
+    ]
+    if boundaries:
+        fields.append(
+            T.StructField("doc_starts", T.ArrayType(T.IntegerType()))
+        )
+    out_schema = T.StructType(fields)
     gid = ids.select(
         _pack_bucket(id_col, n_buckets).alias("bucket"), id_col, ids_col
     ).groupBy("bucket")
@@ -163,21 +199,19 @@ def materialize_sequences_grouped(
         for seq_id, g in m.groupby("seq_id", sort=False):
             g = g.sort_values("seq_pos", kind="mergesort")
             flat: list[int] = []
+            starts: list[int] = []
             for arr in g[ids_col]:
+                starts.append(len(flat))
                 flat.extend(int(x) for x in arr)
             n = len(flat)
             out = flat[:max_tokens]
             if len(out) < max_tokens:
                 out.extend([pad_id] * (max_tokens - len(out)))
-            rows.append((seq_id, out, len(g), n, n > max_tokens))
-        return pd.DataFrame(
-            rows,
-            columns=["seq_id", "input_ids", "n_docs", "n_tokens", "truncated"],
-        )
+            row = (seq_id, out, len(g), n, n > max_tokens)
+            rows.append(row + (starts,) if boundaries else row)
+        return pd.DataFrame(rows, columns=[f.name for f in fields])
 
-    return gid.cogroup(gasg).applyInPandas(
-        lambda left, right: build(left, right), out_schema
-    )
+    return gid.cogroup(gasg).applyInPandas(build, out_schema)
 
 
 def materialize_training(
@@ -191,6 +225,7 @@ def materialize_training(
     text_col: str = "text",
     stats: dict | None = None,
     persist_ids: bool = True,
+    boundaries: bool = False,
 ) -> DataFrame:
     """text -> training sequences in one call: encode_token_ids (with the
     doc separator appended BEFORE packing, so budgets are exact) ->
@@ -224,7 +259,7 @@ def materialize_training(
     )
     return materialize_sequences_grouped(
         ids, packed, max_tokens, pad_id=pad_id, n_buckets=n_buckets,
-        id_col=id_col,
+        id_col=id_col, boundaries=boundaries,
     )
 
 
@@ -258,11 +293,20 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    manifest = sharded.groupBy("shard").agg(
-        F.count("*").alias("n_seqs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.sum("n_docs").alias("n_docs"),
-        F.sum(F.col("truncated").cast("long")).alias("n_truncated"),
+    # manifest from the WRITTEN files, not the input plan: re-aggregating
+    # `sharded` would re-run the whole upstream (encode + cogroup) a second
+    # time; reading back prunes to the narrow stat columns and doubles as a
+    # write validation
+    spark = seqs.sparkSession
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_seqs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum(F.col("truncated").cast("long")).alias("n_truncated"),
+        )
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(path + "/_manifest")
 

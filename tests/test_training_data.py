@@ -306,3 +306,64 @@ class TestTrainedMergesCompose:
             assert "".join(toks).startswith("lowlowerlowest") or "".join(
                 toks
             ).startswith("newnewernewest")
+
+
+class TestDocBoundaries:
+    MAX = 32
+
+    @pytest.fixture(scope="class")
+    def bmats(self, spark, docs, merges):
+        ids, packed = _ids_and_packed(docs, merges, self.MAX)
+        ids, packed = ids.persist(), packed.persist()
+        ref = materialize_sequences(ids, packed, self.MAX, boundaries=True)
+        grp = materialize_sequences_grouped(
+            ids, packed, self.MAX, n_buckets=8, boundaries=True
+        )
+        return ids, packed, ref, grp
+
+    def test_starts_are_exclusive_cumsum(self, bmats):
+        ids, packed, ref, _ = bmats
+        id_len = {r["doc_id"]: len(r["input_ids"]) for r in ids.collect()}
+        from collections import defaultdict
+
+        by_seq = defaultdict(list)
+        for a in packed.collect():
+            by_seq[a["seq_id"]].append(a)
+        for r in ref.collect():
+            rows = sorted(by_seq[r["seq_id"]], key=lambda a: a["seq_pos"])
+            expect, off = [], 0
+            for a in rows:
+                expect.append(off)
+                off += id_len[a["doc_id"]]
+            assert list(r["doc_starts"]) == expect
+            assert all(s < self.MAX or r["truncated"] for s in expect)
+
+    def test_grouped_matches_reference(self, bmats):
+        _, _, ref, grp = bmats
+        a = sorted((r["seq_id"], list(r["doc_starts"])) for r in ref.collect())
+        b = sorted((r["seq_id"], list(r["doc_starts"])) for r in grp.collect())
+        assert a == b
+
+    def test_twin_with_boundaries(self, bmats, tmp_path):
+        ids, packed, ref, _ = bmats
+        ids.write.parquet(str(tmp_path / "ids"))
+        packed.write.parquet(str(tmp_path / "packed"))
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW ids AS SELECT * FROM parquet_scan('{tmp_path}/ids/*.parquet')"
+        )
+        con.execute(
+            f"CREATE VIEW packed AS SELECT * FROM parquet_scan('{tmp_path}/packed/*.parquet')"
+        )
+        twin = con.execute(
+            materialize_sequences_sql(self.MAX, boundaries=True)
+        ).fetchall()
+        got = sorted(
+            (r["seq_id"], list(r["input_ids"]), list(r["doc_starts"]))
+            for r in ref.collect()
+        )
+        exp = sorted(
+            (s, [int(x) for x in i], [int(x) for x in d])
+            for s, i, _, _, _, d in twin
+        )
+        assert got == exp
