@@ -765,6 +765,16 @@ def temperature_sample_sql(
 # ---------------------------------------------------------------------------
 
 
+def pack_bucket(id_col: str, n_buckets: int):
+    """The packer's deterministic bucket key — ONE definition, shared with
+    the grouped materializer (training_data.py), whose cogroup correctness
+    depends on using the identical expression."""
+    return (
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+        .cast("int")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     max_tokens: int = 2048,
@@ -796,9 +806,7 @@ def pack_sequences(
         F.greatest(F.coalesce(n_tok.cast("long"), F.lit(0)), F.lit(1)).alias(
             "n_tokens"
         ),
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
-        .cast("int")
-        .alias("bucket"),
+        pack_bucket(id_col, n_buckets).alias("bucket"),
     )
 
     # carry the INPUT id dtype through (doc_id is bigint in the standard

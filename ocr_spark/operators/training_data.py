@@ -32,13 +32,9 @@ from pyspark.sql import DataFrame, functions as F
 from ocr_spark.functions.bpe import PAD_ID, SEP_ID
 
 
-def _pack_bucket(id_col: str, n_buckets: int):
-    # MUST match pack_sequences' bucket expression verbatim — the grouped
-    # materializer relies on "a sequence's docs share one bucket"
-    return (
-        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
-        .cast("int")
-    )
+# the grouped materializer relies on "a sequence's docs share one bucket";
+# the bucket key is defined ONCE, in the packer's module
+from ocr_spark.operators.corpus_clean import pack_bucket as _pack_bucket
 
 
 def materialize_sequences(
@@ -165,9 +161,18 @@ def materialize_sequences_grouped(
     on the pack bucket and build every sequence inside its bucket
     partition — ONE wide exchange of the token payload (the reference
     implementation pays two: the doc_id join, then the seq_id agg).
-    n_buckets MUST equal the pack_sequences call's. Output is
-    bit-identical to materialize_sequences (tested), including the
-    boundaries=True doc_starts column."""
+    n_buckets MUST equal the pack_sequences call's — a mismatch is
+    detected at runtime (assignment rows whose doc is missing from the
+    bucket's id group) and raises instead of silently dropping tokens.
+    Output is bit-identical to materialize_sequences (tested), including
+    the boundaries=True doc_starts column.
+
+    Memory bound: applyInPandas materializes ONE bucket's full token
+    payload per Python worker call, so size n_buckets with the corpus —
+    roughly total_tokens * 4 bytes / n_buckets per call; at 10^12 docs
+    that means n_buckets in the tens of thousands, set at pack time (the
+    packer's own per-bucket state is just (id, count) rows, so it scales
+    to any bucket count)."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -193,7 +198,20 @@ def materialize_sequences_grouped(
 
     def build(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         # left = id payload, right = assignment; inner join matches the
-        # reference implementation (ids without an assignment drop out)
+        # reference implementation (ids without an assignment drop out).
+        # The converse — an assignment whose doc is missing from this
+        # bucket's id group — means the two sides bucketed differently
+        # (n_buckets mismatch with the pack_sequences call): fail loudly
+        # rather than materialize sequences with silently-missing tokens.
+        if len(right):
+            missing = set(right[id_col]) - set(left[id_col])
+            if missing:
+                raise ValueError(
+                    f"{len(missing)} assignment row(s) have no id row in "
+                    f"their bucket (e.g. {next(iter(missing))!r}) — "
+                    f"n_buckets={n_buckets} does not match the "
+                    "pack_sequences call that produced `packed`"
+                )
         m = right.merge(left[[id_col, ids_col]], on=id_col, how="inner")
         rows = []
         for seq_id, g in m.groupby("seq_id", sort=False):
@@ -234,7 +252,11 @@ def materialize_training(
     The id frame feeds both the packer and the materializer; with
     persist_ids (default) it is cached so the Arrow encode stage runs once
     — pass stats={} and release with corpus.unpersist_stages(stats) after
-    materializing, the corpus_pipeline convention."""
+    materializing, the corpus_pipeline convention. Without stats the
+    cached ids (~4 bytes/token of the whole corpus) stay pinned until
+    Spark's LRU eviction reclaims them — fine for one-shot jobs, pass
+    stats in long-lived sessions (same trade-off corpus_pipeline
+    documents)."""
     from ocr_spark.functions.bpe import encode_token_ids
     from ocr_spark.operators.corpus_clean import pack_sequences
 
@@ -296,10 +318,12 @@ def write_training_shards(
     # manifest from the WRITTEN files, not the input plan: re-aggregating
     # `sharded` would re-run the whole upstream (encode + cogroup) a second
     # time; reading back prunes to the narrow stat columns and doubles as a
-    # write validation
+    # write validation. Schema supplied so an EMPTY write (zero sequences →
+    # only _SUCCESS, no data files) yields an empty manifest instead of
+    # UNABLE_TO_INFER_SCHEMA.
     spark = seqs.sparkSession
     manifest = (
-        spark.read.parquet(path)
+        spark.read.schema(sharded.schema).parquet(path)
         .groupBy("shard")
         .agg(
             F.count("*").alias("n_seqs"),
@@ -311,10 +335,12 @@ def write_training_shards(
     manifest.coalesce(1).write.mode("overwrite").parquet(path + "/_manifest")
 
 
-def read_training_shards(spark, path: str) -> DataFrame:
+def read_training_shards(spark, path: str, schema=None) -> DataFrame:
     """Read back a write_training_shards directory (shard restored as a
-    partition column)."""
-    return spark.read.parquet(path)
+    partition column). Pass `schema` to read a possibly-EMPTY output
+    (zero sequences write no data files, so schema inference fails)."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(path)
 
 
 def read_shard_manifest(spark, path: str) -> DataFrame:

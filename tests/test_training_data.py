@@ -367,3 +367,37 @@ class TestDocBoundaries:
             for s, i, _, _, _, d in twin
         )
         assert got == exp
+
+
+class TestReviewRegressions:
+    """Round-5 session-4 review findings."""
+
+    def test_bucket_mismatch_raises_not_silent(self, spark, docs, merges):
+        ids, packed = _ids_and_packed(docs, merges, 32, n_buckets=8)
+        # wrong n_buckets: docs bucket differently on the two sides
+        with pytest.raises(Exception, match="n_buckets"):
+            materialize_sequences_grouped(
+                ids, packed, 32, n_buckets=5
+            ).collect()
+
+    def test_empty_frame_shard_write(self, spark, docs, merges, tmp_path):
+        ids, packed = _ids_and_packed(docs, merges, 32)
+        seqs = materialize_sequences(ids, packed, 32).where("n_docs < 0")
+        p = str(tmp_path / "empty")
+        write_training_shards(seqs, p, n_shards=4)  # must not raise
+        assert read_shard_manifest(spark, p).count() == 0
+        # empty dirs have no data files: schema-inference reads can't work,
+        # the schema-supplied reader returns the empty frame
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            seqs.schema.fields + [T.StructField("shard", T.IntegerType())]
+        )
+        assert read_training_shards(spark, p, schema=schema).count() == 0
+
+    def test_encode_len_parts_consistency(self, merges):
+        from ocr_spark.functions.bpe import bpe_encode_len, bpe_encode_parts
+
+        ranks = {pair: i for i, pair in enumerate(merges)}
+        for w in ["the", "lowest", "a", "punctuation", "zzzzqqqq", "12345"]:
+            assert bpe_encode_len(w, ranks) == len(bpe_encode_parts(w, ranks))
