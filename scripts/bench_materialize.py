@@ -140,6 +140,11 @@ def main() -> None:
         f"mater. {mat_wall:8.2f} s  {round(n/mat_wall):>9,} docs/s  "
         f"seqs={agg['n_seqs']:,} fill={fill:.3f}"
     )
+    # the id payload is consumed once seqs is materialized — release it
+    # before the write stage claims heap for its per-shard parquet buffers
+    # (at 10M docs the cache is ~6 GB; run with SPARK_DRIVER_MEM sized for
+    # the seqs cache + n_shards row-group buffers)
+    ids.unpersist()
 
     # stage 4: deterministic shard write + manifest check
     out = "/tmp/ocr_spark_bench/train_shards"
@@ -168,7 +173,6 @@ def main() -> None:
     }
     print(f"total  {end_to_end:8.2f} s  {round(n/end_to_end):>9,} docs/s")
 
-    ids.unpersist()
     seqs.unpersist()
     docs.unpersist()
     results["ts"] = int(time.time())
