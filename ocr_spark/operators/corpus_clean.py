@@ -1111,3 +1111,90 @@ def shuffle_key_sql(
 ) -> str:
     cp = f" || '#' || coalesce({copy_col}::VARCHAR, '')" if copy_col else ""
     return h60_sql(f"(coalesce({id_col}::VARCHAR, ''){cp} || ':{_sql_str(seed)}')")
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe holdout split (train/eval) keyed on the dedup-cluster rep
+# ---------------------------------------------------------------------------
+
+
+def holdout_split(
+    docs: DataFrame,
+    clusters: DataFrame | None = None,
+    eval_ppm: int = 10_000,
+    id_col: str = "doc_id",
+    salt: str = "h0",
+) -> DataFrame:
+    """Deterministic train/eval split that cannot leak near-duplicates: the
+    routing key is the doc's dedup-cluster REPRESENTATIVE (the (id, rep)
+    frame from dedup_clusters over any candidate family), not its own id,
+    so every member of a duplicate clique lands on the same side. This is
+    the within-corpus complement of decontamination — an eval doc whose
+    near-dup stays in train is contaminated exactly the way an external
+    benchmark hit is, and doc-id-keyed splits produce it whenever dedup is
+    lossy or intentionally partial (upsampling epochs, fuzzy dups below
+    the drop threshold).
+
+    Output: every docs column + (split_key, split) with split in
+    ('train', 'eval'). E[eval share] = eval_ppm/1e6 of ROUTING KEYS —
+    a whole clique goes to one side by design, so the doc-level share
+    drifts with clique sizes (report it from the output, don't assume).
+
+    Scale shape: ONE left equi-join on the id against the cluster map
+    (only docs that appear in some candidate pair carry a row — vastly
+    smaller than the corpus; AQE broadcasts it when small) + a codegen'd
+    hash — the corpus itself never shuffles. Docs absent from the map are
+    their own representative. Null ids/reps coalesce to '' (the
+    shuffle_key convention) so both engines route them identically."""
+    if not (0 <= eval_ppm <= 1_000_000):
+        raise ValueError("eval_ppm must be in [0, 1e6]")
+    if clusters is not None:
+        cmap = clusters.select(
+            F.col("id").alias(id_col), F.col("rep").alias("_rep")
+        )
+        joined = docs.join(cmap, id_col, "left")
+    else:
+        joined = docs.withColumn("_rep", F.lit(None).cast("string"))
+    key = F.coalesce(
+        F.col("_rep").cast("string"), F.col(id_col).cast("string"), F.lit("")
+    )
+    bucket = h32(F.concat(key, F.lit(":" + salt))) % F.lit(1_000_000)
+    return joined.select(
+        *[F.col(c) for c in docs.columns],
+        key.alias("split_key"),
+        F.when(bucket < F.lit(int(eval_ppm)), F.lit("eval"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def holdout_split_sql(
+    src: str,
+    clusters_sql: str | None = None,
+    eval_ppm: int = 10_000,
+    id_col: str = "doc_id",
+    salt: str = "h0",
+    cols: str = "d.*",
+) -> str:
+    """DuckDB twin: same left join, same coalesce chain, same h32 route.
+    `clusters_sql` must yield (id, rep); None mirrors clusters=None."""
+    if not (0 <= eval_ppm <= 1_000_000):
+        raise ValueError("eval_ppm must be in [0, 1e6]")
+    key = (
+        f"coalesce(c.rep::VARCHAR, d.{id_col}::VARCHAR, '')"
+        if clusters_sql is not None
+        else f"coalesce(d.{id_col}::VARCHAR, '')"
+    )
+    join = (
+        f"LEFT JOIN ({clusters_sql}) c ON d.{id_col} = c.id"
+        if clusters_sql is not None
+        else ""
+    )
+    bucket = h32_sql(f"({key} || ':{_sql_str(salt)}')")
+    return f"""
+SELECT {cols},
+       {key} AS split_key,
+       CASE WHEN ({bucket}) % 1000000 < {int(eval_ppm)}
+            THEN 'eval' ELSE 'train' END AS split
+FROM ({src}) d {join}
+""".strip()
