@@ -90,6 +90,64 @@ def _cos_array(v, nv, centroids: "np.ndarray"):
     )
 
 
+# above this many centroid*dim literals the expression-tree assignment is
+# the wrong tool (plan bloat, JVM method-size risk — the ivf_assign caveat);
+# the Arrow matmul path is flat in k. Real SemDeDup codebooks are 10^4-10^5
+# clusters, firmly on the Arrow side; the driver-fixture k=16 stays on the
+# codegen side.
+_ARROW_ASSIGN_CELLS = 4096
+
+
+def _assign_arrow(src: DataFrame, centroids: "np.ndarray") -> DataFrame:
+    """(id, _v, ivf_list, centroid_sim) via ONE vectorized Arrow stage: the
+    broadcast (k, dim) codebook rides the closure, assignment is a numpy
+    matmul per batch — flat in k where the literal-expression path grows
+    the plan tree by k x dim nodes. Shares _coarse_cos (same 6dp round,
+    same zero-norm guard, same first-max tie), so both paths produce the
+    same assignment; rows must be pre-filtered to non-null ids and
+    non-empty vectors (_staged_vec does)."""
+    import pyarrow as pa
+
+    from ocr_spark.operators.similarity import _coarse_cos, _list_to_mat
+
+    id_type = src.schema["id"].dataType.simpleString()
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def gen(batches):
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            X = _list_to_mat(b.column(1))
+            cos = _coarse_cos(X, C)
+            lab = (cos.argmax(1) + 1).astype(np.int32)
+            sim = cos.max(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    b.column(1),
+                    pa.array(lab, type=pa.int32()),
+                    pa.array(sim, type=pa.float64()),
+                ],
+                names=["id", "_v", "ivf_list", "centroid_sim"],
+            )
+
+    return src.select("id", "_v").mapInArrow(
+        gen,
+        schema=(
+            f"id {id_type}, _v array<double>, "
+            "ivf_list int, centroid_sim double"
+        ),
+    )
+
+
+def _resolve_assign(assign: str, centroids: "np.ndarray") -> str:
+    if assign not in ("auto", "expr", "arrow"):
+        raise ValueError(f"assign={assign!r}: expected 'auto', 'expr' or 'arrow'")
+    if assign != "auto":
+        return assign
+    return "arrow" if centroids.size > _ARROW_ASSIGN_CELLS else "expr"
+
+
 def kmeans_train(
     emb: DataFrame,
     k: int = 16,
@@ -97,6 +155,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     stats: dict | None = None,
+    assign: str = "auto",
 ) -> "np.ndarray":
     """Spherical k-means (cosine assignment, mean update) over the
     embeddings frame; returns a (k, dim) float64 codebook rounded to 6dp —
@@ -140,11 +199,16 @@ def kmeans_train(
         converged = False
         it = 0
         for it in range(1, iters + 1):
-            arr = _cos_array(F.col("_v"), F.col("_nv"), centroids)
-            assigned = staged.select(
-                F.array_position(arr, F.array_max(arr)).cast("int").alias("_l"),
-                F.col("_v"),
-            )
+            if _resolve_assign(assign, centroids) == "arrow":
+                assigned = _assign_arrow(staged, centroids).select(
+                    F.col("ivf_list").alias("_l"), F.col("_v")
+                )
+            else:
+                arr = _cos_array(F.col("_v"), F.col("_nv"), centroids)
+                assigned = staged.select(
+                    F.array_position(arr, F.array_max(arr)).cast("int").alias("_l"),
+                    F.col("_v"),
+                )
             rows = (
                 assigned.select(
                     "_l",
@@ -189,6 +253,7 @@ def semantic_prune(
     sub_salt: str = "sp0",
     stats: dict | None = None,
     cluster_algorithm: str = "auto",
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup over a fixed codebook: assign every vector to its nearest
     centroid, generate candidate pairs ONLY within a cluster (cosine >= eps,
@@ -223,6 +288,7 @@ def semantic_prune(
         sub_salt=sub_salt,
         stats=stats,
         cluster_algorithm=cluster_algorithm,
+        assign=assign,
     )
     # attaching rep to EVERY row costs one corpus equi-join (the audit
     # contract); AQE broadcasts the clique side when the dup subgraph is
@@ -266,6 +332,7 @@ def _prune_parts(
     sub_salt: str,
     stats: dict | None,
     cluster_algorithm: str,
+    assign: str = "auto",
 ):
     """Shared machinery: (staged corpus view, clique labels, keeper-per-
     clique frame — None for keep='min_id', whose keeper IS the rep)."""
@@ -273,20 +340,31 @@ def _prune_parts(
         raise ValueError(f"keep={keep!r}: expected 'far_centroid' or 'min_id'")
     if not (0.0 < eps <= 1.0):
         raise ValueError("eps must be in (0, 1]")
-    arr = _cos_array(F.col("_v"), F.col("_nv"), centroids)
-    staged = (
-        _staged_vec(emb, id_col, vec_col)
-        .select("id", "_v", "_nv", arr.alias("_arr"))
-        .select(
+    if _resolve_assign(assign, centroids) == "arrow":
+        staged = _assign_arrow(
+            _staged_vec(emb, id_col, vec_col), centroids
+        ).select(
             "id",
             "_v",
-            "_nv",
-            F.array_position(F.col("_arr"), F.array_max("_arr"))
-            .cast("int")
-            .alias("ivf_list"),
-            F.array_max("_arr").alias("centroid_sim"),
+            _norm(F.col("_v")).alias("_nv"),
+            "ivf_list",
+            "centroid_sim",
         )
-    )
+    else:
+        arr = _cos_array(F.col("_v"), F.col("_nv"), centroids)
+        staged = (
+            _staged_vec(emb, id_col, vec_col)
+            .select("id", "_v", "_nv", arr.alias("_arr"))
+            .select(
+                "id",
+                "_v",
+                "_nv",
+                F.array_position(F.col("_arr"), F.array_max("_arr"))
+                .cast("int")
+                .alias("ivf_list"),
+                F.array_max("_arr").alias("centroid_sim"),
+            )
+        )
     if max_cluster is not None:
         if max_cluster < 2:
             raise ValueError("max_cluster must be >= 2")
@@ -413,6 +491,7 @@ def _prune_defaults(kw: dict) -> dict:
         "sub_salt": "sp0",
         "stats": None,
         "cluster_algorithm": "auto",
+        "assign": "auto",
     }
     unknown = set(kw) - set(out)
     if unknown:

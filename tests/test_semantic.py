@@ -265,3 +265,32 @@ class TestSemanticDedup:
         # plan: the drop side reaches the corpus as ONE left_anti join
         plan = kept._jdf.queryExecution().executedPlan().toString()
         assert "LeftAnti" in plan
+
+
+class TestArrowAssignPath:
+    def test_kmeans_arrow_equals_expr(self, spark, data):
+        X, ids, emb = data
+        a = kmeans_train(emb, k=4, iters=4, assign="expr")
+        b = kmeans_train(emb, k=4, iters=4, assign="arrow")
+        assert np.array_equal(a, b)
+
+    def test_prune_arrow_equals_expr(self, spark, data):
+        X, ids, emb = data
+        C = _ref_kmeans(X, ids, k=5, iters=6)
+        key = lambda rows: sorted(
+            (r["id"], r["ivf_list"], r["rep"], r["is_kept"]) for r in rows
+        )
+        a = key(semantic_prune(emb, C, eps=0.97, assign="expr").collect())
+        b = key(semantic_prune(emb, C, eps=0.97, assign="arrow").collect())
+        assert a == b
+
+    def test_auto_resolution_thresholds(self):
+        from ocr_spark.operators.semantic import _resolve_assign
+
+        small = np.zeros((16, 64))  # 1024 cells -> expr
+        big = np.zeros((512, 64))  # 32768 cells -> arrow
+        assert _resolve_assign("auto", small) == "expr"
+        assert _resolve_assign("auto", big) == "arrow"
+        assert _resolve_assign("expr", big) == "expr"
+        with pytest.raises(ValueError, match="assign="):
+            _resolve_assign("fast", small)
