@@ -148,6 +148,53 @@ def _resolve_assign(assign: str, centroids: "np.ndarray") -> str:
     return "arrow" if centroids.size > _ARROW_ASSIGN_CELLS else "expr"
 
 
+def _pairs_grouped(staged: DataFrame, eps: float) -> DataFrame:
+    """Within-cluster candidate pairs via ONE applyInPandas stage: each
+    cluster's members score as a blocked BLAS matmul (n_i x dim against
+    n_i x dim), emitting only pairs >= eps — the scale path for pair
+    generation. The equi-join alternative materializes every candidate
+    pair ROW through the join and pays an interpreted HOF dot per pair
+    (~270k pairs/s measured); this scores ~n_i^2/2 candidates per cluster
+    in vectorized float64 (tens of millions of pairs/s) and never
+    materializes the non-matches. Same 6dp round + zero-norm floor as the
+    join path (dual-path parity tested, the assign-path policy). Memory is
+    bounded by BLOCK x n_i doubles per task — pair max_cluster with it so
+    n_i stays sane; ids sort within the group so id_a < id_b by position."""
+    import pandas as pd
+
+    BLOCK = 1024
+    id_type = staged.schema["id"].dataType.simpleString()
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        pdf = pdf.sort_values("id", kind="stable")
+        X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        ids = pdf["id"].to_numpy()
+        nrm = np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        Xn = X / nrm
+        outs_a, outs_b = [], []
+        for lo in range(0, n - 1, BLOCK):
+            hi = min(lo + BLOCK, n - 1)
+            S = np.round(Xn[lo:hi] @ Xn[lo + 1 :].T, 6)  # rows i, cols j>lo
+            ri, cj = np.nonzero(S >= eps)
+            keep = (lo + 1 + cj) > (lo + ri)  # strict upper triangle only
+            outs_a.append(ids[lo + ri[keep]])
+            outs_b.append(ids[lo + 1 + cj[keep]])
+        if not outs_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(outs_a), "id_b": np.concatenate(outs_b)}
+        )
+
+    return (
+        staged.select("_key", "id", "_v")
+        .groupBy("_key")
+        .applyInPandas(fn, schema=f"id_a {id_type}, id_b {id_type}")
+    )
+
+
 def kmeans_train(
     emb: DataFrame,
     k: int = 16,
@@ -254,6 +301,7 @@ def semantic_prune(
     stats: dict | None = None,
     cluster_algorithm: str = "auto",
     assign: str = "auto",
+    pair_mode: str = "auto",
 ) -> DataFrame:
     """SemDeDup over a fixed codebook: assign every vector to its nearest
     centroid, generate candidate pairs ONLY within a cluster (cosine >= eps,
@@ -289,6 +337,7 @@ def semantic_prune(
         stats=stats,
         cluster_algorithm=cluster_algorithm,
         assign=assign,
+        pair_mode=pair_mode,
     )
     # attaching rep to EVERY row costs one corpus equi-join (the audit
     # contract); AQE broadcasts the clique side when the dup subgraph is
@@ -333,6 +382,7 @@ def _prune_parts(
     stats: dict | None,
     cluster_algorithm: str,
     assign: str = "auto",
+    pair_mode: str = "auto",
 ):
     """Shared machinery: (staged corpus view, clique labels, keeper-per-
     clique frame — None for keep='min_id', whose keeper IS the rep)."""
@@ -400,33 +450,48 @@ def _prune_parts(
         )
     else:
         staged = staged.withColumn("_key", F.col("ivf_list").cast("string"))
-    # within-cluster candidate pairs: ONE equi-join shuffle on the cluster
-    # key; id_a < id_b halves the square and kills self-pairs
-    a = staged.select(
-        F.col("_key"),
-        F.col("id").alias("id_a"),
-        F.col("_v").alias("_va"),
-        F.col("_nv").alias("_nva"),
-    )
-    b = staged.select(
-        F.col("_key"),
-        F.col("id").alias("id_b"),
-        F.col("_v").alias("_vb"),
-        F.col("_nv").alias("_nvb"),
-    )
-    pairs = (
-        a.join(b, "_key")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(
-            F.round(
-                _dot(F.col("_va"), F.col("_vb"))
-                / F.greatest(F.col("_nva") * F.col("_nvb"), F.lit(1e-300)),
-                6,
-            )
-            >= F.lit(float(eps))
+    if pair_mode not in ("auto", "join", "group"):
+        raise ValueError(
+            f"pair_mode={pair_mode!r}: expected 'auto', 'join' or 'group'"
         )
-        .select("id_a", "id_b")
-    )
+    if pair_mode == "auto":
+        # a codebook big enough to need Arrow assignment implies a corpus
+        # big enough that interpreted per-pair dots are the bottleneck
+        pair_mode = (
+            "group" if _resolve_assign(assign, centroids) == "arrow" else "join"
+        )
+    if pair_mode == "group":
+        pairs = _pairs_grouped(staged, eps)
+    else:
+        # within-cluster candidate pairs: ONE equi-join shuffle on the
+        # cluster key; id_a < id_b halves the square and kills self-pairs.
+        # Pure Column expressions (the zero-Python path) — right for small
+        # clusters / oracle parity; _pairs_grouped is the scale path.
+        a = staged.select(
+            F.col("_key"),
+            F.col("id").alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_nv").alias("_nva"),
+        )
+        b = staged.select(
+            F.col("_key"),
+            F.col("id").alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_nv").alias("_nvb"),
+        )
+        pairs = (
+            a.join(b, "_key")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(
+                F.round(
+                    _dot(F.col("_va"), F.col("_vb"))
+                    / F.greatest(F.col("_nva") * F.col("_nvb"), F.lit(1e-300)),
+                    6,
+                )
+                >= F.lit(float(eps))
+            )
+            .select("id_a", "id_b")
+        )
     cliques = dedup_clusters(pairs, stats=stats, algorithm=cluster_algorithm)
     if keep == "min_id":
         return staged, cliques, None
@@ -492,6 +557,7 @@ def _prune_defaults(kw: dict) -> dict:
         "stats": None,
         "cluster_algorithm": "auto",
         "assign": "auto",
+        "pair_mode": "auto",
     }
     unknown = set(kw) - set(out)
     if unknown:

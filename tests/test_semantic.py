@@ -294,3 +294,44 @@ class TestArrowAssignPath:
         assert _resolve_assign("expr", big) == "expr"
         with pytest.raises(ValueError, match="assign="):
             _resolve_assign("fast", small)
+
+
+class TestGroupedPairPath:
+    @pytest.mark.parametrize("keep", ["far_centroid", "min_id"])
+    def test_group_equals_join(self, spark, data, keep):
+        X, ids, emb = data
+        C = _ref_kmeans(X, ids, k=5, iters=6)
+        key = lambda rows: sorted(
+            (r["id"], r["rep"], r["is_kept"]) for r in rows
+        )
+        a = key(
+            semantic_prune(emb, C, eps=0.97, keep=keep, pair_mode="join").collect()
+        )
+        b = key(
+            semantic_prune(emb, C, eps=0.97, keep=keep, pair_mode="group").collect()
+        )
+        assert a == b
+
+    def test_group_with_string_ids_and_subsplit(self, spark, data):
+        X, ids, _ = data
+        rows = [(f"s{i:03d}", [float(x) for x in v]) for i, v in zip(ids, X)]
+        emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+        C = _ref_kmeans(X, ids, k=2, iters=4)
+        a = sorted(
+            (r["id"], r["rep"], r["is_kept"])
+            for r in semantic_prune(
+                emb, C, eps=0.97, max_cluster=20, pair_mode="join"
+            ).collect()
+        )
+        b = sorted(
+            (r["id"], r["rep"], r["is_kept"])
+            for r in semantic_prune(
+                emb, C, eps=0.97, max_cluster=20, pair_mode="group"
+            ).collect()
+        )
+        assert a == b
+
+    def test_pair_mode_validation(self, spark, data):
+        _, _, emb = data
+        with pytest.raises(ValueError, match="pair_mode="):
+            semantic_prune(emb, np.eye(DIM)[:2], pair_mode="blas")
