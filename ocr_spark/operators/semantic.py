@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ocr_spark.operators.dedup import dedup_clusters
-from ocr_spark.operators.similarity import _dot, _norm
+from ocr_spark.operators.similarity import _dot, _norm, cos_array
 from ocr_spark.operators.text_analysis import h32
 
 _MICRO = 1_000_000
@@ -53,8 +53,12 @@ def _staged_vec(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, _v, _nv) with the vector cast and its norm STAGED (multi-
     referenced non-cheap aliases survive CollapseProject — the similarity.py
     lesson: interpreted HOF aggregates get no codegen CSE, so an unstaged
-    norm re-aggregates once per consumer). Null ids and null/empty vectors
-    are excluded — they can neither train nor pair."""
+    norm re-aggregates once per consumer). Null ids, null/empty vectors AND
+    vectors containing a null element are excluded — they can neither train
+    nor pair (an element-null row would otherwise null every per-centroid
+    cosine: the expr argmax yields a null label that crashes the kmeans
+    driver update, while the Arrow matmul turns it into NaN — diverging
+    assignments for the same input)."""
     return (
         emb.select(
             F.col(id_col).alias("id"),
@@ -64,29 +68,9 @@ def _staged_vec(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             F.col("id").isNotNull()
             & F.col("_v").isNotNull()
             & (F.size("_v") > 0)
+            & ~F.exists("_v", lambda x: x.isNull())
         )
         .select("id", "_v", _norm(F.col("_v")).alias("_nv"))
-    )
-
-
-def _cos_array(v, nv, centroids: "np.ndarray"):
-    """Array of cosine(v, centroid_i) rounded to 6dp — the shared engine
-    convention (round-before-compare + greatest(den, 1e-300) zero-norm
-    guard) so Spark, the numpy reference and any SQL golden rank clusters
-    identically. Centroid norms fold to driver-side constants."""
-    return F.array(
-        *[
-            F.round(
-                _dot(v, F.array(*[F.lit(float(x)) for x in c]))
-                / F.greatest(
-                    nv
-                    * F.lit(float(np.linalg.norm(np.asarray(c, dtype=np.float64)))),
-                    F.lit(1e-300),
-                ),
-                6,
-            )
-            for c in centroids
-        ]
     )
 
 
@@ -102,10 +86,15 @@ def _assign_arrow(src: DataFrame, centroids: "np.ndarray") -> DataFrame:
     """(id, _v, ivf_list, centroid_sim) via ONE vectorized Arrow stage: the
     broadcast (k, dim) codebook rides the closure, assignment is a numpy
     matmul per batch — flat in k where the literal-expression path grows
-    the plan tree by k x dim nodes. Shares _coarse_cos (same 6dp round,
-    same zero-norm guard, same first-max tie), so both paths produce the
-    same assignment; rows must be pre-filtered to non-null ids and
-    non-empty vectors (_staged_vec does)."""
+    the plan tree by k x dim nodes. Shares _coarse_cos's CONVENTION (6dp
+    round, zero-norm guard, first-max tie) with the expr path; the two
+    paths associate the floating-point cosine differently before the round
+    (JVM dot/|v||c| vs numpy normalized-row matmul), so a 1-ulp pre-round
+    difference can in principle flip an argmax between two centroids tied
+    at 6dp. Agreement is asserted on the test fixtures, but bit-stability
+    across a mode switch is NOT a contract — pin assign= explicitly when a
+    workflow must reproduce labels exactly. Rows must be pre-filtered to
+    non-null ids and non-empty, null-free vectors (_staged_vec does)."""
     import pyarrow as pa
 
     from ocr_spark.operators.similarity import _coarse_cos, _list_to_mat
@@ -156,8 +145,12 @@ def _pairs_grouped(staged: DataFrame, eps: float) -> DataFrame:
     pair ROW through the join and pays an interpreted HOF dot per pair
     (~270k pairs/s measured); this scores ~n_i^2/2 candidates per cluster
     in vectorized float64 (tens of millions of pairs/s) and never
-    materializes the non-matches. Same 6dp round + zero-norm floor as the
-    join path (dual-path parity tested, the assign-path policy). Memory is
+    materializes the non-matches. Same 6dp round + zero-norm floor
+    CONVENTION as the join path (parity asserted on fixtures; as with the
+    assign paths, the float association differs pre-round, so a pair
+    sitting exactly on the eps boundary at 1-ulp precision is not
+    guaranteed to match across modes — pin pair_mode= when exact
+    reproducibility across runs matters). Memory is
     bounded by BLOCK x n_i doubles per task — pair max_cluster with it so
     n_i stays sane; ids sort within the group so id_a < id_b by position."""
     import pandas as pd
@@ -251,7 +244,7 @@ def kmeans_train(
                     F.col("ivf_list").alias("_l"), F.col("_v")
                 )
             else:
-                arr = _cos_array(F.col("_v"), F.col("_nv"), centroids)
+                arr = cos_array(F.col("_v"), centroids, nv=F.col("_nv"))
                 assigned = staged.select(
                     F.array_position(arr, F.array_max(arr)).cast("int").alias("_l"),
                     F.col("_v"),
@@ -324,7 +317,12 @@ def semantic_prune(
     produces a quadratic straggler; cross-sub-bucket pairs inside such a
     cluster are missed (documented recall trade, mirrors
     jaccard_pairs(shingle_freq_cap)). Cluster sizes are k driver-side
-    counts — the broadcast-analogue pattern."""
+    counts — the broadcast-analogue pattern.
+
+    The assignment stage is persisted (it feeds pair generation, keeper
+    ranking and the audit join); pass stats= and release it with
+    corpus.unpersist_stages(stats) after materializing the output — the
+    corpus_pipeline cache-discipline contract."""
     staged, cliques, keepers = _prune_parts(
         emb,
         centroids,
@@ -401,7 +399,7 @@ def _prune_parts(
             "centroid_sim",
         )
     else:
-        arr = _cos_array(F.col("_v"), F.col("_nv"), centroids)
+        arr = cos_array(F.col("_v"), centroids, nv=F.col("_nv"))
         staged = (
             _staged_vec(emb, id_col, vec_col)
             .select("id", "_v", "_nv", arr.alias("_arr"))
@@ -415,26 +413,43 @@ def _prune_parts(
                 F.array_max("_arr").alias("centroid_sim"),
             )
         )
+    # the assignment stage (the n*k*dim dominant cost) is consumed by BOTH
+    # sides of the pair join (or the grouped-pair stage), the keeper-ranking
+    # members join, the caller's flagged-audit join, and the max_cluster
+    # sizes count — persist it ONCE (the kmeans_train policy). The handle
+    # rides stats['persisted'] under the corpus_pipeline contract: call
+    # corpus.unpersist_stages(stats) after materializing the output.
+    staged = staged.persist()
+    if stats is not None:
+        stats.setdefault("persisted", []).append(staged)
     if max_cluster is not None:
         if max_cluster < 2:
             raise ValueError("max_cluster must be >= 2")
-        # k driver-side counts → a literal list→n_sub map; only oversized
-        # clusters split (n_sub=1 for the rest keeps the key identical)
+        # k driver-side counts → a literal list→n_sub map holding ONLY the
+        # oversized clusters (an all-k map would re-grow the plan by 2k
+        # literal children — the exact bloat _ARROW_ASSIGN_CELLS exists to
+        # avoid); element_at misses coalesce to n_sub=1, keeping the key
+        # identical for right-sized clusters.
         sizes = {
             r["ivf_list"]: r["n"]
             for r in staged.groupBy("ivf_list").agg(
                 F.count(F.lit(1)).alias("n")
             ).collect()
         }
-        n_sub = {
-            li: max(1, -(-n // max_cluster)) for li, n in sizes.items()
+        oversized = {
+            li: -(-n // max_cluster)
+            for li, n in sizes.items()
+            if n > max_cluster
         }
         if stats is not None:
-            stats["oversized_clusters"] = sum(1 for v in n_sub.values() if v > 1)
+            stats["oversized_clusters"] = len(oversized)
+    else:
+        oversized = {}
+    if oversized:
         sub_map = F.create_map(
             *[
                 x
-                for li, ns in sorted(n_sub.items())
+                for li, ns in sorted(oversized.items())
                 for x in (F.lit(li), F.lit(ns))
             ]
         )

@@ -146,23 +146,20 @@ def probe_lists(
     )[:nprobe]
 
 
-def ivf_assign(v, centroids: "np.ndarray", nv=None):
-    """IVF coarse quantization: 1-based index of the nearest centroid by
-    cosine, rounded to 6dp before the argmax so the Spark and DuckDB plans
-    (different summation orders) agree bit-for-bit; ties break to the first
-    index in both engines (array_position / list_indexof).
+def cos_array(v, centroids: "np.ndarray", nv=None):
+    """Array of cosine(v, centroid_i) rounded to 6dp — THE engine
+    convention for centroid ranking (round-before-compare, 6dp,
+    greatest(den, 1e-300) zero-norm floor), shared by ivf_assign and
+    semantic k-means/pruning so a change to the guard or precision can
+    never desynchronize one consumer's Spark/DuckDB/numpy parity from
+    another's. Centroid norms fold to driver-side float constants.
 
     Pass `nv` (a staged |v| column) to share the row norm across the K
     per-centroid cosines — higher-order-function aggregates are interpreted
-    (no codegen CSE), so an unstaged |v| re-aggregates K times. Centroid
-    norms fold to driver-side float constants either way. Measured ~2x on a
-    1M x 64 scan with 16 centroids (35 s -> 18 s); the remaining cost is
-    the K interpreted HOF dot products themselves (unrolling K*dim literal
-    products would codegen but risks the JVM method-size limit; the
-    ivfpq_topk Arrow stage is the fast path when K dots dominate)."""
+    (no codegen CSE), so an unstaged |v| re-aggregates K times."""
     if nv is None:
         nv = _norm(v)
-    cos_arr = F.array(
+    return F.array(
         *[
             F.round(
                 _dot(v, F.array(*[F.lit(float(x)) for x in c]))
@@ -178,6 +175,21 @@ def ivf_assign(v, centroids: "np.ndarray", nv=None):
             for c in centroids
         ]
     )
+
+
+def ivf_assign(v, centroids: "np.ndarray", nv=None):
+    """IVF coarse quantization: 1-based index of the nearest centroid by
+    cosine, rounded to 6dp before the argmax so the Spark and DuckDB plans
+    (different summation orders) agree bit-for-bit; ties break to the first
+    index in both engines (array_position / list_indexof).
+
+    Pass `nv` (a staged |v| column) to share the row norm across the K
+    per-centroid cosines. Measured ~2x on a 1M x 64 scan with 16 centroids
+    (35 s -> 18 s); the remaining cost is the K interpreted HOF dot
+    products themselves (unrolling K*dim literal products would codegen but
+    risks the JVM method-size limit; the ivfpq_topk Arrow stage is the fast
+    path when K dots dominate)."""
+    cos_arr = cos_array(v, centroids, nv)
     return F.array_position(cos_arr, F.array_max(cos_arr))
 
 

@@ -335,3 +335,89 @@ class TestGroupedPairPath:
         _, _, emb = data
         with pytest.raises(ValueError, match="pair_mode="):
             semantic_prune(emb, np.eye(DIM)[:2], pair_mode="blas")
+
+
+class TestRound5ReviewFixes:
+    """Regressions for the round-5 review pass over the semantic family."""
+
+    def test_null_element_vector_excluded_everywhere(self, spark, data):
+        """An embedding with a null ELEMENT must not crash kmeans_train
+        (expr path: null cosine -> null label -> driver TypeError) nor
+        silently land in a cluster via the Arrow path's NaN argmax — it is
+        excluded at _staged_vec like null/empty vectors."""
+        X, ids, emb = data
+        bad = spark.createDataFrame(
+            [(10_000, [1.0, None] + [0.5] * (DIM - 2))],
+            "vec_id long, embedding array<double>",
+        )
+        poisoned = emb.unionByName(bad)
+        C = kmeans_train(poisoned, k=3, iters=2)
+        assert C.shape == (3, DIM)
+        C2 = kmeans_train(emb, k=3, iters=2)
+        assert np.array_equal(C, C2)  # the bad row contributes nothing
+        out_ids = {
+            r["id"] for r in semantic_prune(poisoned, C, eps=0.97).collect()
+        }
+        assert 10_000 not in out_ids
+
+    def test_prune_stage_cache_released_via_stats(self, spark, data):
+        """semantic_prune persists the assignment stage; the handle rides
+        stats['persisted'] and corpus.unpersist_stages releases it (the
+        corpus_pipeline cache-discipline contract)."""
+        from ocr_spark.operators.corpus import unpersist_stages
+
+        X, ids, emb = data
+        C = _ref_kmeans(X, ids, k=5, iters=4)
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        st = {}
+        out = semantic_prune(emb, C, eps=0.97, stats=st)
+        assert out.count() > 0
+        assert len(st["persisted"]) == 1
+        assert unpersist_stages(st) == 1
+        assert jsc.getPersistentRDDs().size() <= before
+        assert unpersist_stages(st) == 0  # idempotent
+
+    def test_max_cluster_larger_than_every_cluster_is_identity(
+        self, spark, data
+    ):
+        """When no cluster exceeds max_cluster the sub_map literal is empty
+        and the plan (and results) are identical to the unguarded run — the
+        oversized-only map never scales with k."""
+        X, ids, emb = data
+        C = _ref_kmeans(X, ids, k=5, iters=6)
+        st = {}
+        guarded = sorted(
+            (r["id"], r["rep"], r["is_kept"])
+            for r in semantic_prune(
+                emb, C, eps=0.97, max_cluster=10**6, stats=st
+            ).collect()
+        )
+        assert st["oversized_clusters"] == 0
+        plain = sorted(
+            (r["id"], r["rep"], r["is_kept"])
+            for r in semantic_prune(emb, C, eps=0.97).collect()
+        )
+        assert guarded == plain
+
+    def test_cos_array_shared_with_ivf_assign(self, spark, data):
+        """semantic's expr assignment and similarity.ivf_assign rank
+        centroids through ONE shared builder — assert the labels agree on
+        the same codebook (the desync the extraction prevents)."""
+        from ocr_spark.operators.similarity import ivf_assign
+
+        X, ids, emb = data
+        C = _ref_kmeans(X, ids, k=5, iters=4)
+        v = F.col("embedding").cast("array<double>")
+        via_ivf = {
+            r["vec_id"]: r["l"]
+            for r in emb.select(
+                "vec_id", ivf_assign(v, C).cast("int").alias("l")
+            ).collect()
+        }
+        pruned = {
+            r["id"]: r["ivf_list"]
+            for r in semantic_prune(emb, C, eps=0.99, assign="expr").collect()
+        }
+        for i, li in pruned.items():
+            assert via_ivf[i] == li
