@@ -264,10 +264,11 @@ def _decode_residual(br: _BitReader, block_size: int, order: int) -> np.ndarray:
     escape = (1 << plen) - 1
     porder = br.read(4)
     nparts = 1 << porder
-    if block_size % nparts or (block_size >> porder) <= order and porder > 0:
-        # first partition would be non-positive / uneven split
-        if block_size % nparts:
-            raise ValueError("partition order does not divide block size")
+    if block_size % nparts:
+        raise ValueError("partition order does not divide block size")
+    # a NEGATIVE first partition ((block_size >> porder) < order) raises at
+    # the count check below; an exactly-empty first partition is legal (the
+    # libFLAC convention: its check is strict <, not <=)
     out = np.empty(block_size - order, dtype=np.int64)
     w = 0
     for p in range(nparts):

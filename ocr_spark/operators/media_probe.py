@@ -102,6 +102,9 @@ def _mp3_frame_info(hdr: int) -> dict | None:
         "samples": samples,
         "n_channels": 1 if mode == 3 else 2,
         "mono": mode == 3,
+        # protection_bit == 0 means a 2-byte CRC-16 sits between the header
+        # and the side info — it shifts the Xing/Info offset
+        "crc": not ((hdr >> 16) & 1),
     }
 
 
@@ -126,12 +129,14 @@ def mp3_probe(content: bytes, max_resync: int = 1 << 16) -> dict:
     count). Raises ValueError if no valid frame exists.
     """
     pos = _skip_id3v2(content)
+    payload_start = pos
     n = len(content)
     n_frames = 0
+    walked = 0  # frames actually seen (≠ n_frames when a VBR header counts)
     total_samples = 0
     bitrate_sum = 0
     first: dict | None = None
-    xing_frames = None
+    vbr_frames = vbr_bytes = vbr_tag = None
     junk = 0
     while pos + 4 <= n:
         info = _mp3_frame_info(int.from_bytes(content[pos : pos + 4], "big"))
@@ -144,21 +149,38 @@ def mp3_probe(content: bytes, max_resync: int = 1 << 16) -> dict:
         junk = 0
         if first is None:
             first = info
-            xing_frames = _read_vbr_header(content, pos, info)
+            vbr_frames, vbr_bytes, vbr_tag = _read_vbr_header(content, pos, info)
+            if vbr_frames is not None:
+                # the header frame count is authoritative — stop the
+                # O(file-size) walk; the probe's job is a cheap pre-decode
+                # header check, and every derived field below comes from
+                # the header (not the discarded walk)
+                break
         n_frames += 1
+        walked += 1
         total_samples += info["samples"]
         bitrate_sum += info["bitrate"]
         pos += info["frame_size"]
     if first is None:
         raise ValueError("no valid MPEG audio frame found")
-    if xing_frames:
-        # VBR header authoritative; payload may be truncated mid-stream
-        total_samples = xing_frames * first["samples"]
-        n_frames = xing_frames
+    if vbr_frames is not None:
+        total_samples = vbr_frames * first["samples"]
+        n_frames = vbr_frames
     duration = total_samples / first["sample_rate"]
-    avg_kbps = (bitrate_sum / n_frames / 1000.0) if n_frames else None
-    vbr = xing_frames is not None or (
-        n_frames > 1 and bitrate_sum != n_frames * first["bitrate"]
+    if vbr_frames is not None:
+        # average over the header's own byte count when present; falling
+        # back to the walked-frame average would divide bytes seen by the
+        # CLAIMED frame count and understate truncated payloads
+        stream_bytes = (
+            vbr_bytes if vbr_bytes is not None else n - payload_start
+        )
+        avg_kbps = (stream_bytes * 8 / duration / 1000.0) if duration else None
+    else:
+        avg_kbps = (bitrate_sum / walked / 1000.0) if walked else None
+    # 'Info' is LAME's explicit CBR marker — same layout as Xing, opposite
+    # meaning; only Xing/VBRI (or observed bitrate variance) imply VBR
+    vbr = vbr_tag in ("Xing", "VBRI") or (
+        walked > 1 and bitrate_sum != walked * first["bitrate"]
     )
     return {
         "container": "mp3",
@@ -172,23 +194,40 @@ def mp3_probe(content: bytes, max_resync: int = 1 << 16) -> dict:
     }
 
 
-def _read_vbr_header(content: bytes, frame_pos: int, info: dict) -> int | None:
-    """Xing/Info (at the side-info offset) or VBRI (fixed +32) frame count."""
+def _read_vbr_header(
+    content: bytes, frame_pos: int, info: dict
+) -> tuple[int | None, int | None, str | None]:
+    """(frame_count, byte_count, tag) from a Xing/Info header (at the
+    side-info offset, shifted +2 when the frame carries a CRC-16) or a
+    VBRI header (fixed +32 after the side info start); (None, None, None)
+    when absent."""
+    crc = 2 if info["crc"] else 0
     if info["layer"] == 3:  # only Layer III carries side info
         if info["version"] == "1":
             off = 17 if info["mono"] else 32
         else:
             off = 9 if info["mono"] else 17
-        p = frame_pos + 4 + off
+        p = frame_pos + 4 + crc + off
         tag = content[p : p + 4]
-        if tag in (b"Xing", b"Info") and content[p + 7 : p + 8]:
+        if tag in (b"Xing", b"Info") and len(content) >= p + 8:
             flags = int.from_bytes(content[p + 4 : p + 8], "big")
-            if flags & 1 and len(content) >= p + 12:
-                return int.from_bytes(content[p + 8 : p + 12], "big")
-    p = frame_pos + 4 + 32
+            q = p + 8
+            frames = nbytes = None
+            if flags & 1 and len(content) >= q + 4:
+                frames = int.from_bytes(content[q : q + 4], "big")
+                q += 4
+            if flags & 2 and len(content) >= q + 4:
+                nbytes = int.from_bytes(content[q : q + 4], "big")
+            if frames is not None:
+                return frames, nbytes, tag.decode()
+    p = frame_pos + 4 + crc + 32
     if content[p : p + 4] == b"VBRI" and len(content) >= p + 18:
-        return int.from_bytes(content[p + 14 : p + 18], "big")
-    return None
+        return (
+            int.from_bytes(content[p + 14 : p + 18], "big"),
+            int.from_bytes(content[p + 10 : p + 14], "big"),
+            "VBRI",
+        )
+    return None, None, None
 
 
 def synth_mp3(
@@ -200,8 +239,18 @@ def synth_mp3(
     mono: bool = False,
     id3: bytes | None = None,
     xing: bool = False,
+    tag: str | None = None,
+    with_bytes: bool = False,
+    protect: bool = False,
 ) -> bytes:
-    """Build a valid MPEG audio stream (zero payload) for probe fixtures."""
+    """Build a valid MPEG audio stream (zero payload) for probe fixtures.
+
+    tag: 'Xing' (VBR marker), 'Info' (LAME's CBR marker) or None; xing=True
+    is shorthand for tag='Xing'. with_bytes adds the BYTES field to the
+    header. protect=True clears the protection bit (a 2-byte CRC-16 sits
+    between the header and the side info, shifting the tag offset)."""
+    if xing and tag is None:
+        tag = "Xing"
     ver_bits = {"1": 3, "2": 2, "2.5": 0}[version]
     layer_bits = {1: 3, 2: 2, 3: 1}[layer]
     if ver_bits == 3:
@@ -212,7 +261,8 @@ def synth_mp3(
     sr_idx = _SR_BY_VERSION[ver_bits].index(sample_rate)
     mode = 3 if mono else 0
     hdr = (
-        (0x7FF << 21) | (ver_bits << 19) | (layer_bits << 17) | (1 << 16)
+        (0x7FF << 21) | (ver_bits << 19) | (layer_bits << 17)
+        | ((0 if protect else 1) << 16)
         | (br_idx << 12) | (sr_idx << 10) | (mode << 6)
     )
     info = _mp3_frame_info(hdr)
@@ -226,13 +276,17 @@ def synth_mp3(
             [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
         )
         out += b"ID3\x04\x00\x00" + ss + body
-    if xing:
+    if tag is not None:
         f0 = bytearray(frame)
         off = (17 if mono else 32) if version == "1" else (9 if mono else 17)
-        p = 4 + off
-        f0[p : p + 4] = b"Xing"
-        f0[p + 4 : p + 8] = (1).to_bytes(4, "big")  # FRAMES flag
+        p = 4 + (2 if protect else 0) + off
+        f0[p : p + 4] = tag.encode()
+        flags = 1 | (2 if with_bytes else 0)  # FRAMES (+ BYTES)
+        f0[p + 4 : p + 8] = flags.to_bytes(4, "big")
         f0[p + 8 : p + 12] = n_frames.to_bytes(4, "big")
+        if with_bytes:
+            total = len(frame) * n_frames
+            f0[p + 12 : p + 16] = total.to_bytes(4, "big")
         out += f0
         out += frame * (n_frames - 1)
     else:
@@ -662,6 +716,16 @@ def probe_bytes(content: bytes) -> dict:
         len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0
     ):
         return mp3_probe(content)
+    # last resort: crawled MP3s arrive with leading junk (truncation/glue
+    # artifacts); mp3_probe resyncs through it, but only dispatch when a
+    # VALID frame header actually exists in the resync window — a stray
+    # 0xFF in a random payload is not enough
+    window = content[: 1 << 16]
+    p = window.find(b"\xff")
+    while 0 <= p <= len(window) - 4:
+        if _mp3_frame_info(int.from_bytes(window[p : p + 4], "big")):
+            return mp3_probe(content)
+        p = window.find(b"\xff", p + 1)
     raise ValueError("unrecognized media container")
 
 

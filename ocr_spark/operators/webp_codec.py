@@ -304,7 +304,10 @@ def _predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
         pa, pr, pg, pb = la + ta - ca, lr + tr_ - cr, lg + tg - cg, lb + tb - cb
         p_left = abs(pa - la) + abs(pr - lr) + abs(pg - lg) + abs(pb - lb)
         p_top = abs(pa - ta) + abs(pr - tr_) + abs(pg - tg) + abs(pb - tb)
-        return left if p_left <= p_top else top
+        # libwebp's Select breaks ties toward TOP (pa_minus_pb <= 0 → top),
+        # so strict < here: a tie must NOT pick left or real lossless files
+        # decode wrong from the tied pixel onward
+        return left if p_left < p_top else top
     if mode == 12:  # ClampAddSubtractFull
         la, lr, lg, lb = _channels(left)
         ta, tr_, tg, tb = _channels(top)
@@ -606,6 +609,10 @@ def webp_encode(
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError(f"webp_encode expects (H,W) or (H,W,3), got {img.shape}")
     h, w = img.shape[:2]
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        # the VP8L header carries 14-bit (dim - 1) fields; anything larger
+        # would silently wrap mod 16384 into a corrupt-but-parseable file
+        raise ValueError(f"webp_encode: dimensions {w}x{h} exceed 16384")
     argb = (
         (np.full((h, w), 0xFF, dtype=np.uint32) << 24)
         | (img[:, :, 0].astype(np.uint32) << 16)

@@ -360,3 +360,45 @@ def test_audio_features_over_flac(spark):
     assert row["duration_sec"] == pytest.approx(1.0)
     ref = x[:, 0].astype(np.float64) / 32768.0
     assert row["rms"] == pytest.approx(float(np.sqrt(np.mean(ref * ref))), rel=1e-9)
+
+
+# --- round-5 session-6 review regressions ------------------------------------
+
+
+def test_mp3_info_tag_is_cbr():
+    # 'Info' is LAME's explicit CBR marker: frame count authoritative,
+    # vbr must be False (a 'vbr' corpus filter would otherwise misclassify
+    # virtually every LAME/ffmpeg CBR file)
+    b = synth_mp3(n_frames=40, tag="Info")
+    p = mp3_probe(b)
+    assert p["n_frames"] == 40
+    assert p["vbr"] is False
+    b2 = synth_mp3(n_frames=40, tag="Xing")
+    assert mp3_probe(b2)["vbr"] is True
+
+
+def test_mp3_truncated_xing_bitrate_from_bytes_field():
+    b = synth_mp3(n_frames=100, bitrate_kbps=128, tag="Xing", with_bytes=True)
+    full = mp3_probe(b)
+    cut = mp3_probe(b[: len(b) // 2])
+    # the header BYTES field keeps the average honest under truncation
+    # (previously: bytes-walked / claimed-frames understated by the ratio)
+    assert full["bitrate_kbps"] == pytest.approx(128.0, rel=0.02)
+    assert cut["bitrate_kbps"] == pytest.approx(full["bitrate_kbps"])
+    assert cut["n_frames"] == 100 and cut["duration_sec"] == full["duration_sec"]
+
+
+def test_mp3_xing_behind_crc_protection():
+    # protection_bit=0 inserts a 2-byte CRC before the side info; the tag
+    # offset must shift or the authoritative count is silently missed
+    b = synth_mp3(n_frames=30, tag="Xing", protect=True)
+    p = mp3_probe(b)
+    assert p["n_frames"] == 30 and p["vbr"] is True
+
+
+def test_probe_bytes_mp3_with_leading_junk():
+    mp3 = synth_mp3(n_frames=3)
+    p = probe_bytes(b"\x00\x01GLUE" + mp3)  # crawl truncation/glue artifact
+    assert p["container"] == "mp3" and p["n_frames"] == 3
+    with pytest.raises(ValueError, match="unrecognized"):
+        probe_bytes(b"\x00\x7f" * 2048)  # junk with no valid frame header

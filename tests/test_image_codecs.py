@@ -580,3 +580,23 @@ class TestWebPVp8l:
                 p = palette[indices[y, x]]
                 want = [(p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF]
                 assert list(img[y, x]) == want, (y, x)
+
+
+def test_webp_select_predictor_ties_toward_top():
+    # libwebp's Select: pa_minus_pb <= 0 -> TOP; a tie picking LEFT decodes
+    # real lossless files wrong from the tied pixel onward
+    from ocr_spark.operators.webp_codec import _pack, _predict
+
+    left = _pack(0xFF, 10, 10, 10)
+    top = _pack(0xFF, 20, 20, 20)
+    tl = _pack(0xFF, 15, 15, 15)  # |T-TL| == |L-TL| per channel: a tie
+    assert _predict(11, left, top, tl, 0) == top
+
+
+def test_webp_encode_rejects_oversized_dimensions():
+    from ocr_spark.operators.webp_codec import webp_encode
+
+    with pytest.raises(ValueError, match="16384"):
+        webp_encode(np.zeros((1, 16385, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="16384"):
+        webp_encode(np.zeros((16385, 1, 3), dtype=np.uint8))
