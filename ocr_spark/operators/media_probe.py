@@ -546,6 +546,11 @@ def mp4_probe(content: bytes) -> dict:
                                     trk["codec"] = content[sb + 12 : sb + 16].decode(
                                         "latin-1"
                                     )
+                            stsz = _find_box(content, *stbl, b"stsz")
+                            if stsz and stsz[1] - stsz[0] >= 12:
+                                (trk["n_samples"],) = struct.unpack_from(
+                                    ">I", content, stsz[0] + 8
+                                )
                 tracks.append(trk)
     vid = next((t for t in tracks if t["handler"] == "vide"), None)
     aud = next((t for t in tracks if t["handler"] == "soun"), None)
@@ -555,6 +560,7 @@ def mp4_probe(content: bytes) -> dict:
         "brand": brand,
         "codec": codec,
         "duration_sec": duration,
+        "n_frames": (vid or {}).get("n_samples"),
         "n_tracks": len(tracks),
         "tracks": tracks,
         "width": width,
@@ -562,8 +568,175 @@ def mp4_probe(content: bytes) -> dict:
     }
 
 
+def _full_box_body(data: bytes, b: int, e: int, name: str) -> tuple[int, int]:
+    """Skip a full box's version+flags word; return (payload_start, end)."""
+    if e - b < 4:
+        raise ValueError(f"{name}: truncated full-box header")
+    return b + 4, e
+
+
+def _u32s(data: bytes, start: int, count: int, end: int, name: str) -> np.ndarray:
+    if start + 4 * count > end:
+        raise ValueError(f"{name}: table truncated ({count} entries)")
+    return np.frombuffer(data, dtype=">u4", count=count, offset=start).astype(
+        np.int64
+    )
+
+
+def mp4_sample_index(content: bytes, handler: str = "vide") -> dict:
+    """Per-sample (frame) index from the ISO-BMFF sample tables — the
+    100-TB video path: a frame sampler never decodes the stream, it reads
+    `stbl` and extracts keyframe byte ranges straight out of `mdat`.
+
+    Walks the first trak whose `hdlr` matches `handler` and expands the
+    five sample tables (ISO 14496-12 §8.6-8.7):
+
+      stts  decode deltas        → per-sample decode time (via mdhd timescale)
+      stsz  sample sizes         (constant-size and per-sample forms)
+      stsc  sample→chunk mapping (run-length rows expanded over stco)
+      stco / co64                chunk byte offsets (32/64-bit)
+      stss  sync-sample numbers  (absent ⇒ every sample is a keyframe, per spec)
+
+    Returns {"codec", "timescale", "n", "time_sec", "offset", "size",
+    "keyframe"} with numpy arrays of length n. Raises ValueError for a
+    missing track/table or an inconsistent table (the per-asset error
+    envelope upstream turns that into a row, not a dead batch)."""
+    n_total = len(content)
+    if n_total < 8 or content[4:8] not in (b"ftyp", b"moov", b"styp"):
+        raise ValueError("not an ISO-BMFF payload")
+    want = handler.encode("latin-1") if isinstance(handler, str) else handler
+    for btype, b, e in _walk_boxes(content, 0, n_total):
+        if btype != b"moov":
+            continue
+        for t2, b2, e2 in _walk_boxes(content, b, e):
+            if t2 != b"trak":
+                continue
+            mdia = _find_box(content, b2, e2, b"mdia")
+            if not mdia:
+                continue
+            hdlr = _find_box(content, *mdia, b"hdlr")
+            if not hdlr or content[hdlr[0] + 8 : hdlr[0] + 12] != want:
+                continue
+            timescale = 0
+            mdhd = _find_box(content, *mdia, b"mdhd")
+            if mdhd:
+                hb, _ = mdhd
+                off = 20 if content[hb] == 1 else 12
+                (timescale,) = struct.unpack_from(">I", content, hb + off)
+            minf = _find_box(content, *mdia, b"minf")
+            stbl = _find_box(content, *minf, b"stbl") if minf else None
+            if not stbl:
+                raise ValueError(f"trak {handler!r}: no sample table")
+            return _parse_stbl(content, *stbl, timescale)
+    raise ValueError(f"no {handler!r} track with a sample table")
+
+
+def _parse_stbl(data: bytes, sb: int, se: int, timescale: int) -> dict:
+    boxes = {t: (bb, be) for t, bb, be in _walk_boxes(data, sb, se)}
+    for req in (b"stsz", b"stco", b"stsc", b"stts"):
+        if req not in boxes and not (req == b"stco" and b"co64" in boxes):
+            raise ValueError(f"stbl: missing {req.decode('latin-1')}")
+
+    codec = None
+    if b"stsd" in boxes:
+        db, de = boxes[b"stsd"]
+        if de - db >= 16:
+            codec = data[db + 12 : db + 16].decode("latin-1")
+
+    # stsz — constant sample_size or a per-sample uint32 table
+    zb, ze = _full_box_body(data, *boxes[b"stsz"], "stsz")
+    if ze - zb < 8:
+        raise ValueError("stsz: truncated")
+    const_size, n = struct.unpack_from(">II", data, zb)
+    if const_size:
+        sizes = np.full(n, const_size, dtype=np.int64)
+    else:
+        sizes = _u32s(data, zb + 8, n, ze, "stsz")
+    if n == 0:
+        empty = np.zeros(0, dtype=np.int64)
+        return {
+            "codec": codec, "timescale": int(timescale), "n": 0,
+            "time_sec": empty.astype(np.float64), "offset": empty,
+            "size": empty, "keyframe": np.zeros(0, dtype=bool),
+        }
+
+    # stco / co64 — chunk offsets
+    if b"co64" in boxes:
+        cb, ce = _full_box_body(data, *boxes[b"co64"], "co64")
+        (n_chunks,) = struct.unpack_from(">I", data, cb)
+        if cb + 4 + 8 * n_chunks > ce:
+            raise ValueError("co64: table truncated")
+        chunk_off = np.frombuffer(
+            data, dtype=">u8", count=n_chunks, offset=cb + 4
+        ).astype(np.int64)
+    else:
+        cb, ce = _full_box_body(data, *boxes[b"stco"], "stco")
+        (n_chunks,) = struct.unpack_from(">I", data, cb)
+        chunk_off = _u32s(data, cb + 4, n_chunks, ce, "stco")
+
+    # stsc — run-length (first_chunk, samples_per_chunk) rows over n_chunks
+    xb, xe = _full_box_body(data, *boxes[b"stsc"], "stsc")
+    (n_runs,) = struct.unpack_from(">I", data, xb)
+    if xb + 4 + 12 * n_runs > xe:
+        raise ValueError("stsc: table truncated")
+    runs = np.frombuffer(data, dtype=">u4", count=3 * n_runs, offset=xb + 4)
+    runs = runs.astype(np.int64).reshape(n_runs, 3)  # first_chunk, spc, sdi
+    if n and (n_runs == 0 or n_chunks == 0):
+        raise ValueError("stsc/stco: empty for a non-empty stsz")
+    spc = np.zeros(n_chunks, dtype=np.int64)
+    for i in range(n_runs):
+        first = runs[i, 0] - 1  # 1-based
+        last = runs[i + 1, 0] - 1 if i + 1 < n_runs else n_chunks
+        if first < 0 or first > n_chunks:
+            raise ValueError("stsc: first_chunk out of range")
+        spc[first:last] = runs[i, 1]
+    if spc.sum() < n:
+        raise ValueError(f"stsc×stco cover {int(spc.sum())} samples < stsz {n}")
+
+    # per-sample offsets: chunk base + exclusive within-chunk size cumsum
+    chunk_idx = np.repeat(np.arange(n_chunks), spc)[:n]
+    excl = np.concatenate(([0], np.cumsum(sizes)))[:-1]
+    first_sample_of_chunk = np.concatenate(
+        ([0], np.cumsum(spc))
+    )[:-1].clip(max=max(n - 1, 0))
+    offsets = chunk_off[chunk_idx] + (excl - excl[first_sample_of_chunk][chunk_idx])
+
+    # stts — decode deltas → timestamps
+    tb, te = _full_box_body(data, *boxes[b"stts"], "stts")
+    (n_tt,) = struct.unpack_from(">I", data, tb)
+    tt = _u32s(data, tb + 4, 2 * n_tt, te, "stts").reshape(n_tt, 2)
+    deltas = np.repeat(tt[:, 1], tt[:, 0])
+    if len(deltas) < n:
+        raise ValueError(f"stts covers {len(deltas)} samples < stsz {n}")
+    times = np.concatenate(([0], np.cumsum(deltas[:n])))[:-1]
+    time_sec = times / timescale if timescale else np.full(n, np.nan)
+
+    # stss — sync samples (1-based); absent ⇒ all keyframes (§8.6.2)
+    keyframe = np.ones(n, dtype=bool)
+    if b"stss" in boxes:
+        kb, ke = _full_box_body(data, *boxes[b"stss"], "stss")
+        (n_sync,) = struct.unpack_from(">I", data, kb)
+        sync = _u32s(data, kb + 4, n_sync, ke, "stss") - 1
+        keyframe = np.zeros(n, dtype=bool)
+        keyframe[sync[(sync >= 0) & (sync < n)]] = True
+
+    return {
+        "codec": codec,
+        "timescale": int(timescale),
+        "n": int(n),
+        "time_sec": time_sec.astype(np.float64),
+        "offset": offsets,
+        "size": sizes,
+        "keyframe": keyframe,
+    }
+
+
 def _box(btype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _full(btype: bytes, body: bytes) -> bytes:
+    return _box(btype, b"\x00\x00\x00\x00" + body)
 
 
 def synth_mp4(
@@ -573,15 +746,84 @@ def synth_mp4(
     height: int = 360,
     video_codec: bytes = b"avc1",
     audio_codec: bytes = b"mp4a",
+    video_samples: list[bytes] | None = None,
+    fps: float = 25.0,
+    samples_per_chunk: int = 4,
+    keyframe_every: int = 0,
+    force_co64: bool = False,
 ) -> bytes:
     """Build a minimal valid ISO-BMFF tree (ftyp + moov with a video and an
-    audio trak; no mdat) for probe fixtures."""
+    audio trak) for probe fixtures. With `video_samples`, the layout becomes
+    ftyp + mdat(payloads) + moov and the video trak carries REAL sample
+    tables — stts (uniform 1/fps deltas), stsz (constant-size form when all
+    payloads match, per-sample otherwise), stsc (chunks of
+    `samples_per_chunk`), stco/co64 (absolute mdat offsets; mdat-first
+    layout so offsets are known before moov is sized), and stss marking
+    samples 0, k, 2k… when `keyframe_every` = k > 0 (omitted when 0 ⇒ every
+    sample is sync, per spec) — so `mp4_sample_index` is round-trip
+    golden-testable without third-party media."""
+    if video_samples is not None:
+        duration_sec = len(video_samples) / fps if fps else duration_sec
     dur = int(duration_sec * timescale)
     mvhd = _box(
         b"mvhd",
         b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", timescale, dur)
         + b"\x00" * 80,
     )
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+
+    # mdat-first layout: sample offsets are absolute file positions, so the
+    # payload box is emitted before moov and stco can be computed directly
+    mdat = b""
+    sample_boxes = b""
+    if video_samples is not None:
+        payload = b"".join(video_samples)
+        mdat = _box(b"mdat", payload)
+        nv = len(video_samples)
+        sizes = [len(s) for s in video_samples]
+        base = len(ftyp) + 8  # first sample byte inside mdat
+        n_chunks = max(1, -(-nv // samples_per_chunk)) if nv else 0
+        chunk_offs, pos = [], base
+        for c in range(n_chunks):
+            chunk_offs.append(pos)
+            pos += sum(sizes[c * samples_per_chunk : (c + 1) * samples_per_chunk])
+        stts = _full(
+            b"stts", struct.pack(">III", 1, nv, int(round(timescale / fps)))
+        )
+        if sizes and len(set(sizes)) == 1:
+            stsz = _full(b"stsz", struct.pack(">II", sizes[0], nv))
+        else:
+            stsz = _full(
+                b"stsz", struct.pack(">II", 0, nv) + struct.pack(f">{nv}I", *sizes)
+            )
+        stsc_rows = [(1, samples_per_chunk, 1)]
+        if nv and nv % samples_per_chunk:
+            stsc_rows.append((n_chunks, nv % samples_per_chunk, 1))
+        stsc = _full(
+            b"stsc",
+            struct.pack(">I", len(stsc_rows))
+            + b"".join(struct.pack(">III", *r) for r in stsc_rows),
+        )
+        if force_co64:
+            stco = _full(
+                b"co64",
+                struct.pack(">I", n_chunks)
+                + struct.pack(f">{n_chunks}Q", *chunk_offs),
+            )
+        else:
+            stco = _full(
+                b"stco",
+                struct.pack(">I", n_chunks)
+                + struct.pack(f">{n_chunks}I", *chunk_offs),
+            )
+        sample_boxes = stts + stsz + stsc + stco
+        if keyframe_every > 0:
+            sync = [i + 1 for i in range(0, nv, keyframe_every)]
+            sample_boxes += _full(
+                b"stss",
+                struct.pack(">I", len(sync)) + struct.pack(f">{len(sync)}I", *sync),
+            )
 
     def trak(handler: bytes, codec: bytes, w: int, h: int) -> bytes:
         tkhd_body = (
@@ -597,7 +839,8 @@ def synth_mp4(
         hdlr = _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12 + b"probe\x00")
         entry = struct.pack(">I", 16) + codec + b"\x00" * 8
         stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
-        stbl = _box(b"stbl", stsd)
+        tables = sample_boxes if handler == b"vide" else b""
+        stbl = _box(b"stbl", stsd + tables)
         minf = _box(b"minf", stbl)
         mdia = _box(b"mdia", mdhd + hdlr + minf)
         return _box(b"trak", _box(b"tkhd", tkhd_body) + mdia)
@@ -608,8 +851,7 @@ def synth_mp4(
         + trak(b"vide", video_codec, width, height)
         + trak(b"soun", audio_codec, 0, 0),
     )
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
-    return ftyp + moov
+    return ftyp + mdat + moov
 
 
 # ---------------------------------------------------------------------------

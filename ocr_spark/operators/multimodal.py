@@ -17,6 +17,10 @@ Operators:
                       (reuses the real numpy kernels) as typed columns.
   frame_sample      — real GIF frame decode + every-n sampling, one row per
                       sampled frame with per-frame features.
+  video_frame_index — MP4 frame sampling WITHOUT decode: stbl sample-table
+                      expansion (media_probe.mp4_sample_index) → per-frame
+                      time/byte-range/keyframe rows, optional raw coded
+                      sample sliced from mdat.
 """
 
 from __future__ import annotations
@@ -367,6 +371,97 @@ def frame_sample(assets: DataFrame, every_n: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+FRAME_INDEX_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("time_sec", T.DoubleType(), True),
+        T.StructField("byte_offset", T.LongType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("is_keyframe", T.BooleanType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def video_frame_index(
+    assets: DataFrame,
+    every_n: int = 1,
+    keyframes_only: bool = False,
+    max_frames: int | None = None,
+    with_payload: bool = False,
+    handler: str = "vide",
+) -> DataFrame:
+    """Frame sampling for MP4/ISO-BMFF WITHOUT decoding — the shape that
+    scales: `media_probe.mp4_sample_index` expands the `stbl` sample tables
+    into per-frame (time, byte_offset, size, keyframe) rows, the sampler
+    picks keyframes and/or every `every_n`-th selected frame (frame 0
+    always included), and `with_payload=True` slices the raw coded sample
+    straight out of `mdat` for a downstream decoder to consume. One
+    mapInPandas stage, per-asset error envelope; a sample range that runs
+    past the payload (truncated crawl artifact) keeps its index row with a
+    per-ROW error instead of killing the asset. Decode of the coded frames
+    themselves stays stubbed pending a codec library (same boundary as
+    decode_image's non-stdlib formats; ref: the reference loads any
+    PIL-supported media, ocr_workflow_orchestrator.py:153-178)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ocr_spark.operators.media_probe import mp4_sample_index
+
+        cols = [f.name for f in FRAME_INDEX_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+
+            def emit(ref, **kw):
+                row = dict.fromkeys(cols)
+                row["media_ref"] = ref
+                row.update(kw)
+                rows.append(row)
+
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                try:
+                    idx = mp4_sample_index(data, handler=handler)
+                except Exception as e:
+                    emit(ref, error=f"{type(e).__name__}: {e}")
+                    continue
+                sel = [
+                    i for i in range(idx["n"])
+                    if not keyframes_only or idx["keyframe"][i]
+                ]
+                sel = sel[:: max(1, every_n)]
+                if max_frames is not None:
+                    sel = sel[:max_frames]
+                for i in sel:
+                    off, sz = int(idx["offset"][i]), int(idx["size"][i])
+                    payload = err = None
+                    if off + sz > len(data):
+                        err = (
+                            f"sample {i} range [{off}, {off + sz}) beyond "
+                            f"payload of {len(data)} bytes (truncated mdat)"
+                        )
+                    elif with_payload:
+                        payload = data[off : off + sz]
+                    emit(
+                        ref,
+                        frame_idx=i,
+                        n_frames=idx["n"],
+                        time_sec=float(idx["time_sec"][i]),
+                        byte_offset=off,
+                        n_bytes=sz,
+                        is_keyframe=bool(idx["keyframe"][i]),
+                        codec=idx["codec"],
+                        payload=payload,
+                        error=err,
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(gen, schema=FRAME_INDEX_SCHEMA)
 
 
 def video_assets_df(refs: DataFrame) -> DataFrame:

@@ -402,3 +402,150 @@ def test_probe_bytes_mp3_with_leading_junk():
     assert p["container"] == "mp3" and p["n_frames"] == 3
     with pytest.raises(ValueError, match="unrecognized"):
         probe_bytes(b"\x00\x7f" * 2048)  # junk with no valid frame header
+
+
+# --- MP4 sample tables (stts/stsz/stsc/stco/stss) ---------------------------
+
+
+def _planted(n, base=10, step=7):
+    return [bytes([i]) * (base + step * i) for i in range(n)]
+
+
+def test_mp4_sample_index_round_trip():
+    from ocr_spark.operators.media_probe import mp4_sample_index
+
+    samples = _planted(10)
+    b = synth_mp4(
+        video_samples=samples, fps=25.0, samples_per_chunk=4, keyframe_every=5
+    )
+    idx = mp4_sample_index(b)
+    assert idx["n"] == 10 and idx["codec"] == "avc1"
+    for i in range(10):
+        off, sz = int(idx["offset"][i]), int(idx["size"][i])
+        # byte ranges land EXACTLY on the planted payloads inside mdat
+        assert b[off : off + sz] == samples[i]
+        assert idx["time_sec"][i] == pytest.approx(i * 0.04)
+    assert list(np.nonzero(idx["keyframe"])[0]) == [0, 5]
+
+
+def test_mp4_sample_index_constant_size_and_multirun_stsc():
+    from ocr_spark.operators.media_probe import mp4_sample_index
+
+    # 7 equal-size samples in chunks of 3 → stsz constant form + a short
+    # trailing chunk (second stsc run)
+    samples = [bytes([i]) * 32 for i in range(7)]
+    idx = mp4_sample_index(synth_mp4(video_samples=samples, samples_per_chunk=3))
+    assert idx["n"] == 7 and (idx["size"] == 32).all()
+    assert idx["keyframe"].all()  # no stss box ⇒ every sample is sync
+    b = synth_mp4(video_samples=samples, samples_per_chunk=3)
+    for i in range(7):
+        off = int(idx["offset"][i])
+        assert b[off : off + 32] == samples[i]
+
+
+def test_mp4_sample_index_co64():
+    from ocr_spark.operators.media_probe import mp4_sample_index
+
+    samples = _planted(5)
+    b = synth_mp4(video_samples=samples, force_co64=True)
+    idx = mp4_sample_index(b)
+    for i in range(5):
+        off, sz = int(idx["offset"][i]), int(idx["size"][i])
+        assert b[off : off + sz] == samples[i]
+
+
+def test_mp4_sample_index_raises_without_tables():
+    from ocr_spark.operators.media_probe import mp4_sample_index
+
+    with pytest.raises(ValueError, match="stsz"):
+        mp4_sample_index(synth_mp4())  # metadata-only synth: no stbl tables
+    with pytest.raises(ValueError, match="stsz"):
+        mp4_sample_index(synth_mp4(video_samples=_planted(3)), handler="soun")
+    with pytest.raises(ValueError, match="not an ISO-BMFF"):
+        mp4_sample_index(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_mp4_sample_index_truncated_table():
+    from ocr_spark.operators.media_probe import mp4_sample_index
+
+    b = bytearray(synth_mp4(video_samples=_planted(6), samples_per_chunk=2))
+    # corrupt the stsz sample count upward so the size table under-covers
+    at = bytes(b).find(b"stsz")
+    assert at > 0
+    b[at + 12 : at + 16] = (1000).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="truncated"):
+        mp4_sample_index(bytes(b))
+
+
+def test_mp4_probe_reports_frame_count():
+    p = mp4_probe(synth_mp4(video_samples=_planted(9), fps=30.0))
+    assert p["n_frames"] == 9
+    assert p["duration_sec"] == pytest.approx(0.3)
+    # metadata-only synth keeps the old contract (no frame count)
+    assert mp4_probe(synth_mp4())["n_frames"] is None
+
+
+def test_video_frame_index_spark_surface(spark):
+    from ocr_spark.operators.multimodal import video_frame_index
+
+    samples = _planted(10)
+    good = synth_mp4(video_samples=samples, keyframe_every=4)
+    trunc = bytearray(synth_mp4(video_samples=samples))[: 80]  # mdat cut short
+    # keep the header walkable: ftyp survives, moov is gone
+    rows = [
+        ("v1.mp4", bytearray(good)),
+        ("v2.bad", bytearray(b"not a video")),
+        ("v3.cut", trunc),
+    ]
+    df = spark.createDataFrame(rows, "media_ref string, content binary")
+
+    out = video_frame_index(df, with_payload=True).collect()
+    by_ref = {}
+    for r in out:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    v1 = sorted(by_ref["v1.mp4"], key=lambda r: r["frame_idx"])
+    assert len(v1) == 10 and all(r["error"] is None for r in v1)
+    for i, r in enumerate(v1):
+        assert bytes(r["payload"]) == samples[i]
+        assert r["is_keyframe"] == (i % 4 == 0)
+        assert r["n_frames"] == 10 and r["codec"] == "avc1"
+    # non-BMFF asset: one envelope row, batch survives
+    (v2,) = by_ref["v2.bad"]
+    assert v2["frame_idx"] is None and "ValueError" in v2["error"]
+    (v3,) = by_ref["v3.cut"]
+    assert v3["error"] is not None
+
+    # keyframe-only sampling composed with a stride and a cap
+    kf = video_frame_index(
+        df.where("media_ref = 'v1.mp4'"),
+        keyframes_only=True,
+        every_n=2,
+        max_frames=2,
+        with_payload=False,
+    ).collect()
+    assert sorted(r["frame_idx"] for r in kf) == [0, 8]
+    assert all(r["payload"] is None and r["is_keyframe"] for r in kf)
+
+
+def test_video_frame_index_truncated_mdat_row_level_error(spark):
+    from ocr_spark.operators.multimodal import video_frame_index
+
+    samples = _planted(4, base=50)
+    b = bytearray(synth_mp4(video_samples=samples))
+    # inflate the LAST per-sample stsz entry so its byte range runs past the
+    # payload (the crawl artifact: mdat cut short / size field lies) — the
+    # index still parses; only the out-of-range sample errors row-level
+    at = bytes(b).find(b"stsz")
+    last = at + 16 + 4 * (len(samples) - 1)
+    b[last : last + 4] = (1 << 20).to_bytes(4, "big")
+    df = spark.createDataFrame(
+        [("t.mp4", b)], "media_ref string, content binary"
+    )
+    rows = sorted(
+        video_frame_index(df, with_payload=True).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(rows) == 4
+    assert [r["error"] is None for r in rows] == [True, True, True, False]
+    assert bytes(rows[0]["payload"]) == samples[0]
+    assert "truncated mdat" in rows[3]["error"] and rows[3]["payload"] is None
