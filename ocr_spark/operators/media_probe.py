@@ -546,6 +546,23 @@ def mp4_probe(content: bytes) -> dict:
                                     trk["codec"] = content[sb + 12 : sb + 16].decode(
                                         "latin-1"
                                     )
+                                # avc1/avc3 sample entries carry an avcC
+                                # record; its SPS states the CODED size
+                                if trk["codec"] in ("avc1", "avc3"):
+                                    es = sb + 8  # first sample entry
+                                    (esz,) = struct.unpack_from(">I", content, es)
+                                    kids = es + 86  # after VisualSampleEntry
+                                    if kids < es + esz <= se:
+                                        avcc = _find_box(
+                                            content, kids, es + esz, b"avcC"
+                                        )
+                                        if avcc:
+                                            try:
+                                                trk["avc"] = avcc_parse(
+                                                    content[avcc[0] : avcc[1]]
+                                                )
+                                            except ValueError:
+                                                pass
                             stsz = _find_box(content, *stbl, b"stsz")
                             if stsz and stsz[1] - stsz[0] >= 12:
                                 (trk["n_samples"],) = struct.unpack_from(
@@ -555,6 +572,10 @@ def mp4_probe(content: bytes) -> dict:
     vid = next((t for t in tracks if t["handler"] == "vide"), None)
     aud = next((t for t in tracks if t["handler"] == "soun"), None)
     codec = (vid or aud or {"codec": None})["codec"]
+    avc = (vid or {}).get("avc")
+    if avc and not (width and height):
+        # tkhd display size absent/zero: the SPS coded size is authoritative
+        width, height = avc["width"], avc["height"]
     return {
         "container": "mp4",
         "brand": brand,
@@ -731,6 +752,232 @@ def _parse_stbl(data: bytes, sb: int, se: int, timescale: int) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# AVC / H.264 sequence parameter set (ISO 14496-10 §7.3.2.1, 14496-15 avcC)
+# ---------------------------------------------------------------------------
+#
+# The avc1 sample entry carries an AVCDecoderConfigurationRecord whose SPS
+# states the CODED resolution (tkhd is the display size and is routinely
+# 0×0 or anamorphic in crawled files). Parsing it needs only an exp-Golomb
+# reader — no decoder.
+
+_HIGH_PROFILES = frozenset((100, 110, 122, 244, 44, 83, 86, 118, 128,
+                            138, 139, 134, 135))
+
+
+class _BitReader:
+    """MSB-first bit reader with ue(v)/se(v) exp-Golomb (§9.1)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("SPS: bitstream exhausted")
+            v = (v << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("SPS: exp-Golomb run too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) >> 1 if k & 1 else -(k >> 1)
+
+
+def _strip_emulation(nal: bytes) -> bytes:
+    """Remove 00 00 03 emulation-prevention bytes from an RBSP (§7.4.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in nal:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue  # the 0x03 is an escape, not payload
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def avc_sps_parse(nal: bytes) -> dict:
+    """Parse an SPS NAL unit (with or without its 1-byte NAL header) down
+    to the coded picture size: profile/level, chroma format, macroblock
+    grid, frame cropping. Returns {"profile_idc", "level_idc", "width",
+    "height", "chroma_format_idc"}."""
+    if not nal:
+        raise ValueError("SPS: empty NAL")
+    body = nal[1:] if (nal[0] & 0x1F) == 7 else nal
+    r = _BitReader(_strip_emulation(body))
+    profile = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma = 1  # 4:2:0 default when not signalled
+    if profile in _HIGH_PROFILES:
+        chroma = r.ue()
+        if chroma == 3:
+            r.u(1)  # separate_colour_plane_flag
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            for i in range(8 if chroma != 3 else 12):
+                if r.u(1):  # seq_scaling_list_present_flag[i]
+                    size = 16 if i < 6 else 64
+                    last, nxt = 8, 8
+                    for _ in range(size):
+                        if nxt != 0:
+                            nxt = (last + r.se() + 256) % 256
+                        last = nxt if nxt else last
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        r.u(1)  # delta_pic_order_always_zero_flag
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    pw = r.ue()  # pic_width_in_mbs_minus1
+    ph = r.ue()  # pic_height_in_map_units_minus1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    sub_w, sub_h = {0: (1, 1), 1: (2, 2), 2: (2, 1), 3: (1, 1)}[chroma]
+    unit_x = 1 if chroma == 0 else sub_w
+    unit_y = (1 if chroma == 0 else sub_h) * (2 - frame_mbs_only)
+    width = (pw + 1) * 16 - unit_x * (crop_l + crop_r)
+    height = (2 - frame_mbs_only) * (ph + 1) * 16 - unit_y * (crop_t + crop_b)
+    return {
+        "profile_idc": profile,
+        "level_idc": level,
+        "chroma_format_idc": chroma,
+        "width": width,
+        "height": height,
+    }
+
+
+def avcc_parse(body: bytes) -> dict:
+    """AVCDecoderConfigurationRecord (ISO 14496-15 §5.3.3.1): profile/level
+    plus the first SPS parsed for the coded size."""
+    if len(body) < 7 or body[0] != 1:
+        raise ValueError("avcC: bad configuration record")
+    n_sps = body[5] & 0x1F
+    if n_sps < 1:
+        raise ValueError("avcC: no SPS")
+    (sps_len,) = struct.unpack_from(">H", body, 6)
+    if 8 + sps_len > len(body):
+        raise ValueError("avcC: SPS truncated")
+    info = avc_sps_parse(body[8 : 8 + sps_len])
+    info["n_sps"] = n_sps
+    return info
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v: int) -> None:
+        code = v + 1
+        n = code.bit_length()
+        self.u(0, n - 1)
+        self.u(code, n)
+
+    def bytes_rbsp(self) -> bytes:
+        bits = self.bits + [1]  # rbsp_stop_one_bit
+        while len(bits) % 8:
+            bits.append(0)
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            raw.append(int("".join(map(str, bits[i : i + 8])), 2))
+        # insert emulation-prevention bytes (§7.4.1, inverse of strip)
+        out = bytearray()
+        zeros = 0
+        for b in raw:
+            if zeros >= 2 and b <= 3:
+                out.append(3)
+                zeros = 0
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
+        return bytes(out)
+
+
+def synth_avc_sps(
+    width: int, height: int, profile_idc: int = 66, level_idc: int = 30
+) -> bytes:
+    """Write a spec-conformant baseline-profile SPS NAL for the given coded
+    size (frame_mbs_only, 4:2:0; right/bottom cropping when the size is not
+    a macroblock multiple) — the round-trip fixture for avc_sps_parse."""
+    w = _BitWriter()
+    w.u(0x67, 8)  # NAL header: nal_ref_idc=3, type=7 (SPS)
+    w.u(profile_idc, 8)
+    w.u(0, 8)  # constraint flags
+    w.u(level_idc, 8)
+    w.ue(0)  # sps id
+    if profile_idc in _HIGH_PROFILES:
+        w.ue(1)  # chroma_format_idc = 4:2:0
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.u(0, 1)  # qpprime_y_zero_transform_bypass_flag
+        w.u(0, 1)  # seq_scaling_matrix_present_flag
+    w.ue(4)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type
+    w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    if width <= 0 or height <= 0 or width % 2 or height % 2:
+        raise ValueError("synth_avc_sps: 4:2:0 coded sizes must be positive even")
+    mb_w, mb_h = -(-width // 16), -(-height // 16)
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(1, 1)  # direct_8x8_inference_flag
+    crop_r, crop_b = mb_w * 16 - width, mb_h * 16 - height
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_r // 2)  # CropUnitX = 2 at 4:2:0
+        w.ue(0)
+        w.ue(crop_b // 2)  # CropUnitY = 2 (frame_mbs_only)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present_flag
+    return w.bytes_rbsp()
+
+
+def synth_avcc(sps: bytes, profile_idc: int = 66, level_idc: int = 30) -> bytes:
+    """AVCDecoderConfigurationRecord wrapping one SPS + a minimal PPS."""
+    pps = b"\x68\xce\x38\x80"  # NAL type 8; contents opaque to the parser
+    return (
+        bytes([1, profile_idc, 0, level_idc, 0xFC | 3, 0xE0 | 1])
+        + struct.pack(">H", len(sps))
+        + sps
+        + bytes([1])
+        + struct.pack(">H", len(pps))
+        + pps
+    )
+
+
 def _box(btype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + btype + body
 
@@ -751,6 +998,7 @@ def synth_mp4(
     samples_per_chunk: int = 4,
     keyframe_every: int = 0,
     force_co64: bool = False,
+    with_avcc: bool = False,
 ) -> bytes:
     """Build a minimal valid ISO-BMFF tree (ftyp + moov with a video and an
     audio trak) for probe fixtures. With `video_samples`, the layout becomes
@@ -837,7 +1085,21 @@ def synth_mp4(
             + b"\x00\x00\x00\x00",
         )
         hdlr = _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12 + b"probe\x00")
-        entry = struct.pack(">I", 16) + codec + b"\x00" * 8
+        if with_avcc and handler == b"vide":
+            # full VisualSampleEntry (ISO 14496-12 §12.1.3) + avcC child
+            avcc = _box(b"avcC", synth_avcc(synth_avc_sps(w, h)))
+            ve = (
+                b"\x00" * 6 + struct.pack(">H", 1)  # data_reference_index
+                + b"\x00" * 16
+                + struct.pack(">HH", w, h)
+                + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+                + b"\x00" * 4 + struct.pack(">H", 1)  # frame_count
+                + b"\x00" * 32  # compressorname
+                + struct.pack(">Hh", 0x0018, -1)
+            )
+            entry = struct.pack(">I", 8 + len(ve) + len(avcc)) + codec + ve + avcc
+        else:
+            entry = struct.pack(">I", 16) + codec + b"\x00" * 8
         stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
         tables = sample_boxes if handler == b"vide" else b""
         stbl = _box(b"stbl", stsd + tables)

@@ -549,3 +549,85 @@ def test_video_frame_index_truncated_mdat_row_level_error(spark):
     assert [r["error"] is None for r in rows] == [True, True, True, False]
     assert bytes(rows[0]["payload"]) == samples[0]
     assert "truncated mdat" in rows[3]["error"] and rows[3]["payload"] is None
+
+
+# --- AVC SPS / avcC (coded resolution without a decoder) --------------------
+
+
+def test_avc_sps_round_trip_sizes():
+    from ocr_spark.operators.media_probe import avc_sps_parse, synth_avc_sps
+
+    # MB-multiple and cropped sizes, baseline and high profile
+    for w, h in [(1920, 1080), (1280, 720), (640, 360), (426, 240), (322, 178)]:
+        for profile in (66, 100):
+            info = avc_sps_parse(synth_avc_sps(w, h, profile_idc=profile))
+            assert (info["width"], info["height"]) == (w, h)
+            assert info["profile_idc"] == profile
+    with pytest.raises(ValueError):
+        synth_avc_sps(641, 360)  # odd coded size invalid at 4:2:0
+    with pytest.raises(ValueError):
+        avc_sps_parse(b"")
+
+
+def test_avc_emulation_prevention_round_trip():
+    from ocr_spark.operators.media_probe import (
+        _strip_emulation,
+        avc_sps_parse,
+        synth_avc_sps,
+    )
+
+    # level_idc=0 puts a 0x00 byte early; wide sizes add long zero runs —
+    # the writer must escape any 00 00 0[0-3] and the reader must unescape
+    sps = synth_avc_sps(4096, 2048, level_idc=0)
+    info = avc_sps_parse(sps)
+    assert (info["width"], info["height"]) == (4096, 2048)
+    assert _strip_emulation(b"\x00\x00\x03\x01") == b"\x00\x00\x01"
+    assert _strip_emulation(b"\x00\x00\x02") == b"\x00\x00\x02"
+
+
+def test_avcc_record_parse():
+    from ocr_spark.operators.media_probe import (
+        avcc_parse,
+        synth_avc_sps,
+        synth_avcc,
+    )
+
+    rec = synth_avcc(synth_avc_sps(854, 480), profile_idc=66, level_idc=31)
+    info = avcc_parse(rec)
+    assert info["width"] == 854 and info["height"] == 480
+    assert info["n_sps"] == 1
+    with pytest.raises(ValueError, match="configuration"):
+        avcc_parse(b"\x02\x42\x00\x1e")
+
+
+def test_mp4_probe_sps_coded_size_fallback():
+    import struct as _s
+
+    b = bytearray(synth_mp4(width=854, height=480, with_avcc=True))
+    p = mp4_probe(bytes(b))
+    # tkhd present: display size wins, avc info still exposed on the track
+    assert (p["width"], p["height"]) == (854, 480)
+    assert p["tracks"][0]["avc"]["profile_idc"] == 66
+
+    # zero out the tkhd display size (routine in crawled files) → the SPS
+    # coded size is the fallback
+    at = bytes(b).find(b"tkhd")
+    te = at + 4 + _s.unpack_from(">I", b, at - 4)[0] - 8
+    b[te - 8 : te] = b"\x00" * 8
+    p2 = mp4_probe(bytes(b))
+    assert (p2["width"], p2["height"]) == (854, 480)
+
+    # metadata-only synth keeps the old contract: no avc record
+    assert "avc" not in mp4_probe(synth_mp4())["tracks"][0]
+
+
+def test_mp4_sample_tables_compose_with_avcc():
+    from ocr_spark.operators.media_probe import mp4_sample_index
+
+    samples = _planted(6)
+    b = synth_mp4(video_samples=samples, with_avcc=True, keyframe_every=3)
+    idx = mp4_sample_index(b)
+    assert idx["n"] == 6 and idx["codec"] == "avc1"
+    for i in range(6):
+        off, sz = int(idx["offset"][i]), int(idx["size"][i])
+        assert b[off : off + sz] == samples[i]
