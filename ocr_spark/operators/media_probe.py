@@ -638,18 +638,41 @@ def mp4_sample_index(content: bytes, handler: str = "vide") -> dict:
             hdlr = _find_box(content, *mdia, b"hdlr")
             if not hdlr or content[hdlr[0] + 8 : hdlr[0] + 12] != want:
                 continue
-            timescale = 0
-            mdhd = _find_box(content, *mdia, b"mdhd")
-            if mdhd:
-                hb, _ = mdhd
-                off = 20 if content[hb] == 1 else 12
-                (timescale,) = struct.unpack_from(">I", content, hb + off)
-            minf = _find_box(content, *mdia, b"minf")
-            stbl = _find_box(content, *minf, b"stbl") if minf else None
-            if not stbl:
-                raise ValueError(f"trak {handler!r}: no sample table")
-            return _parse_stbl(content, *stbl, timescale)
+            try:
+                timescale = 0
+                mdhd = _find_box(content, *mdia, b"mdhd")
+                if mdhd:
+                    hb, _ = mdhd
+                    off = 20 if content[hb] == 1 else 12
+                    (timescale,) = struct.unpack_from(">I", content, hb + off)
+                minf = _find_box(content, *mdia, b"minf")
+                stbl = _find_box(content, *minf, b"stbl") if minf else None
+                if not stbl:
+                    raise ValueError(f"trak {handler!r}: no sample table")
+                return _parse_stbl(content, *stbl, timescale)
+            except struct.error as e:
+                # truncated fixed-width header inside a box: keep the
+                # documented ValueError-only contract
+                raise ValueError(f"ISO-BMFF: truncated header ({e})") from e
     raise ValueError(f"no {handler!r} track with a sample table")
+
+
+# sanity cap on sample counts taken from 32-bit header fields before any
+# allocation sizes off them: 2^28 frames is >100 days of 25 fps video —
+# anything larger is a corrupt table, not a movie
+_MAX_SAMPLES = 1 << 28
+
+
+def _cap_runs(counts: np.ndarray, n: int) -> np.ndarray:
+    """Clip run-length counts so their sum is exactly min(sum, n) — the
+    expansion never allocates beyond the n samples actually indexed."""
+    cum = np.cumsum(counts)
+    if len(cum) and cum[-1] > n:
+        k = int(np.searchsorted(cum, n))
+        counts = counts.copy()
+        counts[k] -= int(cum[k] - n)
+        counts[k + 1 :] = 0
+    return counts
 
 
 def _parse_stbl(data: bytes, sb: int, se: int, timescale: int) -> dict:
@@ -669,6 +692,8 @@ def _parse_stbl(data: bytes, sb: int, se: int, timescale: int) -> dict:
     if ze - zb < 8:
         raise ValueError("stsz: truncated")
     const_size, n = struct.unpack_from(">II", data, zb)
+    if n > _MAX_SAMPLES:
+        raise ValueError(f"stsz: implausible sample count {n}")
     if const_size:
         sizes = np.full(n, const_size, dtype=np.int64)
     else:
@@ -711,8 +736,11 @@ def _parse_stbl(data: bytes, sb: int, se: int, timescale: int) -> dict:
         if first < 0 or first > n_chunks:
             raise ValueError("stsc: first_chunk out of range")
         spc[first:last] = runs[i, 1]
+    spc = _cap_runs(spc, n)  # never expand past the n samples indexed
     if spc.sum() < n:
         raise ValueError(f"stsc×stco cover {int(spc.sum())} samples < stsz {n}")
+    if (chunk_off < 0).any():
+        raise ValueError("stco/co64: chunk offset overflows int64")
 
     # per-sample offsets: chunk base + exclusive within-chunk size cumsum
     chunk_idx = np.repeat(np.arange(n_chunks), spc)[:n]
@@ -726,7 +754,7 @@ def _parse_stbl(data: bytes, sb: int, se: int, timescale: int) -> dict:
     tb, te = _full_box_body(data, *boxes[b"stts"], "stts")
     (n_tt,) = struct.unpack_from(">I", data, tb)
     tt = _u32s(data, tb + 4, 2 * n_tt, te, "stts").reshape(n_tt, 2)
-    deltas = np.repeat(tt[:, 1], tt[:, 0])
+    deltas = np.repeat(tt[:, 1], _cap_runs(tt[:, 0].copy(), n))
     if len(deltas) < n:
         raise ValueError(f"stts covers {len(deltas)} samples < stsz {n}")
     times = np.concatenate(([0], np.cumsum(deltas[:n])))[:-1]
@@ -859,11 +887,17 @@ def avc_sps_parse(nal: bytes) -> dict:
     crop_l = crop_r = crop_t = crop_b = 0
     if r.u(1):  # frame_cropping_flag
         crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    if chroma > 3:
+        raise ValueError(f"SPS: invalid chroma_format_idc {chroma}")
     sub_w, sub_h = {0: (1, 1), 1: (2, 2), 2: (2, 1), 3: (1, 1)}[chroma]
     unit_x = 1 if chroma == 0 else sub_w
     unit_y = (1 if chroma == 0 else sub_h) * (2 - frame_mbs_only)
     width = (pw + 1) * 16 - unit_x * (crop_l + crop_r)
     height = (2 - frame_mbs_only) * (ph + 1) * 16 - unit_y * (crop_t + crop_b)
+    # ue(v) fields are unbounded garbage in corrupt streams; a coded size
+    # outside the 16-bit range every container field uses is not a picture
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(f"SPS: implausible coded size {width}x{height}")
     return {
         "profile_idc": profile,
         "level_idc": level,
@@ -876,7 +910,7 @@ def avc_sps_parse(nal: bytes) -> dict:
 def avcc_parse(body: bytes) -> dict:
     """AVCDecoderConfigurationRecord (ISO 14496-15 §5.3.3.1): profile/level
     plus the first SPS parsed for the coded size."""
-    if len(body) < 7 or body[0] != 1:
+    if len(body) < 8 or body[0] != 1:
         raise ValueError("avcC: bad configuration record")
     n_sps = body[5] & 0x1F
     if n_sps < 1:
@@ -1045,9 +1079,14 @@ def synth_mp4(
             stsz = _full(
                 b"stsz", struct.pack(">II", 0, nv) + struct.pack(f">{nv}I", *sizes)
             )
-        stsc_rows = [(1, samples_per_chunk, 1)]
-        if nv and nv % samples_per_chunk:
-            stsc_rows.append((n_chunks, nv % samples_per_chunk, 1))
+        # first_chunk must be strictly increasing (ISO 14496-12 §8.7.4): a
+        # single short chunk gets ONE row, not a same-chunk override
+        if n_chunks <= 1:
+            stsc_rows = [(1, nv, 1)]
+        else:
+            stsc_rows = [(1, samples_per_chunk, 1)]
+            if nv % samples_per_chunk:
+                stsc_rows.append((n_chunks, nv % samples_per_chunk, 1))
         stsc = _full(
             b"stsc",
             struct.pack(">I", len(stsc_rows))

@@ -405,7 +405,10 @@ def video_frame_index(
     straight out of `mdat` for a downstream decoder to consume. One
     mapInPandas stage, per-asset error envelope; a sample range that runs
     past the payload (truncated crawl artifact) keeps its index row with a
-    per-ROW error instead of killing the asset. Decode of the coded frames
+    per-ROW error instead of killing the asset, and an asset whose track
+    indexes to zero selected frames still emits ONE accounting row
+    (frame_idx null, n_frames set) so per-asset joins never lose it.
+    Decode of the coded frames
     themselves stays stubbed pending a codec library (same boundary as
     decode_image's non-stdlib formats; ref: the reference loads any
     PIL-supported media, ocr_workflow_orchestrator.py:153-178)."""
@@ -437,10 +440,22 @@ def video_frame_index(
                 sel = sel[:: max(1, every_n)]
                 if max_frames is not None:
                     sel = sel[:max_frames]
+                if not sel:
+                    # per-asset accounting row: "had no frames to sample"
+                    # is distinguishable from "asset was dropped"
+                    emit(ref, n_frames=idx["n"], codec=idx["codec"])
+                    continue
                 for i in sel:
                     off, sz = int(idx["offset"][i]), int(idx["size"][i])
                     payload = err = None
-                    if off + sz > len(data):
+                    # corrupt tables produce negative offsets (co64 int64
+                    # wrap) or int32-overflowing sizes — both must stay
+                    # row-level errors, never a silent wrong slice or a
+                    # dead Arrow batch (n_bytes is an int32 column)
+                    if off < 0 or sz < 0 or sz > 0x7FFFFFFF:
+                        err = f"sample {i}: corrupt range (offset={off}, size={sz})"
+                        off = sz = None
+                    elif off + sz > len(data):
                         err = (
                             f"sample {i} range [{off}, {off + sz}) beyond "
                             f"payload of {len(data)} bytes (truncated mdat)"

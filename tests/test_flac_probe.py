@@ -631,3 +631,146 @@ def test_mp4_sample_tables_compose_with_avcc():
     for i in range(6):
         off, sz = int(idx["offset"][i]), int(idx["size"][i])
         assert b[off : off + sz] == samples[i]
+
+
+# --- session-7 review fixes (corrupt-table hardening) ------------------------
+
+
+def test_stsz_implausible_count_raises_before_alloc():
+    import struct as _s
+
+    from ocr_spark.operators.media_probe import mp4_sample_index
+
+    b = bytearray(synth_mp4(video_samples=[b"x" * 32] * 4))
+    at = bytes(b).find(b"stsz")
+    # constant-size form with a 4-billion sample count: must be a
+    # ValueError, not a 34 GB np.full
+    b[at + 8 : at + 16] = _s.pack(">II", 32, 0xFFFFFFF0)
+    with pytest.raises(ValueError, match="implausible sample count"):
+        mp4_sample_index(bytes(b))
+
+
+def test_stts_huge_run_capped_not_allocated():
+    import struct as _s
+
+    from ocr_spark.operators.media_probe import mp4_sample_index
+
+    b = bytearray(synth_mp4(video_samples=_planted(4)))
+    at = bytes(b).find(b"stts")
+    # one run claiming 4 billion samples: expansion is capped at n, and the
+    # index still round-trips (coverage >= n is all stts must provide)
+    b[at + 12 : at + 16] = _s.pack(">I", 0xFFFFFFF0)
+    idx = mp4_sample_index(bytes(b))
+    assert idx["n"] == 4
+
+
+def test_co64_wrapped_offset_raises():
+    import struct as _s
+
+    from ocr_spark.operators.media_probe import mp4_sample_index
+
+    b = bytearray(synth_mp4(video_samples=_planted(4), force_co64=True))
+    at = bytes(b).find(b"co64")
+    b[at + 12 : at + 20] = _s.pack(">Q", 1 << 63)  # wraps negative in int64
+    with pytest.raises(ValueError, match="int64"):
+        mp4_sample_index(bytes(b))
+
+
+def test_sps_garbage_is_valueerror_and_probe_survives():
+    from ocr_spark.operators.media_probe import (
+        _BitWriter,
+        avc_sps_parse,
+        avcc_parse,
+        synth_avcc,
+    )
+
+    # chroma_format_idc=4 (high profile): ValueError, never KeyError
+    w = _BitWriter()
+    w.u(0x67, 8); w.u(100, 8); w.u(0, 8); w.u(30, 8)
+    w.ue(0)   # sps id
+    w.ue(4)   # chroma_format_idc out of range
+    w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1)
+    w.ue(4); w.ue(0); w.ue(4); w.ue(1); w.u(0, 1)
+    w.ue(39); w.ue(21); w.u(1, 1); w.u(1, 1); w.u(0, 1); w.u(0, 1)
+    with pytest.raises(ValueError, match="chroma"):
+        avc_sps_parse(w.bytes_rbsp())
+
+    # implausible coded size (pic_width_in_mbs ~ 2^20): ValueError
+    w2 = _BitWriter()
+    w2.u(0x67, 8); w2.u(66, 8); w2.u(0, 8); w2.u(30, 8)
+    w2.ue(0); w2.ue(4); w2.ue(0); w2.ue(4); w2.ue(1); w2.u(0, 1)
+    w2.ue((1 << 20) - 1); w2.ue(21); w2.u(1, 1); w2.u(1, 1)
+    w2.u(0, 1); w2.u(0, 1)
+    with pytest.raises(ValueError, match="implausible coded size"):
+        avc_sps_parse(w2.bytes_rbsp())
+
+    # 7-byte avcC record: ValueError, never struct.error
+    with pytest.raises(ValueError, match="configuration"):
+        avcc_parse(bytes([1, 66, 0, 30, 0xFF, 0xE1, 0x00]))
+
+    # a corrupt avcC inside an otherwise-fine mp4 keeps the probe's other
+    # metadata (best-effort catch at the probe level)
+    good = bytearray(synth_mp4(width=854, height=480, with_avcc=True))
+    at = bytes(good).find(b"avcC")
+    good[at + 4] = 2  # bad configurationVersion
+    p = mp4_probe(bytes(good))
+    assert p["duration_sec"] == pytest.approx(5.0)
+    assert "avc" not in p["tracks"][0]
+
+
+def test_synth_stsc_single_chunk_is_one_row():
+    import struct as _s
+
+    b = synth_mp4(video_samples=_planted(3))  # 3 < samples_per_chunk=4
+    at = b.find(b"stsc")
+    (n_runs,) = _s.unpack_from(">I", b, at + 8)
+    assert n_runs == 1  # strictly-increasing first_chunk (one chunk, one row)
+    assert _s.unpack_from(">III", b, at + 12) == (1, 3, 1)
+    from ocr_spark.operators.media_probe import mp4_sample_index
+
+    idx = mp4_sample_index(b)
+    for i in range(3):
+        off, sz = int(idx["offset"][i]), int(idx["size"][i])
+        assert b[off : off + sz] == _planted(3)[i]
+
+
+def test_video_frame_index_corrupt_size_row_error(spark):
+    import struct as _s
+
+    from ocr_spark.operators.multimodal import video_frame_index
+
+    b = bytearray(synth_mp4(video_samples=_planted(4)))
+    at = bytes(b).find(b"stsz")
+    # per-sample form: inflate the 3rd size past int32 — the row must carry
+    # the error (not overflow the int32 n_bytes column and kill the batch)
+    b[at + 16 + 8 : at + 16 + 12] = _s.pack(">I", 0x90000000)
+    df = spark.createDataFrame(
+        [("c.mp4", b), ("ok.mp4", bytearray(synth_mp4(video_samples=_planted(2))))],
+        "media_ref string, content binary",
+    )
+    rows = video_frame_index(df, with_payload=True).collect()
+    bad = [r for r in rows if r["media_ref"] == "c.mp4" and r["frame_idx"] == 2]
+    assert len(bad) == 1 and "corrupt range" in bad[0]["error"]
+    assert bad[0]["n_bytes"] is None
+    ok = [r for r in rows if r["media_ref"] == "ok.mp4"]
+    assert len(ok) == 2 and all(r["error"] is None for r in ok)
+
+
+def test_video_frame_index_zero_frame_accounting_row(spark):
+    from ocr_spark.operators.multimodal import video_frame_index
+
+    df = spark.createDataFrame(
+        [
+            ("empty.mp4", bytearray(synth_mp4(video_samples=[]))),
+            ("capped.mp4", bytearray(synth_mp4(video_samples=_planted(3)))),
+        ],
+        "media_ref string, content binary",
+    )
+    rows = video_frame_index(df, max_frames=0).collect()
+    # BOTH assets surface exactly one accounting row: frame_idx null,
+    # n_frames set, error null — never silently vanish
+    assert len(rows) == 2
+    by = {r["media_ref"]: r for r in rows}
+    assert by["empty.mp4"]["n_frames"] == 0 and by["empty.mp4"]["error"] is None
+    assert by["capped.mp4"]["n_frames"] == 3
+    assert all(r["frame_idx"] is None for r in rows)
