@@ -21,7 +21,13 @@ stubbed where we don't (mp3/ogg/aac payload decode, mp4 video frames):
                Theora marker), duration from the stream's last granule.
   mp4_probe  — ISO-BMFF box walk (32/64-bit sizes), ftyp brand, mvhd
                movie duration, per-trak mdhd/hdlr/stsd (handler, sample-
-               entry fourcc, track duration), tkhd 16.16 display size.
+               entry fourcc, track duration), tkhd 16.16 display size;
+               avcC/hvcC decoder-config records parsed for the AVC/HEVC
+               SPS coded size + profile/level (exp-Golomb, no decoder),
+               the fallback when tkhd is 0x0.
+  mp4_sample_index / video_frame_index (multimodal) — stbl sample tables
+               expanded to per-frame byte ranges: frame sampling and
+               keyframe payload extraction WITHOUT a codec.
   flac_probe / wav_probe — header-only duration/rate/channels (no decode;
                the real decoders live in flac_codec / audio_codecs).
 
@@ -546,20 +552,28 @@ def mp4_probe(content: bytes) -> dict:
                                     trk["codec"] = content[sb + 12 : sb + 16].decode(
                                         "latin-1"
                                     )
-                                # avc1/avc3 sample entries carry an avcC
-                                # record; its SPS states the CODED size
-                                if trk["codec"] in ("avc1", "avc3"):
+                                # avc1/avc3 (hvc1/hev1) sample entries carry
+                                # an avcC (hvcC) record; its SPS states the
+                                # CODED size
+                                _cfg = {
+                                    "avc1": (b"avcC", avcc_parse, "avc"),
+                                    "avc3": (b"avcC", avcc_parse, "avc"),
+                                    "hvc1": (b"hvcC", hvcc_parse, "hevc"),
+                                    "hev1": (b"hvcC", hvcc_parse, "hevc"),
+                                }.get(trk["codec"])
+                                if _cfg:
+                                    btype2, parse, key = _cfg
                                     es = sb + 8  # first sample entry
                                     (esz,) = struct.unpack_from(">I", content, es)
                                     kids = es + 86  # after VisualSampleEntry
                                     if kids < es + esz <= se:
-                                        avcc = _find_box(
-                                            content, kids, es + esz, b"avcC"
+                                        cfg_box = _find_box(
+                                            content, kids, es + esz, btype2
                                         )
-                                        if avcc:
+                                        if cfg_box:
                                             try:
-                                                trk["avc"] = avcc_parse(
-                                                    content[avcc[0] : avcc[1]]
+                                                trk[key] = parse(
+                                                    content[cfg_box[0] : cfg_box[1]]
                                                 )
                                             except ValueError:
                                                 pass
@@ -572,10 +586,10 @@ def mp4_probe(content: bytes) -> dict:
     vid = next((t for t in tracks if t["handler"] == "vide"), None)
     aud = next((t for t in tracks if t["handler"] == "soun"), None)
     codec = (vid or aud or {"codec": None})["codec"]
-    avc = (vid or {}).get("avc")
-    if avc and not (width and height):
+    sps = (vid or {}).get("avc") or (vid or {}).get("hevc")
+    if sps and not (width and height):
         # tkhd display size absent/zero: the SPS coded size is authoritative
-        width, height = avc["width"], avc["height"]
+        width, height = sps["width"], sps["height"]
     return {
         "container": "mp4",
         "brand": brand,
@@ -923,6 +937,94 @@ def avcc_parse(body: bytes) -> dict:
     return info
 
 
+# ---------------------------------------------------------------------------
+# HEVC / H.265 (ISO 23008-2 §7.3.2.2 SPS prefix, ISO 14496-15 §8.3.3 hvcC)
+# ---------------------------------------------------------------------------
+
+
+def hevc_sps_parse(nal: bytes) -> dict:
+    """Parse an HEVC SPS NAL down to the coded picture size: profile/tier/
+    level from profile_tier_level, chroma format, luma dimensions, and the
+    conformance (cropping) window. Stops after the window — everything a
+    size/codec filter needs, nothing a decoder needs."""
+    if len(nal) < 2:
+        raise ValueError("HEVC SPS: empty NAL")
+    body = nal
+    if ((nal[0] >> 1) & 0x3F) == 33:  # NAL header present (2 bytes)
+        body = nal[2:]
+    r = _BitReader(_strip_emulation(body))
+    r.u(4)  # sps_video_parameter_set_id
+    msl = r.u(3)  # sps_max_sub_layers_minus1
+    r.u(1)  # sps_temporal_id_nesting_flag
+    # profile_tier_level(1, msl)
+    r.u(2)  # general_profile_space
+    tier = r.u(1)
+    profile = r.u(5)
+    r.u(32)  # general_profile_compatibility_flags
+    r.u(48)  # general constraint indicator flags
+    level = r.u(8)
+    pp = [r.u(1) for _ in range(msl)]
+    ll = [r.u(1) for _ in range(msl)]
+    if msl:
+        for _ in range(msl, 8):
+            r.u(2)  # reserved_zero_2bits
+    for i in range(msl):
+        if pp[i]:
+            r.u(88)  # sub_layer profile block
+        if ll[i]:
+            r.u(8)  # sub_layer_level_idc
+    r.ue()  # sps_seq_parameter_set_id
+    chroma = r.ue()
+    if chroma > 3:
+        raise ValueError(f"HEVC SPS: invalid chroma_format_idc {chroma}")
+    if chroma == 3:
+        r.u(1)  # separate_colour_plane_flag
+    pw = r.ue()  # pic_width_in_luma_samples
+    ph = r.ue()  # pic_height_in_luma_samples
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # conformance_window_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    sub_w, sub_h = {0: (1, 1), 1: (2, 2), 2: (2, 1), 3: (1, 1)}[chroma]
+    width = pw - sub_w * (crop_l + crop_r)
+    height = ph - sub_h * (crop_t + crop_b)
+    if not (0 < width <= 0xFFFF and 0 < height <= 0xFFFF):
+        raise ValueError(f"HEVC SPS: implausible coded size {width}x{height}")
+    return {
+        "profile_idc": profile,
+        "tier_flag": tier,
+        "level_idc": level,
+        "chroma_format_idc": chroma,
+        "width": width,
+        "height": height,
+    }
+
+
+def hvcc_parse(body: bytes) -> dict:
+    """HEVCDecoderConfigurationRecord: walk the NAL-unit arrays for the
+    first SPS (type 33) and parse it for the coded size."""
+    if len(body) < 23 or body[0] != 1:
+        raise ValueError("hvcC: bad configuration record")
+    n_arrays = body[22]
+    pos = 23
+    for _ in range(n_arrays):
+        if pos + 3 > len(body):
+            raise ValueError("hvcC: array header truncated")
+        nal_type = body[pos] & 0x3F
+        (n_nalus,) = struct.unpack_from(">H", body, pos + 1)
+        pos += 3
+        for _ in range(n_nalus):
+            if pos + 2 > len(body):
+                raise ValueError("hvcC: NAL length truncated")
+            (ln,) = struct.unpack_from(">H", body, pos)
+            pos += 2
+            if pos + ln > len(body):
+                raise ValueError("hvcC: NAL payload truncated")
+            if nal_type == 33:
+                return hevc_sps_parse(body[pos : pos + ln])
+            pos += ln
+    raise ValueError("hvcC: no SPS array")
+
+
 class _BitWriter:
     def __init__(self):
         self.bits: list[int] = []
@@ -997,6 +1099,55 @@ def synth_avc_sps(
         w.u(0, 1)
     w.u(0, 1)  # vui_parameters_present_flag
     return w.bytes_rbsp()
+
+
+def synth_hevc_sps(
+    width: int,
+    height: int,
+    profile_idc: int = 1,
+    level_idc: int = 93,
+    tier: int = 0,
+) -> bytes:
+    """Write the SPS PREFIX `hevc_sps_parse` consumes (through the
+    conformance window + rbsp stop bit) for a 4:2:0 coded size — luma
+    dimensions padded to the 8-sample minimum CB grid with the remainder
+    expressed as a conformance window, exactly as encoders do. A parser
+    fixture, not a decodable SPS (fields past the window are omitted)."""
+    if width <= 0 or height <= 0 or width % 2 or height % 2:
+        raise ValueError("synth_hevc_sps: 4:2:0 coded sizes must be positive even")
+    w = _BitWriter()
+    w.u(0x42, 8)  # NAL header: type 33 (SPS)
+    w.u(0x01, 8)  # nuh_layer_id / temporal_id_plus1
+    w.u(0, 4)  # vps id
+    w.u(0, 3)  # max_sub_layers_minus1
+    w.u(1, 1)  # temporal_id_nesting
+    w.u(0, 2)  # profile_space
+    w.u(tier, 1)
+    w.u(profile_idc, 5)
+    w.u(1 << (31 - profile_idc), 32)  # compatibility flag for own profile
+    w.u(0, 48)  # constraint flags
+    w.u(level_idc, 8)
+    w.ue(0)  # sps id
+    w.ue(1)  # chroma_format_idc = 4:2:0
+    pad_w, pad_h = -(-width // 8) * 8, -(-height // 8) * 8
+    w.ue(pad_w)
+    w.ue(pad_h)
+    if pad_w != width or pad_h != height:
+        w.u(1, 1)  # conformance_window_flag
+        w.ue(0)
+        w.ue((pad_w - width) // 2)  # SubWidthC = 2
+        w.ue(0)
+        w.ue((pad_h - height) // 2)
+    else:
+        w.u(0, 1)
+    return w.bytes_rbsp()
+
+
+def synth_hvcc(sps: bytes) -> bytes:
+    """Minimal HEVCDecoderConfigurationRecord wrapping one SPS array."""
+    head = bytes([1]) + b"\x00" * 21  # version + profile/level fields unused
+    arrays = bytes([1, 0x20 | 33]) + struct.pack(">HH", 1, len(sps)) + sps
+    return head + arrays
 
 
 def synth_avcc(sps: bytes, profile_idc: int = 66, level_idc: int = 30) -> bytes:
@@ -1125,8 +1276,11 @@ def synth_mp4(
         )
         hdlr = _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12 + b"probe\x00")
         if with_avcc and handler == b"vide":
-            # full VisualSampleEntry (ISO 14496-12 §12.1.3) + avcC child
-            avcc = _box(b"avcC", synth_avcc(synth_avc_sps(w, h)))
+            # full VisualSampleEntry (ISO 14496-12 §12.1.3) + codec config
+            if codec in (b"hvc1", b"hev1"):
+                avcc = _box(b"hvcC", synth_hvcc(synth_hevc_sps(w, h)))
+            else:
+                avcc = _box(b"avcC", synth_avcc(synth_avc_sps(w, h)))
             ve = (
                 b"\x00" * 6 + struct.pack(">H", 1)  # data_reference_index
                 + b"\x00" * 16

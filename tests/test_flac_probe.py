@@ -774,3 +774,56 @@ def test_video_frame_index_zero_frame_accounting_row(spark):
     assert by["empty.mp4"]["n_frames"] == 0 and by["empty.mp4"]["error"] is None
     assert by["capped.mp4"]["n_frames"] == 3
     assert all(r["frame_idx"] is None for r in rows)
+
+
+# --- HEVC SPS / hvcC ----------------------------------------------------------
+
+
+def test_hevc_sps_round_trip_sizes():
+    from ocr_spark.operators.media_probe import hevc_sps_parse, synth_hevc_sps
+
+    # CB-grid multiples and conformance-window (cropped) sizes
+    for w, h in [(1920, 1080), (3840, 2160), (1280, 720), (426, 240), (322, 178)]:
+        info = hevc_sps_parse(synth_hevc_sps(w, h))
+        assert (info["width"], info["height"]) == (w, h)
+        assert info["profile_idc"] == 1 and info["chroma_format_idc"] == 1
+    with pytest.raises(ValueError):
+        synth_hevc_sps(641, 360)
+    with pytest.raises(ValueError, match="empty"):
+        hevc_sps_parse(b"")
+
+
+def test_hvcc_record_parse_and_errors():
+    from ocr_spark.operators.media_probe import (
+        hvcc_parse,
+        synth_hevc_sps,
+        synth_hvcc,
+    )
+
+    rec = synth_hvcc(synth_hevc_sps(854, 480, level_idc=120, tier=1))
+    info = hvcc_parse(rec)
+    assert (info["width"], info["height"]) == (854, 480)
+    assert info["level_idc"] == 120 and info["tier_flag"] == 1
+    with pytest.raises(ValueError, match="configuration"):
+        hvcc_parse(b"\x02" + b"\x00" * 30)
+    with pytest.raises(ValueError, match="truncated"):
+        hvcc_parse(rec[: len(rec) - 4])
+    # a record whose arrays hold no SPS
+    with pytest.raises(ValueError, match="no SPS"):
+        hvcc_parse(bytes([1]) + b"\x00" * 21 + bytes([0]))
+
+
+def test_mp4_probe_hevc_coded_size_fallback():
+    import struct as _s
+
+    b = bytearray(
+        synth_mp4(width=854, height=480, with_avcc=True, video_codec=b"hvc1")
+    )
+    p = mp4_probe(bytes(b))
+    assert p["codec"] == "hvc1"
+    assert p["tracks"][0]["hevc"]["profile_idc"] == 1
+    at = bytes(b).find(b"tkhd")
+    te = at + 4 + _s.unpack_from(">I", b, at - 4)[0] - 8
+    b[te - 8 : te] = b"\x00" * 8
+    p2 = mp4_probe(bytes(b))
+    assert (p2["width"], p2["height"]) == (854, 480)
