@@ -21,6 +21,9 @@ Operators:
                       expansion (media_probe.mp4_sample_index) → per-frame
                       time/byte-range/keyframe rows, optional raw coded
                       sample sliced from mdat.
+  audio_segments    — energy-VAD segmentation through the real WAV/FLAC
+                      codecs: per-segment boundary/RMS/peak/clipping rows
+                      for speech-corpus curation.
 """
 
 from __future__ import annotations
@@ -208,6 +211,126 @@ def audio_features(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(gen, schema=AUDIO_FEATURE_SCHEMA)
+
+
+AUDIO_SEGMENT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("seg_idx", T.IntegerType(), True),
+        T.StructField("n_segments", T.IntegerType(), True),
+        T.StructField("start_sec", T.DoubleType(), True),
+        T.StructField("end_sec", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("clip_ratio", T.DoubleType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def segment_audio_array(
+    x: np.ndarray,
+    sr: int,
+    frame_ms: int = 25,
+    threshold_db: float = -35.0,
+    min_len_ms: int = 200,
+    min_gap_ms: int = 150,
+) -> list[dict]:
+    """Energy VAD over a mono float signal in [-1, 1]: frame RMS against a
+    threshold `threshold_db` below the asset's peak frame (with a -60 dBFS
+    absolute floor so silence-only assets yield no segments), consecutive
+    active frames merged, gaps <= min_gap_ms bridged, segments < min_len_ms
+    dropped. Pure numpy (reshape + run-length over a boolean), deterministic.
+    Returns [{start_sec, end_sec, rms, peak, clip_ratio}, ...]."""
+    spf = max(1, int(sr * frame_ms / 1000))
+    n_frames = len(x) // spf
+    if n_frames == 0:
+        return []
+    fr = x[: n_frames * spf].reshape(n_frames, spf)
+    rms = np.sqrt(np.mean(fr * fr, axis=1))
+    peak_rms = float(rms.max())
+    floor = 10.0 ** (-60.0 / 20.0)
+    thresh = max(peak_rms * 10.0 ** (threshold_db / 20.0), floor)
+    active = rms > thresh
+    if not active.any():
+        return []
+    # run-length: segment starts/ends from the diff of the padded boolean
+    edges = np.diff(np.concatenate(([0], active.view(np.int8), [0])))
+    starts, ends = np.flatnonzero(edges == 1), np.flatnonzero(edges == -1)
+    # bridge short gaps, then drop short segments (in frames)
+    max_gap = min_gap_ms // frame_ms
+    merged = [[int(starts[0]), int(ends[0])]]
+    for s, e in zip(starts[1:], ends[1:]):
+        if s - merged[-1][1] <= max_gap:
+            merged[-1][1] = int(e)
+        else:
+            merged.append([int(s), int(e)])
+    min_frames = max(1, min_len_ms // frame_ms)
+    out = []
+    for s, e in merged:
+        if e - s < min_frames:
+            continue
+        seg = x[s * spf : e * spf]
+        out.append(
+            {
+                "start_sec": s * spf / sr,
+                "end_sec": e * spf / sr,
+                "rms": float(np.sqrt(np.mean(seg * seg))),
+                "peak": float(np.abs(seg).max()),
+                "clip_ratio": float(np.mean(np.abs(seg) >= 32767.0 / 32768.0)),
+            }
+        )
+    return out
+
+
+def audio_segments(
+    assets: DataFrame,
+    frame_ms: int = 25,
+    threshold_db: float = -35.0,
+    min_len_ms: int = 200,
+    min_gap_ms: int = 150,
+) -> DataFrame:
+    """Voice/sound-activity segmentation for speech-corpus curation: decode
+    (real WAV/G.711/ADPCM/FLAC codecs), energy-VAD the mono mix, emit one
+    row per segment with per-segment RMS/peak/clipping stats — the shape a
+    100-TB audio crawl needs: segment boundaries and keep/drop stats come
+    out of ONE Arrow stage, and only kept segment ranges ever reach an
+    expensive ASR/embedding stage. Per-asset error envelope; an asset with
+    zero segments (all-silence) keeps ONE accounting row (seg_idx null,
+    n_segments 0) — the video_frame_index convention."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in AUDIO_SEGMENT_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+
+            def emit(ref, **kw):
+                row = dict.fromkeys(cols)
+                row["media_ref"] = ref
+                row.update(kw)
+                rows.append(row)
+
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                try:
+                    samples, sr = decode_audio(content)
+                    if not sr or not len(samples):
+                        emit(ref, n_segments=0)
+                        continue
+                    x = samples.astype(np.float64).mean(axis=1) / 32768.0
+                    segs = segment_audio_array(
+                        x, sr, frame_ms, threshold_db, min_len_ms, min_gap_ms
+                    )
+                except Exception as e:
+                    emit(ref, error=f"{type(e).__name__}: {e}")
+                    continue
+                if not segs:
+                    emit(ref, n_segments=0)
+                    continue
+                for i, s in enumerate(segs):
+                    emit(ref, seg_idx=i, n_segments=len(segs), **s)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.mapInPandas(gen, schema=AUDIO_SEGMENT_SCHEMA)
 
 
 def media_assets_df(docs: DataFrame, backend: str = "synthetic") -> DataFrame:
