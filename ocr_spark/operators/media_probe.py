@@ -963,8 +963,12 @@ def hevc_sps_parse(nal: bytes) -> dict:
     r.u(32)  # general_profile_compatibility_flags
     r.u(48)  # general constraint indicator flags
     level = r.u(8)
-    pp = [r.u(1) for _ in range(msl)]
-    ll = [r.u(1) for _ in range(msl)]
+    # §7.3.3: the present flags are INTERLEAVED per sub-layer (pp0, ll0,
+    # pp1, ll1, …), not grouped
+    pp, ll = [], []
+    for _ in range(msl):
+        pp.append(r.u(1))
+        ll.append(r.u(1))
     if msl:
         for _ in range(msl, 8):
             r.u(2)  # reserved_zero_2bits

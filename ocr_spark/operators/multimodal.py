@@ -235,13 +235,18 @@ def segment_audio_array(
     threshold_db: float = -35.0,
     min_len_ms: int = 200,
     min_gap_ms: int = 150,
+    stats_x: np.ndarray | None = None,
 ) -> list[dict]:
     """Energy VAD over a mono float signal in [-1, 1]: frame RMS against a
     threshold `threshold_db` below the asset's peak frame (with a -60 dBFS
     absolute floor so silence-only assets yield no segments), consecutive
     active frames merged, gaps <= min_gap_ms bridged, segments < min_len_ms
     dropped. Pure numpy (reshape + run-length over a boolean), deterministic.
-    Returns [{start_sec, end_sec, rms, peak, clip_ratio}, ...]."""
+    Returns [{start_sec, end_sec, rms, peak, clip_ratio}, ...].
+
+    `stats_x`: optional (n, ch) per-channel array the peak/clip stats are
+    taken over (clipping lives per channel; a stereo downmix hides it) —
+    VAD and rms always run on `x`, the mono mix."""
     spf = max(1, int(sr * frame_ms / 1000))
     n_frames = len(x) // spf
     if n_frames == 0:
@@ -271,13 +276,14 @@ def segment_audio_array(
         if e - s < min_frames:
             continue
         seg = x[s * spf : e * spf]
+        stat = seg if stats_x is None else stats_x[s * spf : e * spf]
         out.append(
             {
                 "start_sec": s * spf / sr,
                 "end_sec": e * spf / sr,
                 "rms": float(np.sqrt(np.mean(seg * seg))),
-                "peak": float(np.abs(seg).max()),
-                "clip_ratio": float(np.mean(np.abs(seg) >= 32767.0 / 32768.0)),
+                "peak": float(np.abs(stat).max()),
+                "clip_ratio": float(np.mean(np.abs(stat) >= 32767.0 / 32768.0)),
             }
         )
     return out
@@ -316,9 +322,10 @@ def audio_segments(
                     if not sr or not len(samples):
                         emit(ref, n_segments=0)
                         continue
-                    x = samples.astype(np.float64).mean(axis=1) / 32768.0
+                    chans = samples.astype(np.float64) / 32768.0
                     segs = segment_audio_array(
-                        x, sr, frame_ms, threshold_db, min_len_ms, min_gap_ms
+                        chans.mean(axis=1), sr, frame_ms, threshold_db,
+                        min_len_ms, min_gap_ms, stats_x=chans,
                     )
                 except Exception as e:
                     emit(ref, error=f"{type(e).__name__}: {e}")

@@ -107,3 +107,37 @@ def test_audio_segments_spark_surface(spark):
 
     (d,) = out["d.bad"]
     assert d["error"] is not None and d["seg_idx"] is None
+
+
+def test_per_channel_clipping_not_hidden_by_downmix():
+    # ch0 hard-clipped square, ch1 quiet: the stereo mean never clips, but
+    # the per-channel stats must report it
+    n = SR  # 1 s
+    ch0 = np.tile(np.array([32767, -32768] * 40), n // 80).astype(np.float64)
+    ch1 = (4000 * np.sin(2 * np.pi * 440 * np.arange(len(ch0)) / SR))
+    stereo = np.stack([ch0, ch1], axis=1) / 32768.0
+    mono = stereo.mean(axis=1)
+    segs = segment_audio_array(mono, SR, stats_x=stereo)
+    assert len(segs) == 1
+    assert segs[0]["clip_ratio"] == pytest.approx(0.5, abs=0.01)
+    assert segs[0]["peak"] == pytest.approx(1.0, abs=1e-4)
+    # without stats_x the downmix hides it — the exact failure reviewed
+    hidden = segment_audio_array(mono, SR)
+    assert hidden[0]["clip_ratio"] == 0.0
+
+
+def test_audio_segments_stereo_clip_spark(spark):
+    from ocr_spark.operators.audio_codecs import wav_encode
+    from ocr_spark.operators.multimodal import audio_segments
+
+    n = SR
+    ch0 = np.tile(np.array([32767, -32768] * 40), n // 80).astype(np.int16)
+    ch1 = (4000 * np.sin(2 * np.pi * 440 * np.arange(len(ch0)) / SR)).astype(
+        np.int16
+    )
+    wav = wav_encode(np.stack([ch0, ch1], axis=1), SR, "pcm16")
+    df = spark.createDataFrame(
+        [("s.wav", bytearray(wav))], "media_ref string, content binary"
+    )
+    (r,) = audio_segments(df).collect()
+    assert r["clip_ratio"] == pytest.approx(0.5, abs=0.01)

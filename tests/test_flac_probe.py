@@ -827,3 +827,24 @@ def test_mp4_probe_hevc_coded_size_fallback():
     b[te - 8 : te] = b"\x00" * 8
     p2 = mp4_probe(bytes(b))
     assert (p2["width"], p2["height"]) == (854, 480)
+
+
+def test_hevc_sps_interleaved_sublayer_flags():
+    from ocr_spark.operators.media_probe import _BitWriter, hevc_sps_parse
+
+    # msl=2 with per-sub-layer (profile, level) flags INTERLEAVED per
+    # H.265 §7.3.3: (pp0=1, ll0=1), (pp1=0, ll1=0) — a grouped read
+    # miscounts the 88/8-bit skips and exhausts the bitstream
+    w = _BitWriter()
+    w.u(0x42, 8); w.u(0x01, 8)          # NAL header
+    w.u(0, 4); w.u(2, 3); w.u(1, 1)     # vps id, msl=2, nesting
+    w.u(0, 2); w.u(0, 1); w.u(1, 5)     # profile space/tier/idc
+    w.u(0, 32); w.u(0, 48); w.u(93, 8)  # compat, constraints, level
+    w.u(1, 1); w.u(1, 1)                # sub-layer 0: pp=1, ll=1
+    w.u(0, 1); w.u(0, 1)                # sub-layer 1: pp=0, ll=0
+    w.u(0, 12)                          # reserved_zero_2bits ×6
+    w.u(0, 88); w.u(0, 8)               # sub-layer 0 profile + level
+    w.ue(0); w.ue(1)                    # sps id, chroma 4:2:0
+    w.ue(1920); w.ue(1080); w.u(0, 1)   # luma size, no conf window
+    info = hevc_sps_parse(w.bytes_rbsp())
+    assert (info["width"], info["height"]) == (1920, 1080)
