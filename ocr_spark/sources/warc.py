@@ -30,7 +30,9 @@ reader — the roundtrip is what the correctness row locks.
 
 from __future__ import annotations
 
+import codecs as _codecs
 import io
+import re as _re
 import zlib
 
 CRLF = b"\r\n"
@@ -228,18 +230,107 @@ def _parse_http(block: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
+# WHATWG-style charset sniffing. Label map: the WHATWG Encoding standard
+# folds the whole Latin-1 family (iso-8859-1, latin1, ascii, us-ascii, and
+# the empty label) into windows-1252, and bare "utf-16" into the LE variant.
+# x-user-defined is windows-1252 for extraction purposes (its PUA mapping
+# exists for legacy font hacks; the ASCII half — the extractable text — is
+# identical).
+_CHARSET_LABELS = {
+    "utf8": "utf-8",
+    "utf-8": "utf-8",
+    "iso-8859-1": "cp1252",
+    "iso8859-1": "cp1252",
+    "latin1": "cp1252",
+    "latin-1": "cp1252",
+    "ascii": "cp1252",
+    "us-ascii": "cp1252",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+    "x-user-defined": "cp1252",
+    "utf-16": "utf-16-le",
+    "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+}
+
+# WHATWG windows-1252 is total: the five bytes Python's cp1252 leaves
+# undefined (81 8D 8F 90 9D) map to the corresponding C1 controls.
+def _c1_passthrough(exc):
+    return (
+        "".join(chr(b) for b in exc.object[exc.start : exc.end]),
+        exc.end,
+    )
+
+
+_codecs.register_error("ocr_spark_c1", _c1_passthrough)
+
+# meta prescan (HTML spec "determining the character encoding" step 6):
+# <meta charset=X> or <meta http-equiv=content-type content="...charset=X">
+# — one pattern catches both, bounded to the first 1024 bytes.
+_META_CHARSET_RE = _re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9_:.\-]+)",
+    _re.IGNORECASE,
+)
+
+
+def _charset_from_label(label: str | None) -> str | None:
+    if not label:
+        return None
+    return _CHARSET_LABELS.get(label.strip(" \"'").lower())
+
+
 def _decode_text(body: bytes, content_type: str | None) -> str:
-    """Decode a textual HTTP body: charset= parameter, else utf-8, else
-    latin-1 (never raises — a crawl always contains mislabeled pages)."""
-    cs = "utf-8"
+    """Decode a textual HTTP body, WHATWG sniffing order (never raises —
+    a crawl always contains mislabeled pages):
+
+    1. BOM (UTF-8 / UTF-16 LE / UTF-16 BE) wins over every label;
+    2. transport-layer charset= parameter;
+    3. in-content <meta charset> prescan of the first 1024 bytes (HTML
+       bodies / unlabeled payloads);
+    4. strict UTF-8;
+    5. windows-1252 (total — every byte decodes, C1 passthrough for the
+       five bytes Python leaves undefined).
+
+    One deliberate deviation from the letter of the spec: when the labeled
+    encoding is the single-byte cp1252 family but the body is valid UTF-8
+    containing non-ASCII, UTF-8 wins — mislabeled UTF-8 is rampant in
+    crawls and multi-byte sequences that happen to form valid UTF-8 are
+    vanishingly rare in genuine cp1252 text (CCNet makes the same call)."""
+    if body.startswith(b"\xef\xbb\xbf"):
+        return body[3:].decode("utf-8", "replace")
+    if body.startswith(b"\xff\xfe"):
+        return body[2:].decode("utf-16-le", "replace")
+    if body.startswith(b"\xfe\xff"):
+        return body[2:].decode("utf-16-be", "replace")
+
+    label = None
     if content_type and "charset=" in content_type:
-        cs = content_type.split("charset=", 1)[1].split(";")[0].strip(" \"'")
-    for enc in (cs, "utf-8", "latin-1"):
+        label = content_type.split("charset=", 1)[1].split(";")[0]
+    enc = _charset_from_label(label)
+    if enc is None:
+        m = _META_CHARSET_RE.search(body[:1024])
+        if m:
+            # spec: an in-content utf-16 label is treated as utf-8 (a
+            # meta tag readable as ASCII can't be telling the truth)
+            meta = _charset_from_label(m.group(1).decode("latin-1"))
+            enc = "utf-8" if meta in ("utf-16-le", "utf-16-be") else meta
+
+    if enc == "cp1252" or enc is None:
         try:
-            return body.decode(enc)
-        except (UnicodeDecodeError, LookupError):
-            continue
-    return body.decode("utf-8", "replace")
+            text = body.decode("utf-8")
+            if enc is None or not text.isascii():
+                return text
+        except UnicodeDecodeError:
+            pass
+        return body.decode("cp1252", "ocr_spark_c1")
+    try:
+        return body.decode(enc)
+    except UnicodeDecodeError:
+        pass
+    try:
+        return body.decode("utf-8")
+    except UnicodeDecodeError:
+        return body.decode("cp1252", "ocr_spark_c1")
 
 
 def parse_warc_buffer(buf: bytes):

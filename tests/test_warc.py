@@ -98,6 +98,57 @@ class TestHttpParse:
         # invalid-everywhere bytes never raise
         assert isinstance(_decode_text(b"\xff\xfe\xfd", "text/html"), str)
 
+    def test_bom_beats_label(self):
+        # WHATWG: a BOM wins over every transport/in-content label
+        assert _decode_text(
+            b"\xef\xbb\xbf" + "café".encode("utf-8"),
+            "text/html; charset=ISO-8859-1",
+        ) == "café"
+        assert _decode_text(
+            b"\xff\xfe" + "hé".encode("utf-16-le"),
+            "text/html; charset=utf-8",
+        ) == "hé"
+        assert _decode_text(
+            b"\xfe\xff" + "hé".encode("utf-16-be"), None
+        ) == "hé"
+
+    def test_meta_charset_prescan(self):
+        html = '<html><head><meta charset="iso-8859-1"></head>café'.encode(
+            "latin-1"
+        )
+        assert "café" in _decode_text(html, "text/html")
+        html2 = (
+            '<meta http-equiv="Content-Type" '
+            'content="text/html; charset=windows-1252">d’oh'
+        ).encode("cp1252")
+        assert "d’oh" in _decode_text(html2, None)
+        # an in-content utf-16 label is a lie (the tag itself read as
+        # ASCII) — spec says treat it as utf-8
+        html3 = '<meta charset="utf-16">café'.encode("utf-8")
+        assert "café" in _decode_text(html3, None)
+
+    def test_utf16_label_without_bom(self):
+        assert _decode_text(
+            "hi".encode("utf-16-le"), "text/html; charset=utf-16"
+        ) == "hi"
+        assert _decode_text(
+            "hi".encode("utf-16-be"), "text/html; charset=UTF-16BE"
+        ) == "hi"
+
+    def test_cp1252_c1_passthrough_total(self):
+        # the five bytes Python's cp1252 rejects decode as C1 controls —
+        # windows-1252 must be total so the fallback can never raise
+        out = _decode_text(b"a\x81\x8d\x8f\x90\x9db", "text/plain; charset=windows-1252")
+        assert out == "a\x81\x8d\x8f\x90\x9db"
+        # curly quote: the byte cp1252 and latin-1 disagree on
+        assert _decode_text(b"\x93hi\x94", None) == "“hi”"
+
+    def test_x_user_defined_ascii_half(self):
+        assert _decode_text(b"plain", "text/html; charset=x-user-defined") == "plain"
+
+    def test_unknown_label_falls_through(self):
+        assert _decode_text("café".encode("utf-8"), "text/html; charset=bogus-enc") == "café"
+
     def test_header_case_insensitive(self):
         raw = (b"HTTP/1.1 200 OK\r\ncontent-TYPE: text/html\r\n"
                b"CONTENT-length: 2\r\n\r\nhiXX")
