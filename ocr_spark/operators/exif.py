@@ -370,6 +370,38 @@ def insert_exif(jpeg: bytes, tiff_block: bytes) -> bytes:
     return jpeg[:2] + seg + jpeg[2:]
 
 
+def apply_exif_orientation(img, orientation: int | None):
+    """Rotate/flip pixels upright per the TIFF orientation tag (1-8) —
+    cameras store sensor-order pixels and record how to display them; a
+    vision stage that ignores the tag trains on sideways images. Accepts
+    (H,W) or (H,W,C) arrays; values outside 1-8 (or None) pass through.
+
+    Tag semantics (row-0/col-0 placement, TIFF 6.0 §orientation):
+      1 top-left (no-op)   2 top-right (mirror H)   3 bottom-right (180°)
+      4 bottom-left (mirror V)   5 left-top (transpose)
+      6 right-top (rot 90° CW)   7 right-bottom (transverse)
+      8 left-bottom (rot 90° CCW)"""
+    import numpy as np
+
+    if orientation is None or not 2 <= orientation <= 8:
+        return img
+    x = np.asarray(img)
+    hw_axes = (0, 1)
+    if orientation == 2:
+        return np.flip(x, axis=1)
+    if orientation == 3:
+        return np.flip(x, axis=hw_axes)
+    if orientation == 4:
+        return np.flip(x, axis=0)
+    if orientation == 5:
+        return np.swapaxes(x, 0, 1)
+    if orientation == 6:
+        return np.flip(np.swapaxes(x, 0, 1), axis=1)  # 90 CW
+    if orientation == 7:
+        return np.flip(np.swapaxes(x, 0, 1), axis=hw_axes)
+    return np.flip(np.swapaxes(x, 0, 1), axis=0)  # 8: 90 CCW
+
+
 # ---------------------------------------------------------------------------
 # Spark surfaces
 # ---------------------------------------------------------------------------

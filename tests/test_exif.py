@@ -183,3 +183,51 @@ class TestSparkSurfaces:
         assert bytes(out["img.png"].content).startswith(b"\x89PNG")
         assert out["img.png"].n_bytes_removed == 0
         assert out["bad.jpg"].error is not None and out["bad.jpg"].content is None
+
+
+class TestOrientation:
+    """apply_exif_orientation: each tag, applied to the stored pixels,
+    must reproduce the upright original — verified by round-tripping the
+    INVERSE transform (what a camera does when writing the file)."""
+
+    @staticmethod
+    def _store(upright, orientation):
+        # inverse of apply: produce the sensor-order pixels a camera would
+        # store alongside this orientation tag
+        import numpy as np
+
+        inv = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}[orientation]
+        from ocr_spark.operators.exif import apply_exif_orientation
+
+        return apply_exif_orientation(upright, inv)
+
+    @pytest.mark.parametrize("orientation", list(range(1, 9)))
+    @pytest.mark.parametrize("channels", [None, 3])
+    def test_round_trip_every_tag(self, orientation, channels):
+        from ocr_spark.operators.exif import apply_exif_orientation
+
+        rng = np.arange(5 * 7 * (channels or 1), dtype=np.uint8)
+        upright = rng.reshape((5, 7) if channels is None else (5, 7, channels))
+        stored = self._store(upright, orientation)
+        assert np.array_equal(
+            apply_exif_orientation(stored, orientation), upright
+        ), orientation
+
+    def test_passthrough_values(self):
+        from ocr_spark.operators.exif import apply_exif_orientation
+
+        img = np.ones((3, 4), dtype=np.uint8)
+        for o in (None, 0, 1, 9, -1):
+            assert apply_exif_orientation(img, o) is img or np.array_equal(
+                apply_exif_orientation(img, o), img
+            )
+
+    def test_tag6_is_90_clockwise(self):
+        # concrete anchor: a 2x3 stored image rotated 90 CW becomes 3x2
+        # with the first stored column ending up as the last row reversed
+        from ocr_spark.operators.exif import apply_exif_orientation
+
+        stored = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+        out = apply_exif_orientation(stored, 6)
+        assert out.shape == (3, 2)
+        assert out.tolist() == [[4, 1], [5, 2], [6, 3]]
