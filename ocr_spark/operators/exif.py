@@ -137,6 +137,18 @@ def _gps_degrees(dms: list[float], ref: str | None) -> float | None:
     return -deg if ref.upper() in ("S", "W") else deg
 
 
+_NO_EXIF = {
+    "orientation": None,
+    "make": None,
+    "model": None,
+    "software": None,
+    "datetime": None,
+    "datetime_original": None,
+    "gps_lat": None,
+    "gps_lon": None,
+}
+
+
 def tiff_exif_parse(data: bytes) -> dict:
     """Parse a TIFF block (the APP1 payload after 'Exif\\0\\0', or a bare
     .tif file) into the curation tag dict. Unknown tags are skipped."""
@@ -153,16 +165,7 @@ def tiff_exif_parse(data: bytes) -> dict:
     (ifd0_off,) = struct.unpack_from(bo + "I", data, 4)
     ifd0, _ = _read_ifd(data, ifd0_off, bo)
 
-    out: dict = {
-        "orientation": None,
-        "make": None,
-        "model": None,
-        "software": None,
-        "datetime": None,
-        "datetime_original": None,
-        "gps_lat": None,
-        "gps_lon": None,
-    }
+    out: dict = dict(_NO_EXIF)
     if _TAG_ORIENTATION in ifd0:
         out["orientation"] = _u16(data, bo, ifd0[_TAG_ORIENTATION])
     for tag, key in (
@@ -198,7 +201,9 @@ _STANDALONE = frozenset([0xD8, 0xD9, 0x01]) | frozenset(range(0xD0, 0xD8))
 def _jpeg_segments(data: bytes) -> Iterator[tuple[int, int, int]]:
     """Yield (marker, start, end) for each segment before SOS; the caller
     handles the entropy tail. start/end span the whole segment including
-    the FF-marker bytes."""
+    the FF-marker bytes. Legal 0xFF fill bytes before a marker (ISO
+    10918-1 B.1.1.2) are skipped; callers that rewrite must copy the gaps
+    between yielded spans verbatim."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     yield 0xD8, 0, 2
@@ -207,6 +212,10 @@ def _jpeg_segments(data: bytes) -> Iterator[tuple[int, int, int]]:
     while pos + 2 <= n:
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        while pos + 2 <= n and data[pos + 1] == 0xFF:
+            pos += 1  # fill byte run: FF FF ... FF <marker>
+        if pos + 2 > n:
+            return
         marker = data[pos + 1]
         if marker in _STANDALONE:
             yield marker, pos, pos + 2
@@ -223,44 +232,98 @@ def _jpeg_segments(data: bytes) -> Iterator[tuple[int, int, int]]:
             return
 
 
-_NO_EXIF = {
-    "orientation": None,
-    "make": None,
-    "model": None,
-    "software": None,
-    "datetime": None,
-    "datetime_original": None,
-    "gps_lat": None,
-    "gps_lon": None,
-}
+# ---------------------------------------------------------------------------
+# PNG / WebP chunk walks — both containers carry EXIF in a dedicated chunk
+# (PNG eXIf holds a bare TIFF block; WebP EXIF holds a TIFF block with an
+# optional "Exif\0\0" prefix), removable chunk-granular without recoding.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(raw: bytes) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (type, start, end) spans covering each chunk (length + type +
+    data + crc). Bounds-checked; stops at IEND."""
+    pos, n = 8, len(raw)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack_from(">I", raw, pos)
+        typ = raw[pos + 4 : pos + 8]
+        end = pos + 12 + ln
+        if ln > n or end > n:
+            raise ValueError("PNG chunk length out of range")
+        yield typ, pos, end
+        pos = end
+        if typ == b"IEND":
+            return
+    raise ValueError("PNG truncated (no IEND chunk)")
+
+
+def _webp_chunks(raw: bytes) -> Iterator[tuple[bytes, int, int, int]]:
+    """Yield (fourcc, start, data_end, padded_end) for each RIFF chunk."""
+    pos, n = 12, len(raw)
+    while pos + 8 <= n:
+        fourcc = raw[pos : pos + 4]
+        (ln,) = struct.unpack_from("<I", raw, pos + 4)
+        data_end = pos + 8 + ln
+        end = data_end + (ln & 1)
+        if data_end > n:
+            raise ValueError("WebP chunk length out of range")
+        yield fourcc, pos, data_end, min(end, n)
+        pos = end
 
 
 def exif_parse(content: bytes) -> dict:
-    """EXIF tags from a JPEG (APP1 walk) or bare TIFF. A JPEG with no
-    EXIF APP1 yields the all-None dict — absence is data, not an error."""
+    """EXIF tags from a JPEG (APP1 walk), bare TIFF, PNG (eXIf chunk) or
+    WebP (EXIF chunk). Formats that cannot carry EXIF (GIF, BMP) and
+    EXIF-free files yield the all-None dict — absence is data, not an
+    error; only corrupt/unrecognized payloads raise ValueError."""
     if content[:4] in (b"II*\x00", b"MM\x00*"):
         return tiff_exif_parse(content)
-    for marker, s, e in _jpeg_segments(content):
-        if marker == 0xE1 and content[s + 4 : s + 10] == b"Exif\x00\x00":
-            return tiff_exif_parse(content[s + 10 : e])
-    return dict(_NO_EXIF)
+    if content[:2] == b"\xff\xd8":
+        for marker, s, e in _jpeg_segments(content):
+            if marker == 0xE1 and content[s + 4 : s + 10] == b"Exif\x00\x00":
+                return tiff_exif_parse(content[s + 10 : e])
+        return dict(_NO_EXIF)
+    if content[:8] == _PNG_SIG:
+        for typ, s, e in _png_chunks(content):
+            if typ == b"eXIf":
+                return tiff_exif_parse(content[s + 8 : e - 4])
+        return dict(_NO_EXIF)
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        for cc, s, de, _e in _webp_chunks(content):
+            if cc == b"EXIF":
+                blk = content[s + 8 : de]
+                if blk.startswith(b"Exif\x00\x00"):
+                    blk = blk[6:]
+                return tiff_exif_parse(blk)
+        return dict(_NO_EXIF)
+    if content[:6] in (b"GIF87a", b"GIF89a") or content[:2] == b"BM":
+        return dict(_NO_EXIF)  # no EXIF slot in these containers
+    raise ValueError("unrecognized image container")
 
 
-_XMP_NS = b"http://ns.adobe.com/xap/1.0/"
+# APP1 namespaces to strip: standard XMP AND ExtendedXMP (the >64KB
+# overflow packets phone cameras write — they can carry exif:GPS* too)
+_XMP_PREFIXES = (
+    b"http://ns.adobe.com/xap/1.0/",
+    b"http://ns.adobe.com/xmp/extension/",
+)
 
 
 def exif_strip(content: bytes) -> tuple[bytes, int]:
-    """Remove metadata segments from a JPEG — EXIF APP1, XMP APP1, IPTC/
-    Photoshop APP13 — copying every other byte verbatim (no recode; the
-    entropy-coded pixels are untouched). Returns (stripped, n_removed)."""
+    """Remove metadata segments from a JPEG — EXIF APP1, XMP/ExtendedXMP
+    APP1, IPTC/Photoshop APP13 — copying every other byte verbatim (no
+    recode; the entropy-coded pixels are untouched). Returns
+    (stripped, n_removed)."""
     out = bytearray()
     removed = 0
     last_end = 0
     for marker, s, e in _jpeg_segments(content):
+        out += content[last_end:s]  # fill bytes between segments, verbatim
         body = content[s + 4 : e]
         drop = (
             marker == 0xE1
-            and (body.startswith(b"Exif\x00\x00") or body.startswith(_XMP_NS))
+            and (body.startswith(b"Exif\x00\x00") or body.startswith(_XMP_PREFIXES))
         ) or marker == 0xED
         if drop:
             removed += e - s
@@ -269,6 +332,71 @@ def exif_strip(content: bytes) -> tuple[bytes, int]:
         last_end = e
     out += content[last_end:]  # entropy data + EOI verbatim
     return bytes(out), removed
+
+
+def _png_strip(raw: bytes) -> tuple[bytes, int]:
+    """Remove eXIf chunks from a PNG, chunk-granular (pixels untouched)."""
+    out = bytearray()
+    removed = 0
+    last_end = 8
+    for typ, s, e in _png_chunks(raw):
+        out += raw[last_end:s]
+        if typ == b"eXIf":
+            removed += e - s
+        else:
+            out += raw[s:e]
+        last_end = e
+    if not removed:
+        return raw, 0
+    return _PNG_SIG + bytes(out) + raw[last_end:], removed
+
+
+def _webp_strip(raw: bytes) -> tuple[bytes, int]:
+    """Remove EXIF and XMP chunks from a WebP and clear the matching VP8X
+    feature flags (bit 3 EXIF, bit 2 XMP); the RIFF size header is
+    rewritten to the new length."""
+    out = bytearray(raw[:12])
+    removed = 0
+    vp8x_flags_at = None
+    for cc, s, de, e in _webp_chunks(raw):
+        if cc in (b"EXIF", b"XMP "):
+            removed += e - s
+            continue
+        if cc == b"VP8X" and de - s >= 9:
+            vp8x_flags_at = len(out) + 8
+        out += raw[s:e]
+    if not removed:
+        return raw, 0
+    if vp8x_flags_at is not None:
+        out[vp8x_flags_at] &= ~0x0C  # clear EXIF (0x08) + XMP (0x04)
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    return bytes(out), removed
+
+
+def strip_metadata(content: bytes) -> tuple[bytes, int, str | None]:
+    """Format-dispatching metadata strip -> (payload, n_removed,
+    skipped_reason). JPEG/PNG/WebP strip losslessly; TIFF is SKIPPED with
+    a reason (its metadata tags live in the same IFD tree as the image
+    structure — stripping requires a re-encode, and silence here would be
+    a false all-clear on GPS-bearing files); GIF/BMP have no EXIF slot
+    and pass through clean. Unrecognized payloads raise ValueError."""
+    if content[:2] == b"\xff\xd8":
+        stripped, removed = exif_strip(content)
+        return stripped, removed, None
+    if content[:8] == _PNG_SIG:
+        stripped, removed = _png_strip(content)
+        return stripped, removed, None
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        stripped, removed = _webp_strip(content)
+        return stripped, removed, None
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
+        return content, 0, (
+            "TIFF metadata tags are structural (same IFD tree as the "
+            "image); route through a re-encode to strip"
+        )
+    if content[:6] in (b"GIF87a", b"GIF89a") or content[:2] == b"BM":
+        return content, 0, None
+    raise ValueError("unrecognized image container")
 
 
 # ---------------------------------------------------------------------------
@@ -463,11 +591,14 @@ def image_exif(assets: DataFrame) -> DataFrame:
 
 
 def strip_exif_pii(assets: DataFrame) -> DataFrame:
-    """(media_ref, content, ...) -> STRIP_SCHEMA: JPEG payloads with every
-    metadata segment removed (EXIF + XMP APP1, IPTC APP13), coded pixels
-    byte-identical; non-JPEG payloads pass through unchanged with
-    had_metadata=False (TIFF tags are load-bearing structure — route TIFFs
-    through a re-encode instead). Per-asset error envelope."""
+    """(media_ref, content, ...) -> STRIP_SCHEMA: payloads with every
+    metadata segment removed, coded pixels byte-identical — JPEG (EXIF +
+    XMP/ExtendedXMP APP1, IPTC APP13), PNG (eXIf chunk), WebP (EXIF/XMP
+    chunks + VP8X flag clear). TIFF is NOT silently passed: its tags are
+    load-bearing structure, so the row carries error='SkippedFormat: ...'
+    and had_metadata=null — never a false all-clear on a GPS-bearing
+    file. GIF/BMP (no EXIF slot) pass through clean. Per-asset error
+    envelope for corrupt payloads."""
     import pandas as pd
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -478,16 +609,13 @@ def strip_exif_pii(assets: DataFrame) -> DataFrame:
                 row = dict.fromkeys(cols)
                 row["media_ref"] = ref
                 try:
-                    raw = bytes(content)
-                    if raw[:2] == b"\xff\xd8":
-                        stripped, removed = exif_strip(raw)
-                        row["content"] = stripped
-                        row["n_bytes_removed"] = removed
-                        row["had_metadata"] = removed > 0
+                    stripped, removed, skipped = strip_metadata(bytes(content))
+                    row["content"] = stripped
+                    row["n_bytes_removed"] = removed
+                    if skipped is not None:
+                        row["error"] = f"SkippedFormat: {skipped}"
                     else:
-                        row["content"] = raw
-                        row["n_bytes_removed"] = 0
-                        row["had_metadata"] = False
+                        row["had_metadata"] = removed > 0
                 except Exception as e:
                     row["error"] = f"{type(e).__name__}: {e}"
                 rows.append(row)

@@ -274,9 +274,24 @@ _META_CHARSET_RE = _re.compile(
 
 
 def _charset_from_label(label: str | None) -> str | None:
+    """WHATWG fold for the Latin-1/UTF families; any OTHER label passes
+    through verbatim to Python's codec registry — a correctly-labeled
+    shift_jis/gbk/koi8-r page must decode as labeled, not as cp1252
+    mojibake. Bogus labels surface as LookupError at decode time and fall
+    through the chain (bytes-to-bytes codecs like base64 also raise
+    LookupError from bytes.decode, so they cannot be injected here)."""
     if not label:
         return None
-    return _CHARSET_LABELS.get(label.strip(" \"'").lower())
+    lab = label.strip(" \"'").lower()
+    if not lab:
+        return None
+    if lab in _CHARSET_LABELS:
+        return _CHARSET_LABELS[lab]
+    try:
+        _codecs.lookup(lab)  # unknown label -> None, so meta prescan runs
+    except LookupError:
+        return None
+    return lab
 
 
 def _decode_text(body: bytes, content_type: str | None) -> str:
@@ -291,11 +306,14 @@ def _decode_text(body: bytes, content_type: str | None) -> str:
     5. windows-1252 (total — every byte decodes, C1 passthrough for the
        five bytes Python leaves undefined).
 
-    One deliberate deviation from the letter of the spec: when the labeled
-    encoding is the single-byte cp1252 family but the body is valid UTF-8
-    containing non-ASCII, UTF-8 wins — mislabeled UTF-8 is rampant in
-    crawls and multi-byte sequences that happen to form valid UTF-8 are
-    vanishingly rare in genuine cp1252 text (CCNet makes the same call)."""
+    One deliberate deviation from the letter of the spec: under any label
+    except the UTF-16 family, a body that strict-decodes as UTF-8 is
+    returned as UTF-8 — mislabeled UTF-8 is rampant in crawls, and
+    genuine cp1252/shift_jis/gbk/koi8 text virtually never forms valid
+    multi-byte UTF-8 sequences (CCNet makes the same call). The label is
+    consulted only when the body is NOT valid UTF-8. UTF-16 is exempt
+    because its bodies are routinely UTF-8-invalid anyway and its labels
+    are reliable."""
     if body.startswith(b"\xef\xbb\xbf"):
         return body[3:].decode("utf-8", "replace")
     if body.startswith(b"\xff\xfe"):
@@ -315,22 +333,22 @@ def _decode_text(body: bytes, content_type: str | None) -> str:
             meta = _charset_from_label(m.group(1).decode("latin-1"))
             enc = "utf-8" if meta in ("utf-16-le", "utf-16-be") else meta
 
-    if enc == "cp1252" or enc is None:
+    if enc in ("utf-16-le", "utf-16-be"):
         try:
-            text = body.decode("utf-8")
-            if enc is None or not text.isascii():
-                return text
+            return body.decode(enc)
         except UnicodeDecodeError:
             pass
-        return body.decode("cp1252", "ocr_spark_c1")
-    try:
-        return body.decode(enc)
-    except UnicodeDecodeError:
-        pass
     try:
         return body.decode("utf-8")
     except UnicodeDecodeError:
-        return body.decode("cp1252", "ocr_spark_c1")
+        pass
+    # body is not valid UTF-8: now the label decides (see deviation note)
+    if enc not in (None, "utf-8", "cp1252", "utf-16-le", "utf-16-be"):
+        try:
+            return body.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            pass
+    return body.decode("cp1252", "ocr_spark_c1")
 
 
 def parse_warc_buffer(buf: bytes):

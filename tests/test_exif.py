@@ -130,13 +130,15 @@ class TestHardening:
         with pytest.raises(ValueError, match="byte-order"):
             tiff_exif_parse(b"XX\x2a\x00" + b"\x00" * 8)
 
-    def test_corrupt_jpeg_raises(self):
-        with pytest.raises(ValueError, match="SOI"):
-            exif_parse(b"\x89PNG0000")
+    def test_corrupt_inputs_raise(self):
+        with pytest.raises(ValueError, match="unrecognized"):
+            exif_parse(b"\x89PNG0000")  # 8-byte PNG sig mismatch
         with pytest.raises(ValueError):
             exif_parse(b"\xff\xd8\x00\x00")  # marker desync
         with pytest.raises(ValueError, match="length"):
             exif_parse(b"\xff\xd8\xff\xe1\x00\x01")
+        with pytest.raises(ValueError, match="PNG"):
+            exif_parse(b"\x89PNG\r\n\x1a\nrest")  # bogus chunk length
 
     def test_oversize_exif_block_rejected(self, jpeg):
         with pytest.raises(ValueError, match="too large"):
@@ -164,12 +166,17 @@ class TestSparkSurfaces:
     def test_strip_exif_pii_rows(self, spark, jpeg):
         from ocr_spark.operators.exif import strip_exif_pii
 
+        from ocr_spark.operators.cloud_engine import png_encode
+
         jj = insert_exif(jpeg, exif_build(gps=(1.0, 1.0)))
+        png = png_encode(np.zeros((4, 4), dtype=np.uint8))
         assets = spark.createDataFrame(
             [
                 ("meta.jpg", bytearray(jj)),
                 ("plain.jpg", bytearray(jpeg)),
-                ("img.png", bytearray(b"\x89PNG\r\n\x1a\nrest")),
+                ("img.png", bytearray(png)),
+                ("gps.tif", bytearray(exif_build(gps=(2.0, 3.0)))),
+                ("trunc.png", bytearray(b"\x89PNG\r\n\x1a\nrest")),
                 ("bad.jpg", bytearray(b"\xff\xd8\xff\xe1\x00\x01")),
             ],
             "media_ref string, content binary",
@@ -179,9 +186,14 @@ class TestSparkSurfaces:
         assert out["meta.jpg"].n_bytes_removed == len(jj) - len(out["meta.jpg"].content)
         assert bytes(out["plain.jpg"].content) == jpeg
         assert not out["plain.jpg"].had_metadata
-        # non-JPEG passes through byte-identical
-        assert bytes(out["img.png"].content).startswith(b"\x89PNG")
+        # EXIF-free PNG passes through byte-identical, affirmatively clean
+        assert bytes(out["img.png"].content) == png
         assert out["img.png"].n_bytes_removed == 0
+        assert out["img.png"].had_metadata is False and out["img.png"].error is None
+        # TIFF is a SKIP, never a false all-clear on a GPS-bearing file
+        assert out["gps.tif"].error.startswith("SkippedFormat")
+        assert out["gps.tif"].had_metadata is None
+        assert out["trunc.png"].error is not None
         assert out["bad.jpg"].error is not None and out["bad.jpg"].content is None
 
 
@@ -231,3 +243,113 @@ class TestOrientation:
         out = apply_exif_orientation(stored, 6)
         assert out.shape == (3, 2)
         assert out.tolist() == [[4, 1], [5, 2], [6, 3]]
+
+
+def _webp_with_metadata(exif_tiff: bytes) -> bytes:
+    """Wrap a real VP8L payload in an extended (VP8X) WebP container
+    carrying EXIF + XMP chunks, flags set per spec."""
+    from ocr_spark.operators.webp_codec import webp_encode
+
+    base = webp_encode(
+        (np.arange(8 * 8 * 3).reshape(8, 8, 3) % 256).astype(np.uint8)
+    )
+    vp8l = base[12:]  # the VP8L chunk verbatim
+
+    def chunk(cc, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return cc + struct.pack("<I", len(data)) + data + pad
+
+    vp8x = chunk(b"VP8X", bytes([0x0C, 0, 0, 0]) + b"\x07\x00\x00\x07\x00\x00")
+    exif = chunk(b"EXIF", b"Exif\x00\x00" + exif_tiff)
+    xmp = chunk(b"XMP ", b"<x:xmpmeta/>")
+    body = b"WEBP" + vp8x + exif + xmp + vp8l
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class TestPngWebp:
+    def test_png_exif_roundtrip_and_strip(self):
+        import zlib as _z
+
+        from ocr_spark.operators.cloud_engine import png_encode
+        from ocr_spark.operators.exif import strip_metadata
+
+        img = (np.arange(8 * 8).reshape(8, 8) % 251).astype(np.uint8)
+        base = png_encode(img)
+        blk = exif_build(orientation=5, gps=(12.5, -45.25))
+        chunk = struct.pack(">I", len(blk)) + b"eXIf" + blk
+        chunk += struct.pack(">I", _z.crc32(b"eXIf" + blk))
+        # insert after IHDR (ends at 8 + 25)
+        ihdr_end = 8 + 12 + 13
+        png = base[:ihdr_end] + chunk + base[ihdr_end:]
+        tags = exif_parse(png)
+        assert tags["orientation"] == 5
+        assert abs(tags["gps_lat"] - 12.5) < 2e-6
+        assert abs(tags["gps_lon"] + 45.25) < 2e-6
+        stripped, removed, skipped = strip_metadata(png)
+        assert skipped is None and removed == len(chunk)
+        assert stripped == base
+        assert exif_parse(stripped)["orientation"] is None
+
+    def test_png_without_exif_all_none(self):
+        from ocr_spark.operators.cloud_engine import png_encode
+
+        base = png_encode(np.zeros((4, 4), dtype=np.uint8))
+        assert all(v is None for v in exif_parse(base).values())
+
+    def test_webp_exif_roundtrip_and_strip(self):
+        from ocr_spark.operators.exif import strip_metadata
+        from ocr_spark.operators.webp_codec import webp_decode
+
+        w = _webp_with_metadata(exif_build(orientation=6, gps=(-5.0, 100.5)))
+        tags = exif_parse(w)
+        assert tags["orientation"] == 6
+        assert abs(tags["gps_lat"] + 5.0) < 2e-6
+        stripped, removed, skipped = strip_metadata(w)
+        assert skipped is None and removed > 0
+        assert len(stripped) == len(w) - removed
+        # RIFF size header rewritten, VP8X EXIF/XMP flags cleared
+        assert struct.unpack_from("<I", stripped, 4)[0] == len(stripped) - 8
+        assert stripped[20] & 0x0C == 0
+        assert all(v is None for v in exif_parse(stripped).values())
+        # pixels still decode (container remains valid)
+        assert webp_decode(stripped).shape[:2] == (8, 8)
+
+    def test_tiff_strip_is_skipped_not_all_clear(self):
+        from ocr_spark.operators.exif import strip_metadata
+
+        blk = exif_build(gps=(1.0, 2.0))
+        out, removed, skipped = strip_metadata(blk)
+        assert out == blk and removed == 0
+        assert skipped is not None and "re-encode" in skipped
+
+    def test_gif_bmp_pass_clean(self):
+        from ocr_spark.operators.exif import strip_metadata
+
+        for payload in (b"GIF89a\x01\x00\x01\x00", b"BM\x1e\x00\x00\x00"):
+            assert all(v is None for v in exif_parse(payload).values())
+            out, removed, skipped = strip_metadata(payload)
+            assert out == payload and removed == 0 and skipped is None
+
+
+class TestFillBytesAndExtendedXmp:
+    def test_fill_bytes_between_segments(self, jpeg):
+        # legal FF padding before a marker (ISO 10918-1 B.1.1.2)
+        padded = jpeg[:2] + b"\xff\xff\xff" + jpeg[2:]
+        assert exif_parse(padded) == exif_parse(jpeg)
+        stripped, removed = exif_strip(padded)
+        assert removed == 0 and stripped == padded  # fills preserved
+
+    def test_fill_bytes_with_exif(self, jpeg):
+        jj = insert_exif(jpeg, exif_build(gps=(3.0, 4.0)))
+        padded = jj[:2] + b"\xff\xff" + jj[2:]
+        assert exif_parse(padded)["gps_lat"] is not None
+        stripped, removed = exif_strip(padded)
+        assert exif_parse(stripped)["gps_lat"] is None
+        assert len(stripped) == len(padded) - removed
+
+    def test_extended_xmp_stripped(self, jpeg):
+        ext = b"http://ns.adobe.com/xmp/extension/\x00" + b"G" * 40
+        seg = b"\xff\xe1" + struct.pack(">H", len(ext) + 2) + ext
+        jj = jpeg[:2] + seg + jpeg[2:]
+        stripped, removed = exif_strip(jj)
+        assert removed == len(seg) and stripped == jpeg

@@ -220,3 +220,34 @@ class TestSparkPath:
         errs = [r for r in rows if r.error is not None]
         ok = [r for r in rows if r.warc_type == "response"]
         assert len(errs) == 1 and len(ok) == 4
+
+
+class TestNonLatinCharsets:
+    """Labels outside the WHATWG Latin/UTF fold map pass through to
+    Python's codec registry — a correctly-labeled CJK/Cyrillic page must
+    decode as labeled, never as cp1252 mojibake."""
+
+    def test_shift_jis_label(self):
+        body = "日本語のページ".encode("shift_jis")
+        assert _decode_text(body, "text/html; charset=shift_jis") == "日本語のページ"
+        assert _decode_text(body, "text/html; charset=Shift_JIS") == "日本語のページ"
+
+    def test_gbk_and_koi8r(self):
+        assert _decode_text("中文".encode("gbk"), "text/html; charset=GBK") == "中文"
+        assert _decode_text(
+            "привет".encode("koi8_r"), "text/plain; charset=koi8-r"
+        ) == "привет"
+
+    def test_euc_jp_meta_prescan(self):
+        html = '<meta charset="euc-jp">水'.encode("euc_jp")
+        assert "水" in _decode_text(html, "text/html")
+
+    def test_bogus_transport_label_falls_to_meta(self):
+        # an unknown transport label must not block the meta prescan
+        html = '<meta charset="shift_jis">日本'.encode("shift_jis")
+        assert "日本" in _decode_text(html, "text/html; charset=totally-bogus")
+
+    def test_mislabeled_utf8_as_sjis_falls_back(self):
+        # utf-8 bytes that are NOT valid shift_jis fall through to utf-8
+        body = "héllo • wörld".encode("utf-8")
+        assert _decode_text(body, "text/html; charset=shift_jis") == "héllo • wörld"
