@@ -1,0 +1,350 @@
+"""Office/ebook/markup document extraction goldens (docx/epub/odt/rtf/tex)
++ zip hardening + the one-stage Spark surface."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from ocr_spark.operators.doc_formats import (
+    DOC_TEXT_SCHEMA,
+    docx_extract,
+    document_sniff,
+    document_text,
+    epub_extract,
+    extract_document_bytes,
+    latex_extract,
+    odt_extract,
+    rtf_extract,
+    synth_docx,
+    synth_epub,
+    synth_odt,
+    synth_rtf,
+)
+
+
+class TestDocx:
+    def test_runs_join_and_structure(self):
+        d = synth_docx(
+            [
+                ("Heading1", "Intro"),
+                "Hello world from docx.",
+                ("list", "first item"),
+                ("list2", "nested item"),
+            ],
+            title="My Doc",
+            creator="A. Writer",
+            table=[["a", "b"], ["c", "d"]],
+        )
+        info = docx_extract(d)
+        assert info["text"] == (
+            "# Intro\nHello world from docx.\n- first item\n  - nested item\n"
+            "a | b\nc | d"
+        )
+        assert info["title"] == "My Doc"
+        assert info["creator"] == "A. Writer"
+        assert info["n_blocks"] == 6
+
+    def test_tab_br_and_preserved_space(self):
+        doc = (
+            '<?xml version="1.0"?>'
+            '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+            "<w:body><w:p><w:r>"
+            '<w:t xml:space="preserve">lead </w:t><w:tab/>'
+            "<w:t>mid</w:t><w:br/><w:t>tail</w:t>"
+            "</w:r></w:p></w:body></w:document>"
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("word/document.xml", doc)
+        info = docx_extract(buf.getvalue())
+        assert info["text"] == "lead \tmid\ntail"
+
+    def test_instr_and_deleted_text_skipped(self):
+        doc = (
+            '<?xml version="1.0"?>'
+            '<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">'
+            "<w:body><w:p><w:r>"
+            "<w:instrText>HYPERLINK foo</w:instrText>"
+            "<w:delText>gone</w:delText><w:t>kept</w:t>"
+            "</w:r></w:p></w:body></w:document>"
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("word/document.xml", doc)
+        assert docx_extract(buf.getvalue())["text"] == "kept"
+
+    def test_missing_document_xml_raises(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("other.xml", "<x/>")
+        with pytest.raises(ValueError, match="word/document.xml"):
+            docx_extract(buf.getvalue())
+
+    def test_corrupt_zip_raises(self):
+        with pytest.raises(ValueError, match="bad zip"):
+            docx_extract(b"PK\x03\x04garbage-not-a-zip")
+
+
+class TestZipHardening:
+    def test_entry_inflate_cap(self, monkeypatch):
+        import ocr_spark.operators.doc_formats as DF
+
+        monkeypatch.setattr(DF, "MAX_ENTRY_BYTES", 1024)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+            # 1 MiB of zeros deflates to ~1 KiB: a bomb-shaped payload
+            zf.writestr("word/document.xml", b"\x00" * (1 << 20))
+        with pytest.raises(ValueError, match="exceeds"):
+            docx_extract(buf.getvalue())
+
+    def test_entry_count_cap(self, monkeypatch):
+        import ocr_spark.operators.doc_formats as DF
+
+        monkeypatch.setattr(DF, "MAX_ZIP_ENTRIES", 3)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for i in range(5):
+                zf.writestr(f"f{i}", b"x")
+        with pytest.raises(ValueError, match="entry count"):
+            docx_extract(buf.getvalue())
+
+
+class TestEpub:
+    def test_spine_order_and_all_blocks_kept(self):
+        # 2-word paragraph: boilerplate scoring would drop it; book text keeps it
+        e = synth_epub(
+            [("ch1", "<h1>One</h1><p>First chapter text.</p>"),
+             ("ch2", "<p>He left.</p>")],
+            title="Novel", creator="B. Author",
+        )
+        info = epub_extract(e)
+        assert info["text"] == "One\nFirst chapter text.\n\nHe left."
+        assert info["title"] == "Novel"
+        assert info["creator"] == "B. Author"
+        assert info["lang"] == "en"
+        assert info["n_blocks"] == 2
+
+    def test_href_url_escape_and_subdir(self):
+        e = synth_epub([("my chapter", "<p>Spaced href works.</p>")])
+        # rewrite the OPF href with %20 escaping to prove unquoting
+        zf = zipfile.ZipFile(io.BytesIO(e))
+        entries = {n: zf.read(n) for n in zf.namelist()}
+        entries["OEBPS/content.opf"] = entries["OEBPS/content.opf"].replace(
+            b"text/my chapter.xhtml", b"text/my%20chapter.xhtml"
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z2:
+            for n, d in entries.items():
+                z2.writestr(n, d)
+        assert epub_extract(buf.getvalue())["text"] == "Spaced href works."
+
+    def test_nonlinear_spine_item_skipped(self):
+        e = synth_epub([("a", "<p>Main text here.</p>"), ("b", "<p>Cover page.</p>")])
+        raw = zipfile.ZipFile(io.BytesIO(e)).read("OEBPS/content.opf")
+        patched = raw.replace(
+            b'<itemref idref="c1"/>', b'<itemref idref="c1" linear="no"/>'
+        )
+        buf = io.BytesIO()
+        zf = zipfile.ZipFile(io.BytesIO(e))
+        with zipfile.ZipFile(buf, "w") as z2:
+            for n in zf.namelist():
+                z2.writestr(n, patched if n == "OEBPS/content.opf" else zf.read(n))
+        assert epub_extract(buf.getvalue())["text"] == "Main text here."
+
+    def test_missing_container_raises(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("mimetype", "application/epub+zip")
+        with pytest.raises(ValueError, match="container.xml"):
+            epub_extract(buf.getvalue())
+
+
+class TestOdt:
+    def test_structure(self):
+        o = synth_odt(
+            [("h", 2, "Head"), "Body para one.", ("list", ["x", "y"])],
+            title="OD", table=[["p", "q"]],
+        )
+        info = odt_extract(o)
+        assert info["text"] == "## Head\nBody para one.\n- x\n- y\np | q"
+        assert info["title"] == "OD"
+
+    def test_space_tab_break_expansion_and_note_skip(self):
+        t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+        o = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+        content = (
+            f'<office:document-content xmlns:office="{o}" xmlns:text="{t}">'
+            "<office:body><office:text>"
+            '<text:p>a<text:s text:c="3"/>b<text:tab/>c<text:line-break/>d'
+            "<text:note><text:p>footnote body</text:p></text:note>!</text:p>"
+            "</office:text></office:body></office:document-content>"
+        )
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+            zf.writestr("content.xml", content)
+        info = odt_extract(buf.getvalue())
+        assert info["text"] == "a   b\tc\nd!"
+
+
+class TestRtf:
+    def test_plain_paragraphs(self):
+        r = synth_rtf(["Hello RTF world.", "Second para."])
+        assert rtf_extract(r)["text"] == "Hello RTF world.\nSecond para."
+
+    def test_destinations_and_hex_escape(self):
+        r = (
+            b"{\\rtf1\\ansi\\ansicpg1252{\\fonttbl{\\f0 X;}}"
+            b"{\\*\\generator Foo 1.0;}{\\info{\\author Hidden}}"
+            b"caf\\'e9 ok\\par}"
+        )
+        assert rtf_extract(r)["text"] == "caf\u00e9 ok"
+
+    def test_codepage_switch(self):
+        # cp1251: 0xcf 0xf0 0xe8 = 'При'
+        r = b"{\\rtf1\\ansi\\ansicpg1251 \\'cf\\'f0\\'e8vet\\par}"
+        assert rtf_extract(r)["text"] == "\u041f\u0440\u0438vet"
+
+    def test_unicode_negative_surrogate_and_uc_skip(self):
+        r = (
+            b"{\\rtf1\\ansi\\uc1 A\\u21543?B \\u-10179?\\u-8704?! \\uc2 \\u65??C}"
+        )
+        got = rtf_extract(r)["text"]
+        # \u21543 -> chr(21543), '?' fallback skipped; surrogate pair folds to
+        # U+1F600; \uc2 makes \u65 swallow TWO fallback chars ('??')
+        assert got == "A" + chr(21543) + "B \U0001f600! AC"
+
+    def test_special_chars_and_table(self):
+        r = (
+            b"{\\rtf1 one\\emdash two\\~three\\_four\\par "
+            b"c1\\cell c2\\cell\\row done}"
+        )
+        assert rtf_extract(r)["text"] == "one\u2014two three-four\nc1\tc2\t\ndone"
+
+    def test_bin_skip(self):
+        r = b"{\\rtf1 pre\\bin5 {\\**}post}"
+        # \bin5 swallows exactly 5 raw bytes ('{\\**}'), then 'post' flows
+        assert rtf_extract(r)["text"] == "prepost"
+
+    def test_uc_state_restored_on_group_close(self):
+        r = b"{\\rtf1\\uc1 {\\uc0 \\u65 }\\u66?C}"
+        # inner group uc=0 (no fallback after \u65); outer uc=1 restored
+        assert rtf_extract(r)["text"] == "ABC"
+
+    def test_not_rtf_raises(self):
+        with pytest.raises(ValueError, match="not an RTF"):
+            rtf_extract(b"plain text")
+
+
+class TestLatex:
+    TEX = rb"""
+\documentclass{article}
+\title{The Paper}
+\usepackage{amsmath}
+\begin{document}
+\section{Intro} % trailing comment
+Text with $x^2$ math and \textbf{bold} words~here. \cite{smith2020}
+\begin{itemize}
+\item one
+\item two
+\end{itemize}
+\begin{equation} E = mc^2 \end{equation}
+\begin{figure}\includegraphics{x.png}\caption{A nice figure}\end{figure}
+Caf\'e and na\"ive, 100\% sure.
+\end{document}
+"""
+
+    def test_full_pass(self):
+        info = latex_extract(self.TEX)
+        assert info["title"] == "The Paper"
+        assert info["text"] == (
+            "# Intro\nText with math and bold words here.\n- one\n- two\n"
+            "A nice figure\nCaf\u00e9 and na\u00efve, 100% sure."
+        )
+
+    def test_verbatim_kept_raw(self):
+        tex = (
+            "\\begin{document}before\n\\begin{verbatim}\nx = $raw\\kept$\n"
+            "\\end{verbatim}\nafter\\end{document}"
+        )
+        got = latex_extract(tex)["text"]
+        assert "x = $raw\\kept$" in got
+        assert "before" in got and "after" in got
+
+    def test_math_and_group_braces_removed(self):
+        got = latex_extract(r"a {\it styled} b \[ displayed \] c $$d$$ e")["text"]
+        assert got == "a styled b c e"
+
+    def test_nested_unwrap_and_url(self):
+        got = latex_extract(r"\emph{\textbf{deep}} \url{http://x.y/z}")["text"]
+        assert got == "deep http://x.y/z"
+
+    def test_texorpdfstring_keeps_tex_arm(self):
+        got = latex_extract(r"\section{\texorpdfstring{$x$ tex}{pdf}}")["text"]
+        assert "pdf" not in got and "tex" in got
+
+
+class TestSniff:
+    def test_all_formats(self):
+        assert document_sniff(synth_docx(["x"])) == "docx"
+        assert document_sniff(synth_epub([("c", "<p>x</p>")])) == "epub"
+        assert document_sniff(synth_odt(["x"])) == "odt"
+        assert document_sniff(synth_rtf(["x"])) == "rtf"
+        assert document_sniff(b"\\documentclass{article}") == "tex"
+        assert document_sniff(b"") is None
+        assert document_sniff(b"just words") is None
+        assert document_sniff(b"PK\x03\x04 broken") is None
+
+    def test_zip_without_doc_markers_is_none(self):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("data.bin", b"x")
+        assert document_sniff(buf.getvalue()) is None
+
+    def test_extract_document_bytes_dispatch(self):
+        info = extract_document_bytes(synth_rtf(["dispatched"]))
+        assert info["format"] == "rtf"
+        assert info["text"] == "dispatched"
+        with pytest.raises(ValueError, match="unrecognized"):
+            extract_document_bytes(b"???")
+
+
+class TestSparkSurface:
+    def test_mixed_formats_and_envelope(self, spark):
+        rows = [
+            ("a.docx", synth_docx(["Doc body text."], title="T1")),
+            ("b.epub", synth_epub([("c", "<p>Epub body text.</p>")], title="T2")),
+            ("c.odt", synth_odt(["Odt body text."])),
+            ("d.rtf", synth_rtf(["Rtf body text."])),
+            ("e.tex", b"\\begin{document}Tex body text.\\end{document}"),
+            ("f.bad", b"not a document at all"),
+            ("g.null", None),
+        ]
+        df = spark.createDataFrame(rows, "media_ref string, content binary")
+        got = {r["media_ref"]: r for r in document_text(df).collect()}
+        assert len(got) == 7
+        assert got["a.docx"]["format"] == "docx"
+        assert got["a.docx"]["title"] == "T1"
+        assert got["a.docx"]["text"] == "Doc body text."
+        assert got["b.epub"]["text"] == "Epub body text."
+        assert got["c.odt"]["text"] == "Odt body text."
+        assert got["d.rtf"]["text"] == "Rtf body text."
+        assert got["e.tex"]["text"] == "Tex body text."
+        for ref in ("f.bad", "g.null"):
+            assert got[ref]["error"] is not None
+            assert got[ref]["text"] is None
+        assert got["a.docx"]["n_chars"] == len("Doc body text.")
+
+    def test_plan_exchange_free(self, spark):
+        df = spark.createDataFrame(
+            [("x", b"{\\rtf1 hi}")], "media_ref string, content binary"
+        )
+        plan = document_text(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_schema_stable(self, spark):
+        df = spark.createDataFrame([], "media_ref string, content binary")
+        assert document_text(df).schema == DOC_TEXT_SCHEMA
