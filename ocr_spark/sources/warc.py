@@ -96,7 +96,9 @@ def build_warc_gz(
     per (target_uri, html_body_bytes). `per_member=True` (Common Crawl
     layout) gzips every record as its own member; False gzips the whole
     archive as one stream (also legal — readers must accept both).
-    `chunked_every=k` stores every k-th response with chunked framing."""
+    `chunked_every=k` stores every k-th response with chunked framing.
+    A record may also be a (uri, body, content_type) triple for non-HTML
+    payloads (office formats etc.)."""
     info_block = (
         f"software: ocr-spark-fixture\r\nformat: WARC File Format 1.0\r\n"
     ).encode()
@@ -112,9 +114,11 @@ def build_warc_gz(
             info_block,
         )
     ]
-    for i, (uri, body) in enumerate(records):
+    for i, rec in enumerate(records):
+        uri, body = rec[0], rec[1]
+        ctype = rec[2] if len(rec) > 2 else "text/html; charset=utf-8"
         chunked = bool(chunked_every) and (i % chunked_every == chunked_every - 1)
-        block = http_response_block(body, chunked=chunked)
+        block = http_response_block(body, content_type=ctype, chunked=chunked)
         recs.append(
             warc_record_bytes(
                 {
@@ -538,10 +542,38 @@ def warc_html_docs(records):
     )
 
 
+def warc_document_texts(records):
+    """Successful NON-html responses routed through the office/ebook/markup
+    sniffing extractor (operators/doc_formats): DOCX/EPUB/ODT/RTF/LaTeX
+    payloads in a crawl become text rows keyed by target URI; anything the
+    sniffer rejects degrades to a per-asset error row. The content-type
+    header is only trusted to EXCLUDE text/html (that path belongs to the
+    boilerplate extractor) — crawls mislabel office payloads routinely, so
+    routing is by payload magic, not by header. Codegen'd filter + the ONE
+    Arrow extraction stage; no shuffle."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.operators.doc_formats import document_text
+
+    assets = records.where(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("error").isNull()
+        & F.col("payload").isNotNull()
+        & (
+            F.col("content_type").isNull()
+            | ~F.col("content_type").startswith("text/html")
+        )
+    ).select(F.col("target_uri").alias("media_ref"), F.col("payload").alias("content"))
+    return document_text(assets)
+
+
 def warc_extract(spark, path: str, rules=None):
     """End-to-end: WARC shards → records → html docs → the real
     extract_documents pipeline (dispatch Arrow stage + postprocess).
-    Returns the standard extraction frame keyed by target URI."""
+    Returns the standard extraction frame keyed by target URI. Non-HTML
+    document payloads (office/ebook/markup) are the `warc_document_texts`
+    surface over the same records frame."""
     from ocr_spark.pipeline import extract_documents
 
     docs = warc_html_docs(warc_records_df(spark, path))

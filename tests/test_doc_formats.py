@@ -348,3 +348,45 @@ class TestSparkSurface:
     def test_schema_stable(self, spark):
         df = spark.createDataFrame([], "media_ref string, content binary")
         assert document_text(df).schema == DOC_TEXT_SCHEMA
+
+
+class TestWarcDocumentTexts:
+    def test_routing_by_magic_not_header(self, spark, tmp_path):
+        from ocr_spark.operators.doc_formats import synth_docx, synth_rtf
+        from ocr_spark.sources.warc import (
+            build_warc_gz,
+            warc_document_texts,
+            warc_records_df,
+        )
+
+        gz = build_warc_gz(
+            [
+                ("https://e/page", b"<p>html page body</p>"),
+                # correctly-typed office payload
+                (
+                    "https://e/report.docx",
+                    synth_docx(["Quarterly report body."], title="Q1"),
+                    "application/vnd.openxmlformats-officedocument"
+                    ".wordprocessingml.document",
+                ),
+                # MISLABELED rtf (the crawl reality): routed by magic anyway
+                (
+                    "https://e/memo",
+                    synth_rtf(["Memo body text."]),
+                    "application/octet-stream",
+                ),
+                # unrecognized binary -> error envelope row
+                ("https://e/blob", b"\x00\x01\x02\x03", "image/png"),
+            ]
+        )
+        (tmp_path / "f.warc.gz").write_bytes(gz)
+        out = warc_document_texts(warc_records_df(spark, str(tmp_path)))
+        got = {r["media_ref"]: r for r in out.collect()}
+        # the html response is excluded by content type (it belongs to T8)
+        assert set(got) == {"https://e/report.docx", "https://e/memo", "https://e/blob"}
+        assert got["https://e/report.docx"]["format"] == "docx"
+        assert got["https://e/report.docx"]["title"] == "Q1"
+        assert got["https://e/report.docx"]["text"] == "Quarterly report body."
+        assert got["https://e/memo"]["format"] == "rtf"
+        assert got["https://e/memo"]["text"] == "Memo body text."
+        assert got["https://e/blob"]["error"] is not None
