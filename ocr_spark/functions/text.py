@@ -318,3 +318,69 @@ def unicode_clean(col: Column, form: str = "NFC") -> Column:
     regexp_replace is evaluated once per taken branch instead of feeding
     the gate's rlike a third evaluation of the same tree."""
     return unicode_normalize(clean_control_chars(col), form, gate_col=col)
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation (rule-based, RE2-safe, exact cross-engine twin)
+#
+# The decontamination-window / sentence-boundary-packing primitive. The rule
+# set is the classic abbreviation-guarded splitter (the Punkt-heuristic
+# family), expressed ONLY with constructs Java regex and RE2 share — no
+# lookaround, replacement backrefs only — so the DuckDB twin is exact:
+#
+#   1. protect multi-letter abbreviation dots  (Mr. Dr. etc. Fig. ...)
+#   2. protect single-letter dots              (J. Smith, e.g., U.S.A.)
+#   3. newline runs are hard boundaries
+#   4. [.!?]+ (+ closing quotes/brackets) followed by whitespace and an
+#      upper/digit/opening-quote starts a new sentence
+#   5. split, trim, restore protected dots, drop empties
+#
+# Known trade (documented): a single capital letter ending a sentence
+# ("...in C. Then...") is read as an initial and NOT split — initials are
+# far more frequent in crawl text than single-letter sentence ends.
+# ---------------------------------------------------------------------------
+
+SENT_ABBREVS = (
+    "Mr", "Mrs", "Ms", "Dr", "Prof", "Sr", "Jr", "St", "vs", "etc",
+    "Fig", "No", "al", "Inc", "Ltd", "Co", "Corp", "approx", "dept",
+    "est", "min", "max", "resp",
+)
+_SENT_P = "\x01"  # protected-dot sentinel
+_SENT_B = "\x02"  # boundary sentinel
+_ABBR_RE = r"\b(" + "|".join(SENT_ABBREVS) + r")\."
+_SINGLE_RE = r"\b([A-Za-z])\."
+_BOUND_RE = "([.!?]+[\"'\u201d)\\]]*)[ \\t]+([A-Z0-9\"'\u201c])"
+
+
+def split_sentences(col: Column) -> Column:
+    """array<string> of sentences of `col`, in order, trimmed, no empties."""
+    s = F.regexp_replace(col, _ABBR_RE, "$1" + _SENT_P)
+    s = F.regexp_replace(s, _SINGLE_RE, "$1" + _SENT_P)
+    s = F.regexp_replace(s, r"\n+", _SENT_B)
+    s = F.regexp_replace(s, _BOUND_RE, "$1" + _SENT_B + "$2")
+    parts = F.split(s, _SENT_B)
+    return F.filter(
+        F.transform(
+            parts,
+            lambda x: F.regexp_replace(F.trim(x), _SENT_P, "."),
+        ),
+        lambda x: x != "",
+    )
+
+
+def split_sentences_sql(expr: str) -> str:
+    """DuckDB twin of split_sentences. DuckDB string literals are RAW
+    (standard SQL: no backslash processing), so regex backslashes go in
+    as-is and only quotes double; regexp_replace needs the 'g' flag;
+    sentinels emitted as chr() so no control char sits raw in the SQL."""
+    abbr = _ABBR_RE.replace("'", "''")
+    single = _SINGLE_RE.replace("'", "''")
+    bound = _BOUND_RE.replace("'", "''")
+    s = f"regexp_replace({expr}, '{abbr}', '\\1' || chr(1), 'g')"
+    s = f"regexp_replace({s}, '{single}', '\\1' || chr(1), 'g')"
+    s = f"regexp_replace({s}, '\\n+', chr(2), 'g')"
+    s = f"regexp_replace({s}, '{bound}', '\\1' || chr(2) || '\\2', 'g')"
+    return (
+        f"list_filter(list_transform(string_split({s}, chr(2)), "
+        f"x -> replace(trim(x), chr(1), '.')), x -> x <> '')"
+    )

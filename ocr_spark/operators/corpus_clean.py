@@ -91,16 +91,21 @@ def frequent_line_keys(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sep: str = "\n",
 ) -> DataFrame:
     """h60 keys of normalized lines appearing in >= min_docs distinct docs.
     Per-doc duplicates count once (array_distinct BEFORE the explode, so the
-    count is a distinct-doc count without a corpus-wide count(distinct))."""
+    count is a distinct-doc count without a corpus-wide count(distinct)).
+    `sep` is the literal unit separator: '\\n' = lines (CCNet line dedup),
+    '\\n\\n' = paragraphs (the CCNet paragraph-granularity variant)."""
+    import re as _re
+
     keys = docs.select(
         F.explode(
             F.array_distinct(
                 F.filter(
                     F.transform(
-                        F.split(F.col(text_col), "\n"),
+                        F.split(F.col(text_col), _re.escape(sep)),
                         lambda x: F.when(line_norm(x) != "", h60(line_norm(x))),
                     ),
                     lambda k: k.isNotNull(),
@@ -123,24 +128,28 @@ def line_dedup(
     text_col: str = "text",
     strategy: str = "auto",
     inline_max_lines: int = 100_000,
+    sep: str = "\n",
 ) -> DataFrame:
     """Remove corpus-frequent lines from every document.
 
     Returns (id_col, text, n_lines, n_dropped) — `text` is the document with
-    boilerplate lines removed, remaining lines joined with '\\n' in original
+    boilerplate lines removed, remaining lines joined with `sep` in original
     order. Every input doc yields exactly one output row (a doc whose every
     line was dropped keeps an empty text). Empty-normalized lines are never
-    counted and never dropped.
+    counted and never dropped. `sep='\\n\\n'` dedups at PARAGRAPH
+    granularity (the CCNet variant); the unit is whatever `sep` delimits.
     """
+    import re as _re
+
     if strategy not in ("auto", "join", "inline"):
         raise ValueError(f"strategy={strategy!r}: expected auto|join|inline")
-    freq = frequent_line_keys(docs, min_docs, id_col, text_col)
+    freq = frequent_line_keys(docs, min_docs, id_col, text_col, sep)
 
     if strategy != "join":
         n_freq = freq.limit(inline_max_lines + 1).count()
         if n_freq <= inline_max_lines:
             keys = [r[0] for r in freq.collect()]
-            lines = F.split(F.col(text_col), "\n")
+            lines = F.split(F.col(text_col), _re.escape(sep))
             if keys:
                 # .isin converts to a hashed InSet even inside the HOF
                 # lambda (verified in the optimized plan) — O(1) per line
@@ -155,7 +164,7 @@ def line_dedup(
                 kept = lines
             return docs.select(
                 F.col(id_col),
-                F.array_join(kept, "\n").alias("text"),
+                F.array_join(kept, sep).alias("text"),
                 F.size(lines).cast("long").alias("n_lines"),
                 (F.size(lines) - F.size(kept)).cast("long").alias("n_dropped"),
             )
@@ -166,10 +175,15 @@ def line_dedup(
             )
 
     # distributed join path: flag exploded lines against the broadcast
-    # frequent set, one groupBy(doc) re-assembly shuffle
+    # frequent set, one groupBy(doc) re-assembly shuffle. posexplode_OUTER:
+    # a null-text doc keeps its (null, null) row so the contract "every
+    # input doc yields exactly one output row" holds on this path too (a
+    # plain posexplode silently dropped such docs).
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode_outer(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "line"),
     ).withColumn(
         "k", F.when(line_norm(F.col("line")) != "", h60(line_norm(F.col("line"))))
     )
@@ -177,7 +191,7 @@ def line_dedup(
     marked = lines.join(
         F.broadcast(freqm), lines["k"] == freqm["line_key"], "left"
     ).withColumn("_drop", F.coalesce(F.col("_freq"), F.lit(False)))
-    return marked.groupBy(id_col).agg(
+    agged = marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.filter(
@@ -188,22 +202,32 @@ def line_dedup(
                 ),
                 lambda s: s["line"],
             ),
-            "\n",
-        ).alias("text"),
-        F.count("*").cast("long").alias("n_lines"),
-        F.sum(F.col("_drop").cast("long")).cast("long").alias("n_dropped"),
+            sep,
+        ).alias("_text"),
+        F.max(F.col("line").isNotNull()).alias("_has"),
+        F.count("*").cast("long").alias("_n"),
+        F.sum(F.col("_drop").cast("long")).cast("long").alias("_nd"),
+    )
+    return agged.select(
+        F.col(id_col),
+        F.when(F.col("_has"), F.col("_text")).alias("text"),
+        F.when(F.col("_has"), F.col("_n")).alias("n_lines"),
+        F.when(F.col("_has"), F.col("_nd")).alias("n_dropped"),
     )
 
 
-def line_dedup_sql(src: str, min_docs: int = 2) -> str:
+def line_dedup_sql(src: str, min_docs: int = 2, sep: str = "\n") -> str:
     """DuckDB twin of line_dedup over `src` (a subquery yielding
     (doc_id, text)). Mirrors the inline strategy: frequent keys as a list
-    column cross-joined into an in-row list_filter."""
+    column cross-joined into an in-row list_filter. `sep` matches the Spark
+    side's unit separator (emitted as chr() concatenation so control chars
+    never sit raw inside a SQL literal)."""
     norm = line_norm_sql("x")
     key = h60_sql(norm)
+    sep_lit = " || ".join(f"chr({ord(c)})" for c in sep) or "''"
     return f"""
 WITH src AS ({src}),
-lines AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+lines AS (SELECT doc_id, string_split(text, {sep_lit}) AS ls FROM src),
 doc_keys AS (
   SELECT doc_id,
          unnest(list_distinct(list_filter(
@@ -223,7 +247,7 @@ SELECT doc_id,
        -- array_to_string([]) is NULL in DuckDB, '' in Spark (a doc whose
        -- every line dropped keeps empty text); null text stays null
        CASE WHEN ls IS NULL THEN NULL
-            ELSE coalesce(array_to_string(ks, chr(10)), '') END AS text,
+            ELSE coalesce(array_to_string(ks, {sep_lit}), '') END AS text,
        length(ls)::BIGINT AS n_lines,
        (length(ls) - length(ks))::BIGINT AS n_dropped
 FROM kept
@@ -396,6 +420,43 @@ SELECT doc_id,
                                   least(start + {chunk_tokens} - 1, n)), ' ')
          AS chunk_text
 FROM st
+""".strip()
+
+
+def sentence_split(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per sentence: (id_col, sent_id 1-based, sentence, n_chars).
+
+    The abbreviation-guarded rule splitter (functions/text.split_sentences)
+    runs entirely in codegen'd expressions — per-doc in-row work then one
+    posexplode, ZERO shuffle; docs with no sentences (empty/null text) emit
+    no rows. This is the unit feed for sentence-boundary packing and
+    decontamination windows."""
+    from ocr_spark.functions.text import split_sentences
+
+    sents = split_sentences(F.col(text_col))
+    return docs.select(
+        F.col(id_col), F.posexplode(sents).alias("pos", "sentence")
+    ).select(
+        F.col(id_col),
+        (F.col("pos") + 1).cast("int").alias("sent_id"),
+        F.col("sentence"),
+        F.length("sentence").cast("long").alias("n_chars"),
+    )
+
+
+def sentence_split_sql(src: str) -> str:
+    """DuckDB twin of sentence_split over `src` yielding (doc_id, text):
+    unnest + generate_subscripts expand the sentence list in lockstep."""
+    from ocr_spark.functions.text import split_sentences_sql
+
+    return f"""
+WITH src AS ({src}),
+sl AS (SELECT doc_id, {split_sentences_sql("text")} AS sents FROM src),
+ex AS (SELECT doc_id, generate_subscripts(sents, 1)::INT AS sent_id,
+              unnest(sents) AS sentence FROM sl)
+SELECT doc_id, sent_id, sentence, length(sentence)::BIGINT AS n_chars FROM ex
 """.strip()
 
 

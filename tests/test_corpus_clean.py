@@ -553,3 +553,151 @@ class TestRuleFilterReport:
         )
         rows = {r["reason"]: r["n_docs"] for r in rule_filter_report(rf).collect()}
         assert rows == {"__kept__": 1}
+
+
+# ---------------------------------------------------------------------------
+# sentence segmentation + paragraph-granularity line dedup (round-5 s10)
+# ---------------------------------------------------------------------------
+
+
+class TestSentenceSplit:
+    CASES = [
+        (0, "Dr. Smith met J. R. Tolkien. They talked. It was fun!"),
+        (1, 'He said "Stop." "Why?" she asked.'),
+        (2, "Line one\nLine two. More here? Yes."),
+        (3, "U.S.A. is big. e.g. this works, etc. and so on. Final sentence."),
+        (4, "Trailing space.   Next one starts! 9 times out of 10."),
+        (5, ""),
+        (6, None),
+        (7, "no terminal punctuation at all"),
+    ]
+
+    def test_goldens_spark(self, spark):
+        from ocr_spark.functions.text import split_sentences
+
+        df = spark.createDataFrame(self.CASES, "doc_id long, text string")
+        got = {
+            r.doc_id: r.s
+            for r in df.select(
+                "doc_id", split_sentences(F.col("text")).alias("s")
+            ).collect()
+        }
+        assert got[0] == [
+            "Dr. Smith met J. R. Tolkien.", "They talked.", "It was fun!"
+        ]
+        assert got[1] == ['He said "Stop."', '"Why?" she asked.']
+        assert got[2] == ["Line one", "Line two.", "More here?", "Yes."]
+        assert got[3] == [
+            "U.S.A. is big. e.g. this works, etc. and so on.",
+            "Final sentence.",
+        ]
+        assert got[4] == [
+            "Trailing space.", "Next one starts!", "9 times out of 10."
+        ]
+        assert got[5] == []
+        assert got[6] is None
+        assert got[7] == ["no terminal punctuation at all"]
+
+    def test_operator_twin_parity(self, spark, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_spark.operators.corpus_clean import (
+            sentence_split,
+            sentence_split_sql,
+        )
+
+        p = str(tmp_path / "docs.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": [c[0] for c in self.CASES],
+                    "text": [c[1] for c in self.CASES],
+                }
+            ),
+            p,
+        )
+        got = sorted(
+            map(tuple, sentence_split(spark.read.parquet(p)).collect())
+        )
+        con = duckdb.connect()
+        orc = sorted(
+            con.execute(
+                sentence_split_sql(f"SELECT * FROM read_parquet('{p}')")
+            ).fetchall()
+        )
+        assert got == orc
+        assert len(got) > 10
+
+    def test_operator_plan_shuffle_free(self, spark):
+        from ocr_spark.operators.corpus_clean import sentence_split
+
+        df = spark.createDataFrame([(0, "A. B.")], "doc_id long, text string")
+        plan = (
+            sentence_split(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestParagraphDedup:
+    def test_paragraph_granularity(self, spark):
+        from ocr_spark.operators.corpus_clean import line_dedup
+
+        boiler = "Subscribe to our newsletter.\nIt is great."
+        docs = [
+            (0, f"{boiler}\n\nUnique body zero."),
+            (1, f"{boiler}\n\nUnique body one."),
+            (2, "Only unique content here.\n\nSecond para."),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text, r.n_lines, r.n_dropped)
+            for r in line_dedup(df, min_docs=2, sep="\n\n").collect()
+        }
+        # the two-LINE boilerplate paragraph drops as ONE unit
+        assert got[0] == ("Unique body zero.", 2, 1)
+        assert got[1] == ("Unique body one.", 2, 1)
+        assert got[2] == ("Only unique content here.\n\nSecond para.", 2, 0)
+
+    @pytest.mark.parametrize("strategy", ["inline", "join"])
+    def test_twin_parity_with_sep(self, spark, tmp_path, strategy):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ocr_spark.operators.corpus_clean import line_dedup, line_dedup_sql
+
+        boiler = "cookie banner text"
+        docs = [
+            (0, f"{boiler}\n\nalpha."),
+            (1, f"{boiler}\n\nbeta."),
+            (2, "gamma only.\n\ndelta."),
+            (3, None),
+            (4, ""),
+        ]
+        p = str(tmp_path / "docs.parquet")
+        pq.write_table(
+            pa.table(
+                {"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]}
+            ),
+            p,
+        )
+        got = sorted(
+            map(
+                tuple,
+                line_dedup(
+                    spark.read.parquet(p), min_docs=2, sep="\n\n",
+                    strategy=strategy,
+                ).collect(),
+            )
+        )
+        con = duckdb.connect()
+        orc = sorted(
+            con.execute(
+                line_dedup_sql(
+                    f"SELECT * FROM read_parquet('{p}')", min_docs=2, sep="\n\n"
+                )
+            ).fetchall()
+        )
+        assert got == orc
