@@ -975,3 +975,76 @@ SELECT reason, count(*)::BIGINT AS n_docs,
        (count(*)::BIGINT)::DOUBLE / n::DOUBLE AS frac
 FROM r CROSS JOIN tot GROUP BY reason, n
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# web-junk signals (the Dolma / RedPajama-v2 signal-sheet residue the rule
+# filter does not cover): placeholder text, scraping-wall notices, and the
+# zlib compression ratio.
+#
+# The flag trio is ONE codegen'd projection with an exact DuckDB twin (the
+# patterns are RE2-safe literals). The compression ratio needs zlib, which
+# no SQL engine exposes — it is an Arrow-batched stage, golden-tested
+# against the direct zlib call per the board convention (SURVEY §5.2).
+# A LOW ratio (text compresses extremely well) marks template/repeated
+# machine text; a ratio near 1 marks binary-garbage-in-text fields.
+# ---------------------------------------------------------------------------
+
+_JUNK_PATTERNS: list[tuple[str, str]] = [
+    # (flag name, RE2-safe case-insensitive pattern)
+    ("lorem_ipsum", r"(?i)lorem ipsum"),
+    ("javascript_wall", r"(?i)(enable javascript|javascript is (required|disabled))"),
+    ("cookie_notice", r"(?i)(we use cookies|accept (all )?cookies|cookie policy)"),
+    ("paywall", r"(?i)(subscribe to (read|continue)|to continue reading)"),
+    ("placeholder", r"(?i)(under construction|coming soon|page not found|404 error)"),
+]
+
+
+def junk_flags(col: Column) -> Column:
+    """array<string> of fired web-junk flag names (empty when clean)."""
+    flags = [
+        F.when(col.rlike(pat), F.lit(name)) for name, pat in _JUNK_PATTERNS
+    ]
+    return F.filter(F.array(*flags), lambda x: x.isNotNull())
+
+
+def junk_flags_sql(expr: str) -> str:
+    branches = ", ".join(
+        f"CASE WHEN regexp_matches({expr}, '{pat}') THEN '{name}' END"
+        for name, pat in _JUNK_PATTERNS
+    )
+    return f"list_filter([{branches}], x -> x IS NOT NULL)"
+
+
+def compression_ratio_df(
+    docs, id_col: str = "doc_id", text_col: str = "text", level: int = 6
+):
+    """(id_col, n_bytes, n_compressed, ratio_ppm) per doc — zlib level-6
+    deflate over utf-8 bytes, ratio quantized to integer ppm (the corpus
+    float policy). Null/empty text yields null metrics. ONE mapInArrow
+    stage, zero shuffle."""
+    import pyarrow as pa
+    import zlib
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column(id_col)
+            texts = batch.column(text_col).to_pylist()
+            nb, nc, ppm = [], [], []
+            for t in texts:
+                if not t:
+                    nb.append(None), nc.append(None), ppm.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                comp = zlib.compress(raw, level)
+                nb.append(len(raw))
+                nc.append(len(comp))
+                ppm.append(len(comp) * 1_000_000 // len(raw))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(nb, pa.int64()), pa.array(nc, pa.int64()),
+                 pa.array(ppm, pa.int64())],
+                ["doc_id", "n_bytes", "n_compressed", "ratio_ppm"],
+            )
+
+    out_schema = f"{id_col} {dict(docs.dtypes)[id_col]}, n_bytes long, n_compressed long, ratio_ppm long"
+    return docs.select(id_col, text_col).mapInArrow(gen, schema=out_schema)

@@ -1021,3 +1021,101 @@ def test_image_phash_real_codec_payload(spark):
     )
     got = {r.media_ref: r.phash for r in image_phash(assets).collect()}
     assert got["raw"] == got["png"] and got["raw"] is not None
+
+
+# ---------------------------------------------------------------------------
+# web-junk signals (round-5 s10)
+# ---------------------------------------------------------------------------
+
+
+class TestJunkFlags:
+    TEXTS = [
+        (0, "Lorem Ipsum dolor sit amet"),
+        (1, "Please enable JavaScript to view this site. We use cookies."),
+        (2, "Subscribe to continue reading this article"),
+        (3, "This page is Under Construction — coming SOON"),
+        (4, "perfectly normal text about chemistry"),
+        (5, None),
+        (6, ""),
+    ]
+
+    def test_twin_parity(self, spark):
+        import duckdb
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators.text_analysis import junk_flags, junk_flags_sql
+
+        df = spark.createDataFrame(self.TEXTS, "doc_id long, text string")
+        got = {
+            r.doc_id: (tuple(r.flags) if r.flags is not None else None)
+            for r in df.select(
+                "doc_id", junk_flags(F.col("text")).alias("flags")
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.register(
+            "t", pd.DataFrame({"doc_id": [x[0] for x in self.TEXTS],
+                               "text": [x[1] for x in self.TEXTS]})
+        )
+        orc = {
+            r[0]: (tuple(r[1]) if r[1] is not None else None)
+            for r in con.execute(
+                f"SELECT doc_id, {junk_flags_sql('text')} FROM t"
+            ).fetchall()
+        }
+        assert got == orc
+        assert got[0] == ("lorem_ipsum",)
+        assert got[1] == ("javascript_wall", "cookie_notice")
+        assert got[4] == ()
+
+    def test_null_semantics(self, spark):
+        from pyspark.sql import functions as F
+
+        from ocr_spark.operators.text_analysis import junk_flags
+
+        df = spark.createDataFrame([(5, None)], "doc_id long, text string")
+        row = df.select(junk_flags(F.col("text")).alias("f")).first()
+        # null text -> all branch whens null -> filtered to empty array
+        assert row.f == []
+
+
+class TestCompressionRatio:
+    def test_golden_vs_direct_zlib(self, spark):
+        import zlib
+
+        from ocr_spark.operators.text_analysis import compression_ratio_df
+
+        texts = [
+            (0, "abc " * 500),                     # highly compressible
+            (1, "The quick brown fox. " * 3),
+            (2, "x9$k#pQ!fZ@w%vR^mT&yU*ba_c-d=e"),  # junk-ish
+            (3, None),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {r.doc_id: r for r in compression_ratio_df(df).collect()}
+        for did, t in texts:
+            if not t:
+                assert got[did].ratio_ppm is None
+                assert got[did].n_bytes is None
+                continue
+            raw = t.encode("utf-8")
+            comp = zlib.compress(raw, 6)
+            assert got[did].n_bytes == len(raw)
+            assert got[did].n_compressed == len(comp)
+            assert got[did].ratio_ppm == len(comp) * 1_000_000 // len(raw)
+        # template text compresses far better than junk
+        assert got[0].ratio_ppm < got[2].ratio_ppm
+
+    def test_plan_shuffle_free(self, spark):
+        from ocr_spark.operators.text_analysis import compression_ratio_df
+
+        df = spark.createDataFrame([(0, "hi")], "doc_id long, text string")
+        plan = (
+            compression_ratio_df(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
