@@ -1016,6 +1016,12 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
         data = data.encode("latin-1")
     if not data.lstrip()[:5] == b"%PDF-":
         raise ValueError("not a PDF")
+    if _re.search(rb"/Encrypt\s*(\d+\s+\d+\s*R|<<)", data):
+        # encrypted document: stream bodies are ciphertext — decoding would
+        # either fail on inflate or, worse, silently emit garbled text.
+        # Named envelope per the media_probe convention (no decryption in
+        # scope; crawl policy is to skip DRM'd documents anyway).
+        raise ValueError("encrypted PDF (/Encrypt in trailer): not extractable")
     if b"/FlateDecode" in data:
         data = _inflate_streams(data)
     text = data.decode("latin-1")

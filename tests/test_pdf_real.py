@@ -235,3 +235,22 @@ def test_pdf_compressed_pipeline_e2e(spark):
     row = extract_documents(docs, rules=[]).collect()[0]
     assert row.error is None
     assert row.spans[0].text == "left top\nright top\nleft bottom\nright bottom"
+
+
+def test_encrypted_pdf_named_envelope():
+    """A /Encrypt trailer entry must fail LOUD (ciphertext streams would
+    otherwise inflate-fail confusingly or silently emit garbage)."""
+    import pytest
+
+    from ocr_spark.operators.pdf_layout import pdf_parse_blocks, pdf_write
+
+    plain = pdf_write([{"x": 72, "y": 72, "text": "hello"}])
+    # splice an /Encrypt ref into the trailer dict
+    enc = plain.replace(b"trailer", b"trailer", 1)
+    assert b"trailer" in enc
+    enc = enc.replace(b"<<", b"<< /Encrypt 9 0 R ", 1)
+    with pytest.raises(ValueError, match="encrypted PDF"):
+        pdf_parse_blocks(enc)
+    # the plain doc still parses (guard is not a false positive)
+    blocks, _, _ = pdf_parse_blocks(plain)
+    assert any("hello" in b["text"] for b in blocks)
