@@ -577,11 +577,45 @@ def rtf_extract(data: bytes) -> dict:
 
 _TEX_ACCENTS = {
     "'a": "á", "'e": "é", "'i": "í", "'o": "ó", "'u": "ú", "'y": "ý",
+    "'c": "ć", "'n": "ń", "'s": "ś", "'z": "ź",
     "`a": "à", "`e": "è", "`i": "ì", "`o": "ò", "`u": "ù",
-    '"a': "ä", '"e': "ë", '"i': "ï", '"o': "ö", '"u': "ü",
+    '"a': "ä", '"e': "ë", '"i': "ï", '"o': "ö", '"u': "ü", '"y': "ÿ",
     "^a": "â", "^e": "ê", "^i": "î", "^o": "ô", "^u": "û",
     "~n": "ñ", "~a": "ã", "~o": "õ",
+    "cc": "ç", "cs": "ş", "ct": "ţ",
+    "vs": "š", "vc": "č", "vz": "ž", "ve": "ě", "vr": "ř",
+    "ug": "ğ", "ka": "ą", "ke": "ę", "ra": "å", "ru": "ů",
+    "Ho": "ő", "Hu": "ű",
 }
+# letter-producing commands (\i is a COMMAND, not a control symbol — the
+# tokenizer routes it through the command path)
+_TEX_LETTER_CMDS = {
+    "i": "i", "j": "j", "ss": "ß", "ae": "æ", "AE": "Æ", "oe": "œ",
+    "OE": "Œ", "o": "ø", "O": "Ø", "aa": "å", "AA": "Å", "l": "ł",
+    "L": "Ł", "dots": "…", "ldots": "…", "textellipsis": "…",
+    "textemdash": "—", "textendash": "–", "textquotedblleft": "“",
+    "textquotedblright": "”", "textquoteleft": "‘",
+    "textquoteright": "’", "copyright": "©", "textregistered": "®",
+    "texttrademark": "™", "degree": "°", "textdegree": "°", "S": "§",
+    "P": "¶", "pounds": "£", "textbullet": "•", "today": "",
+}
+
+
+def _tex_fold_accent(sym: str, arg: str) -> str:
+    """Fold one accent command over its (already-extracted) argument:
+    `\\'{e}` / `\\'e` -> 'é', `\\c{c}` -> 'ç', `\\\"{\\i}` -> 'ï'. Unknown
+    combinations keep the bare argument (accent dropped, letter kept)."""
+    if arg.startswith("\\"):  # \"{\i} — letter COMMAND as the accent base
+        base = _TEX_LETTER_CMDS.get(arg[1:].strip(), arg[1:].strip())
+    else:
+        base = arg
+    if not base:
+        return ""
+    folded = _TEX_ACCENTS.get(sym + base[0].lower())
+    if folded is None:
+        return base
+    head = folded.upper() if base[0].isupper() else folded
+    return head + base[1:]
 _TEX_DROP_ENVS = ("tabular", "tikzpicture", "equation", "align", "gather",
                   "eqnarray", "math", "displaymath", "array", "thebibliography")
 _TEX_UNWRAP = ("textbf", "textit", "texttt", "textsc", "textsl", "emph",
@@ -649,10 +683,14 @@ def _tex_apply_commands(s: str) -> str:
                     out.append("\n")
                 elif sym in "%&$#_{}":
                     out.append(sym)
-                elif sym in "'`\"^~c" and i + 2 < n:
-                    folded = _TEX_ACCENTS.get(sym + s[i + 2].lower())
-                    out.append(folded if folded else s[i + 2])
-                    i += 3
+                elif sym in "'`\"^~" and i + 2 < n:
+                    if s[i + 2] == "{":
+                        arg, j2 = _tex_balanced_arg(s, i + 2)
+                        out.append(_tex_fold_accent(sym, arg.strip()))
+                        i = j2
+                    else:
+                        out.append(_tex_fold_accent(sym, s[i + 2]))
+                        i += 3
                     continue
                 elif sym in ",;:! ":
                     out.append(" ")
@@ -667,6 +705,21 @@ def _tex_apply_commands(s: str) -> str:
             i = j
             continue
         has_arg = j < n and s[j] == "{"
+        if name in _TEX_LETTER_CMDS:
+            out.append(_TEX_LETTER_CMDS[name])
+            if has_arg:  # the \ss{} / \l{}adyslaw spacing idiom
+                arg, j2 = _tex_balanced_arg(s, j)
+                if arg.strip() == "":
+                    j = j2
+                # non-empty arg is following content, left in the stream
+            i = j
+            continue
+        if name in ("c", "v", "u", "H", "k", "r", "b", "d", "t") and has_arg:
+            # letter-accent commands: \c{c} -> ç; unmapped combos keep the letter
+            arg, j2 = _tex_balanced_arg(s, j)
+            out.append(_tex_fold_accent(name, arg.strip()))
+            i = j2
+            continue
         if name in _TEX_UNWRAP and has_arg:
             arg, j2 = _tex_balanced_arg(s, j)
             if name == "texorpdfstring" and j2 < n and s[j2] == "{":

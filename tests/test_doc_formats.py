@@ -286,6 +286,20 @@ Caf\'e and na\"ive, 100\% sure.
         got = latex_extract(r"\section{\texorpdfstring{$x$ tex}{pdf}}")["text"]
         assert "pdf" not in got and "tex" in got
 
+    def test_brace_wrapped_accents(self):
+        # regression: \'{e} used to emit '{e' (the brace arg was never read)
+        got = latex_extract(r"Caf\'{e} fa\c{c}ade na\"{\i}ve \v{s}kola")["text"]
+        assert got == "Café façade naïve škola"
+
+    def test_letter_commands_and_case(self):
+        got = latex_extract(r"\ss{} street, W\l{}adys\l{}aw, \OE uvre, \'Ecole")["text"]
+        # TeX eats the space after a control word: \OE uvre renders Œuvre
+        assert got == "ß street, Władysław, Œuvre, École"
+
+    def test_accent_over_plain_letter_not_letter_command(self):
+        # regression: \H{o} routed 'o' through the \o letter map and emitted 'ø'
+        assert latex_extract(r"\H{o} \r{a} \k{a} \b{x}")["text"] == "ő å ą x"
+
 
 class TestSniff:
     def test_all_formats(self):
