@@ -767,3 +767,87 @@ def similar_image_assets_df(refs: DataFrame, group: int = 4) -> DataFrame:
             )
 
     return refs.select("media_ref").distinct().mapInPandas(gen, schema=ASSET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PDF embedded-image assets — the scanned-document OCR feed
+# ---------------------------------------------------------------------------
+
+PDF_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def pdf_image_assets(
+    docs: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """(id_col, payload_col: PDF bytes-or-latin1-string) -> one row per
+    embedded /Subtype /Image XObject (pdf_layout.pdf_images): media_ref =
+    '<doc_id>#img<i>', content = self-describing JPEG (DCTDecode
+    passthrough) or PNG (re-encoded Flate/raw samples), per-image AND
+    per-doc error envelopes (a doc whose PDF fails structurally yields one
+    error row; a bad image inside a good PDF only poisons itself). ONE
+    Arrow-batched mapInPandas stage, zero Exchange — the output composes
+    with image_features / resize_images / image_phash and the
+    extract_documents media sidecar: crawl PDF -> scan -> OCR kernels.
+
+    Scale: image bodies never leave the executor that parsed them; the
+    stage is embarrassingly parallel over docs, so the 100-TB shape is the
+    input partitioning (size maxPartitionBytes so a partition's PDFs +
+    their images fit executor memory; media-heavy skew is the north rule's
+    salted-repartition case)."""
+    from ocr_spark.operators.pdf_layout import pdf_images
+
+    cols = PDF_IMAGE_SCHEMA.fieldNames()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    data = (
+                        payload.encode("latin-1", "replace")
+                        if isinstance(payload, str)
+                        else bytes(payload)
+                    )
+                    if not data.lstrip().startswith(b"%PDF-"):
+                        raise ValueError("payload is not a PDF")
+                    for img in pdf_images(data):
+                        rows.append(
+                            {
+                                "doc_id": did,
+                                "media_ref": f"{did}#img{img['index']}",
+                                "format": img["format"],
+                                "width": img["width"],
+                                "height": img["height"],
+                                "content": img["content"],
+                                "error": img["error"],
+                            }
+                        )
+                except Exception as e:  # per-doc envelope
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "media_ref": f"{did}#img",
+                            "format": None,
+                            "width": None,
+                            "height": None,
+                            "content": None,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, payload_col).mapInPandas(
+        gen, schema=PDF_IMAGE_SCHEMA
+    )

@@ -864,20 +864,18 @@ def _predictor_unfilter(
     raise ValueError(f"unsupported /Predictor {predictor}")
 
 
-def _inflate_streams(data: bytes) -> bytes:
-    """Decompress every plain /FlateDecode stream in place (zlib — the
-    stdlib filter real exporters use), undoing /DecodeParms predictors
-    (TIFF 2 and PNG 10-15). The stream dict is found by balancing
-    '<<'/'>>' backwards from each 'stream' keyword (so nested dicts like
-    /DecodeParms << ... >> are spanned correctly); the body is sliced by
-    the dict's direct /Length when present — deflate bytes may legally
-    contain b'endstream' — falling back to the endstream scan only for a
-    missing/indirect /Length. Filter CHAINS ([/ASCII85Decode /FlateDecode])
-    are left in the document and caught by the caller's residual check."""
+def _iter_raw_streams(data: bytes):
+    """Yield every `<< dict >> stream … endstream` object as
+    (ddict:str, raw_body:bytes, dict_start:int, stream_end:int). The stream
+    dict is found by balancing '<<'/'>>' backwards from each 'stream'
+    keyword (so nested dicts like /DecodeParms << ... >> are spanned
+    correctly); the body is sliced by the dict's direct /Length when
+    present — compressed bytes may legally contain b'endstream' — falling
+    back to the endstream scan only for a missing/indirect /Length. Every
+    delimited body is consumed, so dict-like bytes INSIDE a binary stream
+    (a DCTDecode JPEG, say) can never be misread as a new stream."""
     import re as _re
-    import zlib
 
-    out = []
     pos = 0
     for m in _re.finditer(rb">>\s*stream\r?\n", data):
         if m.start() < pos:
@@ -897,9 +895,6 @@ def _inflate_streams(data: bytes) -> bytes:
         if depth:
             continue  # no dict start: not a stream dict
         ddict = data[k : m.start() + 2].decode("latin-1", "replace")
-        fm = _re.search(r"/Filter\s*(/\w+|\[[^\]]*\])", ddict)
-        if not fm or _re.findall(r"/(\w+)", fm.group(1)) != ["FlateDecode"]:
-            continue  # not (plain) Flate: chains hit the caller's residual check
         body_start = m.end()
         raw = stream_end = None
         lm = _re.search(r"/Length\s+(\d+)(\s+\d+\s+R)?", ddict)
@@ -920,6 +915,24 @@ def _inflate_streams(data: bytes) -> bytes:
             elif raw.endswith((b"\n", b"\r")):
                 raw = raw[:-1]
             stream_end = end + len(b"endstream")
+        yield ddict, raw, k, stream_end
+        pos = stream_end
+
+
+def _inflate_streams(data: bytes) -> bytes:
+    """Decompress every plain /FlateDecode stream in place (zlib — the
+    stdlib filter real exporters use), undoing /DecodeParms predictors
+    (TIFF 2 and PNG 10-15). Filter CHAINS ([/ASCII85Decode /FlateDecode])
+    are left in the document and caught by the caller's residual check."""
+    import re as _re
+    import zlib
+
+    out = []
+    pos = 0
+    for ddict, raw, k, stream_end in _iter_raw_streams(data):
+        fm = _re.search(r"/Filter\s*(/\w+|\[[^\]]*\])", ddict)
+        if not fm or _re.findall(r"/(\w+)", fm.group(1)) != ["FlateDecode"]:
+            continue  # not (plain) Flate: chains hit the caller's residual check
         try:
             inflated = zlib.decompress(raw)
         except zlib.error as e:
@@ -1215,3 +1228,265 @@ def extract_pdf_text(payload: str) -> str:
 def extract_pdf_batch(payloads: list[str]) -> list[str]:
     """Batch API used by the dispatch mapInPandas stage."""
     return [extract_pdf_text(p) for p in payloads]
+
+
+# ---------------------------------------------------------------------------
+# embedded image XObjects — the scanned-document OCR feed
+#
+# The reference is an OCR app: its primary input is a scanned page, which on
+# the web almost always travels INSIDE a PDF as an image XObject (ref
+# ocr_workflow_orchestrator.py:153-178 loads whatever the user points at —
+# a crawl's scanned PDFs are exactly that surface). `pdf_images` pulls every
+# /Subtype /Image stream out of a PDF:
+#
+#   * DCTDecode   — the body IS a baseline/progressive JFIF; it passes
+#     through verbatim (format='jpeg') and the repo's own jpeg decoder
+#     (image_codecs.jpeg_decode) handles pixels downstream;
+#   * FlateDecode / unfiltered — inflate, undo /DecodeParms predictors,
+#     then reshape by /Width /Height /BitsPerComponent /ColorSpace; 1-bit
+#     scans (CCITT-class bilevel masters re-saved as Flate, /ImageMask)
+#     unpack to 0/255 grayscale honoring /Decode [1 0] inversion; output
+#     is re-encoded with the repo's PNG writer (format='png') so every
+#     downstream consumer sees a self-describing asset;
+#   * CCITTFaxDecode / JBIG2Decode / JPXDecode — named per-image error
+#     rows (fax G4, JBIG2 arithmetic coding and JPEG2000 wavelets are out
+#     of scope; the envelope keeps crawl accounting honest).
+#
+# Spark surface `pdf_image_assets`: ONE Arrow-batched mapInPandas stage
+# over (doc_id, payload) emitting (doc_id, media_ref, format, width,
+# height, content, error) — media_ref = '<doc_id>#img<i>' composes with
+# the media sidecar (extract_documents(media_sidecar=...)), multimodal
+# image_features/resize, and image_phash near-dup, closing the loop:
+# crawl PDF -> embedded scan -> OCR kernels.
+# ---------------------------------------------------------------------------
+
+
+def _pdf_colorspace_colors(ddict: str) -> int:
+    """Component count from /ColorSpace: DeviceRGB=3, DeviceCMYK=4, else 1
+    (DeviceGray, CalGray, Indexed, ImageMask, unresolvable indirects)."""
+    import re as _re
+
+    cm = _re.search(r"/ColorSpace\s*(?:\[\s*)?/(\w+)", ddict)
+    name = cm.group(1) if cm else ""
+    if name in ("DeviceRGB", "CalRGB"):
+        return 3
+    if name == "DeviceCMYK":
+        return 4
+    if name == "ICCBased":
+        nm = _re.search(r"/N\s+(\d+)", ddict)
+        return int(nm.group(1)) if nm else 1
+    return 1
+
+
+def pdf_images(data: bytes) -> list[dict]:
+    """All /Subtype /Image XObjects of one PDF. Returns
+    [{index, width, height, format, content, error}] — per-image envelope:
+    a malformed or unsupported image yields an error row, the others
+    survive. format 'jpeg' bodies pass through; Flate/raw samples are
+    re-encoded as PNG with the repo's writer."""
+    import re as _re
+    import zlib
+
+    from ocr_spark.operators.cloud_engine import png_encode
+
+    if isinstance(data, str):
+        data = data.encode("latin-1", "replace")
+    out: list[dict] = []
+    idx = 0
+    for ddict, raw, _k, _end in _iter_raw_streams(data):
+        if not _re.search(r"/Subtype\s*/Image\b", ddict):
+            continue
+        i = idx
+        idx += 1
+        row = {
+            "index": i, "width": None, "height": None,
+            "format": None, "content": None, "error": None,
+        }
+        out.append(row)
+        try:
+            wm = _re.search(r"/Width\s+(\d+)", ddict)
+            hm = _re.search(r"/Height\s+(\d+)", ddict)
+            if not wm or not hm:
+                raise ValueError("image missing /Width or /Height")
+            w, h = int(wm.group(1)), int(hm.group(1))
+            if w <= 0 or h <= 0 or w * h > 64_000_000:
+                raise ValueError(f"implausible image dims {w}x{h}")
+            row["width"], row["height"] = w, h
+            fm = _re.search(r"/Filter\s*(/\w+|\[[^\]]*\])", ddict)
+            filters = _re.findall(r"/(\w+)", fm.group(1)) if fm else []
+            if filters and filters[-1] == "DCTDecode" and len(filters) == 1:
+                if raw[:2] != b"\xff\xd8":
+                    raise ValueError("DCTDecode body is not JPEG (no SOI)")
+                row["format"], row["content"] = "jpeg", bytes(raw)
+                continue
+            if filters not in ([], ["FlateDecode"]):
+                raise ValueError(f"unsupported image filter chain {filters}")
+            body = raw
+            if filters == ["FlateDecode"]:
+                body = zlib.decompress(raw)
+                pm = _re.search(
+                    r"/DecodeParm?s\s*\[?\s*(?:null\s+)?<<([^>]*)>>", ddict
+                )
+                if pm:
+                    pd = pm.group(1)
+
+                    def _geti(name: str, default: int) -> int:
+                        g = _re.search(rf"/{name}\s+(\d+)", pd)
+                        return int(g.group(1)) if g else default
+
+                    pred = _geti("Predictor", 1)
+                    if pred != 1:
+                        body = _predictor_unfilter(
+                            body, pred, _geti("Colors", 1),
+                            _geti("BitsPerComponent", 8), _geti("Columns", w),
+                        )
+                elif _re.search(r"/DecodePar", ddict):
+                    raise ValueError("unsupported /DecodeParms form")
+            bm = _re.search(r"/BitsPerComponent\s+(\d+)", ddict)
+            mask = bool(_re.search(r"/ImageMask\s+true", ddict))
+            bpc = int(bm.group(1)) if bm else (1 if mask else 8)
+            colors = 1 if mask else _pdf_colorspace_colors(ddict)
+            if bpc == 1 and colors == 1:
+                stride = (w + 7) // 8
+                if len(body) < stride * h:
+                    raise ValueError(
+                        f"1-bit image body {len(body)} < {stride * h} bytes"
+                    )
+                bits = np.unpackbits(
+                    np.frombuffer(body[: stride * h], np.uint8).reshape(h, stride),
+                    axis=1,
+                )[:, :w]
+                # /Decode [1 0] (and ImageMask's default-paint sense) inverts
+                inv = bool(_re.search(r"/Decode\s*\[\s*1[\s.0]*0", ddict))
+                img = ((bits ^ (1 if inv else 0)) * 255).astype(np.uint8)
+            elif bpc == 8 and colors in (1, 3):
+                need = w * h * colors
+                if len(body) < need:
+                    raise ValueError(f"image body {len(body)} < {need} bytes")
+                arr = np.frombuffer(body[:need], np.uint8)
+                img = arr.reshape(h, w) if colors == 1 else arr.reshape(h, w, 3)
+            elif bpc == 8 and colors == 4:  # CMYK -> RGB (naive, no ICC)
+                need = w * h * 4
+                if len(body) < need:
+                    raise ValueError(f"image body {len(body)} < {need} bytes")
+                cmyk = np.frombuffer(body[:need], np.uint8).reshape(h, w, 4)
+                c, m_, y_, k_ = [cmyk[..., j].astype(np.int32) for j in range(4)]
+                img = np.stack(
+                    [(255 - c) * (255 - k_) // 255,
+                     (255 - m_) * (255 - k_) // 255,
+                     (255 - y_) * (255 - k_) // 255],
+                    axis=2,
+                ).astype(np.uint8)
+            else:
+                raise ValueError(
+                    f"unsupported sample layout bpc={bpc} colors={colors}"
+                )
+            row["format"], row["content"] = "png", png_encode(img)
+        except Exception as e:  # per-image envelope
+            row["error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def pdf_write_images(
+    blocks: list[dict],
+    images: list[tuple],
+    page_w: float = PAGE_W,
+    page_h: float = PAGE_H,
+) -> bytes:
+    """Fixture writer: a valid single-page PDF carrying text blocks AND
+    image XObjects. images = [(np_img_uint8, codec)] with codec one of
+    'jpeg' (DCTDecode, encoded with the repo's baseline JFIF writer),
+    'flate' (FlateDecode raw samples), 'flate_png' (FlateDecode + PNG
+    Up-predictor /DecodeParms), 'bilevel' (1-bit /ImageMask-style Flate),
+    'ccitt' (an unsupported-filter stub exercising the error envelope)."""
+    import zlib
+
+    from ocr_spark.operators.image_codecs import jpeg_encode
+
+    lines = []
+    for b in blocks:
+        size = float(b.get("size", 12))
+        x = float(b["x"])
+        y = page_h - float(b["y"]) - size
+        lines.append(
+            f"BT /F1 {size:g} Tf {x:g} {y:g} Td ({_pdf_escape(str(b['text']))}) Tj ET"
+        )
+    img_objs: list[bytes] = []
+    obj_base = 6  # 1-5 are catalog/pages/page/contents/font
+    xnames = []
+    for i, (img, codec) in enumerate(images):
+        img = np.asarray(img, np.uint8)
+        h, w = img.shape[:2]
+        colors = 3 if img.ndim == 3 else 1
+        cs = "/DeviceRGB" if colors == 3 else "/DeviceGray"
+        parms = b""
+        if codec == "jpeg":
+            body = jpeg_encode(img)
+            filt, bpc = b"/Filter /DCTDecode ", 8
+        elif codec == "flate":
+            body = zlib.compress(img.tobytes())
+            filt, bpc = b"/Filter /FlateDecode ", 8
+        elif codec == "flate_png":
+            rows = img.reshape(h, w * colors).astype(np.int64)
+            up = np.vstack([np.zeros((1, w * colors), np.int64), rows[:-1]])
+            enc = np.hstack(
+                [np.full((h, 1), 2, np.uint8), ((rows - up) & 0xFF).astype(np.uint8)]
+            )
+            body = zlib.compress(enc.tobytes())
+            filt, bpc = b"/Filter /FlateDecode ", 8
+            parms = (
+                f"/DecodeParms << /Predictor 12 /Colors {colors} "
+                f"/BitsPerComponent 8 /Columns {w} >> "
+            ).encode()
+        elif codec == "bilevel":
+            bits = np.packbits((img > 127).astype(np.uint8), axis=1)
+            body = zlib.compress(bits.tobytes())
+            filt, bpc = b"/Filter /FlateDecode ", 1
+        elif codec == "ccitt":
+            body = b"\x00" * 16
+            filt, bpc = b"/Filter /CCITTFaxDecode ", 1
+        else:
+            raise ValueError(f"unknown fixture codec {codec!r}")
+        img_objs.append(
+            f"<< /Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace {cs} /BitsPerComponent {bpc} ".encode()
+            + filt + parms
+            + f"/Length {len(body)} >>\nstream\n".encode()
+            + body + b"\nendstream"
+        )
+        name = f"/Im{i}"
+        xnames.append(f"{name} {obj_base + i} 0 R")
+        # paint each image in a 128x128 box stepped across the page
+        lines.append(
+            f"q 128 0 0 128 {40 + 140 * (i % 4)} "
+            f"{page_h - 200 - 150 * (i // 4):g} cm {name} Do Q"
+        )
+    content = "\n".join(lines).encode("latin-1")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:g} {page_h:g}] "
+            "/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> "
+            f"/XObject << {' '.join(xnames)} >> >> >>"
+        ).encode(),
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        *img_objs,
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)

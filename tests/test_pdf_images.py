@@ -1,0 +1,134 @@
+"""Embedded PDF image XObjects -> media assets (the scanned-document OCR
+feed). Ref anchor: the reference's acquisition layer loads scanned pages
+(ocr_workflow_orchestrator.py:153-178); on the web those travel inside PDFs
+as image XObjects, so pdf_images is the S7-analog surface for them.
+
+Binary payloads are not SQL-expressible — pytest-golden per the board
+convention (SURVEY §5.2): fixture PDFs are written by the repo's own
+pdf_write_images and every decode path round-trips bit-exactly (JPEG within
+quantization noise)."""
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators.multimodal import decode_image, image_features, pdf_image_assets
+from ocr_spark.operators.pdf_layout import (
+    pdf_images,
+    pdf_parse_blocks,
+    pdf_write,
+    pdf_write_images,
+)
+
+GRAY = (np.arange(24 * 32).reshape(24, 32) % 251).astype(np.uint8)
+RNG = np.random.default_rng(7)
+RGB = RNG.integers(0, 256, (16, 20, 3), dtype=np.uint8)
+BIL = RNG.integers(0, 2, (18, 26), dtype=np.uint8) * 255
+
+
+def test_roundtrip_all_codecs():
+    pdf = pdf_write_images(
+        [{"x": 40, "y": 40, "text": "Scan cover sheet"}],
+        [(GRAY, "jpeg"), (RGB, "flate"), (GRAY, "flate_png"), (BIL, "bilevel")],
+    )
+    imgs = pdf_images(pdf)
+    assert [r["error"] for r in imgs] == [None] * 4
+    assert [(r["width"], r["height"]) for r in imgs] == [
+        (32, 24), (20, 16), (32, 24), (26, 18)
+    ]
+    assert imgs[0]["format"] == "jpeg" and imgs[0]["content"][:2] == b"\xff\xd8"
+    jr = decode_image(imgs[0]["content"])
+    assert jr.shape == GRAY.shape
+    assert abs(jr.astype(int) - GRAY.astype(int)).mean() < 4  # quantization
+    assert np.array_equal(decode_image(imgs[1]["content"]), RGB)
+    assert np.array_equal(decode_image(imgs[2]["content"]), GRAY)
+    assert np.array_equal(decode_image(imgs[3]["content"]), BIL)
+
+
+def test_text_layer_survives_images():
+    pdf = pdf_write_images([{"x": 40, "y": 40, "text": "Cover"}], [(RGB, "flate")])
+    blocks, _, _ = pdf_parse_blocks(pdf)
+    assert any("Cover" in b["text"] for b in blocks)
+
+
+def test_unsupported_filter_named_envelope():
+    pdf = pdf_write_images([], [(GRAY, "ccitt"), (GRAY, "flate")])
+    imgs = pdf_images(pdf)
+    assert "CCITTFaxDecode" in imgs[0]["error"] and imgs[0]["content"] is None
+    assert imgs[1]["error"] is None  # the bad image never poisons its peers
+    assert np.array_equal(decode_image(imgs[1]["content"]), GRAY)
+
+
+def test_decode_array_inversion():
+    pdf = pdf_write_images([], [(BIL, "bilevel")])
+    # splice /Decode [1 0] into the image dict (writer emits default sense)
+    pdf2 = pdf.replace(b"/BitsPerComponent 1 ", b"/BitsPerComponent 1 /Decode [1 0] ")
+    plain = decode_image(pdf_images(pdf)[0]["content"])
+    inv = decode_image(pdf_images(pdf2)[0]["content"])
+    assert np.array_equal(inv, 255 - plain)
+
+
+def test_truncated_image_body_is_per_image_error():
+    pdf = pdf_write_images([], [(RGB, "flate")])
+    # corrupt the zlib body: flip bytes mid-stream
+    i = pdf.find(b"stream\n", pdf.find(b"/Subtype /Image")) + len(b"stream\n")
+    bad = pdf[: i + 8] + bytes([pdf[i + 8] ^ 0xFF]) + pdf[i + 9 :]
+    imgs = pdf_images(bad)
+    assert len(imgs) == 1 and imgs[0]["error"] is not None
+
+
+def test_no_images_yields_empty():
+    assert pdf_images(pdf_write([{"x": 1, "y": 1, "text": "t"}])) == []
+
+
+@pytest.mark.usefixtures("spark")
+class TestSpark:
+    def test_assets_and_feature_composition(self, spark):
+        pdf_imgs = pdf_write_images(
+            [{"x": 40, "y": 40, "text": "Cover"}],
+            [(GRAY, "jpeg"), (RGB, "flate"), (GRAY, "ccitt")],
+        )
+        pdf_plain = pdf_write([{"x": 1, "y": 1, "text": "text only"}])
+        docs = spark.createDataFrame(
+            [
+                ("d1", pdf_imgs.decode("latin-1")),
+                ("d2", pdf_plain.decode("latin-1")),
+                ("d3", "not a pdf"),
+                ("d4", None),
+            ],
+            "doc_id string, payload string",
+        )
+        assets = pdf_image_assets(docs)
+        rows = {r["media_ref"]: r for r in assets.collect()}
+        # d1: three image rows (one errored); d2: none; d3/d4: doc envelopes
+        assert set(rows) == {"d1#img0", "d1#img1", "d1#img2", "d3#img", "d4#img"}
+        assert rows["d1#img0"]["format"] == "jpeg"
+        assert rows["d1#img1"]["format"] == "png"
+        assert "CCITTFaxDecode" in rows["d1#img2"]["error"]
+        assert "not a PDF" in rows["d3#img"]["error"]
+        assert "null payload" in rows["d4#img"]["error"]
+        # zero Exchange: one Arrow stage over the scan
+        plan = assets._sc._jvm.PythonSQLUtils.explainString(
+            assets._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan
+        # composition: the extracted assets feed the image feature kernels
+        # (format is the codec — pdf_image_assets emits self-describing
+        # JPEG/PNG bodies, so meta.codec routes to the real decoders)
+        from pyspark.sql import functions as F
+
+        feats = image_features(
+            assets.where(assets.error.isNull()).select(
+                "media_ref",
+                F.lit("image").alias("media_type"),
+                "content",
+                F.struct(
+                    F.col("width"),
+                    F.col("height"),
+                    F.length("content").cast("long").alias("n_bytes"),
+                    F.col("format").alias("codec"),
+                ).alias("meta"),
+            )
+        ).collect()
+        got = {r["media_ref"]: r for r in feats}
+        assert got["d1#img1"]["width"] == 20 and got["d1#img1"]["height"] == 16
+        assert got["d1#img0"]["error"] is None
