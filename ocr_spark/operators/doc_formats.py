@@ -838,6 +838,54 @@ def latex_extract(data: bytes | str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# PDF — delegates to the real text-layer parser (operators/pdf_layout); a
+# crawl's application/pdf payloads land here via the same sniffing route as
+# office formats, so WARC non-HTML routing covers them too.
+# ---------------------------------------------------------------------------
+
+
+def pdf_text_extract(data: bytes) -> dict:
+    """PDF bytes -> {text, title, n_blocks}: XY-cut-ordered text layer via
+    pdf_layout.pdf_parse_blocks, /Info /Title when the trailer carries a
+    literal string (escapes handled by the spec parser)."""
+    import re as _re
+
+    from ocr_spark.operators.pdf_layout import (
+        _parse_pdf_string,
+        pdf_parse_blocks,
+        xy_cut_order,
+    )
+
+    blocks, _, _ = pdf_parse_blocks(data)
+    text = ""
+    if blocks:
+        import numpy as _np
+
+        x = _np.array([float(b["x"]) for b in blocks])
+        y = _np.array([float(b["y"]) for b in blocks])
+        w = _np.array([float(b["w"]) for b in blocks])
+        h = _np.array([float(b["h"]) for b in blocks])
+        order = xy_cut_order(x, y, w, h)
+        text = "\n".join(str(blocks[i].get("text", "")) for i in order)
+    title = None
+    head = data.decode("latin-1", "replace")
+    tm = _re.search(r"/Title\s*\(", head)
+    if tm:
+        try:
+            title = _parse_pdf_string(head, tm.end() - 1)[0].strip() or None
+        except Exception:
+            title = None
+    return {
+        "text": text,
+        "title": title,
+        "creator": None,
+        "lang": None,
+        "date": None,
+        "n_blocks": len(blocks),
+    }
+
+
+# ---------------------------------------------------------------------------
 # format sniffing + the one-stage Spark surface
 # ---------------------------------------------------------------------------
 
@@ -849,6 +897,8 @@ def document_sniff(data: bytes) -> str | None:
         return None
     if data[:5] == b"{\\rtf":
         return "rtf"
+    if data.lstrip()[:5] == b"%PDF-":
+        return "pdf"
     if data[:4] == b"PK\x03\x04":
         try:
             zf = zipfile.ZipFile(io.BytesIO(data))
@@ -883,6 +933,7 @@ _EXTRACTORS = {
     "odt": odt_extract,
     "rtf": rtf_extract,
     "tex": latex_extract,
+    "pdf": pdf_text_extract,
 }
 
 DOC_TEXT_SCHEMA = T.StructType(

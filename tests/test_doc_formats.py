@@ -404,3 +404,47 @@ class TestWarcDocumentTexts:
         assert got["https://e/memo"]["format"] == "rtf"
         assert got["https://e/memo"]["text"] == "Memo body text."
         assert got["https://e/blob"]["error"] is not None
+
+
+class TestPdfRoute:
+    def test_sniff_and_extract(self):
+        from ocr_spark.operators.pdf_layout import pdf_write
+
+        pdf = pdf_write(
+            [{"x": 40, "y": 40, "text": "Alpha line"},
+             {"x": 40, "y": 80, "text": "Beta line"}]
+        )
+        pdf = pdf.replace(
+            b"/Root 1 0 R",
+            b"/Root 1 0 R /Info << /Title (My \\(Scanned\\) Doc) >>",
+        )
+        assert document_sniff(pdf) == "pdf"
+        info = extract_document_bytes(pdf)
+        assert info["format"] == "pdf"
+        assert info["text"] == "Alpha line\nBeta line"
+        assert info["title"] == "My (Scanned) Doc"
+        assert info["n_blocks"] == 2
+
+    def test_warc_pdf_payload(self, spark, tmp_path):
+        from ocr_spark.operators.pdf_layout import pdf_write
+        from ocr_spark.sources.warc import (
+            build_warc_gz,
+            warc_document_texts,
+            warc_records_df,
+        )
+
+        gz = build_warc_gz(
+            [
+                (
+                    "https://e/scan.pdf",
+                    pdf_write([{"x": 10, "y": 10, "text": "Crawled pdf text"}]),
+                    "application/pdf",
+                ),
+            ]
+        )
+        (tmp_path / "p.warc.gz").write_bytes(gz)
+        got = warc_document_texts(warc_records_df(spark, str(tmp_path))).collect()
+        assert len(got) == 1
+        assert got[0]["format"] == "pdf"
+        assert got[0]["text"] == "Crawled pdf text"
+        assert got[0]["error"] is None
