@@ -132,3 +132,48 @@ class TestSpark:
         got = {r["media_ref"]: r for r in feats}
         assert got["d1#img1"]["width"] == 20 and got["d1#img1"]["height"] == 16
         assert got["d1#img0"]["error"] is None
+
+
+class TestOcrLoop:
+    def test_pdf_scan_to_ocr_spans(self, spark):
+        """The full scanned-document loop: a crawl PDF carrying an embedded
+        scan -> pdf_image_assets -> media sidecar -> extract_documents OCR
+        kernels -> spans. Invariant: the SAME image delivered as a direct
+        PNG sidecar asset extracts the SAME span text as the one recovered
+        from inside the PDF (the container must be transparent)."""
+        from ocr_spark.pipeline import extract_documents
+        from ocr_spark.schema import DOC_SCHEMA
+        from ocr_spark.operators.cloud_engine import png_encode
+        from ocr_spark.sources.media import synth_media_bytes
+
+        # a deterministic fake scan from the fixture generator family
+        scan = np.frombuffer(
+            synth_media_bytes("media://scan-1"), np.uint8
+        )[: 32 * 32].reshape(32, 32)
+        pdf = pdf_write_images(
+            [{"x": 40, "y": 40, "text": "cover"}], [(scan, "flate")]
+        )
+        pdf_docs = spark.createDataFrame(
+            [("p1", pdf.decode("latin-1"))], "doc_id string, payload string"
+        )
+        assets = pdf_image_assets(pdf_docs).where("error IS NULL")
+
+        sidecar = assets.select("media_ref", "content").union(
+            spark.createDataFrame(
+                [("direct.png", bytearray(png_encode(scan)))],
+                "media_ref string, content binary",
+            )
+        )
+        docs = spark.createDataFrame(
+            [
+                ("from_pdf", [("media", None, "p1#img0", 0)]),
+                ("direct", [("media", None, "direct.png", 0)]),
+            ],
+            DOC_SCHEMA,
+        )
+        out = {
+            r.doc_id: r
+            for r in extract_documents(docs, media_sidecar=sidecar).collect()
+        }
+        assert out["from_pdf"].error is None and out["direct"].error is None
+        assert out["from_pdf"].spans[0].text == out["direct"].spans[0].text
