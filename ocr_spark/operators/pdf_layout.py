@@ -1016,10 +1016,71 @@ def _expand_objstm(ddict: str, inflated: bytes) -> bytes:
     return b"".join(blocks)
 
 
+def _content_page_spans(text: str) -> list[tuple[int, int, int]]:
+    """[(start, end, page_idx)] for every content-stream object span, with
+    page_idx in PAGE-TREE order (catalog -> /Pages /Kids walk, nested trees
+    and cycles guarded; fallback: /Type /Page objects in document order).
+    Multi-page reading order depends on this: content streams appear in the
+    file in ARBITRARY object order, and a single XY-cut over un-offset
+    per-page coordinates interleaves pages."""
+    import re as _re
+
+    objs, spans = _scan_objects(text)
+    pages: list[int] = []
+    seen: set[int] = set()
+
+    def walk(num: int, depth: int = 0) -> None:
+        if depth > 64 or num in seen or num not in objs:
+            return
+        seen.add(num)
+        body = objs[num]
+        head = body.split("stream", 1)[0]
+        if _re.search(r"/Type\s*/Pages\b", head):
+            km = _re.search(r"/Kids\s*\[(.*?)\]", head, _re.S)
+            if km:
+                for r in _re.findall(r"(\d+)\s+0\s+R", km.group(1)):
+                    walk(int(r), depth + 1)
+        elif _re.search(r"/Type\s*/Page\b", head):
+            pages.append(num)
+
+    cat = next(
+        (
+            n
+            for n, b in objs.items()
+            if _re.search(r"/Type\s*/Catalog\b", b.split("stream", 1)[0])
+        ),
+        None,
+    )
+    if cat is not None:
+        pm = _re.search(r"/Pages\s+(\d+)\s+0\s+R", objs[cat])
+        if pm:
+            walk(int(pm.group(1)))
+    if not pages:
+        pages = [
+            n
+            for _, _, n in spans
+            if _re.search(r"/Type\s*/Page\b", objs[n].split("stream", 1)[0])
+        ]
+    content_page: dict[int, int] = {}
+    for idx, pnum in enumerate(pages):
+        head = objs[pnum].split("stream", 1)[0]
+        arr = _re.search(r"/Contents\s*\[(.*?)\]", head, _re.S)
+        if arr:
+            crefs = [int(x) for x in _re.findall(r"(\d+)\s+0\s+R", arr.group(1))]
+        else:
+            one = _re.search(r"/Contents\s+(\d+)\s+0\s+R", head)
+            crefs = [int(one.group(1))] if one else []
+        for c in crefs:
+            content_page.setdefault(c, idx)
+    return [(s, e, content_page[n]) for s, e, n in spans if n in content_page]
+
+
 def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
     """Text blocks from a PDF's content streams: scan BT…ET text objects,
     track Tf (size) and Td/TD/Tm positioning, collect Tj/TJ shows. Returns
-    (blocks in TOP-LEFT reading coords [{x,y,w,h,text}], page_w, page_h).
+    (blocks in TOP-LEFT reading coords [{x,y,w,h,text}], page_w, page_h) —
+    page k's blocks are offset by k*(page_h + 2) so downstream XY-cut
+    orders pages sequentially instead of interleaving them.
     Tolerates missing/garbled xref (the scan is structural). Plain
     FlateDecode'd streams are inflated via stdlib zlib; filter chains and
     predictors raise ValueError."""
@@ -1061,6 +1122,27 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
     else:
         fonts, stream_fonts, obj_spans = {}, {}, []
     span_starts = [s for s, _, _ in obj_spans]
+    # multi-page: offset each page's y by its tree index so the XY-cut
+    # orders pages sequentially (the +2 > MIN_GAP guarantees a cut between
+    # a page's bottom-edge block and the next page's top-edge block)
+    pspans = _content_page_spans(text)
+    if pspans and max(p for _, _, p in pspans) > 0:
+        import bisect as _bisect
+
+        pstarts = [s for s, _, _ in pspans]
+
+        def _y_off(pos: int) -> float:
+            k = _bisect.bisect_right(pstarts, pos) - 1
+            if k >= 0:
+                s0, e0, idx = pspans[k]
+                if pos < e0:
+                    return idx * (page_h + 2.0)
+            return 0.0
+
+    else:
+
+        def _y_off(pos: int) -> float:
+            return 0.0
 
     def _font_at(pos: int, name: str):
         if stream_fonts:
@@ -1091,7 +1173,7 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
         blocks.append(
             {
                 "x": tx,
-                "y": page_h - ty - size,
+                "y": page_h - ty - size + _y_off(j),
                 "w": max(1.0, 0.5 * size * len(s)),
                 "h": size,
                 "text": s,
@@ -1487,6 +1569,81 @@ def pdf_write_images(
         out += f"{off:010d} 00000 n \n".encode()
     out += (
         f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_off}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def pdf_write_pages(
+    pages: list[list[dict]],
+    page_w: float = PAGE_W,
+    page_h: float = PAGE_H,
+    shuffle_objects: bool = False,
+) -> bytes:
+    """Multi-page fixture writer: one /Page + content stream per entry of
+    `pages` (same block dicts as pdf_write). shuffle_objects=True stores
+    the content streams in REVERSED file order while the /Kids array keeps
+    logical order — the case that breaks any reader that trusts byte order
+    over the page tree."""
+    n_pages = len(pages)
+    page_objs: list[bytes] = []
+    content_objs: list[bytes] = []
+    kids = []
+    font_num = 2 + 2 * n_pages + 1  # catalog, pages, n*(page+content), font
+    for p, blocks in enumerate(pages):
+        lines = []
+        for b in blocks:
+            size = float(b.get("size", 12))
+            x = float(b["x"])
+            y = page_h - float(b["y"]) - size
+            lines.append(
+                f"BT /F1 {size:g} Tf {x:g} {y:g} Td "
+                f"({_pdf_escape(str(b['text']))}) Tj ET"
+            )
+        content = "\n".join(lines).encode("latin-1")
+        page_num = 3 + 2 * p
+        content_num = 4 + 2 * p
+        kids.append(f"{page_num} 0 R")
+        page_objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {page_w:g} "
+                f"{page_h:g}] /Contents {content_num} 0 R "
+                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
+            ).encode()
+        )
+        content_objs.append(
+            b"<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream"
+        )
+    numbered = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (
+            2,
+            (
+                f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {n_pages} >>"
+            ).encode(),
+        ),
+    ]
+    for p in range(n_pages):
+        numbered.append((3 + 2 * p, page_objs[p]))
+        numbered.append((4 + 2 * p, content_objs[p]))
+    numbered.append(
+        (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    )
+    if shuffle_objects:
+        numbered = [numbered[0], numbered[1], *reversed(numbered[2:])]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets: dict[int, int] = {}
+    for num, body in numbered:
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += f"xref\n0 {len(numbered) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in sorted(offsets):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(numbered) + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_off}\n%%EOF\n"
     ).encode()
     return bytes(out)

@@ -254,3 +254,58 @@ def test_encrypted_pdf_named_envelope():
     # the plain doc still parses (guard is not a false positive)
     blocks, _, _ = pdf_parse_blocks(plain)
     assert any("hello" in b["text"] for b in blocks)
+
+
+class TestMultiPage:
+    def test_pages_read_sequentially_not_interleaved(self):
+        from ocr_spark.operators.pdf_layout import extract_pdf_text, pdf_write_pages
+
+        pdf = pdf_write_pages(
+            [
+                [{"x": 40, "y": 40, "text": "P1 first"},
+                 {"x": 40, "y": 70, "text": "P1 second"}],
+                [{"x": 40, "y": 40, "text": "P2 first"},
+                 {"x": 40, "y": 70, "text": "P2 second"}],
+                [{"x": 40, "y": 40, "text": "P3 only"}],
+            ]
+        )
+        got = extract_pdf_text(pdf.decode("latin-1"))
+        assert got == "P1 first\nP1 second\nP2 first\nP2 second\nP3 only"
+
+    def test_page_tree_order_beats_file_order(self):
+        # content streams stored in REVERSED byte order; /Kids is the truth
+        from ocr_spark.operators.pdf_layout import extract_pdf_text, pdf_write_pages
+
+        pdf = pdf_write_pages(
+            [
+                [{"x": 40, "y": 40, "text": "First page"}],
+                [{"x": 40, "y": 40, "text": "Second page"}],
+            ],
+            shuffle_objects=True,
+        )
+        got = extract_pdf_text(pdf.decode("latin-1"))
+        assert got == "First page\nSecond page"
+
+    def test_single_page_unchanged(self):
+        from ocr_spark.operators.pdf_layout import (
+            extract_pdf_text,
+            pdf_write,
+            pdf_write_pages,
+        )
+
+        blocks = [{"x": 40, "y": 40, "text": "Only page"}]
+        assert extract_pdf_text(
+            pdf_write_pages([blocks]).decode("latin-1")
+        ) == extract_pdf_text(pdf_write(blocks).decode("latin-1"))
+
+    def test_bottom_edge_block_stays_on_its_page(self):
+        # a block at the page's very bottom must not merge into page 2's top
+        from ocr_spark.operators.pdf_layout import extract_pdf_text, pdf_write_pages
+
+        pdf = pdf_write_pages(
+            [
+                [{"x": 40, "y": 779, "text": "P1 footer", "size": 12}],
+                [{"x": 40, "y": 1, "text": "P2 header", "size": 12}],
+            ]
+        )
+        assert extract_pdf_text(pdf.decode("latin-1")) == "P1 footer\nP2 header"
