@@ -359,3 +359,36 @@ def wav_encode(
         if len(payload) & 1:
             body += b"\x00"
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def resample_fft(x: np.ndarray, from_rate: int, to_rate: int) -> np.ndarray:
+    """Fourier-domain resampling (the classic zero-pad/truncate-spectrum
+    method): float (n,) or (n, ch) samples at from_rate -> (m,) / (m, ch)
+    at to_rate with m = n * to_rate // from_rate. Pure tones below the
+    output Nyquist survive with their frequency exact; energy above it is
+    removed (the spectrum is truncated, i.e. an ideal brick-wall filter).
+    Deterministic (numpy rfft/irfft only)."""
+    if from_rate <= 0 or to_rate <= 0:
+        raise ValueError("rates must be positive")
+    x = np.asarray(x, np.float64)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[:, None]
+    n = x.shape[0]
+    if from_rate == to_rate or n == 0:
+        out = x.copy()
+        return out[:, 0] if squeeze else out
+    m = n * to_rate // from_rate
+    if m == 0:
+        out = np.zeros((0, x.shape[1]))
+        return out[:, 0] if squeeze else out
+    X = np.fft.rfft(x, axis=0)
+    Y = np.zeros((m // 2 + 1, x.shape[1]), complex)
+    k = min(X.shape[0], Y.shape[0])
+    Y[:k] = X[:k]
+    if k < X.shape[0] and m % 2 == 0:
+        # truncation landed ON the new Nyquist bin: keep it real (its
+        # imaginary part has no conjugate partner in the shorter spectrum)
+        Y[k - 1] = Y[k - 1].real
+    out = np.fft.irfft(Y, n=m, axis=0) * (m / n)
+    return out[:, 0] if squeeze else out

@@ -851,3 +851,86 @@ def pdf_image_assets(
     return docs.select(id_col, payload_col).mapInPandas(
         gen, schema=PDF_IMAGE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# audio standardization — the speech-corpus ingestion front door
+# ---------------------------------------------------------------------------
+
+AUDIO_STD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("src_rate", T.IntegerType(), True),
+        T.StructField("src_channels", T.IntegerType(), True),
+        T.StructField("peak_src_dbfs", T.DoubleType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def audio_standardize(
+    assets: DataFrame,
+    target_rate: int = 16000,
+    peak_dbfs: float = -1.0,
+    normalize: bool = True,
+) -> DataFrame:
+    """Standardize every audio asset to the shape a speech-training corpus
+    feeds its acoustic model: decode (real WAV/G.711/ADPCM/FLAC codecs) ->
+    mono downmix (channel mean) -> Fourier resample to `target_rate`
+    (audio_codecs.resample_fft: pure tones survive exactly, energy above
+    the new Nyquist is brick-walled) -> optional peak normalization to
+    `peak_dbfs` -> 16-bit PCM WAV payload. Silence skips normalization
+    (no zero-division blowup); already-at-rate mono input round-trips.
+
+    ONE Arrow-batched mapInPandas stage, per-asset error envelopes (a
+    perceptual-codec payload degrades to its named NotImplementedError
+    row). Audio bodies never leave the executor that decoded them — the
+    100-TB shape is input partitioning, same as the image family."""
+    import math
+
+    from ocr_spark.operators.audio_codecs import resample_fft, wav_encode
+
+    cols = AUDIO_STD_SCHEMA.fieldNames()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                row: dict = {k: None for k in cols}
+                row["media_ref"] = ref
+                try:
+                    samples, rate = decode_audio(
+                        bytes(content) if content is not None else b""
+                    )
+                    if samples.ndim == 1:
+                        samples = samples[:, None]
+                    row["src_rate"] = int(rate)
+                    row["src_channels"] = int(samples.shape[1])
+                    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+                    peak = float(np.abs(mono).max()) if mono.size else 0.0
+                    row["peak_src_dbfs"] = (
+                        20.0 * math.log10(peak) if peak > 0 else None
+                    )
+                    out = resample_fft(mono, rate, target_rate)
+                    opk = float(np.abs(out).max()) if out.size else 0.0
+                    if normalize and opk > 0:
+                        out = out * (10.0 ** (peak_dbfs / 20.0) / opk)
+                    pcm = np.clip(np.round(out * 32767.0), -32768, 32767).astype(
+                        np.int16
+                    )
+                    row["sample_rate"] = int(target_rate)
+                    row["n_samples"] = int(pcm.shape[0])
+                    row["duration_ms"] = int(pcm.shape[0] * 1000 // target_rate)
+                    row["content"] = wav_encode(pcm, target_rate)
+                except Exception as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("media_ref", "content").mapInPandas(
+        gen, schema=AUDIO_STD_SCHEMA
+    )
