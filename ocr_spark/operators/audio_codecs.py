@@ -392,3 +392,68 @@ def resample_fft(x: np.ndarray, from_rate: int, to_rate: int) -> np.ndarray:
         Y[k - 1] = Y[k - 1].real
     out = np.fft.irfft(Y, n=m, axis=0) * (m / n)
     return out[:, 0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# log-mel spectrogram — the acoustic-model front end (public formulation:
+# Davis & Mermelstein 1980 mel filterbanks; the 25 ms / 10 ms / 80-bin
+# configuration is the one modern speech encoders standardized on)
+# ---------------------------------------------------------------------------
+
+
+def mel_hz_to_mel(f):
+    """HTK mel scale: 2595 * log10(1 + f/700)."""
+    return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def mel_mel_to_hz(m):
+    return 700.0 * (10.0 ** (np.asarray(m, np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    n_mels: int, n_fft: int, rate: int, fmin: float = 0.0, fmax: float | None = None
+) -> np.ndarray:
+    """(n_mels, n_fft//2+1) triangular filters, HTK mel spacing, peak 1.0."""
+    if fmax is None:
+        fmax = rate / 2.0
+    pts = mel_mel_to_hz(
+        np.linspace(mel_hz_to_mel(fmin), mel_hz_to_mel(fmax), n_mels + 2)
+    )
+    bins = np.fft.rfftfreq(n_fft, 1.0 / rate)
+    fb = np.zeros((n_mels, len(bins)))
+    for i in range(n_mels):
+        lo, ctr, hi = pts[i], pts[i + 1], pts[i + 2]
+        up = (bins - lo) / max(ctr - lo, 1e-12)
+        down = (hi - bins) / max(hi - ctr, 1e-12)
+        fb[i] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def logmel_frames(
+    mono: np.ndarray,
+    rate: int,
+    n_mels: int = 80,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    floor_db: float = -80.0,
+) -> np.ndarray:
+    """(n_frames, n_mels) log10 mel energies in dB relative to full scale,
+    clamped at floor_db. mono is float in [-1, 1]. Hann window, rfft at the
+    frame length, triangular HTK mel filters. Vectorized: ONE strided
+    frame matrix -> ONE rfft -> ONE matmul against the filterbank."""
+    mono = np.asarray(mono, np.float64)
+    flen = max(2, rate * frame_ms // 1000)
+    hop = max(1, rate * hop_ms // 1000)
+    if len(mono) < flen:
+        return np.zeros((0, n_mels))
+    n_frames = 1 + (len(mono) - flen) // hop
+    idx = np.arange(flen)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = mono[idx] * np.hanning(flen)[None, :]
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    fb = mel_filterbank(n_mels, flen, rate)
+    mel = spec @ fb.T
+    # dB relative to a full-scale sine's frame energy (coherent gain of the
+    # hann window), so levels are comparable across frame lengths
+    ref = (0.5 * np.hanning(flen).sum()) ** 2 / 2.0
+    db = 10.0 * np.log10(np.maximum(mel / ref, 10.0 ** (floor_db / 10.0)))
+    return db

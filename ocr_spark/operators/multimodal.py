@@ -934,3 +934,66 @@ def audio_standardize(
     return assets.select("media_ref", "content").mapInPandas(
         gen, schema=AUDIO_STD_SCHEMA
     )
+
+
+LOGMEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("n_mels", T.IntegerType(), True),
+        T.StructField("mean_db", T.DoubleType(), True),
+        T.StructField("max_db", T.DoubleType(), True),
+        T.StructField("feats", T.ArrayType(T.FloatType()), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def audio_logmel(
+    assets: DataFrame,
+    n_mels: int = 80,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    floor_db: float = -80.0,
+) -> DataFrame:
+    """Log-mel spectrogram features per audio asset — the acoustic-model
+    front end (25 ms window / 10 ms hop / 80 HTK mel bins, dB re full
+    scale). `feats` is the row-major (n_frames * n_mels) float array the
+    training loader reshapes; mean/max dB are the cheap QA columns. ONE
+    Arrow stage, per-asset envelopes; run it after audio_standardize so
+    every asset shares one rate."""
+    from ocr_spark.operators.audio_codecs import logmel_frames
+
+    cols = LOGMEL_SCHEMA.fieldNames()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                row: dict = {k: None for k in cols}
+                row["media_ref"] = ref
+                try:
+                    samples, rate = decode_audio(
+                        bytes(content) if content is not None else b""
+                    )
+                    if samples.ndim == 1:
+                        samples = samples[:, None]
+                    mono = samples.astype(np.float64).mean(axis=1) / 32768.0
+                    lm = logmel_frames(
+                        mono, rate, n_mels=n_mels, frame_ms=frame_ms,
+                        hop_ms=hop_ms, floor_db=floor_db,
+                    )
+                    row["n_frames"] = int(lm.shape[0])
+                    row["n_mels"] = int(n_mels)
+                    if lm.size:
+                        row["mean_db"] = float(lm.mean())
+                        row["max_db"] = float(lm.max())
+                    row["feats"] = lm.astype(np.float32).ravel().tolist()
+                except Exception as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return assets.select("media_ref", "content").mapInPandas(
+        gen, schema=LOGMEL_SCHEMA
+    )

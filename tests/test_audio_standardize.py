@@ -109,3 +109,52 @@ class TestAudioStandardize:
         out, _ = wav_decode(bytes(got["content"]))
         peak = np.abs(out[:, 0]).max() / 32767.0
         assert abs(peak - 0.25) < 0.01
+
+
+class TestLogMel:
+    def test_tone_lands_in_correct_mel_bin(self):
+        from ocr_spark.operators.audio_codecs import (
+            logmel_frames,
+            mel_hz_to_mel,
+            mel_mel_to_hz,
+        )
+
+        x = 0.9 * _sine(1000.0, 16000, 16000, amp=1.0)
+        lm = logmel_frames(x, 16000)
+        assert lm.shape == (1 + (16000 - 400) // 160, 80)
+        centers = mel_mel_to_hz(
+            np.linspace(mel_hz_to_mel(0.0), mel_hz_to_mel(8000.0), 82)
+        )[1:-1]
+        k = int(lm[lm.shape[0] // 2].argmax())
+        # the tone's energy peaks in the mel bin whose center is nearest
+        assert abs(centers[k] - 1000.0) == abs(centers - 1000.0).min()
+        # full-scale-referenced level: a 0.9 sine sits near -0.9 dBFS
+        assert abs(lm.max() - 20 * math.log10(0.9)) < 2.5
+
+    def test_silence_is_floored_and_short_input_empty(self):
+        from ocr_spark.operators.audio_codecs import logmel_frames
+
+        assert float(logmel_frames(np.zeros(16000), 16000).max()) == -80.0
+        assert logmel_frames(np.zeros(100), 16000).shape == (0, 80)
+
+    def test_spark_surface_composes_with_standardize(self, spark):
+        from ocr_spark.operators.multimodal import audio_logmel
+
+        pcm = (_sine(440.0, 44100, 44100) * 32767).astype(np.int16)
+        wav = wav_encode(pcm[:, None], 44100)
+        assets = spark.createDataFrame(
+            [("t.wav", bytearray(wav)), ("bad.mp3", bytearray(b"\xff\xfbxx"))],
+            "media_ref string, content binary",
+        )
+        std = audio_standardize(assets).where("error IS NULL")
+        got = {
+            r["media_ref"]: r
+            for r in audio_logmel(std.select("media_ref", "content")).collect()
+        }
+        r = got["t.wav"]
+        assert r["error"] is None
+        assert r["n_frames"] == 1 + (16000 - 400) // 160 and r["n_mels"] == 80
+        assert len(r["feats"]) == r["n_frames"] * 80
+        assert r["max_db"] > -3.0  # standardize normalized to -1 dBFS
+        # the mp3 was dropped by standardize's envelope before logmel
+        assert set(got) == {"t.wav"}
