@@ -1124,8 +1124,14 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
     span_starts = [s for s, _, _ in obj_spans]
     # multi-page: offset each page's y by its tree index so the XY-cut
     # orders pages sequentially (the +2 > MIN_GAP guarantees a cut between
-    # a page's bottom-edge block and the next page's top-edge block)
-    pspans = _content_page_spans(text)
+    # a page's bottom-edge block and the next page's top-edge block).
+    # The cheap findall guard skips the object re-scan on single-page
+    # documents — the overwhelmingly common case on the extract hot path.
+    pspans = (
+        _content_page_spans(text)
+        if len(_re.findall(r"/Type\s*/Page\b", text)) > 1
+        else []
+    )
     if pspans and max(p for _, _, p in pspans) > 0:
         import bisect as _bisect
 
