@@ -1041,31 +1041,78 @@ def tiff_decode(data: bytes) -> np.ndarray:
     except KeyError:
         raise ValueError("TIFF missing dimensions") from None
     compression = tags.get(259, [1])[0]
-    if compression != 1:
+    if compression not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [1] * spp)
     if any(b != 8 for b in bps):
         raise ValueError(f"unsupported TIFF bits-per-sample {bps}")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     strip_offs = tags.get(273)
     if not strip_offs:
         raise ValueError("TIFF missing strip offsets")
     strip_counts = tags.get(279, [w * h * spp])
-    buf = b"".join(
-        data[o : o + c] for o, c in zip(strip_offs, strip_counts)
-    )
+    rows_per_strip = tags.get(278, [h])[0] or h
+    if compression == 1:
+        buf = b"".join(
+            data[o : o + c] for o, c in zip(strip_offs, strip_counts)
+        )
+    else:
+        # strips are INDEPENDENT compressed streams (TIFF 6.0 §13/§9)
+        parts = []
+        for si, (o, c) in enumerate(zip(strip_offs, strip_counts)):
+            rows = min(rows_per_strip, h - si * rows_per_strip)
+            if rows <= 0:
+                break
+            expected = rows * w * spp
+            raw = data[o : o + c]
+            parts.append(
+                _tiff_lzw_decode(raw, expected)
+                if compression == 5
+                else _packbits_decode(raw, expected)
+            )
+        buf = b"".join(parts)
     arr = np.frombuffer(buf, dtype=np.uint8, count=w * h * spp)
+    if predictor == 2:
+        rows = arr.reshape(h, w, spp).astype(np.int64)
+        arr = (np.cumsum(rows, axis=1) & 0xFF).astype(np.uint8).reshape(-1)
     if spp == 1:
         return arr.reshape(h, w).copy()
     return arr.reshape(h, w, spp)[:, :, :3].copy()
 
 
-def tiff_encode(img: np.ndarray) -> bytes:
-    """Uncompressed little-endian TIFF (gray or RGB), one strip."""
+def tiff_encode(
+    img: np.ndarray, compression: str = "none", predictor: int = 1
+) -> bytes:
+    """Little-endian TIFF (gray or RGB), one strip. compression 'none' |
+    'lzw' | 'packbits' (PackBits compresses row by row, the layout real
+    writers use); predictor=2 applies horizontal differencing before LZW."""
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else img.shape[2]
-    body = img.tobytes()
+    raw = img
+    if predictor == 2:
+        d = img.reshape(h, w, spp).astype(np.int64)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        raw = (d & 0xFF).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError(f"unsupported writer predictor {predictor}")
+    if compression == "none":
+        body = raw.tobytes()
+        comp_tag = 1
+    elif compression == "lzw":
+        body = _tiff_lzw_encode(raw.tobytes())
+        comp_tag = 5
+    elif compression == "packbits":
+        body = b"".join(
+            _packbits_encode(raw.reshape(h, w * spp)[r].tobytes())
+            for r in range(h)
+        )
+        comp_tag = 32773
+    else:
+        raise ValueError(f"unknown compression {compression!r}")
     # layout: header(8) | pixel data | BitsPerSample array (if rgb) | IFD
     data_off = 8
     bits_off = data_off + len(body)
@@ -1084,12 +1131,14 @@ def tiff_encode(img: np.ndarray) -> bytes:
         entry(258, 3, 3, bits_off)
     else:
         entry_short(258, 8)
-    entry_short(259, 1)  # no compression
+    entry_short(259, comp_tag)
     entry_short(262, 1 if spp == 1 else 2)  # BlackIsZero / RGB
     entry(273, 4, 1, data_off)  # StripOffsets
     entry_short(277, spp)
     entry_short(278, h)  # RowsPerStrip
     entry(279, 4, 1, len(body))  # StripByteCounts
+    if predictor == 2:
+        entry_short(317, 2)
     ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
     out = b"II*\x00" + struct.pack("<I", ifd_off) + body
     if spp == 3:
@@ -1327,4 +1376,153 @@ def gif_encode(
             out += chunk
         out.append(0)
     out.append(0x3B)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# TIFF compression variants (TIFF 6.0 spec): LZW (MSB-first bit packing,
+# EarlyChange code widening — the notorious off-by-one GIF does NOT have),
+# PackBits (Apple RLE), and Predictor 2 (horizontal differencing).
+# ---------------------------------------------------------------------------
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW: 8-bit symbols, clear=256 eoi=257, codes packed
+    MSB-first, and the code width grows one code EARLY (at table size
+    2^bits - 1) — TIFF 6.0 §13 as every real writer implements it."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = pos = 0
+    code_size = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    n = len(data)
+    while len(out) < expected:
+        while nbits < code_size:
+            if pos >= n:
+                raise ValueError("TIFF LZW stream truncated")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - code_size)) & ((1 << code_size) - 1)
+        nbits -= code_size
+        acc &= (1 << nbits) - 1
+        if code == clear:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            code_size = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("TIFF LZW bad first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) - 1 and code_size < 12:
+            code_size += 1  # EarlyChange
+    return bytes(out[:expected])
+
+
+def _tiff_lzw_encode(pixels: bytes) -> bytes:
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << size) | code
+        nbits += size
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_size = 9
+    put(clear, code_size)
+    w = b""
+    for b in pixels:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], code_size)
+        table[wc] = next_code
+        next_code += 1
+        # the decoder's table runs ONE ENTRY BEHIND and widens (EarlyChange)
+        # when its size hits 2^bits - 1 — i.e. when our next_code hits
+        # 2^bits; at the 12-bit ceiling, clear with margin before the
+        # decoder's table could outgrow the code space
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif code_size == 12 and next_code == (1 << 12) - 2:
+            put(clear, code_size)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            code_size = 9
+        w = bytes([b])
+    if w:
+        put(table[w], code_size)
+    put(eoi, code_size)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits (Apple RLE): n in 0..127 -> copy n+1 literal bytes;
+    n in -127..-1 -> repeat next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            if i + h + 1 > n:
+                raise ValueError("PackBits literal run truncated")
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:
+            if i >= n:
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op
+    if len(out) < expected:
+        raise ValueError(f"PackBits stream short: {len(out)} < {expected}")
+    return bytes(out[:expected])
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    """Greedy PackBits: runs of >=3 identical bytes become repeat packets."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i
+        while j + 1 < n and row[j + 1] == row[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i = j + 1
+            continue
+        # literal run: until the next >=3 repeat or 128 bytes
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and row[k] == row[k + 1] == row[k + 2]:
+                break
+            k += 1
+        out += bytes([k - i - 1]) + row[i:k]
+        i = k
     return bytes(out)

@@ -600,3 +600,121 @@ def test_webp_encode_rejects_oversized_dimensions():
         webp_encode(np.zeros((1, 16385, 3), dtype=np.uint8))
     with pytest.raises(ValueError, match="16384"):
         webp_encode(np.zeros((16385, 1, 3), dtype=np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# TIFF compression variants: LZW (MSB-first, EarlyChange), PackBits,
+# Predictor 2
+# ---------------------------------------------------------------------------
+
+
+class TestTiffCompression:
+    GRAY = (np.arange(40 * 56).reshape(40, 56) % 251).astype(np.uint8)
+
+    def test_all_roundtrips(self):
+        from ocr_spark.operators.image_codecs import tiff_decode, tiff_encode
+
+        rng = np.random.default_rng(3)
+        rgb = rng.integers(0, 256, (30, 20, 3), dtype=np.uint8)
+        for img in (self.GRAY, rgb):
+            for comp in ("none", "lzw", "packbits"):
+                preds = (1, 2) if comp == "lzw" else (1,)
+                for pred in preds:
+                    got = tiff_decode(
+                        tiff_encode(img, compression=comp, predictor=pred)
+                    )
+                    assert np.array_equal(got, img), (comp, pred)
+
+    def test_lzw_early_change_and_12bit_clear(self):
+        # >40k distinct-ish bytes forces the table through every width up
+        # to 12 bits and across the mid-stream CLEAR
+        from ocr_spark.operators.image_codecs import (
+            _tiff_lzw_decode,
+            _tiff_lzw_encode,
+        )
+
+        rng = np.random.default_rng(9)
+        data = rng.integers(0, 256, 50_000, dtype=np.uint8).tobytes()
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), len(data)) == data
+
+    def test_packbits_no_op_and_runs(self):
+        from ocr_spark.operators.image_codecs import (
+            _packbits_decode,
+            _packbits_encode,
+        )
+
+        row = b"\x00" * 200 + b"abcdef" + b"\xff" * 3
+        enc = _packbits_encode(row)
+        assert len(enc) < len(row)
+        assert _packbits_decode(enc, len(row)) == row
+        # 0x80 header bytes are no-ops
+        assert _packbits_decode(b"\x80\x00A", 1) == b"A"
+
+    def test_multi_strip_lzw(self):
+        # hand-build a 2-strip LZW TIFF (RowsPerStrip = 20 over 40 rows):
+        # strips must decompress as INDEPENDENT streams
+        import struct
+
+        from ocr_spark.operators.image_codecs import (
+            _tiff_lzw_encode,
+            tiff_decode,
+        )
+
+        img = self.GRAY
+        h, w = img.shape
+        s1 = _tiff_lzw_encode(img[:20].tobytes())
+        s2 = _tiff_lzw_encode(img[20:].tobytes())
+        off1 = 8
+        off2 = off1 + len(s1)
+        arrays_off = off2 + len(s2)
+        # StripOffsets/ByteCounts arrays (2 longs each) precede the IFD
+        ifd_off = arrays_off + 16
+        entries = []
+
+        def entry(tag, typ, cnt, val):
+            entries.append(
+                struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
+            )
+
+        def entry_short(tag, val):
+            entries.append(struct.pack("<HHIHH", tag, 3, 1, val, 0))
+
+        entry_short(256, w)
+        entry_short(257, h)
+        entry_short(258, 8)
+        entry_short(259, 5)  # LZW
+        entry_short(262, 1)
+        entry(273, 4, 2, arrays_off)
+        entry_short(277, 1)
+        entry_short(278, 20)  # RowsPerStrip
+        entry(279, 4, 2, arrays_off + 8)
+        data = (
+            b"II*\x00"
+            + struct.pack("<I", ifd_off)
+            + s1
+            + s2
+            + struct.pack("<II", off1, off2)
+            + struct.pack("<II", len(s1), len(s2))
+            + struct.pack("<H", len(entries))
+            + b"".join(entries)
+            + struct.pack("<I", 0)
+        )
+        assert np.array_equal(tiff_decode(data), img)
+
+    def test_unsupported_compression_still_named(self):
+        from ocr_spark.operators.image_codecs import tiff_decode, tiff_encode
+
+        import struct
+
+        # splice compression tag 7 (JPEG-in-TIFF) in place of 1
+        raw = tiff_encode(self.GRAY)
+        idx = raw.find(struct.pack("<HHIHH", 259, 3, 1, 1, 0))
+        assert idx > 0
+        patched = (
+            raw[:idx] + struct.pack("<HHIHH", 259, 3, 1, 7, 0)
+            + raw[idx + 12 :]
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="compression 7"):
+            tiff_decode(patched)
