@@ -965,15 +965,51 @@ def bmp_decode(data: bytes) -> np.ndarray:
     w, h_raw = struct.unpack("<ii", data[18:26])
     planes, bpp = struct.unpack("<HH", data[26:30])
     compression = struct.unpack("<I", data[30:34])[0]
-    if compression != 0:
+    if compression not in (0, 1):
         raise ValueError(f"unsupported BMP compression {compression}")
     if w <= 0 or h_raw == 0:
         raise ValueError("degenerate BMP dimensions")
     top_down = h_raw < 0
     h = abs(h_raw)
     row_bytes = (w * bpp // 8 + 3) & ~3
-    px = np.frombuffer(data, dtype=np.uint8, count=row_bytes * h, offset=pixel_off)
-    rows = px.reshape(h, row_bytes)
+    if compression == 1:  # BI_RLE8 (bottom-up only per spec)
+        if bpp != 8 or top_down:
+            raise ValueError("BI_RLE8 requires 8-bit bottom-up BMP")
+        rows = np.zeros((h, row_bytes), np.uint8)
+        x = y = 0
+        i = pixel_off
+        n = len(data)
+        while i + 1 < n and y < h:
+            cnt, val = data[i], data[i + 1]
+            i += 2
+            if cnt:  # repeat run
+                end = min(x + cnt, w)
+                rows[y, x:end] = val
+                x = end
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta jump
+                if i + 1 >= n:
+                    raise ValueError("BMP RLE8 delta truncated")
+                x = min(x + data[i], w)
+                y += data[i + 1]
+                i += 2
+            else:  # absolute literal run (word-aligned)
+                if i + val > n:
+                    raise ValueError("BMP RLE8 literal truncated")
+                end = min(x + val, w)
+                rows[y, x:end] = np.frombuffer(
+                    data, np.uint8, count=end - x, offset=i
+                )
+                x = end
+                i += val + (val & 1)
+    else:
+        px = np.frombuffer(
+            data, dtype=np.uint8, count=row_bytes * h, offset=pixel_off
+        )
+        rows = px.reshape(h, row_bytes)
     if not top_down:
         rows = rows[::-1]
     if bpp == 24:
@@ -990,6 +1026,52 @@ def bmp_decode(data: bytes) -> np.ndarray:
             return rgb[..., 0].copy()  # gray palette → 2-D
         return rgb
     raise ValueError(f"unsupported BMP bpp {bpp}")
+
+
+def bmp_encode_rle8(img: np.ndarray) -> bytes:
+    """8-bit paletted BMP with BI_RLE8 compression (gray palette), the
+    legacy-scanner screenshot format: repeat runs, word-aligned absolute
+    runs, end-of-line and end-of-bitmap escapes."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("bmp_encode_rle8 expects a 2-D gray image")
+    h, w = img.shape
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = img[y]
+        x = 0
+        while x < w:
+            j = x
+            while j + 1 < w and row[j + 1] == row[x] and j - x < 254:
+                j += 1
+            run = j - x + 1
+            if run >= 2 or w - x == 1:
+                body += bytes([run, row[x]])
+                x = j + 1
+            else:
+                k = x
+                while k < w and k - x < 254:
+                    if k + 1 < w and k + 2 <= w and row[k] == row[k + 1 : k + 2]:
+                        break
+                    k += 1
+                lit = row[x:k].tobytes()
+                if len(lit) < 3:  # absolute runs must be >= 3 bytes
+                    for b in lit:
+                        body += bytes([1, b])
+                else:
+                    body += bytes([0, len(lit)]) + lit
+                    if len(lit) & 1:
+                        body += b"\x00"  # word alignment
+                x = k
+        body += b"\x00\x00"  # end of line
+    body += b"\x00\x01"  # end of bitmap
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    pixel_off = 54 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", pixel_off + len(body), 0, 0, pixel_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body), 2835, 2835, 256, 0
+    )
+    return hdr + info + pal + bytes(body)
 
 
 def bmp_encode(img: np.ndarray) -> bytes:

@@ -718,3 +718,34 @@ class TestTiffCompression:
 
         with _pytest.raises(ValueError, match="compression 7"):
             tiff_decode(patched)
+
+
+class TestBmpRle8:
+    def test_roundtrip_matrix(self):
+        from ocr_spark.operators.image_codecs import bmp_decode, bmp_encode_rle8
+
+        rng = np.random.default_rng(5)
+        imgs = [
+            rng.integers(0, 256, (17, 31), dtype=np.uint8),   # noisy
+            np.full((9, 40), 77, np.uint8),                    # constant
+            (np.arange(25 * 33).reshape(25, 33) // 7 % 256).astype(np.uint8),
+            np.zeros((1, 1), np.uint8),
+        ]
+        for img in imgs:
+            assert np.array_equal(bmp_decode(bmp_encode_rle8(img)), img)
+
+    def test_compresses_flat_image(self):
+        from ocr_spark.operators.image_codecs import bmp_encode, bmp_encode_rle8
+
+        flat = np.full((64, 64), 128, np.uint8)
+        assert len(bmp_encode_rle8(flat)) < len(bmp_encode(flat)) // 4
+
+    def test_other_compression_still_named(self):
+        import struct
+
+        from ocr_spark.operators.image_codecs import bmp_decode, bmp_encode_rle8
+
+        raw = bytearray(bmp_encode_rle8(np.zeros((4, 4), np.uint8)))
+        raw[30:34] = struct.pack("<I", 4)  # BI_JPEG
+        with pytest.raises(ValueError, match="compression 4"):
+            bmp_decode(bytes(raw))
