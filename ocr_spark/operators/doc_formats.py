@@ -886,6 +886,195 @@ def pdf_text_extract(data: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# XLSX — SpreadsheetML (ISO/IEC 29500): workbook sheet order, shared
+# strings, inline strings, per-row pipe-joined cells (the DOCX-table text
+# convention)
+# ---------------------------------------------------------------------------
+
+
+def _col_index(ref: str) -> int:
+    """'A1' -> 0, 'AB7' -> 27: the column part of an A1 cell reference."""
+    n = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        n = n * 26 + (ord(ch.upper()) - 64)
+    return n - 1
+
+
+def xlsx_extract(data: bytes, max_sheets: int = 64) -> dict:
+    """XLSX bytes -> {text, title, n_blocks(=rows)}. Sheets in workbook
+    order (rels-resolved targets), shared + inline strings, numeric values
+    verbatim; each row one line of ' | '-joined non-empty cells."""
+    zf = _zip_open(data)
+    names = set(zf.namelist())
+    if "xl/workbook.xml" not in names:
+        raise ValueError("xlsx missing xl/workbook.xml")
+    wb = _xml_root(_zip_read(zf, "xl/workbook.xml"), "workbook")
+    rels: dict[str, str] = {}
+    if "xl/_rels/workbook.xml.rels" in names:
+        rroot = _xml_root(
+            _zip_read(zf, "xl/_rels/workbook.xml.rels"), "workbook rels"
+        )
+        for el in rroot.iter():
+            if _local(el.tag) == "Relationship":
+                rid, tgt = el.get("Id"), el.get("Target")
+                if rid and tgt:
+                    rels[rid] = tgt if not tgt.startswith("/") else tgt[1:]
+    sheets: list[tuple[str, str]] = []  # (name, zip path)
+    for el in wb.iter():
+        if _local(el.tag) != "sheet":
+            continue
+        sname = el.get("name", f"Sheet{len(sheets) + 1}")
+        rid = next(
+            (v for k, v in el.attrib.items() if k.endswith("}id") or k == "id"),
+            None,
+        )
+        tgt = rels.get(rid, f"worksheets/sheet{len(sheets) + 1}.xml")
+        path = tgt if tgt.startswith("xl/") else posixpath.normpath(
+            posixpath.join("xl", tgt)
+        )
+        if path in names:
+            sheets.append((sname, path))
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in names:
+        sroot = _xml_root(_zip_read(zf, "xl/sharedStrings.xml"), "sharedStrings")
+        for si in sroot:
+            if _local(si.tag) == "si":
+                shared.append(
+                    "".join(t.text or "" for t in si.iter() if _local(t.tag) == "t")
+                )
+    blocks: list[str] = []
+    for sname, path in sheets[:max_sheets]:
+        ws = _xml_root(_zip_read(zf, path), f"worksheet {path}")
+        sheet_rows: list[str] = []
+        for row in ws.iter():
+            if _local(row.tag) != "row":
+                continue
+            cells: list[tuple[int, str]] = []
+            for c in row:
+                if _local(c.tag) != "c":
+                    continue
+                ctype = c.get("t", "n")
+                v = None
+                for ch in c:
+                    t = _local(ch.tag)
+                    if t == "v":
+                        v = ch.text or ""
+                    elif t == "is":
+                        v = "".join(
+                            x.text or "" for x in ch.iter() if _local(x.tag) == "t"
+                        )
+                if v is None:
+                    continue
+                if ctype == "s":
+                    try:
+                        v = shared[int(v)]
+                    except (ValueError, IndexError):
+                        pass
+                elif ctype == "b":
+                    v = "TRUE" if v in ("1", "true") else "FALSE"
+                cells.append((_col_index(c.get("r", "")), v))
+            vals = [v for _, v in sorted(cells) if v.strip()]
+            if vals:
+                sheet_rows.append(" | ".join(vals))
+        if sheet_rows:
+            if len(sheets) > 1:
+                blocks.append(f"# {sname}")
+            blocks.extend(sheet_rows)
+    return {
+        "text": "\n".join(blocks),
+        "title": sheets[0][0] if len(sheets) == 1 and sheets else None,
+        "creator": None,
+        "lang": None,
+        "date": None,
+        "n_blocks": len(blocks),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PPTX — PresentationML: slide order from sldIdLst + rels, shape text
+# paragraphs per slide
+# ---------------------------------------------------------------------------
+
+
+def pptx_extract(data: bytes, max_slides: int = 256) -> dict:
+    """PPTX bytes -> {text, n_blocks(=slides)}. Slides in presentation
+    order; each a:p paragraph one line, title placeholder first (as the
+    slide's heading)."""
+    zf = _zip_open(data)
+    names = set(zf.namelist())
+    if "ppt/presentation.xml" not in names:
+        raise ValueError("pptx missing ppt/presentation.xml")
+    pres = _xml_root(_zip_read(zf, "ppt/presentation.xml"), "presentation")
+    rels: dict[str, str] = {}
+    if "ppt/_rels/presentation.xml.rels" in names:
+        rroot = _xml_root(
+            _zip_read(zf, "ppt/_rels/presentation.xml.rels"), "presentation rels"
+        )
+        for el in rroot.iter():
+            if _local(el.tag) == "Relationship":
+                rid, tgt = el.get("Id"), el.get("Target")
+                if rid and tgt:
+                    rels[rid] = tgt
+    slide_paths: list[str] = []
+    for el in pres.iter():
+        if _local(el.tag) != "sldId":
+            continue
+        rid = next(
+            (v for k, v in el.attrib.items() if k.endswith("}id") and "r" in k.split("}")[0]),
+            None,
+        ) or next(
+            (v for k, v in el.attrib.items() if k.endswith("}id") and v.startswith("rId")),
+            None,
+        )
+        tgt = rels.get(rid)
+        if not tgt:
+            continue
+        path = posixpath.normpath(posixpath.join("ppt", tgt))
+        if path in names:
+            slide_paths.append(path)
+    if not slide_paths:  # rels missing: fall back to numeric slide order
+        slide_paths = sorted(
+            (n for n in names if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)),
+            key=lambda p: int(re.search(r"(\d+)", p).group(1)),
+        )
+    blocks: list[str] = []
+    n_slides = 0
+    for path in slide_paths[:max_slides]:
+        sl = _xml_root(_zip_read(zf, path), f"slide {path}")
+        paras: list[tuple[bool, str]] = []  # (is_title, line)
+        for sp in sl.iter():
+            if _local(sp.tag) != "sp":
+                continue
+            is_title = any(
+                _local(e.tag) == "ph" and e.get("type") in ("title", "ctrTitle")
+                for e in sp.iter()
+            )
+            for p in sp.iter():
+                if _local(p.tag) != "p":
+                    continue
+                line = "".join(
+                    t.text or "" for t in p.iter() if _local(t.tag) == "t"
+                ).strip()
+                if line:
+                    paras.append((is_title, line))
+        if paras:
+            n_slides += 1
+            paras.sort(key=lambda x: not x[0])  # titles first, stable
+            for is_title, line in paras:
+                blocks.append(("# " + line) if is_title else line)
+    return {
+        "text": "\n".join(blocks),
+        "title": blocks[0][2:] if blocks and blocks[0].startswith("# ") else None,
+        "creator": None,
+        "lang": None,
+        "date": None,
+        "n_blocks": n_slides,
+    }
+
+
+# ---------------------------------------------------------------------------
 # format sniffing + the one-stage Spark surface
 # ---------------------------------------------------------------------------
 
@@ -916,6 +1105,10 @@ def document_sniff(data: bytes) -> str | None:
                 return "odt"
         if "word/document.xml" in names:
             return "docx"
+        if "xl/workbook.xml" in names:
+            return "xlsx"
+        if "ppt/presentation.xml" in names:
+            return "pptx"
         if "META-INF/container.xml" in names:
             return "epub"
         if "content.xml" in names:
@@ -934,6 +1127,8 @@ _EXTRACTORS = {
     "rtf": rtf_extract,
     "tex": latex_extract,
     "pdf": pdf_text_extract,
+    "xlsx": xlsx_extract,
+    "pptx": pptx_extract,
 }
 
 DOC_TEXT_SCHEMA = T.StructType(
@@ -1198,3 +1393,166 @@ def synth_rtf(paragraphs: list[str], fonttbl: bool = True) -> bytes:
         for p in paragraphs
     )
     return (head + " " + body + "}").encode("latin-1", errors="replace")
+
+
+def synth_xlsx(
+    sheets: list[tuple[str, list[list]]], inline: bool = False
+) -> bytes:
+    """Real XLSX fixture: sheets = [(name, rows of cell values)]. Strings
+    go through sharedStrings (or inline <is> when inline=True), numbers
+    stay numeric cells, bools become t="b"."""
+    def esc(s: str) -> str:
+        return (
+            str(s).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+
+    shared: list[str] = []
+    shared_idx: dict[str, int] = {}
+    ws_ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    r_ns = (
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships"'
+    )
+    sheet_entries = []
+    wb_sheets = []
+    rels = []
+    for si, (name, rows) in enumerate(sheets, start=1):
+        cells_xml = []
+        for ri, row in enumerate(rows, start=1):
+            cs = []
+            for ci, val in enumerate(row):
+                ref = f"{chr(65 + ci)}{ri}"
+                if isinstance(val, bool):
+                    cs.append(f'<c r="{ref}" t="b"><v>{int(val)}</v></c>')
+                elif isinstance(val, (int, float)):
+                    cs.append(f'<c r="{ref}"><v>{val}</v></c>')
+                elif inline:
+                    cs.append(
+                        f'<c r="{ref}" t="inlineStr"><is><t>{esc(val)}</t>'
+                        "</is></c>"
+                    )
+                else:
+                    if val not in shared_idx:
+                        shared_idx[val] = len(shared)
+                        shared.append(val)
+                    cs.append(
+                        f'<c r="{ref}" t="s"><v>{shared_idx[val]}</v></c>'
+                    )
+            cells_xml.append(f'<row r="{ri}">{"".join(cs)}</row>')
+        sheet_entries.append(
+            (
+                f"xl/worksheets/sheet{si}.xml",
+                (
+                    f'<?xml version="1.0"?><worksheet {ws_ns}><sheetData>'
+                    f'{"".join(cells_xml)}</sheetData></worksheet>'
+                ).encode(),
+            )
+        )
+        wb_sheets.append(
+            f'<sheet name="{esc(name)}" sheetId="{si}" r:id="rId{si}"/>'
+        )
+        rels.append(
+            f'<Relationship Id="rId{si}" Type="http://schemas.openxmlformats'
+            '.org/officeDocument/2006/relationships/worksheet" '
+            f'Target="worksheets/sheet{si}.xml"/>'
+        )
+    entries = [
+        (
+            "xl/workbook.xml",
+            (
+                f'<?xml version="1.0"?><workbook {ws_ns} {r_ns}><sheets>'
+                f'{"".join(wb_sheets)}</sheets></workbook>'
+            ).encode(),
+        ),
+        (
+            "xl/_rels/workbook.xml.rels",
+            (
+                '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+                'openxmlformats.org/package/2006/relationships">'
+                f'{"".join(rels)}</Relationships>'
+            ).encode(),
+        ),
+        *sheet_entries,
+    ]
+    if shared:
+        sst = "".join(f"<si><t>{esc(s)}</t></si>" for s in shared)
+        entries.append(
+            (
+                "xl/sharedStrings.xml",
+                (
+                    f'<?xml version="1.0"?><sst {ws_ns} count="{len(shared)}"'
+                    f' uniqueCount="{len(shared)}">{sst}</sst>'
+                ).encode(),
+            )
+        )
+    return _zip_bytes(entries)
+
+
+def synth_pptx(slides: list[tuple[str | None, list[str]]]) -> bytes:
+    """Real PPTX fixture: slides = [(title_or_None, body lines)]."""
+    def esc(s: str) -> str:
+        return (
+            str(s).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        )
+
+    a = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+    p = (
+        'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main"'
+    )
+    r = (
+        'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships"'
+    )
+
+    def shape(text_lines: list[str], ph: str | None) -> str:
+        ph_xml = f'<p:ph type="{ph}"/>' if ph else ""
+        paras = "".join(
+            f"<a:p><a:r><a:t>{esc(ln)}</a:t></a:r></a:p>" for ln in text_lines
+        )
+        return (
+            f"<p:sp><p:nvSpPr><p:nvPr>{ph_xml}</p:nvPr></p:nvSpPr>"
+            f"<p:txBody>{paras}</p:txBody></p:sp>"
+        )
+
+    entries = []
+    sld_ids = []
+    rels = []
+    for i, (title, lines) in enumerate(slides, start=1):
+        shapes = (shape([title], "title") if title else "") + shape(lines, None)
+        entries.append(
+            (
+                f"ppt/slides/slide{i}.xml",
+                (
+                    f'<?xml version="1.0"?><p:sld {p} {a}><p:cSld><p:spTree>'
+                    f"{shapes}</p:spTree></p:cSld></p:sld>"
+                ).encode(),
+            )
+        )
+        sld_ids.append(f'<p:sldId id="{255 + i}" r:id="rId{i}"/>')
+        rels.append(
+            f'<Relationship Id="rId{i}" Type="http://schemas.openxmlformats'
+            '.org/officeDocument/2006/relationships/slide" '
+            f'Target="slides/slide{i}.xml"/>'
+        )
+    entries.insert(
+        0,
+        (
+            "ppt/presentation.xml",
+            (
+                f'<?xml version="1.0"?><p:presentation {p} {r}>'
+                f'<p:sldIdLst>{"".join(sld_ids)}</p:sldIdLst></p:presentation>'
+            ).encode(),
+        ),
+    )
+    entries.insert(
+        1,
+        (
+            "ppt/_rels/presentation.xml.rels",
+            (
+                '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+                'openxmlformats.org/package/2006/relationships">'
+                f'{"".join(rels)}</Relationships>'
+            ).encode(),
+        ),
+    )
+    return _zip_bytes(entries)

@@ -448,3 +448,88 @@ class TestPdfRoute:
         assert got[0]["format"] == "pdf"
         assert got[0]["text"] == "Crawled pdf text"
         assert got[0]["error"] is None
+
+
+class TestXlsx:
+    def test_sheets_shared_and_types(self):
+        from ocr_spark.operators.doc_formats import synth_xlsx, xlsx_extract
+
+        x = synth_xlsx(
+            [("Revenue", [["Region", "Q1", True], ["EMEA", 1250, False]]),
+             ("Notes", [["hello world"]])]
+        )
+        info = xlsx_extract(x)
+        assert info["text"] == (
+            "# Revenue\nRegion | Q1 | TRUE\nEMEA | 1250 | FALSE\n"
+            "# Notes\nhello world"
+        )
+        assert info["n_blocks"] == 5
+
+    def test_inline_strings_and_single_sheet_title(self):
+        from ocr_spark.operators.doc_formats import synth_xlsx, xlsx_extract
+
+        x = synth_xlsx([("Data", [["a", "b"], ["c"]])], inline=True)
+        info = xlsx_extract(x)
+        assert info["text"] == "a | b\nc"  # single sheet: no heading
+        assert info["title"] == "Data"
+
+    def test_sniff_and_route(self):
+        from ocr_spark.operators.doc_formats import (
+            document_sniff,
+            extract_document_bytes,
+            synth_xlsx,
+        )
+
+        x = synth_xlsx([("S", [["v"]])])
+        assert document_sniff(x) == "xlsx"
+        assert extract_document_bytes(x)["format"] == "xlsx"
+
+    def test_missing_workbook_raises(self):
+        from ocr_spark.operators.doc_formats import _zip_bytes, xlsx_extract
+
+        with pytest.raises(ValueError, match="workbook"):
+            xlsx_extract(_zip_bytes([("xl/other.xml", b"<x/>")]))
+
+
+class TestPptx:
+    def test_titles_and_slide_order(self):
+        from ocr_spark.operators.doc_formats import pptx_extract, synth_pptx
+
+        pp = synth_pptx(
+            [("Roadmap", ["Phase one ships.", "Phase two later."]),
+             (None, ["Appendix line"])]
+        )
+        info = pptx_extract(pp)
+        assert info["text"] == (
+            "# Roadmap\nPhase one ships.\nPhase two later.\nAppendix line"
+        )
+        assert info["n_blocks"] == 2
+        assert info["title"] == "Roadmap"
+
+    def test_sniff_and_route(self):
+        from ocr_spark.operators.doc_formats import (
+            document_sniff,
+            extract_document_bytes,
+            synth_pptx,
+        )
+
+        pp = synth_pptx([("T", ["body"])])
+        assert document_sniff(pp) == "pptx"
+        assert extract_document_bytes(pp)["format"] == "pptx"
+
+    def test_rels_missing_falls_back_to_numeric_order(self):
+        import io as _io
+        import zipfile as _zf
+
+        from ocr_spark.operators.doc_formats import pptx_extract, synth_pptx
+
+        pp = synth_pptx([("A", ["one"]), ("B", ["two"])])
+        src = _zf.ZipFile(_io.BytesIO(pp))
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w") as out:
+            for n in src.namelist():
+                if n.endswith(".rels"):
+                    continue  # drop the rels: force the fallback
+                out.writestr(n, src.read(n))
+        info = pptx_extract(buf.getvalue())
+        assert info["text"] == "# A\none\n# B\ntwo"
