@@ -29,7 +29,7 @@ sys.path.insert(0, REPO)
 
 HIST = os.path.join(REPO, "BENCH", "doc_formats_history.jsonl")
 
-FORMATS = ["docx", "epub", "odt", "rtf", "tex"]
+FORMATS = ["docx", "epub", "odt", "rtf", "tex", "xlsx", "pptx"]
 
 
 def main() -> None:
@@ -45,7 +45,9 @@ def main() -> None:
         synth_docx,
         synth_epub,
         synth_odt,
+        synth_pptx,
         synth_rtf,
+        synth_xlsx,
     )
     from ocr_spark.session import get_spark
 
@@ -59,7 +61,7 @@ def main() -> None:
             sent,
             f"Closing remark {did % 97}.",
         ]
-        kind = did % 5
+        kind = did % 7
         if kind == 0:
             return synth_docx(
                 [("Heading1", f"T{did}")] + body, title=f"T{did}",
@@ -78,11 +80,16 @@ def main() -> None:
             )
         if kind == 3:
             return synth_rtf(body)
-        tex = (
-            "\\documentclass{article}\\title{T%d}\\begin{document}"
-            "\\section{Intro}\n%s\n\\end{document}" % (did, "\n\n".join(body))
-        )
-        return tex.encode()
+        if kind == 4:
+            tex = (
+                "\\documentclass{article}\\title{T%d}\\begin{document}"
+                "\\section{Intro}\n%s\n\\end{document}"
+                % (did, "\n\n".join(body))
+            )
+            return tex.encode()
+        if kind == 5:
+            return synth_xlsx([(f"T{did}", [[p] for p in body])])
+        return synth_pptx([(f"T{did}", body)])
 
     def gen(batches):
         import pandas as pd
@@ -109,9 +116,9 @@ def main() -> None:
     t0 = time.time()
     out = document_text(assets)
     did = F.regexp_extract("media_ref", r"d(\d+)\.bin", 1).cast("long")
-    fmt_expect = F.element_at(F.array(*[F.lit(f) for f in FORMATS]), (did % 5 + 1).cast("int"))
+    fmt_expect = F.element_at(F.array(*[F.lit(f) for f in FORMATS]), (did % 7 + 1).cast("int"))
     sentinel = F.concat(F.lit("payload "), did, F.lit(" sentinel"))
-    titled = did % 5 != 3  # every format but RTF records a title
+    titled = did % 7 != 3  # every format but RTF records a title
     agg = out.agg(
         F.count("*").alias("rows"),
         F.sum(F.col("error").isNotNull().cast("long")).alias("errs"),
