@@ -1021,11 +1021,14 @@ def pptx_extract(data: bytes, max_slides: int = 256) -> dict:
     for el in pres.iter():
         if _local(el.tag) != "sldId":
             continue
+        # r:id lives in the relationships namespace; the un-namespaced id
+        # attr is the numeric slide id, which must not shadow it
         rid = next(
-            (v for k, v in el.attrib.items() if k.endswith("}id") and "r" in k.split("}")[0]),
-            None,
-        ) or next(
-            (v for k, v in el.attrib.items() if k.endswith("}id") and v.startswith("rId")),
+            (
+                v
+                for k, v in el.attrib.items()
+                if k.endswith("}id") and "relationships" in k.lower()
+            ),
             None,
         )
         tgt = rels.get(rid)
