@@ -54,47 +54,84 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def png_encode(img: np.ndarray, interlace: bool = False) -> bytes:
-    """Spec-conformant PNG: 8-bit grayscale (2-D) or RGB (H,W,3), filter 0
-    scanlines, one zlib IDAT. Deterministic (fixed compression level).
-    interlace=True writes Adam7 (7 reduced images in pass order)."""
+def png_encode(
+    img: np.ndarray,
+    interlace: bool = False,
+    bit_depth: int = 8,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Spec-conformant PNG: grayscale (2-D) at depths 1/2/4/8/16, RGB
+    (H,W,3) at depths 8/16, or indexed (2-D + `palette` (n,3)) at depths
+    1/2/4/8. Filter 0 scanlines, one zlib IDAT, deterministic (fixed
+    compression level). interlace=True writes Adam7 (7 reduced images in
+    pass order). Sub-8-bit images take RAW d-bit sample values (0..2^d-1
+    gray levels or palette indices); 16-bit replicates each 8-bit sample
+    (v*257), so decode's high-byte reduction round-trips exactly."""
     if img.dtype != np.uint8:
         raise ValueError(f"png_encode expects uint8, got {img.dtype}")
-    if img.ndim == 2:
-        color_type, h, w = 0, img.shape[0], img.shape[1]
-        flat = img
+    if palette is not None:
+        if img.ndim != 2:
+            raise ValueError("palette PNG expects (H,W) index array")
+        if palette.ndim != 2 or palette.shape[1] != 3 or palette.shape[0] == 0:
+            raise ValueError("palette must be (n,3) uint8")
+        if bit_depth not in (1, 2, 4, 8):
+            raise ValueError(f"palette PNG bit_depth {bit_depth} invalid")
+        if int(img.max(initial=0)) >= min(palette.shape[0], 1 << bit_depth):
+            raise ValueError("palette index out of range for depth/palette")
+        color_type, ch = 3, 1
+    elif img.ndim == 2:
+        color_type, ch = 0, 1
+        if bit_depth not in (1, 2, 4, 8, 16):
+            raise ValueError(f"gray PNG bit_depth {bit_depth} invalid")
+        if bit_depth < 8 and int(img.max(initial=0)) >= (1 << bit_depth):
+            raise ValueError("sub-8-bit gray expects raw d-bit sample values")
     elif img.ndim == 3 and img.shape[2] == 3:
-        color_type, h, w = 2, img.shape[0], img.shape[1]
-        flat = img.reshape(h, w * 3)
+        color_type, ch = 2, 3
+        if bit_depth not in (8, 16):
+            raise ValueError(f"RGB PNG bit_depth {bit_depth} invalid")
     else:
         raise ValueError(f"png_encode expects (H,W) or (H,W,3), got {img.shape}")
-    ch = 1 if color_type == 0 else 3
+    h, w = img.shape[0], img.shape[1]
+    px = img.reshape(h, w, ch)
+
+    def scan(sub: np.ndarray) -> bytes:
+        """(ph, pw, ch) samples → filter-0 scanlines (packed + row-padded)."""
+        ph, pw = sub.shape[0], sub.shape[1]
+        flat = sub.reshape(ph, pw * ch)
+        if bit_depth == 8:
+            body = flat
+        elif bit_depth == 16:
+            wide = flat.astype(np.uint16) * 257
+            body = (
+                np.stack([(wide >> 8) & 0xFF, wide & 0xFF], axis=-1)
+                .reshape(ph, pw * ch * 2)
+                .astype(np.uint8)
+            )
+        else:  # pack d-bit fields MSB-first; packbits zero-pads each row
+            shifts = np.arange(bit_depth - 1, -1, -1)
+            bits = ((flat[:, :, None] >> shifts) & 1).astype(np.uint8)
+            body = np.packbits(bits.reshape(ph, -1), axis=1)
+        return np.concatenate(
+            [np.zeros((ph, 1), dtype=np.uint8), body], axis=1
+        ).tobytes()
+
     if interlace:
-        # Adam7: 7 reduced images, filter byte 0 per reduced scanline
-        px = flat.reshape(h, w, ch)
         parts = []
         for x0, y0, dx, dy in _ADAM7:
             sub = px[y0::dy, x0::dx]
-            if sub.size == 0:
-                continue
-            ph, pw = sub.shape[0], sub.shape[1]
-            parts.append(
-                np.concatenate(
-                    [np.zeros((ph, 1), dtype=np.uint8),
-                     sub.reshape(ph, pw * ch)],
-                    axis=1,
-                ).tobytes()
-            )
+            if sub.size:
+                parts.append(scan(sub))
         scanlines = b"".join(parts)
     else:
-        # filter byte 0 prepended to every scanline
-        scanlines = np.concatenate(
-            [np.zeros((h, 1), dtype=np.uint8), flat], axis=1
-        ).tobytes()
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(bool(interlace)))
+        scanlines = scan(px)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, bit_depth, color_type, 0, 0, int(bool(interlace))
+    )
+    plte = _chunk(b"PLTE", palette.tobytes()) if palette is not None else b""
     return (
         b"\x89PNG\r\n\x1a\n"
         + _chunk(b"IHDR", ihdr)
+        + plte
         + _chunk(b"IDAT", zlib.compress(scanlines, 6))
         + _chunk(b"IEND", b"")
     )
@@ -120,15 +157,16 @@ def _png_inflate(idat_parts: list[bytes], expected: int) -> bytes:
     return raw
 
 
-def _png_unfilter(raw: bytes, height: int, width: int, channels: int) -> np.ndarray:
-    """Unfilter `height` scanlines of `width` pixels — the core shared by
-    the non-interlaced path and each Adam7 reduced image. Returns
-    (height, width*channels) uint8."""
-    stride = width * channels
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Unfilter `height` scanlines of `stride` bytes — the core shared by
+    the non-interlaced path and each Adam7 reduced image. `bpp` is the
+    PNG filter distance in BYTES (max(1, bits_per_pixel // 8)); `stride`
+    is always a multiple of it (bpp > 1 only at depth 8/16 where
+    stride = width * bpp). Returns (height, stride) uint8."""
+    n_px = stride // bpp  # filter units per scanline
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = raw[:, 0]
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
     for y in range(height):
         line = raw[y, 1:].astype(np.int64)
         ft = filters[y]
@@ -138,16 +176,16 @@ def _png_unfilter(raw: bytes, height: int, width: int, channels: int) -> np.ndar
         elif ft == 2:  # Up
             cur = (line + up) & 0xFF
         elif ft == 1:  # Sub: per-lane prefix sum (mod 256 distributes)
-            lanes = line.reshape(width, bpp)
+            lanes = line.reshape(n_px, bpp)
             cur = (np.cumsum(lanes, axis=0) & 0xFF).reshape(stride)
         elif ft in (3, 4):  # Average / Paeth: left-to-right, per-pixel step
             cur = np.empty(stride, dtype=np.int64)
-            up_px = up.reshape(width, bpp)
-            line_px = line.reshape(width, bpp)
-            cur_px = cur.reshape(width, bpp)
+            up_px = up.reshape(n_px, bpp)
+            line_px = line.reshape(n_px, bpp)
+            cur_px = cur.reshape(n_px, bpp)
             prev = np.zeros(bpp, dtype=np.int64)  # a: left pixel
             prev_up = np.zeros(bpp, dtype=np.int64)  # c: upper-left pixel
-            for x in range(width):
+            for x in range(n_px):
                 b = up_px[x]
                 if ft == 3:
                     pred = (prev + b) >> 1
@@ -168,11 +206,35 @@ def _png_unfilter(raw: bytes, height: int, width: int, channels: int) -> np.ndar
     return out
 
 
+def _png_samples(
+    rows: np.ndarray, width: int, channels: int, bit_depth: int
+) -> np.ndarray:
+    """Unfiltered scanline bytes (h, stride) → per-pixel samples
+    (h, width*channels) uint8. Depth < 8 unpacks MSB-first bit fields
+    (values NOT yet scaled — palette indices must stay raw); depth 16
+    keeps the high byte (the PNG-recommended 16→8 reduction)."""
+    h = rows.shape[0]
+    n = width * channels
+    if bit_depth == 8:
+        return rows[:, :n]
+    if bit_depth == 16:
+        return rows.reshape(h, n, 2)[:, :, 0].copy()
+    bits = np.unpackbits(rows, axis=1)[:, : n * bit_depth]
+    weights = 1 << np.arange(bit_depth - 1, -1, -1)
+    return (
+        bits.reshape(h, n, bit_depth).astype(np.uint16) @ weights
+    ).astype(np.uint8)
+
+
 def png_decode(data: bytes) -> np.ndarray:
-    """Real PNG decoder (stdlib zlib): 8-bit grayscale / RGB / gray+alpha /
-    RGBA, non-interlaced AND Adam7-interlaced (round 5), all five scanline
-    filter types. Returns (H,W) or (H,W,C) uint8. Alpha is dropped (the
-    kernels are opaque-image ops).
+    """Real PNG decoder (stdlib zlib): grayscale / RGB / gray+alpha / RGBA
+    at depths 8 and 16, palette (PLTE) at depths 1/2/4/8, grayscale at
+    depths 1/2/4 (round 5: the indexed + bilevel web-image formats),
+    non-interlaced AND Adam7-interlaced, all five scanline filter types.
+    Returns (H,W) or (H,W,C) uint8 — 16-bit samples keep the high byte,
+    sub-8-bit grayscale is scaled to full range (0..2^d-1 → 0..255).
+    Alpha is dropped (the kernels are opaque-image ops), so tRNS is
+    intentionally ignored too.
 
     Unfiltering is vectorized where the filter's data dependence allows:
     None/Up are whole-row ops, Sub is a per-channel-lane cumulative sum
@@ -188,6 +250,7 @@ def png_decode(data: bytes) -> np.ndarray:
     width = height = None
     color_type = bit_depth = interlace = None
     idat_parts: list[bytes] = []
+    palette: np.ndarray | None = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -196,6 +259,10 @@ def png_decode(data: bytes) -> np.ndarray:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", payload)
             )
+        elif tag == b"PLTE":
+            if length == 0 or length % 3:
+                raise ValueError("corrupt PNG: bad PLTE length")
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat_parts.append(payload)
         elif tag == b"IEND":
@@ -203,19 +270,32 @@ def png_decode(data: bytes) -> np.ndarray:
         pos += 12 + length
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or interlace not in (0, 1):
-        raise ValueError(
-            f"unsupported PNG: bit_depth={bit_depth} interlace={interlace} "
-            "(8-bit, interlace 0 or Adam7 only)"
-        )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
+    valid_depths = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8)}.get(
+        color_type, (8, 16)
+    )
+    if bit_depth not in valid_depths or interlace not in (0, 1):
+        raise ValueError(
+            f"unsupported PNG: color_type={color_type} bit_depth={bit_depth} "
+            f"interlace={interlace}"
+        )
+    if color_type == 3 and palette is None:
+        raise ValueError("corrupt PNG: palette image missing PLTE")
+    # filter distance in bytes; scanline stride in bytes (spec: packed bits,
+    # rows padded to a byte boundary)
+    bpp = max(1, channels * bit_depth // 8)
+
+    def _stride(w: int) -> int:
+        return (w * channels * bit_depth + 7) // 8
+
     if interlace == 0:
-        stride = width * channels
+        stride = _stride(width)
         expected = height * (stride + 1)
         raw = _png_inflate(idat_parts, expected)
-        img = _png_unfilter(raw, height, width, channels).reshape(
+        rows = _png_unfilter(raw, height, stride, bpp)
+        img = _png_samples(rows, width, channels, bit_depth).reshape(
             height, width, channels
         )
     else:
@@ -227,7 +307,7 @@ def png_decode(data: bytes) -> np.ndarray:
             for x0, y0, dx, dy in _ADAM7
         ]
         expected = sum(
-            ph * (pw * channels + 1) for *_x, pw, ph in passes if pw and ph
+            ph * (_stride(pw) + 1) for *_x, pw, ph in passes if pw and ph
         )
         raw = _png_inflate(idat_parts, expected)
         img = np.zeros((height, width, channels), dtype=np.uint8)
@@ -235,10 +315,20 @@ def png_decode(data: bytes) -> np.ndarray:
         for x0, y0, dx, dy, pw, ph in passes:
             if not pw or not ph:
                 continue
-            size = ph * (pw * channels + 1)
-            sub = _png_unfilter(raw[pos : pos + size], ph, pw, channels)
-            img[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            size = ph * (_stride(pw) + 1)
+            sub = _png_unfilter(raw[pos : pos + size], ph, _stride(pw), bpp)
+            img[y0::dy, x0::dx] = _png_samples(
+                sub, pw, channels, bit_depth
+            ).reshape(ph, pw, channels)
             pos += size
+    if color_type == 3:
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("corrupt PNG: palette index out of range")
+        return palette[idx]
+    if color_type == 0 and bit_depth < 8:
+        # scale 0..2^d-1 to full 8-bit range (255/(2^d-1) is an integer)
+        return (img[:, :, 0] * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
     if channels == 1:
         return img[:, :, 0].copy()
     if channels == 2:  # gray + alpha → gray

@@ -498,3 +498,188 @@ def test_png_decode_multi_idat_chunks():
         rebuilt += chunk(b"IDAT", idat[i : i + 7])
     rebuilt += chunk(b"IEND", b"")
     np.testing.assert_array_equal(png_decode(rebuilt), img)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: palette (PLTE), sub-8-bit, and 16-bit PNG support
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_sub8_gray_roundtrip(depth, interlace):
+    """Raw d-bit gray samples scale to full 8-bit range (255/(2^d-1) is an
+    integer for d in 1/2/4, so the scaling is exact)."""
+    from ocr_spark.operators.cloud_engine import png_decode
+
+    rng = np.random.default_rng(depth * 100 + interlace)
+    v = rng.integers(0, 1 << depth, (11, 23), np.uint8)
+    out = png_decode(png_encode(v, interlace=interlace, bit_depth=depth))
+    np.testing.assert_array_equal(out, v * (255 // ((1 << depth) - 1)))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_palette_roundtrip(depth, interlace):
+    from ocr_spark.operators.cloud_engine import png_decode
+
+    rng = np.random.default_rng(depth * 10 + interlace)
+    n = 1 << depth
+    pal = rng.integers(0, 256, (n, 3), np.uint8)
+    idx = rng.integers(0, n, (10, 19), np.uint8)
+    out = png_decode(
+        png_encode(idx, interlace=interlace, bit_depth=depth, palette=pal)
+    )
+    np.testing.assert_array_equal(out, pal[idx])
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_16bit_roundtrip(interlace):
+    """16-bit samples written as v*257 reduce back to v via the high byte."""
+    from ocr_spark.operators.cloud_engine import png_decode
+
+    rng = np.random.default_rng(16 + interlace)
+    g = rng.integers(0, 256, (7, 12), np.uint8)
+    np.testing.assert_array_equal(
+        png_decode(png_encode(g, interlace=interlace, bit_depth=16)), g
+    )
+    c = rng.integers(0, 256, (6, 4, 3), np.uint8)
+    np.testing.assert_array_equal(
+        png_decode(png_encode(c, interlace=interlace, bit_depth=16)), c
+    )
+
+
+def _filter_rows(body: np.ndarray, bpp: int, filters: list[int]) -> bytes:
+    """Independent spec-side scanline filterer (any bpp) for decoder tests."""
+    h, stride = body.shape
+    out = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        raw = body[y].astype(np.int64)
+        ft = filters[y % len(filters)]
+        left = np.concatenate([np.zeros(bpp, np.int64), raw[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+        if ft == 0:
+            enc = raw
+        elif ft == 1:
+            enc = raw - left
+        elif ft == 2:
+            enc = raw - prev
+        elif ft == 3:
+            enc = raw - ((left + prev) >> 1)
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = raw - pred
+        out.append(ft)
+        out.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = raw
+    return bytes(out)
+
+
+@pytest.mark.parametrize("filters", [[1], [2], [3], [4], [0, 1, 2, 3, 4]])
+def test_png_16bit_all_filter_types(filters):
+    """Filters at bpp=2 (16-bit gray) and bpp=6 (16-bit RGB) — the byte-lane
+    distance the 8-bit tests never exercise."""
+    from ocr_spark.operators.cloud_engine import png_decode
+
+    rng = np.random.default_rng(sum(filters) + 160)
+    for ch, color_type in ((1, 0), (3, 2)):
+        h, w = 9, 7
+        vals = rng.integers(0, 65536, (h, w * ch), np.uint16)
+        body = (
+            np.stack([(vals >> 8) & 0xFF, vals & 0xFF], axis=-1)
+            .reshape(h, w * ch * 2)
+            .astype(np.uint8)
+        )
+        scan = _filter_rows(body, ch * 2, filters)
+        ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
+
+        def chunk(tag, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + tag
+                + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan))
+            + chunk(b"IEND", b"")
+        )
+        got = png_decode(png)
+        want = (vals >> 8).astype(np.uint8).reshape(h, w, ch)
+        if ch == 1:
+            want = want[:, :, 0]
+        np.testing.assert_array_equal(got, want)
+
+
+def test_png_palette_error_envelopes():
+    from ocr_spark.operators.cloud_engine import png_decode
+
+    pal = np.zeros((4, 3), np.uint8)
+    data = png_encode(np.zeros((2, 2), np.uint8), bit_depth=2, palette=pal)
+    # strip the PLTE chunk → named error
+    pos, parts = 8, [data[:8]]
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        if data[pos + 4 : pos + 8] != b"PLTE":
+            parts.append(data[pos : pos + 12 + ln])
+        pos += 12 + ln
+    with pytest.raises(ValueError, match="PLTE"):
+        png_decode(b"".join(parts))
+    # out-of-range index: rebuild a depth-8 palette PNG whose index exceeds
+    # the 4-entry palette
+    big = png_encode(np.full((2, 2), 9, np.uint8), bit_depth=8, palette=np.zeros((10, 3), np.uint8))
+    pos, parts = 8, [big[:8]]
+    while pos + 8 <= len(big):
+        (ln,) = struct.unpack(">I", big[pos : pos + 4])
+        tag = big[pos + 4 : pos + 8]
+        if tag == b"PLTE":
+            payload = big[pos + 8 : pos + 8 + ln][:12]  # shrink to 4 entries
+            parts.append(
+                struct.pack(">I", len(payload))
+                + b"PLTE"
+                + payload
+                + struct.pack(">I", zlib.crc32(b"PLTE" + payload) & 0xFFFFFFFF)
+            )
+        else:
+            parts.append(big[pos : pos + 12 + ln])
+        pos += 12 + ln
+    with pytest.raises(ValueError, match="index"):
+        png_decode(b"".join(parts))
+    # invalid combo: palette at depth 16 is not a legal IHDR
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", b"\x00" * 12)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        png_decode(bad)
+
+
+def test_png_palette_flows_through_decode_image():
+    """Indexed PNG reaches the multimodal sniffing path unchanged."""
+    from ocr_spark.operators.multimodal import decode_image
+
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.tile(np.arange(4, dtype=np.uint8), (4, 2))
+    got = decode_image(png_encode(idx, bit_depth=2, palette=pal))
+    np.testing.assert_array_equal(got, pal[idx])
