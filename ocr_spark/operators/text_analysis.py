@@ -1048,3 +1048,152 @@ def compression_ratio_df(
 
     out_schema = f"{id_col} {dict(docs.dtypes)[id_col]}, n_bytes long, n_compressed long, ratio_ppm long"
     return docs.select(id_col, text_col).mapInArrow(gen, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# C4-style term blocklist (Raffel et al. 2020 §2.2: drop any page containing
+# a word from a banned-term list). Two Spark-first shapes, both codegen'd,
+# zero shuffle, exact DuckDB twins:
+#
+#   * regex path (`term_blocklist_df`) — ONE alternation regex over
+#     lower(text), so multi-word phrases work and the matched term is
+#     reported for auditability. Alternatives are ordered longest-first:
+#     Java regex picks the first alternative at the leftmost position while
+#     RE2 (DuckDB) picks the longest, so longest-first makes both engines
+#     return the same term. Right size: lists up to ~1k terms (the public
+#     C4 list is ~400/language) — the pattern is built once driver-side.
+#   * token path (`term_blocklist_token_df`) — tokenize with the corpus
+#     token pattern and intersect against the (small, literal) term array;
+#     single-word terms only, but no regex-size ceiling and the match is
+#     a hash probe, not an automaton scan.
+#
+# Case handling is explicit lower() on BOTH engines (terms must be
+# lowercase) — no reliance on (?i) dialect folding.
+# ---------------------------------------------------------------------------
+
+_TERM_RE = __import__("re").compile(r"^[a-z0-9][a-z0-9' -]*$")
+
+
+def _blocklist_pattern(terms: list[str]) -> str:
+    """Longest-first alternation with word boundaries. Terms are restricted
+    to [a-z0-9' -] so the pattern is literal-safe in BOTH regex dialects
+    (no metacharacters to escape) and in a single-quoted SQL literal after
+    apostrophe doubling."""
+    if not terms:
+        raise ValueError("term blocklist is empty")
+    for t in terms:
+        if not _TERM_RE.match(t):
+            raise ValueError(
+                f"blocklist term {t!r} must be lowercase [a-z0-9' -]"
+            )
+    ordered = sorted(set(terms), key=lambda t: (-len(t), t))
+    return r"\b(" + "|".join(ordered) + r")\b"
+
+
+def term_blocklist_df(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_col, blocked, matched_term) per doc. matched_term is the first
+    blocked term in the text (leftmost, longest at ties); null when clean
+    or when text is null. blocked is false for null text (null text is a
+    shape problem, not a content violation — rule_filter owns that)."""
+    pat = _blocklist_pattern(terms)
+    matched = F.nullif(
+        F.regexp_extract(F.lower(F.col(text_col)), pat, 1), F.lit("")
+    )
+    return docs.select(
+        F.col(id_col),
+        matched.isNotNull().alias("blocked"),
+        matched.alias("matched_term"),
+    )
+
+
+def term_blocklist_sql(
+    terms: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    pat = _blocklist_pattern(terms).replace("'", "''")
+    m = f"nullif(regexp_extract(lower({text_col}), '{pat}', 1), '')"
+    return (
+        f"SELECT {id_col}, {m} IS NOT NULL AS blocked, {m} AS matched_term "
+        f"FROM {table}"
+    )
+
+
+def term_blocklist_filter(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Docs with no blocked term (null text kept — see term_blocklist_df).
+    ONE codegen'd predicate at the scan; no join, no shuffle."""
+    pat = _blocklist_pattern(terms)
+    return docs.where(
+        ~F.coalesce(F.lower(F.col(text_col)).rlike(pat), F.lit(False))
+    )
+
+
+def term_blocklist_filter_sql(
+    terms: list[str],
+    table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    pat = _blocklist_pattern(terms).replace("'", "''")
+    return (
+        f"SELECT * FROM {table} WHERE NOT coalesce("
+        f"regexp_matches(lower({text_col}), '{pat}'), false)"
+    )
+
+
+def term_blocklist_token_df(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-intersection variant: (id_col, blocked). Single-word terms
+    only (tokens come from the corpus token pattern [a-z']+, so digits/
+    hyphens/spaces in a term can never match — rejected up front)."""
+    import re as _re
+
+    for t in terms:
+        if not _re.match(r"^[a-z']+$", t):
+            raise ValueError(
+                f"token path needs single-word [a-z'] terms, got {t!r}"
+            )
+    from ocr_spark.operators.corpus_clean import _TOKEN_PATTERN
+
+    words = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(_TOKEN_PATTERN), 0
+    )
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(
+            F.arrays_overlap(
+                words, F.array(*[F.lit(t) for t in sorted(set(terms))])
+            ),
+            F.lit(False),
+        ).alias("blocked"),
+    )
+
+
+def term_blocklist_token_sql(
+    terms: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from ocr_spark.operators.corpus_clean import _TOKEN_PATTERN
+
+    lits = ", ".join("'" + t.replace("'", "''") + "'" for t in sorted(set(terms)))
+    pat = _TOKEN_PATTERN.replace("'", "''")
+    return (
+        f"SELECT {id_col}, coalesce(len(list_intersect("
+        f"regexp_extract_all(lower({text_col}), '{pat}'), "
+        f"[{lits}])) > 0, false) AS blocked FROM {table}"
+    )

@@ -1119,3 +1119,132 @@ class TestCompressionRatio:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestTermBlocklist:
+    """C4-style banned-term filter — regex + token paths, exact twins."""
+
+    TEXTS = [
+        (0, "a perfectly clean page about chemistry"),
+        (1, "this page mentions gambling once"),
+        (2, "GAMBLING in caps and casino bonus too"),
+        (3, "nongambling compound words must NOT match"),
+        (4, "casino bonus is a phrase term"),       # phrase match
+        (5, "casino alone is not blocked"),
+        (6, None),
+        (7, ""),
+        (8, "prefix overlap: gamble vs gambling vs gambl"),
+    ]
+    TERMS = ["gambling", "casino bonus", "gamble"]
+
+    def _frames(self, spark):
+        import duckdb
+        import pandas as pd
+
+        df = spark.createDataFrame(self.TEXTS, "doc_id long, text string")
+        con = duckdb.connect()
+        con.register(
+            "t",
+            pd.DataFrame(
+                {"doc_id": [x[0] for x in self.TEXTS],
+                 "text": [x[1] for x in self.TEXTS]}
+            ),
+        )
+        return df, con
+
+    def test_regex_twin_parity(self, spark):
+        from ocr_spark.operators.text_analysis import (
+            term_blocklist_df,
+            term_blocklist_sql,
+        )
+
+        df, con = self._frames(spark)
+        got = {
+            r.doc_id: (r.blocked, r.matched_term)
+            for r in term_blocklist_df(df, self.TERMS).collect()
+        }
+        orc = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                term_blocklist_sql(self.TERMS, table="t")
+            ).fetchall()
+        }
+        assert got == orc
+        assert got[0] == (False, None)
+        assert got[1] == (True, "gambling")
+        assert got[2] == (True, "gambling")           # lower() both sides
+        assert got[3] == (False, None)                # \b guards compounds
+        assert got[4] == (True, "casino bonus")       # phrase
+        assert got[5] == (False, None)
+        assert got[6] == (False, None)                # null text kept
+        assert got[7] == (False, None)
+        # leftmost-longest agreement: 'gamble' appears before 'gambling'
+        assert got[8] == (True, "gamble")
+
+    def test_filter_twin_parity(self, spark):
+        from ocr_spark.operators.text_analysis import (
+            term_blocklist_filter,
+            term_blocklist_filter_sql,
+        )
+
+        df, con = self._frames(spark)
+        kept = sorted(
+            r.doc_id for r in term_blocklist_filter(df, self.TERMS).collect()
+        )
+        orc = sorted(
+            r[0]
+            for r in con.execute(
+                term_blocklist_filter_sql(self.TERMS, table="t")
+            ).fetchall()
+        )
+        assert kept == orc == [0, 3, 5, 6, 7]
+
+    def test_token_twin_parity(self, spark):
+        from ocr_spark.operators.text_analysis import (
+            term_blocklist_token_df,
+            term_blocklist_token_sql,
+        )
+
+        df, con = self._frames(spark)
+        terms = ["gambling", "gamble"]  # token path: single words only
+        got = {
+            r.doc_id: r.blocked
+            for r in term_blocklist_token_df(df, terms).collect()
+        }
+        orc = {
+            r[0]: r[1]
+            for r in con.execute(
+                term_blocklist_token_sql(terms, table="t")
+            ).fetchall()
+        }
+        assert got == orc
+        assert got[1] and got[2] and got[8]
+        assert not got[0] and not got[3] and not got[6] and not got[7]
+
+    def test_term_validation(self):
+        import pytest as _pt
+
+        from ocr_spark.operators.text_analysis import (
+            _blocklist_pattern,
+            term_blocklist_token_sql,
+        )
+
+        with _pt.raises(ValueError, match="empty"):
+            _blocklist_pattern([])
+        with _pt.raises(ValueError, match="lowercase"):
+            _blocklist_pattern(["Upper"])
+        with _pt.raises(ValueError, match="lowercase"):
+            _blocklist_pattern(["regex.meta*"])
+        with _pt.raises(ValueError, match="single-word"):
+            from ocr_spark.operators.text_analysis import (
+                term_blocklist_token_df,
+            )
+            # validation fires before any Spark work → df can be None
+            term_blocklist_token_df(None, ["two words"])
+
+    def test_plan_is_codegen_no_shuffle(self, spark):
+        from ocr_spark.operators.text_analysis import term_blocklist_df
+
+        df = spark.createDataFrame(self.TEXTS, "doc_id long, text string")
+        plan = term_blocklist_df(df, self.TERMS)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
