@@ -952,7 +952,7 @@ def xlsx_extract(data: bytes, max_sheets: int = 64) -> dict:
             if _local(row.tag) != "row":
                 continue
             cells: list[tuple[int, str]] = []
-            for c in row:
+            for ci, c in enumerate(row):
                 if _local(c.tag) != "c":
                     continue
                 ctype = c.get("t", "n")
@@ -974,8 +974,13 @@ def xlsx_extract(data: bytes, max_sheets: int = 64) -> dict:
                         pass
                 elif ctype == "b":
                     v = "TRUE" if v in ("1", "true") else "FALSE"
-                cells.append((_col_index(c.get("r", "")), v))
-            vals = [v for _, v in sorted(cells) if v.strip()]
+                # cells without an A1 ref (spec-legal) keep DOCUMENT order
+                # via their child index — sorting them by value would
+                # scramble the row
+                ref = c.get("r", "")
+                col = _col_index(ref) if ref else ci
+                cells.append((col, ci, v))
+            vals = [v for _, _, v in sorted(cells) if v.strip()]
             if vals:
                 sheet_rows.append(" | ".join(vals))
         if sheet_rows:
@@ -1034,7 +1039,12 @@ def pptx_extract(data: bytes, max_slides: int = 256) -> dict:
         tgt = rels.get(rid)
         if not tgt:
             continue
-        path = posixpath.normpath(posixpath.join("ppt", tgt))
+        # spec-legal absolute targets ('/ppt/slides/slide1.xml') resolve
+        # from the package root, like the xlsx path does
+        if tgt.startswith("/"):
+            path = posixpath.normpath(tgt[1:])
+        else:
+            path = posixpath.normpath(posixpath.join("ppt", tgt))
         if path in names:
             slide_paths.append(path)
     if not slide_paths:  # rels missing: fall back to numeric slide order

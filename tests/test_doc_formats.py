@@ -533,3 +533,72 @@ class TestPptx:
                 out.writestr(n, src.read(n))
         info = pptx_extract(buf.getvalue())
         assert info["text"] == "# A\none\n# B\ntwo"
+
+
+class TestOoxmlEdgeCases:
+    """Round-5 review regressions: spec-legal layouts mainstream writers
+    don't emit but the ECMA/ISO specs allow."""
+
+    def test_pptx_absolute_rel_targets(self):
+        """Relationship Target='/ppt/slides/slideN.xml' (package-root
+        absolute) must resolve instead of silently dropping the slide."""
+        from ocr_spark.operators.doc_formats import (
+            _zip_bytes,
+            pptx_extract,
+            synth_pptx,
+        )
+
+        base = synth_pptx([("One", ["alpha"]), ("Two", ["beta"])])
+        import io as _io
+        import zipfile as _zf
+
+        entries = []
+        with _zf.ZipFile(_io.BytesIO(base)) as z:
+            for n in z.namelist():
+                data = z.read(n)
+                if n == "ppt/_rels/presentation.xml.rels":
+                    data = data.replace(
+                        b'Target="slides/', b'Target="/ppt/slides/'
+                    )
+                entries.append((n, data))
+        info = pptx_extract(_zip_bytes(entries))
+        assert info["n_blocks"] == 2
+        assert "alpha" in info["text"] and "beta" in info["text"]
+        assert info["text"].index("alpha") < info["text"].index("beta")
+
+    def test_xlsx_cells_without_refs_keep_document_order(self):
+        """Cells lacking the optional r= attribute must keep document
+        order, not get re-sorted by value."""
+        from ocr_spark.operators.doc_formats import _zip_bytes, xlsx_extract
+
+        wb = (
+            b'<?xml version="1.0"?><workbook xmlns="http://schemas.open'
+            b'xmlformats.org/spreadsheetml/2006/main" xmlns:r="http://'
+            b'schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            b'<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>'
+            b"</workbook>"
+        )
+        rels = (
+            b'<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+            b'openxmlformats.org/package/2006/relationships"><Relationship '
+            b'Id="rId1" Type="http://schemas.openxmlformats.org/office'
+            b'Document/2006/relationships/worksheet" '
+            b'Target="worksheets/sheet1.xml"/></Relationships>'
+        )
+        # values chosen so value-sorting would yield "apple | zebra"
+        ws = (
+            b'<?xml version="1.0"?><worksheet xmlns="http://schemas.open'
+            b'xmlformats.org/spreadsheetml/2006/main"><sheetData><row>'
+            b'<c t="inlineStr"><is><t>zebra</t></is></c>'
+            b'<c t="inlineStr"><is><t>apple</t></is></c>'
+            b"</row></sheetData></worksheet>"
+        )
+        x = _zip_bytes(
+            [
+                ("xl/workbook.xml", wb),
+                ("xl/_rels/workbook.xml.rels", rels),
+                ("xl/worksheets/sheet1.xml", ws),
+            ]
+        )
+        info = xlsx_extract(x)
+        assert info["text"] == "zebra | apple"
