@@ -1123,6 +1123,8 @@ def tiff_decode(data: bytes) -> np.ndarray:
     except KeyError:
         raise ValueError("TIFF missing dimensions") from None
     compression = tags.get(259, [1])[0]
+    if compression in (2, 3, 4):  # CCITT G3 1-D / G3 / G4 bilevel fax
+        return _tiff_ccitt_decode(data, tags)
     if compression not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")
     spp = tags.get(277, [1])[0]
@@ -1165,15 +1167,128 @@ def tiff_decode(data: bytes) -> np.ndarray:
     return arr.reshape(h, w, spp)[:, :, :3].copy()
 
 
+def _tiff_wrap_ifd(
+    body: bytes, w: int, h: int, spp: int, comp_tag: int,
+    bps: int = 8, photometric: int | None = None, t4opts: int | None = None,
+) -> bytes:
+    """Single-strip little-endian TIFF container around an encoded body."""
+    data_off = 8
+    ifd_off = data_off + len(body)
+    entries = []
+
+    def entry(tag, typ, cnt, val):
+        entries.append(struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val))
+
+    def entry_short(tag, val):
+        entries.append(struct.pack("<HHIHH", tag, 3, 1, val, 0))
+
+    entry_short(256, w)
+    entry_short(257, h)
+    entry_short(258, bps)
+    entry_short(259, comp_tag)
+    entry_short(262, photometric if photometric is not None else 1)
+    entry(273, 4, 1, data_off)
+    entry_short(277, spp)
+    entry_short(278, h)
+    entry(279, 4, 1, len(body))
+    if t4opts is not None:
+        entry(292, 4, 1, t4opts)
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+    return b"II*\x00" + struct.pack("<I", ifd_off) + body + ifd
+
+
+def _tiff_ccitt_decode(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
+    """TIFF compression 2 (T.4 MH, byte-aligned lines), 3 (Group 3 with
+    EOLs; T4Options bit 0 selects 2-D lines) and 4 (T.6/G4). Bilevel only
+    (BitsPerSample 1, SamplesPerPixel 1). PhotometricInterpretation 0
+    (WhiteIsZero, the CCITT default) maps coding-white to gray 255;
+    photometric 1 inverts. FillOrder 2 reverses bits within each byte."""
+    from ocr_spark.operators.fax_codec import (
+        g3_1d_decode,
+        g3_2d_decode,
+        g4_decode,
+    )
+
+    w, h = tags[256][0], tags[257][0]
+    compression = tags[259][0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [1])[0]
+    if spp != 1 or bps != 1:
+        raise ValueError(
+            f"CCITT TIFF must be bilevel (spp={spp}, bps={bps})"
+        )
+    if compression == 3 and tags.get(292, [0])[0] & 0b10:
+        raise ValueError("T4Options uncompressed mode not supported")
+    if compression == 4 and tags.get(293, [0])[0] & 0b10:
+        raise ValueError("T6Options uncompressed mode not supported")
+    fill_order = tags.get(266, [1])[0]
+    strip_offs = tags.get(273)
+    if not strip_offs:
+        raise ValueError("TIFF missing strip offsets")
+    strip_counts = tags.get(279, [len(data) - strip_offs[0]])
+    rows_per_strip = tags.get(278, [h])[0] or h
+    photometric = tags.get(262, [0])[0]
+    parts = []
+    for si, (o, c) in enumerate(zip(strip_offs, strip_counts)):
+        rows = min(rows_per_strip, h - si * rows_per_strip)
+        if rows <= 0:
+            break
+        raw = data[o : o + c]
+        if fill_order == 2:  # LSB-first bytes -> reverse bits per byte
+            raw = np.packbits(
+                np.unpackbits(
+                    np.frombuffer(raw, np.uint8), bitorder="little"
+                )
+            ).tobytes()
+        if compression == 2:
+            bits = g3_1d_decode(raw, w, rows, byte_align=True)
+        elif compression == 3:
+            if tags.get(292, [0])[0] & 0b1:  # 2-D lines
+                bits = g3_2d_decode(raw, w, rows)
+            else:
+                bits = g3_1d_decode(raw, w, rows)
+        else:
+            bits = g4_decode(raw, w, rows)
+        parts.append(bits)
+    bits = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    if bits.shape[0] != h:
+        raise ValueError(f"decoded {bits.shape[0]} rows, expected {h}")
+    # coding 1=black; photometric 0 (min-is-white) -> white pixels = 255
+    if photometric == 1:  # BlackIsZero: coding-white displays black
+        return (bits * 255).astype(np.uint8)
+    return ((1 - bits) * 255).astype(np.uint8)
+
+
 def tiff_encode(
     img: np.ndarray, compression: str = "none", predictor: int = 1
 ) -> bytes:
     """Little-endian TIFF (gray or RGB), one strip. compression 'none' |
     'lzw' | 'packbits' (PackBits compresses row by row, the layout real
-    writers use); predictor=2 applies horizontal differencing before LZW."""
+    writers use) | 'g3' | 'g3_2d' | 'g4' (CCITT bilevel fax: gray input
+    thresholded at 128, photometric 0 WhiteIsZero, BitsPerSample 1);
+    predictor=2 applies horizontal differencing before LZW."""
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else img.shape[2]
+    if compression in ("g3", "g3_2d", "g4"):
+        from ocr_spark.operators.fax_codec import (
+            g3_1d_encode,
+            g3_2d_encode,
+            g4_encode,
+        )
+
+        if img.ndim != 2:
+            raise ValueError("CCITT writer needs a 2-D gray/bilevel array")
+        bits = (img < 128).astype(np.uint8)  # coding 1 = black
+        if compression == "g3":
+            body, comp_tag, t4opts = g3_1d_encode(bits, byte_align=True), 2, None
+        elif compression == "g3_2d":
+            body, comp_tag, t4opts = g3_2d_encode(bits), 3, 1
+        else:
+            body, comp_tag, t4opts = g4_encode(bits), 4, None
+        return _tiff_wrap_ifd(
+            body, w, h, 1, comp_tag, bps=1, photometric=0, t4opts=t4opts
+        )
     raw = img
     if predictor == 2:
         d = img.reshape(h, w, spp).astype(np.int64)

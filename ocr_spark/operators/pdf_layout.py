@@ -1336,9 +1336,13 @@ def extract_pdf_batch(payloads: list[str]) -> list[str]:
 #     unpack to 0/255 grayscale honoring /Decode [1 0] inversion; output
 #     is re-encoded with the repo's PNG writer (format='png') so every
 #     downstream consumer sees a self-describing asset;
-#   * CCITTFaxDecode / JBIG2Decode / JPXDecode — named per-image error
-#     rows (fax G4, JBIG2 arithmetic coding and JPEG2000 wavelets are out
-#     of scope; the envelope keeps crawl accounting honest).
+#   * CCITTFaxDecode — REAL G3/G4 fax decode (fax_codec.py, ITU-T
+#     T.4/T.6): /K selects G4 (<0), 1-D MH (0) or G3 2-D (>0); /Columns,
+#     /Rows, /BlackIs1, /EncodedByteAlign and /Decode [1 0] honored;
+#     output re-encoded as PNG like every other raster path;
+#   * JBIG2Decode / JPXDecode — named per-image error rows (JBIG2
+#     arithmetic coding and JPEG2000 wavelets are out of scope; the
+#     envelope keeps crawl accounting honest).
 #
 # Spark surface `pdf_image_assets`: ONE Arrow-batched mapInPandas stage
 # over (doc_id, payload) emitting (doc_id, media_ref, format, width,
@@ -1406,6 +1410,47 @@ def pdf_images(data: bytes) -> list[dict]:
                 if raw[:2] != b"\xff\xd8":
                     raise ValueError("DCTDecode body is not JPEG (no SOI)")
                 row["format"], row["content"] = "jpeg", bytes(raw)
+                continue
+            if filters == ["CCITTFaxDecode"]:
+                # real G3/G4 fax decode (ITU-T T.4/T.6 via fax_codec);
+                # PDF 1.7 §7.4.6 parameter semantics
+                from ocr_spark.operators.fax_codec import (
+                    g3_1d_decode,
+                    g3_2d_decode,
+                    g4_decode,
+                )
+
+                pm = _re.search(
+                    r"/DecodeParm?s\s*\[?\s*(?:null\s+)?<<([^>]*)>>", ddict
+                )
+                pd = pm.group(1) if pm else ""
+
+                def _cc(name: str, default: int) -> int:
+                    g = _re.search(rf"/{name}\s+(-?\d+)", pd)
+                    return int(g.group(1)) if g else default
+
+                k = _cc("K", 0)
+                cols = _cc("Columns", 1728)
+                n_rows = _cc("Rows", h)
+                balign = bool(_re.search(r"/EncodedByteAlign\s+true", pd))
+                if k < 0:
+                    bits = g4_decode(bytes(raw), cols, n_rows, byte_align=balign)
+                elif k == 0:
+                    bits = g3_1d_decode(
+                        bytes(raw), cols, n_rows, byte_align=balign
+                    )
+                else:
+                    bits = g3_2d_decode(bytes(raw), cols, n_rows)
+                # filter output: 0 = black unless /BlackIs1 true; the
+                # fax coding domain is 1 = black
+                if not _re.search(r"/BlackIs1\s+true", pd):
+                    bits = 1 - bits
+                # bits are now DeviceGray samples (1 = white); /Decode
+                # [1 0] inverts
+                if _re.search(r"/Decode\s*\[\s*1[\s.0]*0", ddict):
+                    bits = 1 - bits
+                img = (bits * 255).astype(np.uint8)
+                row["format"], row["content"] = "png", png_encode(img)
                 continue
             if filters not in ([], ["FlateDecode"]):
                 raise ValueError(f"unsupported image filter chain {filters}")
@@ -1486,7 +1531,9 @@ def pdf_write_images(
     'jpeg' (DCTDecode, encoded with the repo's baseline JFIF writer),
     'flate' (FlateDecode raw samples), 'flate_png' (FlateDecode + PNG
     Up-predictor /DecodeParms), 'bilevel' (1-bit /ImageMask-style Flate),
-    'ccitt' (an unsupported-filter stub exercising the error envelope)."""
+    'ccitt' (REAL CCITTFaxDecode G4, K=-1) / 'ccitt_g3' (K=0 1-D MH) with
+    input thresholded at 128, 'jbig2' (an unsupported-filter stub
+    exercising the error envelope)."""
     import zlib
 
     from ocr_spark.operators.image_codecs import jpeg_encode
@@ -1530,9 +1577,23 @@ def pdf_write_images(
             bits = np.packbits((img > 127).astype(np.uint8), axis=1)
             body = zlib.compress(bits.tobytes())
             filt, bpc = b"/Filter /FlateDecode ", 1
-        elif codec == "ccitt":
-            body = b"\x00" * 16
+        elif codec in ("ccitt", "ccitt_g3"):
+            from ocr_spark.operators.fax_codec import g3_1d_encode, g4_encode
+
+            bits = (img < 128).astype(np.uint8)  # coding 1 = black
+            if codec == "ccitt":
+                body = g4_encode(bits)
+                k = -1
+            else:
+                body = g3_1d_encode(bits, byte_align=False)
+                k = 0
             filt, bpc = b"/Filter /CCITTFaxDecode ", 1
+            parms = (
+                f"/DecodeParms << /K {k} /Columns {w} /Rows {h} >> "
+            ).encode()
+        elif codec == "jbig2":
+            body = b"\x00" * 16
+            filt, bpc = b"/Filter /JBIG2Decode ", 1
         else:
             raise ValueError(f"unknown fixture codec {codec!r}")
         img_objs.append(

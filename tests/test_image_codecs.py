@@ -749,3 +749,163 @@ class TestBmpRle8:
         raw[30:34] = struct.pack("<I", 4)  # BI_JPEG
         with pytest.raises(ValueError, match="compression 4"):
             bmp_decode(bytes(raw))
+
+
+class TestTiffCcitt:
+    """CCITT G3/G4 fax TIFFs (compressions 2/3/4) through the container."""
+
+    @staticmethod
+    def _page(seed=5, h=48, w=130):
+        rng = np.random.default_rng(seed)
+        img = np.full((h, w), 255, np.uint8)  # white page
+        for r in range(6, h - 6, 9):
+            x = 8
+            while x < w - 20:
+                gw = int(rng.integers(5, 14))
+                img[r:r + 4, x:x + gw] = 0  # black strokes
+                x += gw + int(rng.integers(3, 9))
+        return img
+
+    @pytest.mark.parametrize("comp", ["g3", "g3_2d", "g4"])
+    def test_roundtrip(self, comp):
+        from ocr_spark.operators.image_codecs import tiff_decode, tiff_encode
+
+        img = self._page()
+        got = tiff_decode(tiff_encode(img, compression=comp))
+        assert np.array_equal(got, img)
+
+    def test_gray_input_thresholded(self):
+        from ocr_spark.operators.image_codecs import tiff_decode, tiff_encode
+
+        img = np.full((8, 16), 200, np.uint8)  # light gray -> white
+        img[2:5, 3:9] = 60  # dark gray -> black
+        got = tiff_decode(tiff_encode(img, compression="g4"))
+        want = np.where(img < 128, 0, 255).astype(np.uint8)
+        assert np.array_equal(got, want)
+
+    def test_g4_smaller_than_uncompressed(self):
+        from ocr_spark.operators.image_codecs import tiff_encode
+
+        img = self._page(h=128, w=512)
+        g4 = tiff_encode(img, compression="g4")
+        raw = tiff_encode(img, compression="none")
+        assert len(g4) < len(raw) // 10
+
+    def test_photometric_one_inverts(self):
+        import struct
+
+        from ocr_spark.operators.image_codecs import tiff_decode, tiff_encode
+
+        img = self._page(h=16, w=64)
+        data = bytearray(tiff_encode(img, compression="g4"))
+        # IFD entries are 12 bytes after a 2-byte count; patch tag 262 -> 1
+        (ifd_off,) = struct.unpack("<I", data[4:8])
+        (n,) = struct.unpack("<H", data[ifd_off:ifd_off + 2])
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            (tag,) = struct.unpack("<H", data[off:off + 2])
+            if tag == 262:
+                data[off + 8:off + 10] = struct.pack("<H", 1)
+        got = tiff_decode(bytes(data))
+        assert np.array_equal(got, 255 - img)
+
+    def test_fill_order_lsb(self):
+        import struct
+
+        from ocr_spark.operators.fax_codec import g4_encode
+        from ocr_spark.operators.image_codecs import (
+            _tiff_wrap_ifd,
+            tiff_decode,
+        )
+
+        img = self._page(h=12, w=80)
+        body = g4_encode((img < 128).astype(np.uint8))
+        # reverse bits within each byte (FillOrder 2 wire layout)
+        rev = np.packbits(
+            np.unpackbits(np.frombuffer(body, np.uint8), bitorder="little")
+        ).tobytes()
+        tif = bytearray(_tiff_wrap_ifd(rev, 80, 12, 1, 4, bps=1, photometric=0))
+        # append a FillOrder=2 entry by rewriting the IFD: easier to patch
+        # an existing tag is absent, so hand-build: insert via tags parse is
+        # overkill — instead patch compression tag stays, add entry count+1
+        (ifd_off,) = struct.unpack("<I", tif[4:8])
+        (n,) = struct.unpack("<H", tif[ifd_off:ifd_off + 2])
+        entries = bytes(tif[ifd_off + 2:ifd_off + 2 + 12 * n])
+        fill_entry = struct.pack("<HHIHH", 266, 3, 1, 2, 0)
+        # keep ascending tag order: 266 sorts after 262, before 273
+        chunks = [entries[i:i + 12] for i in range(0, len(entries), 12)]
+        tags = [struct.unpack("<H", c[:2])[0] for c in chunks]
+        pos = next(i for i, t in enumerate(tags) if t > 266)
+        chunks.insert(pos, fill_entry)
+        new_ifd = (
+            struct.pack("<H", n + 1) + b"".join(chunks) + struct.pack("<I", 0)
+        )
+        out = bytes(tif[:ifd_off]) + new_ifd
+        assert np.array_equal(tiff_decode(out), img)
+
+    def test_multi_strip_g4(self):
+        import struct
+
+        from ocr_spark.operators.fax_codec import g4_encode
+        from ocr_spark.operators.image_codecs import tiff_decode
+
+        img = self._page(h=40, w=96)
+        bits = (img < 128).astype(np.uint8)
+        s1 = g4_encode(bits[:20])  # strips restart the reference line
+        s2 = g4_encode(bits[20:])
+        off1 = 8
+        off2 = off1 + len(s1)
+        ifd_off = off2 + len(s2)
+        entries = []
+
+        def eshort(tag, val):
+            entries.append(struct.pack("<HHIHH", tag, 3, 1, val, 0))
+
+        def elong(tag, typ, cnt, val):
+            entries.append(
+                struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
+            )
+
+        eshort(256, 96)
+        eshort(257, 40)
+        eshort(258, 1)
+        eshort(259, 4)
+        eshort(262, 0)
+        elong(273, 4, 2, ifd_off + 2 + 12 * 10 + 4)  # offsets array after IFD
+        eshort(277, 1)
+        eshort(278, 20)
+        elong(279, 4, 2, ifd_off + 2 + 12 * 10 + 4 + 8)
+        eshort(320 + 0, 0)  # placeholder to keep count at 10 (tag 320 unused)
+        ifd = (
+            struct.pack("<H", len(entries))
+            + b"".join(entries)
+            + struct.pack("<I", 0)
+        )
+        arrays = struct.pack("<II", off1, off2) + struct.pack(
+            "<II", len(s1), len(s2)
+        )
+        data = (
+            b"II*\x00"
+            + struct.pack("<I", ifd_off)
+            + s1
+            + s2
+            + ifd
+            + arrays
+        )
+        assert np.array_equal(tiff_decode(data), img)
+
+    def test_non_bilevel_ccitt_raises(self):
+        import struct
+
+        from ocr_spark.operators.image_codecs import tiff_decode, tiff_encode
+
+        data = bytearray(tiff_encode(self._page(h=8, w=32), compression="g4"))
+        (ifd_off,) = struct.unpack("<I", data[4:8])
+        (n,) = struct.unpack("<H", data[ifd_off:ifd_off + 2])
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            (tag,) = struct.unpack("<H", data[off:off + 2])
+            if tag == 258:
+                data[off + 8:off + 10] = struct.pack("<H", 8)
+        with pytest.raises(ValueError, match="bilevel"):
+            tiff_decode(bytes(data))

@@ -51,11 +51,37 @@ def test_text_layer_survives_images():
 
 
 def test_unsupported_filter_named_envelope():
-    pdf = pdf_write_images([], [(GRAY, "ccitt"), (GRAY, "flate")])
+    pdf = pdf_write_images([], [(GRAY, "jbig2"), (GRAY, "flate")])
     imgs = pdf_images(pdf)
-    assert "CCITTFaxDecode" in imgs[0]["error"] and imgs[0]["content"] is None
+    assert "JBIG2Decode" in imgs[0]["error"] and imgs[0]["content"] is None
     assert imgs[1]["error"] is None  # the bad image never poisons its peers
     assert np.array_equal(decode_image(imgs[1]["content"]), GRAY)
+
+
+def test_ccitt_fax_decode():
+    # real G4 (K=-1) and G3 1-D (K=0) CCITTFaxDecode streams
+    pdf = pdf_write_images([], [(GRAY, "ccitt"), (GRAY, "ccitt_g3")])
+    imgs = pdf_images(pdf)
+    assert [r["error"] for r in imgs] == [None, None]
+    want = np.where(GRAY < 128, 0, 255).astype(np.uint8)
+    for r in imgs:
+        assert r["format"] == "png"
+        assert np.array_equal(decode_image(r["content"]), want)
+
+
+def test_ccitt_blackis1_and_decode_inversion():
+    pdf = pdf_write_images([], [(GRAY, "ccitt")])
+    want = np.where(GRAY < 128, 0, 255).astype(np.uint8)
+    # /BlackIs1 true flips the filter's sample sense -> inverted pixels
+    pdf_b1 = pdf.replace(b"/K -1 ", b"/K -1 /BlackIs1 true ")
+    got = decode_image(pdf_images(pdf_b1)[0]["content"])
+    assert np.array_equal(got, 255 - want)
+    # /Decode [1 0] on top of BlackIs1 cancels back to the original
+    pdf_both = pdf_b1.replace(
+        b"/BitsPerComponent 1 ", b"/BitsPerComponent 1 /Decode [1 0] "
+    )
+    got2 = decode_image(pdf_images(pdf_both)[0]["content"])
+    assert np.array_equal(got2, want)
 
 
 def test_decode_array_inversion():
@@ -85,7 +111,7 @@ class TestSpark:
     def test_assets_and_feature_composition(self, spark):
         pdf_imgs = pdf_write_images(
             [{"x": 40, "y": 40, "text": "Cover"}],
-            [(GRAY, "jpeg"), (RGB, "flate"), (GRAY, "ccitt")],
+            [(GRAY, "jpeg"), (RGB, "flate"), (GRAY, "ccitt"), (GRAY, "jbig2")],
         )
         pdf_plain = pdf_write([{"x": 1, "y": 1, "text": "text only"}])
         docs = spark.createDataFrame(
@@ -99,11 +125,14 @@ class TestSpark:
         )
         assets = pdf_image_assets(docs)
         rows = {r["media_ref"]: r for r in assets.collect()}
-        # d1: three image rows (one errored); d2: none; d3/d4: doc envelopes
-        assert set(rows) == {"d1#img0", "d1#img1", "d1#img2", "d3#img", "d4#img"}
+        # d1: four image rows (one errored); d2: none; d3/d4: doc envelopes
+        assert set(rows) == {
+            "d1#img0", "d1#img1", "d1#img2", "d1#img3", "d3#img", "d4#img"
+        }
         assert rows["d1#img0"]["format"] == "jpeg"
         assert rows["d1#img1"]["format"] == "png"
-        assert "CCITTFaxDecode" in rows["d1#img2"]["error"]
+        assert rows["d1#img2"]["format"] == "png"  # real G4 fax decode
+        assert "JBIG2Decode" in rows["d1#img3"]["error"]
         assert "not a PDF" in rows["d3#img"]["error"]
         assert "null payload" in rows["d4#img"]["error"]
         # zero Exchange: one Arrow stage over the scan
