@@ -10,7 +10,9 @@ All codecs implement the published file formats from their public specs:
     chroma, restart markers; encoder with the Annex-K example tables.
   * BMP — BITMAPINFOHEADER, 24-bit BGR and 8-bit paletted, bottom-up rows,
     4-byte row padding.
-  * TIFF — uncompressed baseline, II/MM byte orders, strips, gray + RGB.
+  * TIFF — II/MM byte orders, strips, gray + RGB; compressions: none,
+    LZW (+Predictor 2), PackBits, Deflate (8/32946), CCITT G3/G4 fax
+    (2/3/4 via fax_codec), new-style JPEG (7, incl. JPEGTables).
   * GIF — 87a/89a: LZW decompression, global/local palettes, multiple
     frames, GCE/extension skipping; encoder with real LZW compression.
 
@@ -1094,7 +1096,7 @@ def bmp_encode(img: np.ndarray) -> bytes:
 # TIFF (baseline uncompressed; II/MM; strips; gray + RGB)
 # ---------------------------------------------------------------------------
 
-_TIFF_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
+_TIFF_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 7: ("B", 1)}
 
 
 def tiff_decode(data: bytes) -> np.ndarray:
@@ -1125,7 +1127,9 @@ def tiff_decode(data: bytes) -> np.ndarray:
     compression = tags.get(259, [1])[0]
     if compression in (2, 3, 4):  # CCITT G3 1-D / G3 / G4 bilevel fax
         return _tiff_ccitt_decode(data, tags)
-    if compression not in (1, 5, 32773):
+    if compression == 7:  # new-style JPEG-in-TIFF (TTN2)
+        return _tiff_jpeg_decode(data, tags)
+    if compression not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"unsupported TIFF compression {compression}")
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [1] * spp)
@@ -1152,11 +1156,19 @@ def tiff_decode(data: bytes) -> np.ndarray:
                 break
             expected = rows * w * spp
             raw = data[o : o + c]
-            parts.append(
-                _tiff_lzw_decode(raw, expected)
-                if compression == 5
-                else _packbits_decode(raw, expected)
-            )
+            if compression == 5:
+                parts.append(_tiff_lzw_decode(raw, expected))
+            elif compression in (8, 32946):  # Adobe/legacy Deflate
+                import zlib
+
+                dec = zlib.decompress(raw)
+                if len(dec) < expected:
+                    raise ValueError(
+                        f"Deflate strip short: {len(dec)} < {expected}"
+                    )
+                parts.append(dec[:expected])
+            else:
+                parts.append(_packbits_decode(raw, expected))
         buf = b"".join(parts)
     arr = np.frombuffer(buf, dtype=np.uint8, count=w * h * spp)
     if predictor == 2:
@@ -1195,6 +1207,39 @@ def _tiff_wrap_ifd(
         entry(292, 4, 1, t4opts)
     ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
     return b"II*\x00" + struct.pack("<I", ifd_off) + body + ifd
+
+
+def _tiff_jpeg_decode(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
+    """TIFF compression 7 (new-style JPEG, TIFF Technical Note 2): every
+    strip is an independent JPEG stream, optionally ABBREVIATED — the
+    shared DQT/DHT segments then live in the JPEGTables tag (347) and are
+    spliced in after each strip's SOI before handing to the baseline
+    decoder. Strips stack vertically (RowsPerStrip each)."""
+    w, h = tags[256][0], tags[257][0]
+    strip_offs = tags.get(273)
+    if not strip_offs:
+        raise ValueError("TIFF missing strip offsets")
+    strip_counts = tags.get(279, [len(data) - strip_offs[0]])
+    tbl = b""
+    if 347 in tags:
+        t = bytes(tags[347])
+        if t[:2] != b"\xff\xd8":
+            raise ValueError("JPEGTables does not start with SOI")
+        tbl = t[2:]
+        if tbl[-2:] == b"\xff\xd9":
+            tbl = tbl[:-2]
+    parts = []
+    for o, c in zip(strip_offs, strip_counts):
+        raw = data[o : o + c]
+        if raw[:2] != b"\xff\xd8":
+            raise ValueError("JPEG strip does not start with SOI")
+        parts.append(jpeg_decode(raw[:2] + tbl + raw[2:]))
+    img = np.vstack(parts) if len(parts) > 1 else parts[0]
+    if img.shape[0] < h or img.shape[1] < w:
+        raise ValueError(
+            f"JPEG strips decode to {img.shape[:2]}, IFD says {(h, w)}"
+        )
+    return img[:h, :w] if img.ndim == 2 else img[:h, :w, :]
 
 
 def _tiff_ccitt_decode(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
@@ -1265,11 +1310,17 @@ def tiff_encode(
     """Little-endian TIFF (gray or RGB), one strip. compression 'none' |
     'lzw' | 'packbits' (PackBits compresses row by row, the layout real
     writers use) | 'g3' | 'g3_2d' | 'g4' (CCITT bilevel fax: gray input
-    thresholded at 128, photometric 0 WhiteIsZero, BitsPerSample 1);
+    thresholded at 128, photometric 0 WhiteIsZero, BitsPerSample 1) |
+    'jpeg' (compression 7, one full-stream strip);
     predictor=2 applies horizontal differencing before LZW."""
     img = np.asarray(img, dtype=np.uint8)
     h, w = img.shape[:2]
     spp = 1 if img.ndim == 2 else img.shape[2]
+    if compression == "jpeg":
+        return _tiff_wrap_ifd(
+            jpeg_encode(img), w, h, spp, 7,
+            bps=8, photometric=1 if spp == 1 else 6,
+        )
     if compression in ("g3", "g3_2d", "g4"):
         from ocr_spark.operators.fax_codec import (
             g3_1d_encode,
@@ -1308,6 +1359,11 @@ def tiff_encode(
             for r in range(h)
         )
         comp_tag = 32773
+    elif compression == "deflate":
+        import zlib
+
+        body = zlib.compress(raw.tobytes())
+        comp_tag = 8
     else:
         raise ValueError(f"unknown compression {compression!r}")
     # layout: header(8) | pixel data | BitsPerSample array (if rgb) | IFD

@@ -290,3 +290,38 @@ class TestSparkE2E:
             assert r["error"] is None, (ref, r["error"])
             assert (r["width"], r["height"]) == (120, 40)
             assert r["mean_intensity"] == pytest.approx(want_mean)
+
+    def test_fax_tiff_drives_ocr_loop(self, spark):
+        """Container transparency for fax scans: the SAME bilevel page
+        delivered as a G4 TIFF sidecar asset extracts the SAME span text
+        as a direct PNG of it (extract_documents OCR kernels)."""
+        from ocr_spark.operators.cloud_engine import png_encode
+        from ocr_spark.operators.image_codecs import tiff_encode
+        from ocr_spark.pipeline import extract_documents
+        from ocr_spark.schema import DOC_SCHEMA
+        from ocr_spark.sources.media import synth_media_bytes
+
+        scan = np.frombuffer(
+            synth_media_bytes("media://fax-1"), np.uint8
+        )[: 32 * 32].reshape(32, 32)
+        page = np.where(scan < 128, 0, 255).astype(np.uint8)  # bilevel
+        sidecar = spark.createDataFrame(
+            [
+                ("fax.tif", bytearray(tiff_encode(page, compression="g4"))),
+                ("direct.png", bytearray(png_encode(page))),
+            ],
+            "media_ref string, content binary",
+        )
+        docs = spark.createDataFrame(
+            [
+                ("from_fax", [("media", None, "fax.tif", 0)]),
+                ("direct", [("media", None, "direct.png", 0)]),
+            ],
+            DOC_SCHEMA,
+        )
+        out = {
+            r.doc_id: r
+            for r in extract_documents(docs, media_sidecar=sidecar).collect()
+        }
+        assert out["from_fax"].error is None and out["direct"].error is None
+        assert out["from_fax"].spans[0].text == out["direct"].spans[0].text

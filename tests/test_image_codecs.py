@@ -617,8 +617,8 @@ class TestTiffCompression:
         rng = np.random.default_rng(3)
         rgb = rng.integers(0, 256, (30, 20, 3), dtype=np.uint8)
         for img in (self.GRAY, rgb):
-            for comp in ("none", "lzw", "packbits"):
-                preds = (1, 2) if comp == "lzw" else (1,)
+            for comp in ("none", "lzw", "packbits", "deflate"):
+                preds = (1, 2) if comp in ("lzw", "deflate") else (1,)
                 for pred in preds:
                     got = tiff_decode(
                         tiff_encode(img, compression=comp, predictor=pred)
@@ -706,17 +706,18 @@ class TestTiffCompression:
 
         import struct
 
-        # splice compression tag 7 (JPEG-in-TIFF) in place of 1
+        # splice compression tag 6 (old-style JPEG, deprecated by TTN2
+        # and genuinely unsupported) in place of 1
         raw = tiff_encode(self.GRAY)
         idx = raw.find(struct.pack("<HHIHH", 259, 3, 1, 1, 0))
         assert idx > 0
         patched = (
-            raw[:idx] + struct.pack("<HHIHH", 259, 3, 1, 7, 0)
+            raw[:idx] + struct.pack("<HHIHH", 259, 3, 1, 6, 0)
             + raw[idx + 12 :]
         )
         import pytest as _pytest
 
-        with _pytest.raises(ValueError, match="compression 7"):
+        with _pytest.raises(ValueError, match="compression 6"):
             tiff_decode(patched)
 
 
@@ -908,4 +909,116 @@ class TestTiffCcitt:
             if tag == 258:
                 data[off + 8:off + 10] = struct.pack("<H", 8)
         with pytest.raises(ValueError, match="bilevel"):
+            tiff_decode(bytes(data))
+
+
+class TestTiffJpeg:
+    """TIFF compression 7 (new-style JPEG-in-TIFF, TTN2)."""
+
+    GRAY = (np.arange(40 * 56).reshape(40, 56) % 251).astype(np.uint8)
+
+    def test_full_stream_strip_roundtrip(self):
+        from ocr_spark.operators.image_codecs import (
+            jpeg_decode,
+            jpeg_encode,
+            tiff_decode,
+            tiff_encode,
+        )
+
+        got = tiff_decode(tiff_encode(self.GRAY, compression="jpeg"))
+        want = jpeg_decode(jpeg_encode(self.GRAY))  # same quantization
+        assert np.array_equal(got, want)
+
+    def test_rgb(self):
+        from ocr_spark.operators.image_codecs import tiff_decode, tiff_encode
+
+        rng = np.random.default_rng(5)
+        rgb = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+        got = tiff_decode(tiff_encode(rgb, compression="jpeg"))
+        assert got.shape == rgb.shape
+        assert abs(got.astype(int) - rgb.astype(int)).mean() < 30
+
+    def test_abbreviated_streams_with_jpegtables(self):
+        """Real-world layout: DQT/DHT hoisted into the JPEGTables tag,
+        strips carry abbreviated streams. Built by segment-splitting the
+        repo's own encoder output."""
+        import struct
+
+        from ocr_spark.operators.image_codecs import (
+            jpeg_decode,
+            jpeg_encode,
+            tiff_decode,
+        )
+
+        full = jpeg_encode(self.GRAY)
+        # walk segments: pull DQT (FFDB) / DHT (FFC4) out
+        tables, rest = [], []
+        i = 2
+        while i < len(full):
+            assert full[i] == 0xFF
+            marker = full[i + 1]
+            if marker == 0xD9:
+                rest.append(full[i:])
+                break
+            (seglen,) = struct.unpack(">H", full[i + 2 : i + 4])
+            seg = full[i : i + 2 + seglen]
+            if marker in (0xDB, 0xC4):
+                tables.append(seg)
+            else:
+                rest.append(seg)
+                if marker == 0xDA:  # SOS: entropy data follows to EOI
+                    rest.append(full[i + 2 + seglen :])
+                    break
+            i += 2 + seglen
+        jpegtables = b"\xff\xd8" + b"".join(tables) + b"\xff\xd9"
+        abbrev = b"\xff\xd8" + b"".join(rest)
+        h, w = self.GRAY.shape
+        body = abbrev
+        data_off = 8
+        tbl_off = data_off + len(body)
+        ifd_off = tbl_off + len(jpegtables)
+        entries = []
+
+        def eshort(tag, val):
+            entries.append(struct.pack("<HHIHH", tag, 3, 1, val, 0))
+
+        def elong(tag, typ, cnt, val):
+            entries.append(
+                struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val)
+            )
+
+        eshort(256, w)
+        eshort(257, h)
+        eshort(258, 8)
+        eshort(259, 7)
+        eshort(262, 1)
+        elong(273, 4, 1, data_off)
+        eshort(277, 1)
+        eshort(278, h)
+        elong(279, 4, 1, len(body))
+        elong(347, 7, len(jpegtables), tbl_off)
+        ifd = (
+            struct.pack("<H", len(entries))
+            + b"".join(entries)
+            + struct.pack("<I", 0)
+        )
+        tif = (
+            b"II*\x00"
+            + struct.pack("<I", ifd_off)
+            + body
+            + jpegtables
+            + ifd
+        )
+        got = tiff_decode(tif)
+        want = jpeg_decode(full)
+        assert np.array_equal(got, want)
+
+    def test_bad_strip_raises(self):
+        import struct
+
+        from ocr_spark.operators.image_codecs import tiff_decode, tiff_encode
+
+        data = bytearray(tiff_encode(self.GRAY, compression="jpeg"))
+        data[8:10] = b"\x00\x00"  # clobber the strip's SOI
+        with pytest.raises(ValueError, match="SOI"):
             tiff_decode(bytes(data))
