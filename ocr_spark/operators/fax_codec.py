@@ -163,7 +163,9 @@ class _BitReader:
 
     def __init__(self, data: bytes):
         bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.s = "".join("1" if b else "0" for b in bits)
+        # vectorized '0'/'1' string build (a per-bit Python join costs ~10%
+        # of a full-page decode)
+        self.s = (bits + ord("0")).astype(np.uint8).tobytes().decode("ascii")
         self.pos = 0
         self.n = len(self.s)
 
@@ -359,11 +361,14 @@ def g4_decode(
 
 def g3_2d_decode(
     data: bytes, width: int, height: int | None = None,
+    require_eol: bool = True,
 ) -> np.ndarray:
     """Group 3 two-dimensional framing (T.4 §4.2; TIFF compression 3 with
     the 2-D T4Options bit; PDF /CCITTFaxDecode K>0): every line is
     fill+EOL + one tag bit — 1 = the line is 1-D MH, 0 = 2-D coded against
-    the previous line. Returns uint8 (H,W), 1=black."""
+    the previous line. require_eol=False tolerates streams written with
+    the PDF default /EndOfLine false (only the tag bit per line); any EOLs
+    present are still consumed. Returns uint8 (H,W), 1=black."""
     if width <= 0:
         raise ValueError("width must be positive")
     br = _BitReader(data)
@@ -371,9 +376,12 @@ def g3_2d_decode(
     rows: list[np.ndarray] = []
     while height is None or len(rows) < height:
         saw_eol = _skip_fill_eols(br)
-        if br.exhausted(slack=0):
+        rem = br.n - br.pos
+        if rem <= 0:
             break
-        if not saw_eol:
+        if not saw_eol and rem < 8 and "1" not in br.peek(rem):
+            break  # final-byte padding
+        if not saw_eol and require_eol:
             raise ValueError(f"G3 2-D line missing EOL at bit {br.pos}")
         tag = br.peek(1)
         br.skip(1)
@@ -516,9 +524,11 @@ def g4_encode(img: np.ndarray, with_eofb: bool = True) -> bytes:
     return bw.getvalue()
 
 
-def g3_2d_encode(img: np.ndarray, k: int = 2) -> bytes:
+def g3_2d_encode(img: np.ndarray, k: int = 2, with_eol: bool = True) -> bytes:
     """G3 2-D fixture encoder: every k-th line 1-D (tag 1), others 2-D
-    (tag 0), each prefixed by EOL — the K>0 /CCITTFaxDecode layout."""
+    (tag 0), each prefixed by EOL — the K>0 /CCITTFaxDecode layout.
+    with_eol=False writes the PDF /EndOfLine-false layout (tag bits
+    only, no EOLs, no RTC)."""
     img = (np.asarray(img) > 0).astype(np.uint8)
     if img.ndim != 2:
         raise ValueError("expected a 2-D bilevel array")
@@ -526,7 +536,8 @@ def g3_2d_encode(img: np.ndarray, k: int = 2) -> bytes:
     bw = _BitWriter()
     ref_changes = None
     for r in range(h):
-        bw.write(_EOL)
+        if with_eol:
+            bw.write(_EOL)
         if r % max(k, 1) == 0 or ref_changes is None:
             bw.write("1")
             for run, color in _row_runs(img[r]):
@@ -535,6 +546,7 @@ def g3_2d_encode(img: np.ndarray, k: int = 2) -> bytes:
             bw.write("0")
             _encode_2d_line(bw, img[r], ref_changes, w)
         ref_changes = _changing_elements(img[r])
-    for _ in range(6):
-        bw.write(_EOL)
+    if with_eol:
+        for _ in range(6):  # RTC
+            bw.write(_EOL)
     return bw.getvalue()

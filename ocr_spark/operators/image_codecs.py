@@ -1182,10 +1182,14 @@ def tiff_decode(data: bytes) -> np.ndarray:
 def _tiff_wrap_ifd(
     body: bytes, w: int, h: int, spp: int, comp_tag: int,
     bps: int = 8, photometric: int | None = None, t4opts: int | None = None,
+    predictor: int | None = None,
 ) -> bytes:
-    """Single-strip little-endian TIFF container around an encoded body."""
+    """Single-strip little-endian TIFF container around an encoded body.
+    spp == 3 writes the REQUIRED 3-element BitsPerSample array (count must
+    equal SamplesPerPixel per TIFF 6.0) right after the body."""
     data_off = 8
-    ifd_off = data_off + len(body)
+    bits_off = data_off + len(body)
+    ifd_off = bits_off + (6 if spp == 3 else 0)
     entries = []
 
     def entry(tag, typ, cnt, val):
@@ -1196,17 +1200,27 @@ def _tiff_wrap_ifd(
 
     entry_short(256, w)
     entry_short(257, h)
-    entry_short(258, bps)
+    if spp == 3:
+        entry(258, 3, 3, bits_off)
+    else:
+        entry_short(258, bps)
     entry_short(259, comp_tag)
-    entry_short(262, photometric if photometric is not None else 1)
+    entry_short(
+        262, photometric if photometric is not None else (1 if spp == 1 else 2)
+    )
     entry(273, 4, 1, data_off)
     entry_short(277, spp)
     entry_short(278, h)
     entry(279, 4, 1, len(body))
     if t4opts is not None:
         entry(292, 4, 1, t4opts)
+    if predictor == 2:
+        entry_short(317, 2)
     ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
-    return b"II*\x00" + struct.pack("<I", ifd_off) + body + ifd
+    out = b"II*\x00" + struct.pack("<I", ifd_off) + body
+    if spp == 3:
+        out += struct.pack("<HHH", bps, bps, bps)
+    return out + ifd
 
 
 def _tiff_jpeg_decode(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
@@ -1273,7 +1287,7 @@ def _tiff_ccitt_decode(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
     strip_counts = tags.get(279, [len(data) - strip_offs[0]])
     rows_per_strip = tags.get(278, [h])[0] or h
     photometric = tags.get(262, [0])[0]
-    parts = []
+    parts: list[np.ndarray] = []
     for si, (o, c) in enumerate(zip(strip_offs, strip_counts)):
         rows = min(rows_per_strip, h - si * rows_per_strip)
         if rows <= 0:
@@ -1295,6 +1309,8 @@ def _tiff_ccitt_decode(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
         else:
             bits = g4_decode(raw, w, rows)
         parts.append(bits)
+    if not parts:
+        raise ValueError("no CCITT strips decoded (zero-height image?)")
     bits = np.concatenate(parts) if len(parts) > 1 else parts[0]
     if bits.shape[0] != h:
         raise ValueError(f"decoded {bits.shape[0]} rows, expected {h}")
@@ -1366,37 +1382,7 @@ def tiff_encode(
         comp_tag = 8
     else:
         raise ValueError(f"unknown compression {compression!r}")
-    # layout: header(8) | pixel data | BitsPerSample array (if rgb) | IFD
-    data_off = 8
-    bits_off = data_off + len(body)
-    ifd_off = bits_off + (6 if spp == 3 else 0)
-    entries = []
-
-    def entry(tag, typ, cnt, val):
-        entries.append(struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val))
-
-    def entry_short(tag, val):
-        entries.append(struct.pack("<HHIHH", tag, 3, 1, val, 0))
-
-    entry_short(256, w)
-    entry_short(257, h)
-    if spp == 3:
-        entry(258, 3, 3, bits_off)
-    else:
-        entry_short(258, 8)
-    entry_short(259, comp_tag)
-    entry_short(262, 1 if spp == 1 else 2)  # BlackIsZero / RGB
-    entry(273, 4, 1, data_off)  # StripOffsets
-    entry_short(277, spp)
-    entry_short(278, h)  # RowsPerStrip
-    entry(279, 4, 1, len(body))  # StripByteCounts
-    if predictor == 2:
-        entry_short(317, 2)
-    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
-    out = b"II*\x00" + struct.pack("<I", ifd_off) + body
-    if spp == 3:
-        out += struct.pack("<HHH", 8, 8, 8)
-    return out + ifd
+    return _tiff_wrap_ifd(body, w, h, spp, comp_tag, predictor=predictor)
 
 
 # ---------------------------------------------------------------------------

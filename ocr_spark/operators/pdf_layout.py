@@ -1431,7 +1431,9 @@ def pdf_images(data: bytes) -> list[dict]:
 
                 k = _cc("K", 0)
                 cols = _cc("Columns", 1728)
-                n_rows = _cc("Rows", h)
+                # /Rows 0 is the spec DEFAULT ("not predetermined"), not a
+                # zero-row image — fall back to /Height
+                n_rows = _cc("Rows", 0) or h or None
                 balign = bool(_re.search(r"/EncodedByteAlign\s+true", pd))
                 if k < 0:
                     bits = g4_decode(bytes(raw), cols, n_rows, byte_align=balign)
@@ -1440,7 +1442,10 @@ def pdf_images(data: bytes) -> list[dict]:
                         bytes(raw), cols, n_rows, byte_align=balign
                     )
                 else:
-                    bits = g3_2d_decode(bytes(raw), cols, n_rows)
+                    # /EndOfLine defaults to false even for K>0: EOL-less
+                    # tag-bit-only streams are legal and common
+                    bits = g3_2d_decode(bytes(raw), cols, n_rows,
+                                        require_eol=False)
                 # filter output: 0 = black unless /BlackIs1 true; the
                 # fax coding domain is 1 = black
                 if not _re.search(r"/BlackIs1\s+true", pd):
@@ -1577,13 +1582,21 @@ def pdf_write_images(
             bits = np.packbits((img > 127).astype(np.uint8), axis=1)
             body = zlib.compress(bits.tobytes())
             filt, bpc = b"/Filter /FlateDecode ", 1
-        elif codec in ("ccitt", "ccitt_g3"):
-            from ocr_spark.operators.fax_codec import g3_1d_encode, g4_encode
+        elif codec in ("ccitt", "ccitt_g3", "ccitt_g3_2d"):
+            from ocr_spark.operators.fax_codec import (
+                g3_1d_encode,
+                g3_2d_encode,
+                g4_encode,
+            )
 
             bits = (img < 128).astype(np.uint8)  # coding 1 = black
             if codec == "ccitt":
                 body = g4_encode(bits)
                 k = -1
+            elif codec == "ccitt_g3_2d":
+                # the PDF-default /EndOfLine false layout: tag bits only
+                body = g3_2d_encode(bits, with_eol=False)
+                k = 2
             else:
                 body = g3_1d_encode(bits, byte_align=False)
                 k = 0

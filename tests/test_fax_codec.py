@@ -325,3 +325,22 @@ class TestSparkE2E:
         }
         assert out["from_fax"].error is None and out["direct"].error is None
         assert out["from_fax"].spans[0].text == out["direct"].spans[0].text
+
+
+class TestG32DNoEol:
+    def test_tag_bit_only_layout(self):
+        rng = np.random.default_rng(37)
+        img = _rand_page(rng, 8, 100)
+        enc = g3_2d_encode(img, k=3, with_eol=False)
+        out = g3_2d_decode(enc, 100, 8, require_eol=False)
+        np.testing.assert_array_equal(out, img)
+        # the strict default still rejects the EOL-less stream
+        with pytest.raises(ValueError, match="EOL"):
+            g3_2d_decode(enc, 100, 8)
+
+    def test_eol_streams_still_pass_with_tolerant_flag(self):
+        rng = np.random.default_rng(39)
+        img = _rand_page(rng, 6, 70)
+        enc = g3_2d_encode(img, k=2, with_eol=True)
+        out = g3_2d_decode(enc, 70, 6, require_eol=False)
+        np.testing.assert_array_equal(out, img)

@@ -1022,3 +1022,43 @@ class TestTiffJpeg:
         data[8:10] = b"\x00\x00"  # clobber the strip's SOI
         with pytest.raises(ValueError, match="SOI"):
             tiff_decode(bytes(data))
+
+
+class TestTiffReviewHardening:
+    def test_rgb_jpeg_tiff_bits_per_sample_array(self):
+        # TIFF 6.0: BitsPerSample count must equal SamplesPerPixel
+        import struct
+
+        from ocr_spark.operators.image_codecs import tiff_encode
+
+        rng = np.random.default_rng(3)
+        rgb = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+        for comp in ("none", "jpeg", "deflate"):
+            data = tiff_encode(rgb, compression=comp)
+            (ifd_off,) = struct.unpack("<I", data[4:8])
+            (n,) = struct.unpack("<H", data[ifd_off:ifd_off + 2])
+            found = {}
+            for i in range(n):
+                off = ifd_off + 2 + 12 * i
+                tag, typ, cnt = struct.unpack("<HHI", data[off:off + 8])
+                found[tag] = (typ, cnt)
+            assert found[258] == (3, 3), comp
+            assert found[277][1] == 1 and found[258][1] == 3
+
+    def test_zero_height_ccitt_is_valueerror(self):
+        import struct
+
+        from ocr_spark.operators.image_codecs import tiff_decode, tiff_encode
+
+        data = bytearray(
+            tiff_encode(np.full((8, 16), 255, np.uint8), compression="g4")
+        )
+        (ifd_off,) = struct.unpack("<I", data[4:8])
+        (n,) = struct.unpack("<H", data[ifd_off:ifd_off + 2])
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            (tag,) = struct.unpack("<H", data[off:off + 2])
+            if tag == 257:  # ImageLength -> 0
+                data[off + 8:off + 10] = struct.pack("<H", 0)
+        with pytest.raises(ValueError):
+            tiff_decode(bytes(data))

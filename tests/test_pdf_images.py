@@ -206,3 +206,23 @@ class TestOcrLoop:
         }
         assert out["from_pdf"].error is None and out["direct"].error is None
         assert out["from_pdf"].spans[0].text == out["direct"].spans[0].text
+
+
+def test_ccitt_review_hardening():
+    """Interop tolerances from the adversarial review: /Rows 0 means 'not
+    predetermined' (fall back to /Height), and K>0 streams written with
+    the PDF-default /EndOfLine false (tag bits only, no EOLs) decode."""
+    want = np.where(GRAY < 128, 0, 255).astype(np.uint8)
+    # /Rows 0 must behave like an absent /Rows
+    pdf = pdf_write_images([], [(GRAY, "ccitt")])
+    h = GRAY.shape[0]
+    pdf_r0 = pdf.replace(f"/Rows {h}".encode(), b"/Rows 0")
+    assert pdf_r0 != pdf
+    img = pdf_images(pdf_r0)[0]
+    assert img["error"] is None
+    assert np.array_equal(decode_image(img["content"]), want)
+    # K>0 without EOLs (the G3 2-D tag-bit-only layout)
+    pdf2 = pdf_write_images([], [(GRAY, "ccitt_g3_2d")])
+    img2 = pdf_images(pdf2)[0]
+    assert img2["error"] is None
+    assert np.array_equal(decode_image(img2["content"]), want)
