@@ -1,0 +1,682 @@
+"""JBIG2 generic-region decoder (ITU-T T.88), pure Python+numpy.
+
+The last raster format the PDF image path named-enveloped: scanners and
+`jbig2enc`-class tools embed bilevel scans in PDFs as /JBIG2Decode
+streams. This module implements, from the published ITU-T T.88 spec:
+
+  * the MQ arithmetic coder — the 47-state probability table (Qe, NMPS,
+    NLPS, SWITCH) shared with JPEG2000, INITDEC/BYTEIN/RENORMD/DECODE and
+    the matching encoder (INITENC/CODEMPS/CODELPS/BYTEOUT/FLUSH) so
+    fixtures round-trip real bitstreams;
+  * generic region decoding (§6.2): templates 0-3 with their nominal
+    adaptive (AT) pixel positions, context built in the spec figure's
+    raster order, TPGDON typical-prediction rows (the per-template
+    pseudo-pixel contexts 0x9B25/0x0795/0x00E5/0x0195), and MMR=1 regions
+    delegated to the repo's T.6 decoder (fax_codec.g4_decode);
+  * the PDF embedded-stream organization (§annex on embedded streams):
+    sequential segment headers (page info 48, immediate generic region
+    36/38/39, end-of-page/file 49/51/50 skipped), single-page compositing
+    of region bitmaps at their (x, y) offsets.
+
+Out of scope (named ValueError envelopes, like JPX): symbol-dictionary /
+text-region / halftone / refinement coding — the arithmetic-coded symbol
+machinery is a full second engine; generic regions cover `jbig2enc
+-generic` output and the common fax-style single-region streams.
+
+Coding domain: 1 = black (JBIG2 pixel value 1), matching fax_codec;
+callers map to gray. Cost: one context lookup + one MQ DECODE per pixel,
+row-vectorized context seeding — runs inside the same Arrow-batched
+image stages as every other codec (zero per-row Python at the Spark
+layer)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# MQ coder (T.88 Annex E; table shared with JPEG2000)
+# ---------------------------------------------------------------------------
+
+# (Qe, NMPS, NLPS, SWITCH)
+_QE = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+
+
+class MQDecoder:
+    """T.88 software-conventions decoder (Chigh in the top 16 bits of C)."""
+
+    __slots__ = ("data", "bp", "c", "a", "ct", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.bp = 0
+        b0 = data[0] if data else 0xFF
+        self.c = b0 << 16
+        self._bytein()
+        self.c = (self.c << 7) & 0xFFFFFFFF
+        self.ct -= 7
+        self.a = 0x8000
+
+    def _bytein(self) -> None:
+        d, bp = self.data, self.bp
+        b = d[bp] if bp < self.n else 0xFF
+        if b == 0xFF:
+            b1 = d[bp + 1] if bp + 1 < self.n else 0xFF
+            if b1 > 0x8F:
+                self.c += 0xFF00
+                self.ct = 8
+            else:
+                self.bp = bp + 1
+                self.c += b1 << 9
+                self.ct = 7
+        else:
+            self.bp = bp + 1
+            nb = d[self.bp] if self.bp < self.n else 0xFF
+            self.c += nb << 8
+            self.ct = 8
+
+    def decode(self, cx: list) -> int:
+        """cx = [index, mps] mutable context state."""
+        i, mps = cx
+        qe, nmps, nlps, switch = _QE[i]
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < qe:
+            # LPS exchange
+            if self.a < qe:
+                d = mps
+                cx[0] = nmps
+            else:
+                d = 1 - mps
+                if switch:
+                    cx[1] = 1 - mps
+                cx[0] = nlps
+            self.a = qe
+        else:
+            self.c = (self.c - (qe << 16)) & 0xFFFFFFFF
+            if self.a & 0x8000:
+                return mps
+            if self.a < qe:
+                d = 1 - mps
+                if switch:
+                    cx[1] = 1 - mps
+                cx[0] = nlps
+            else:
+                d = mps
+                cx[0] = nmps
+        # RENORMD
+        while True:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.a & 0x8000:
+                break
+        return d
+
+
+class MQEncoder:
+    """T.88 Annex E encoder (CODEMPS/CODELPS/BYTEOUT/FLUSH), the fixture
+    writer for round-trip tests. `b` is the one buffered not-yet-emitted
+    byte (-1 before the first BYTEOUT; a carry cannot occur on the first
+    BYTEOUT since C < 2^27 after only 12 renormalize shifts)."""
+
+    __slots__ = ("a", "c", "ct", "b", "out")
+
+    def __init__(self):
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.b = -1
+        self.out = bytearray()
+
+    def _push(self) -> None:
+        if self.b >= 0:
+            self.out.append(self.b)
+
+    def _byteout(self) -> None:
+        # spec E.3.3: a buffered 0xFF stuffs 7 bits into the next byte;
+        # a pending carry (C >= 0x8000000) bumps the buffered byte, which
+        # cannot overflow because the 0xFF case was handled first
+        if self.b == 0xFF:
+            self._push()
+            self.b = (self.c >> 20) & 0xFF
+            self.c &= 0xFFFFF
+            self.ct = 7
+        elif self.c < 0x8000000:
+            self._push()
+            self.b = (self.c >> 19) & 0xFF
+            self.c &= 0x7FFFF
+            self.ct = 8
+        else:
+            self.b += 1
+            if self.b == 0xFF:
+                self.c &= 0x7FFFFFF
+                self._push()
+                self.b = (self.c >> 20) & 0xFF
+                self.c &= 0xFFFFF
+                self.ct = 7
+            else:
+                self._push()
+                self.b = (self.c >> 19) & 0xFF
+                self.c &= 0x7FFFF
+                self.ct = 8
+
+    def _renorme(self) -> None:
+        while True:
+            self.a = (self.a << 1) & 0xFFFF
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+            if self.a & 0x8000:
+                break
+
+    def encode(self, cx: list, d: int) -> None:
+        i, mps = cx
+        qe, nmps, nlps, switch = _QE[i]
+        if d == mps:  # CODEMPS
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:
+                self.a = qe
+            else:
+                self.c += qe
+            cx[0] = nmps
+            self._renorme()
+        else:  # CODELPS
+            self.a -= qe
+            if self.a < qe:
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                cx[1] = 1 - mps
+            cx[0] = nlps
+            self._renorme()
+
+    def flush(self) -> bytes:
+        # SETBITS: put as many 1 bits into C as A allows
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self.c = (self.c << self.ct) & 0xFFFFFFFF
+        self._byteout()
+        self._push()
+        # trailing 0xFFs are redundant (the decoder resupplies 1s)
+        while self.out and self.out[-1] == 0xFF:
+            self.out.pop()
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# generic region coding (T.88 §6.2) — templates with nominal AT pixels
+# ---------------------------------------------------------------------------
+
+# fixed template pixels per GBTEMPLATE (dx, dy), dy<0 above; AT nominal
+# positions appended; context bits are assembled in raster order of the
+# final pixel list (top row left->right, then the middle row, then the
+# current row), matching the spec figures for nominal ATs.
+_TEMPLATES = {
+    0: (
+        [(-1, -2), (0, -2), (1, -2),
+         (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+         (-4, 0), (-3, 0), (-2, 0), (-1, 0)],
+        [(3, -1), (-3, -1), (2, -2), (-2, -2)],
+    ),
+    1: (
+        [(-1, -2), (0, -2), (1, -2), (2, -2),
+         (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+         (-3, 0), (-2, 0), (-1, 0)],
+        [(3, -1)],
+    ),
+    2: (
+        [(-1, -2), (0, -2), (1, -2),
+         (-2, -1), (-1, -1), (0, -1), (1, -1),
+         (-2, 0), (-1, 0)],
+        [(2, -1)],
+    ),
+    3: (
+        [(-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1),
+         (-4, 0), (-3, 0), (-2, 0), (-1, 0)],
+        [(2, -1)],
+    ),
+}
+
+# TPGDON pseudo-pixel contexts per template (T.88 §6.2.5.7)
+_TPGD_CTX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
+
+
+def _template_pixels(template: int, at: list[tuple[int, int]] | None):
+    fixed, at_nominal = _TEMPLATES[template]
+    if at is None:
+        at = at_nominal
+    if len(at) != len(at_nominal):
+        raise ValueError(
+            f"template {template} needs {len(at_nominal)} AT pixels, got {len(at)}"
+        )
+    pixels = fixed + list(at)
+    # raster order: by row (dy), then column (dx) — the spec figure layout
+    pixels.sort(key=lambda p: (p[1], p[0]))
+    return pixels
+
+
+def _region_pixel(bitmap: np.ndarray, x: int, y: int) -> int:
+    if x < 0 or y < 0 or x >= bitmap.shape[1] or y >= bitmap.shape[0]:
+        return 0
+    return int(bitmap[y, x])
+
+
+# per-template contiguous row windows for NOMINAL ATs: {dy: (lo, hi)} —
+# with nominal adaptive pixels every template row is a contiguous span,
+# enabling sliding-window context updates (3 shifts/pixel instead of a
+# 10-16 pixel gather)
+_NOMINAL_WINDOWS = {
+    0: {-2: (-2, 2), -1: (-3, 3), 0: (-4, -1)},
+    1: {-2: (-1, 2), -1: (-2, 3), 0: (-3, -1)},
+    2: {-2: (-1, 1), -1: (-2, 2), 0: (-2, -1)},
+    3: {-1: (-3, 2), 0: (-4, -1)},
+}
+
+
+def _generic_decode_fast(
+    data: bytes, width: int, height: int, template: int, tpgdon: bool
+) -> np.ndarray:
+    """Nominal-AT fast path: sliding-window contexts + inlined MQ decode
+    (local-variable coder state; ~5x the generic gather loop). Bit order
+    matches _template_pixels' raster sort exactly, so fast and generic
+    paths are interchangeable."""
+    wins = _NOMINAL_WINDOWS[template]
+    rows_above = sorted(dy for dy in wins if dy < 0)  # e.g. [-2, -1]
+    w0_lo, w0_hi = wins[0]
+    w0_bits = w0_hi - w0_lo + 1
+    spans = [(dy, wins[dy][0], wins[dy][1]) for dy in rows_above]
+    shifts = []  # bit shift for each above-row window in the context
+    total = w0_bits
+    for dy, lo, hi in reversed(spans):
+        shifts.insert(0, total)
+        total += hi - lo + 1
+    nbits = total
+    tp_ctx = _TPGD_CTX[template]
+    # MQ decoder state, kept in locals for the pixel loop
+    d8 = data
+    n = len(d8)
+    bp = 0
+    c = (d8[0] if n else 0xFF) << 16
+    # inline first BYTEIN
+    if n and d8[0] == 0xFF:
+        b1 = d8[1] if 1 < n else 0xFF
+        if b1 > 0x8F:
+            c += 0xFF00
+            ct = 8
+        else:
+            bp = 1
+            c += b1 << 9
+            ct = 7
+    else:
+        bp = 1
+        c += (d8[1] if 1 < n else 0xFF) << 8
+        ct = 8
+    c = (c << 7) & 0xFFFFFFFF
+    ct -= 7
+    a = 0x8000
+    idx = [0] * (1 << nbits)
+    mps = [0] * (1 << nbits)
+    qe_t = _QE
+    bitmap = np.zeros((height, width), dtype=np.uint8)
+    zero_row = [0] * (width + 8)
+    pad = 4  # left pad covers the most negative dx
+    row_cache: dict[int, list[int]] = {}
+    ltp = 0
+
+    def _decode(ctx: int) -> int:
+        nonlocal a, c, ct, bp
+        i = idx[ctx]
+        qe, nmps, nlps, switch = qe_t[i]
+        a -= qe
+        if ((c >> 16) & 0xFFFF) < qe:
+            if a < qe:
+                d = mps[ctx]
+                idx[ctx] = nmps
+            else:
+                d = 1 - mps[ctx]
+                if switch:
+                    mps[ctx] = d
+                idx[ctx] = nlps
+            a = qe
+        else:
+            c = (c - (qe << 16)) & 0xFFFFFFFF
+            if a & 0x8000:
+                return mps[ctx]
+            if a < qe:
+                d = 1 - mps[ctx]
+                if switch:
+                    mps[ctx] = d
+                idx[ctx] = nlps
+            else:
+                d = mps[ctx]
+                idx[ctx] = nmps
+        while True:
+            if ct == 0:
+                b = d8[bp] if bp < n else 0xFF
+                if b == 0xFF:
+                    b1 = d8[bp + 1] if bp + 1 < n else 0xFF
+                    if b1 > 0x8F:
+                        c += 0xFF00
+                        ct = 8
+                    else:
+                        bp += 1
+                        c += b1 << 9
+                        ct = 7
+                else:
+                    bp += 1
+                    c += (d8[bp] if bp < n else 0xFF) << 8
+                    ct = 8
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a & 0x8000:
+                break
+        return d
+
+    w0_mask = (1 << w0_bits) - 1
+    for y in range(height):
+        if tpgdon:
+            if _decode(tp_ctx):
+                ltp ^= 1
+            if ltp:
+                if y > 0:
+                    bitmap[y] = bitmap[y - 1]
+                    row_cache[y] = row_cache.get(y - 1, zero_row)
+                else:
+                    row_cache[y] = zero_row
+                continue
+        # padded source rows (python lists index faster than ndarray)
+        srcs = []
+        for dy, lo, hi in spans:
+            yy = y + dy
+            if yy < 0:
+                srcs.append(zero_row)
+            else:
+                cached = row_cache.get(yy)
+                if cached is None:
+                    cached = [0] * pad + bitmap[yy].tolist() + [0] * pad
+                    row_cache[yy] = cached
+                srcs.append(cached)
+        # initial windows at x=0: bits src[pad + lo .. pad + hi]
+        ws = []
+        for (dy, lo, hi), src in zip(spans, srcs):
+            v = 0
+            for xx in range(lo, hi + 1):
+                v = (v << 1) | src[pad + xx]
+            ws.append(v)
+        masks = [(1 << (hi - lo + 1)) - 1 for _dy, lo, hi in spans]
+        nexts = [pad + hi + 1 for _dy, _lo, hi in spans]
+        w0 = 0
+        out_row = [0] * (width + 2 * pad)
+        brow = bitmap[y]
+        for x in range(width):
+            ctx = w0
+            for k in range(len(ws)):
+                ctx |= ws[k] << shifts[k]
+            d = _decode(ctx)
+            if d:
+                brow[x] = 1
+            out_row[pad + x] = d
+            w0 = ((w0 << 1) | d) & w0_mask
+            for k in range(len(ws)):
+                src = srcs[k]
+                nx = nexts[k] + x
+                ws[k] = ((ws[k] << 1) | (src[nx] if nx < len(src) else 0)) & masks[k]
+        row_cache[y] = out_row
+        # drop rows that scrolled out of every window
+        old = y + rows_above[0]
+        if old - 1 in row_cache:
+            del row_cache[old - 1]
+    return bitmap
+
+
+def generic_region_decode(
+    data: bytes, width: int, height: int, template: int = 0,
+    at: list[tuple[int, int]] | None = None, tpgdon: bool = False,
+    mmr: bool = False,
+) -> np.ndarray:
+    """One generic region. mmr=True delegates to T.6 (fax_codec.g4_decode).
+    Returns uint8 (H,W), 1=black."""
+    if width <= 0 or height <= 0:
+        raise ValueError("region dims must be positive")
+    if mmr:
+        from ocr_spark.operators.fax_codec import g4_decode
+
+        return g4_decode(data, width, height)
+    if template not in _TEMPLATES:
+        raise ValueError(f"unknown GB template {template}")
+    if at is None or at == _TEMPLATES[template][1]:
+        return _generic_decode_fast(data, width, height, template, tpgdon)
+    pixels = _template_pixels(template, at)
+    nbits = len(pixels)
+    dec = MQDecoder(data)
+    # one [index, mps] state per context value
+    cx = [[0, 0] for _ in range(1 << nbits)]
+    bitmap = np.zeros((height, width), dtype=np.uint8)
+    ltp = 0
+    tp_cx = cx[_TPGD_CTX[template]] if tpgdon else None
+    for y in range(height):
+        if tpgdon:
+            if dec.decode(tp_cx):
+                ltp ^= 1
+            if ltp:
+                if y > 0:
+                    bitmap[y] = bitmap[y - 1]
+                continue
+        row = bitmap[y]
+        for x in range(width):
+            ctx = 0
+            for dx, dy in pixels:
+                ctx = (ctx << 1) | _region_pixel(bitmap, x + dx, y + dy)
+            row[x] = dec.decode(cx[ctx])
+    return bitmap
+
+
+def generic_region_encode(
+    img: np.ndarray, template: int = 0,
+    at: list[tuple[int, int]] | None = None, tpgdon: bool = False,
+) -> bytes:
+    """Fixture encoder: the exact mirror of generic_region_decode."""
+    img = (np.asarray(img) > 0).astype(np.uint8)
+    if img.ndim != 2:
+        raise ValueError("expected a 2-D bilevel array")
+    height, width = img.shape
+    pixels = _template_pixels(template, at)
+    nbits = len(pixels)
+    enc = MQEncoder()
+    cx = [[0, 0] for _ in range(1 << nbits)]
+    tp_cx = cx[_TPGD_CTX[template]] if tpgdon else None
+    ltp = 0
+    for y in range(height):
+        if tpgdon:
+            same = y > 0 and bool(np.array_equal(img[y], img[y - 1]))
+            want_ltp = 1 if same else 0
+            enc.encode(tp_cx, 1 if want_ltp != ltp else 0)
+            ltp = want_ltp
+            if ltp:
+                continue
+        for x in range(width):
+            ctx = 0
+            for dx, dy in pixels:
+                ctx = (ctx << 1) | _region_pixel(img, x + dx, y + dy)
+            enc.encode(cx[ctx], int(img[y, x]))
+    return enc.flush()
+
+
+# ---------------------------------------------------------------------------
+# embedded (PDF) segment stream
+# ---------------------------------------------------------------------------
+
+
+def _parse_segment_header(data: bytes, pos: int):
+    """Returns (number, type, page, data_length, data_start)."""
+    if pos + 11 > len(data):
+        raise ValueError("truncated JBIG2 segment header")
+    number, flags = struct.unpack_from(">IB", data, pos)
+    seg_type = flags & 0x3F
+    page_assoc_4 = bool(flags & 0x40)
+    pos += 5
+    rts = data[pos]
+    count = rts >> 5
+    if count == 7:
+        (count,) = struct.unpack_from(">I", data, pos)
+        count &= 0x1FFFFFFF
+        pos += 4 + (count + 8) // 8  # 4-byte count + retain bits
+    else:
+        pos += 1
+    # referred segment numbers: size depends on THIS segment's number
+    ref_size = 1 if number <= 256 else (2 if number <= 65536 else 4)
+    pos += count * ref_size
+    if page_assoc_4:
+        (page,) = struct.unpack_from(">I", data, pos)
+        pos += 4
+    else:
+        page = data[pos]
+        pos += 1
+    (length,) = struct.unpack_from(">I", data, pos)
+    pos += 4
+    if length == 0xFFFFFFFF:
+        raise ValueError("unknown-length JBIG2 segments not supported")
+    return number, seg_type, page, length, pos
+
+
+def _parse_region_info(data: bytes, pos: int):
+    w, h, x, y, _comb = struct.unpack_from(">IIIIB", data, pos)
+    return w, h, x, y, pos + 17
+
+
+def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
+    """Embedded-organization JBIG2 (the PDF /JBIG2Decode layout: bare
+    segment sequence, no file header). Supports page-info + generic-region
+    segments; symbol/text/halftone/refinement segments raise a NAMED
+    ValueError (the per-image envelope upstream keeps accounting honest).
+    Returns uint8 (H,W), 1=black."""
+    stream = bytes(globals_data) + bytes(data)
+    pos = 0
+    page_w = page_h = None
+    page_default = 0
+    regions: list[tuple[int, int, np.ndarray]] = []
+    while pos < len(stream):
+        if len(stream) - pos < 11:
+            break  # trailing pad
+        number, seg_type, _page, length, dstart = _parse_segment_header(
+            stream, pos
+        )
+        body = stream[dstart : dstart + length]
+        if len(body) < length:
+            raise ValueError(f"segment {number} body truncated")
+        pos = dstart + length
+        if seg_type == 48:  # page info
+            page_w, page_h = struct.unpack_from(">II", body, 0)
+            flags = body[16] if len(body) > 16 else 0
+            page_default = (flags >> 2) & 1
+        elif seg_type in (36, 38, 39):  # (intermediate/)immediate generic
+            w, h, x, y, bpos = _parse_region_info(body, 0)
+            gflags = body[bpos]
+            bpos += 1
+            mmr = bool(gflags & 1)
+            template = (gflags >> 1) & 3
+            tpgdon = bool(gflags & 8)
+            at = None
+            if not mmr:
+                n_at = 4 if template == 0 else 1
+                at = []
+                for _ in range(n_at):
+                    ax, ay = struct.unpack_from(">bb", body, bpos)
+                    at.append((ax, ay))
+                    bpos += 2
+            bmp = generic_region_decode(
+                body[bpos:], w, h, template=template, at=at,
+                tpgdon=tpgdon, mmr=mmr,
+            )
+            regions.append((x, y, bmp))
+        elif seg_type in (49, 50, 51, 62):  # end-of-page/stripe/file, ext
+            continue
+        elif seg_type in (0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43, 53):
+            raise ValueError(
+                f"JBIG2 segment type {seg_type} (symbol/text/halftone/"
+                "refinement) not supported — generic regions only"
+            )
+        else:
+            raise ValueError(f"unknown JBIG2 segment type {seg_type}")
+    if not regions:
+        raise ValueError("JBIG2 stream has no generic region")
+    if page_w is None or page_w == 0xFFFFFFFF or page_h == 0xFFFFFFFF:
+        # no/striped page info: tight bounding box over the regions
+        page_w = max(x + r.shape[1] for x, _y, r in regions)
+        page_h = max(y + r.shape[0] for _x, y, r in regions)
+    page = np.full(
+        (page_h, page_w), 1 if page_default else 0, dtype=np.uint8
+    )
+    for x, y, bmp in regions:
+        h, w = bmp.shape
+        page[y : y + h, x : x + w] |= bmp  # OR composition (the default)
+    return page
+
+
+def jbig2_encode(
+    img: np.ndarray, template: int = 0, tpgdon: bool = False,
+    x: int = 0, y: int = 0, page_size: tuple[int, int] | None = None,
+) -> bytes:
+    """Fixture writer: embedded-organization stream with one page-info
+    segment and one immediate lossless generic region at (x, y)."""
+    img = (np.asarray(img) > 0).astype(np.uint8)
+    h, w = img.shape
+    if page_size is None:
+        page_size = (w + x, h + y)
+    pw, ph = page_size
+
+    def seg(number: int, seg_type: int, body: bytes) -> bytes:
+        return (
+            struct.pack(">IB", number, seg_type)
+            + b"\x00"  # 0 referred segments
+            + b"\x01"  # page association 1
+            + struct.pack(">I", len(body))
+            + body
+        )
+
+    page_info = struct.pack(">IIIIB", pw, ph, 0, 0, 0) + b"\x00\x00"
+    at = _TEMPLATES[template][1]
+    gflags = (template << 1) | (8 if tpgdon else 0)
+    at_bytes = b"".join(struct.pack(">bb", ax, ay) for ax, ay in at)
+    region = (
+        struct.pack(">IIIIB", w, h, x, y, 0)
+        + bytes([gflags])
+        + at_bytes
+        + generic_region_encode(img, template=template, tpgdon=tpgdon)
+    )
+    return (
+        seg(0, 48, page_info)
+        + seg(1, 38, region)  # immediate lossless generic region
+        + seg(2, 49, b"")  # end of page
+    )

@@ -1340,9 +1340,11 @@ def extract_pdf_batch(payloads: list[str]) -> list[str]:
 #     T.4/T.6): /K selects G4 (<0), 1-D MH (0) or G3 2-D (>0); /Columns,
 #     /Rows, /BlackIs1, /EncodedByteAlign and /Decode [1 0] honored;
 #     output re-encoded as PNG like every other raster path;
-#   * JBIG2Decode / JPXDecode — named per-image error rows (JBIG2
-#     arithmetic coding and JPEG2000 wavelets are out of scope; the
-#     envelope keeps crawl accounting honest).
+#   * JBIG2Decode — REAL generic-region decode (jbig2_codec.py, ITU-T
+#     T.88 MQ coder + templates 0-3 + TPGDON + MMR-over-T.6); symbol/
+#     text/halftone-coded streams degrade to named per-image error rows;
+#   * JPXDecode — named per-image error rows (JPEG2000 wavelets are out
+#     of scope; the envelope keeps crawl accounting honest).
 #
 # Spark surface `pdf_image_assets`: ONE Arrow-batched mapInPandas stage
 # over (doc_id, payload) emitting (doc_id, media_ref, format, width,
@@ -1457,6 +1459,26 @@ def pdf_images(data: bytes) -> list[dict]:
                 img = (bits * 255).astype(np.uint8)
                 row["format"], row["content"] = "png", png_encode(img)
                 continue
+            if filters == ["JBIG2Decode"]:
+                # generic-region JBIG2 (jbig2_codec, ITU-T T.88); symbol/
+                # text-coded streams and /JBIG2Globals-dependent ones
+                # degrade to the named per-image envelope below
+                from ocr_spark.operators.jbig2_codec import jbig2_decode
+
+                bits = jbig2_decode(bytes(raw))
+                if bits.shape != (h, w):
+                    bits = bits[:h, :w]
+                    if bits.shape != (h, w):
+                        raise ValueError(
+                            f"JBIG2 page {bits.shape} smaller than "
+                            f"/Width /Height {(h, w)}"
+                        )
+                # JBIG2 1 = black; /Decode [1 0] inverts
+                if _re.search(r"/Decode\s*\[\s*1[\s.0]*0", ddict):
+                    bits = 1 - bits
+                img = ((1 - bits) * 255).astype(np.uint8)
+                row["format"], row["content"] = "png", png_encode(img)
+                continue
             if filters not in ([], ["FlateDecode"]):
                 raise ValueError(f"unsupported image filter chain {filters}")
             body = raw
@@ -1536,9 +1558,10 @@ def pdf_write_images(
     'jpeg' (DCTDecode, encoded with the repo's baseline JFIF writer),
     'flate' (FlateDecode raw samples), 'flate_png' (FlateDecode + PNG
     Up-predictor /DecodeParms), 'bilevel' (1-bit /ImageMask-style Flate),
-    'ccitt' (REAL CCITTFaxDecode G4, K=-1) / 'ccitt_g3' (K=0 1-D MH) with
-    input thresholded at 128, 'jbig2' (an unsupported-filter stub
-    exercising the error envelope)."""
+    'ccitt' (REAL CCITTFaxDecode G4, K=-1) / 'ccitt_g3' (K=0 1-D MH) /
+    'jbig2' (REAL JBIG2Decode generic region) with input thresholded at
+    128, 'jbig2_symbol' (symbol-coded JBIG2 -> named envelope), 'jpx'
+    (an unsupported-filter stub exercising the error envelope)."""
     import zlib
 
     from ocr_spark.operators.image_codecs import jpeg_encode
@@ -1605,8 +1628,23 @@ def pdf_write_images(
                 f"/DecodeParms << /K {k} /Columns {w} /Rows {h} >> "
             ).encode()
         elif codec == "jbig2":
-            body = b"\x00" * 16
+            from ocr_spark.operators.jbig2_codec import jbig2_encode
+
+            body = jbig2_encode((img < 128).astype(np.uint8))
             filt, bpc = b"/Filter /JBIG2Decode ", 1
+        elif codec == "jbig2_symbol":
+            # a symbol-dictionary segment header (type 0): legal JBIG2 the
+            # generic-region decoder must reject with a NAMED error
+            import struct as _struct
+
+            body = (
+                _struct.pack(">IB", 0, 0) + b"\x00\x01"
+                + _struct.pack(">I", 4) + b"\x00\x00\x00\x00"
+            )
+            filt, bpc = b"/Filter /JBIG2Decode ", 1
+        elif codec == "jpx":
+            body = b"\x00" * 16
+            filt, bpc = b"/Filter /JPXDecode ", 1
         else:
             raise ValueError(f"unknown fixture codec {codec!r}")
         img_objs.append(

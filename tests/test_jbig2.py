@@ -1,0 +1,178 @@
+"""JBIG2 generic-region codec tests (ITU-T T.88).
+
+The MQ coder's 47-state probability table is pinned against the published
+values; round-trips go through real MQ bitstreams written by the module's
+own spec-following encoder, and the nominal-AT fast decode path is
+exercised against the generic gather-loop encoder on every template."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ocr_spark.operators.jbig2_codec import (
+    _QE,
+    MQDecoder,
+    MQEncoder,
+    generic_region_decode,
+    generic_region_encode,
+    jbig2_decode,
+    jbig2_encode,
+)
+
+
+class TestMQ:
+    def test_qe_table_pinned(self):
+        # published T.88/JPEG2000 values — transcription guard
+        assert _QE[0] == (0x5601, 1, 1, 1)
+        assert _QE[5] == (0x0221, 38, 33, 0)
+        assert _QE[14] == (0x5601, 15, 14, 1)
+        assert _QE[45] == (0x0001, 45, 43, 0)
+        assert _QE[46] == (0x5601, 46, 46, 0)
+        assert len(_QE) == 47
+
+    def test_qe_state_graph_closed(self):
+        for qe, nmps, nlps, switch in _QE:
+            assert 0 < qe <= 0x5601
+            assert 0 <= nmps < 47 and 0 <= nlps < 47
+            assert switch in (0, 1)
+
+    def test_roundtrip_single_context(self):
+        rng = np.random.default_rng(1)
+        for trial in range(8):
+            p = float(rng.random())
+            bits = (rng.random(int(rng.integers(5, 4000))) < p).astype(int)
+            enc = MQEncoder()
+            cx = [0, 0]
+            for b in bits:
+                enc.encode(cx, int(b))
+            data = enc.flush()
+            dec = MQDecoder(data)
+            cx = [0, 0]
+            got = [dec.decode(cx) for _ in bits]
+            assert got == bits.tolist(), f"trial {trial}"
+
+    def test_roundtrip_many_contexts(self):
+        rng = np.random.default_rng(2)
+        n_cx = 16
+        seq = [(int(rng.integers(n_cx)), int(rng.random() < 0.3))
+               for _ in range(5000)]
+        enc = MQEncoder()
+        states = [[0, 0] for _ in range(n_cx)]
+        for c, b in seq:
+            enc.encode(states[c], b)
+        data = enc.flush()
+        dec = MQDecoder(data)
+        states = [[0, 0] for _ in range(n_cx)]
+        got = [dec.decode(states[c]) for c, _b in seq]
+        assert got == [b for _c, b in seq]
+
+    def test_skewed_stream_compresses(self):
+        # 10k highly-skewed bits must code well under 10k bits
+        bits = [0] * 10_000
+        bits[17] = bits[4096] = 1
+        enc = MQEncoder()
+        cx = [0, 0]
+        for b in bits:
+            enc.encode(cx, b)
+        assert len(enc.flush()) < 60
+
+
+class TestGenericRegion:
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    @pytest.mark.parametrize("tpgdon", [False, True])
+    def test_roundtrip(self, template, tpgdon):
+        rng = np.random.default_rng(template * 10 + int(tpgdon))
+        for h, w, p in ((1, 1, 0.5), (3, 64, 0.15), (25, 33, 0.5), (40, 7, 0.85)):
+            img = (rng.random((h, w)) < p).astype(np.uint8)
+            data = generic_region_encode(img, template=template, tpgdon=tpgdon)
+            out = generic_region_decode(
+                data, w, h, template=template, tpgdon=tpgdon
+            )
+            np.testing.assert_array_equal(out, img, err_msg=f"{h}x{w} p={p}")
+
+    def test_custom_at_pixels_generic_path(self):
+        # non-nominal ATs route decode through the gather loop; the
+        # encoder shares the same context order, so this cross-validates
+        # the generic path end to end
+        rng = np.random.default_rng(9)
+        img = (rng.random((20, 30)) < 0.4).astype(np.uint8)
+        at = [(1, -2), (-3, -1), (2, -2), (-2, -2)]
+        data = generic_region_encode(img, template=0, at=at)
+        out = generic_region_decode(data, 30, 20, template=0, at=at)
+        np.testing.assert_array_equal(out, img)
+
+    def test_tpgdon_wins_on_banded_pages(self):
+        img = np.zeros((64, 100), np.uint8)
+        img[20:40, 10:90] = 1  # long identical-row bands
+        with_tp = generic_region_encode(img, tpgdon=True)
+        without = generic_region_encode(img, tpgdon=False)
+        assert len(with_tp) < len(without)
+        out = generic_region_decode(with_tp, 100, 64, tpgdon=True)
+        np.testing.assert_array_equal(out, img)
+
+    def test_mmr_region_delegates_to_t6(self):
+        from ocr_spark.operators.fax_codec import g4_encode
+
+        rng = np.random.default_rng(4)
+        img = (rng.random((12, 40)) < 0.3).astype(np.uint8)
+        data = g4_encode(img)
+        out = generic_region_decode(data, 40, 12, mmr=True)
+        np.testing.assert_array_equal(out, img)
+
+    def test_text_page_compresses(self):
+        # stroke-structured page: JBIG2 generic must beat packed raw
+        rng = np.random.default_rng(7)
+        img = np.zeros((128, 512), np.uint8)
+        for r in range(8, 120, 9):
+            x = 20
+            while x < 480:
+                gw = int(rng.integers(5, 15))
+                img[r:r + 5, x:x + gw] = 1
+                x += gw + int(rng.integers(4, 10))
+        data = generic_region_encode(img)
+        assert len(data) < (512 // 8) * 128 / 4  # >4x vs packed raw
+        out = generic_region_decode(data, 512, 128)
+        np.testing.assert_array_equal(out, img)
+
+
+class TestEmbeddedStream:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(11)
+        img = (rng.random((22, 31)) < 0.35).astype(np.uint8)
+        np.testing.assert_array_equal(jbig2_decode(jbig2_encode(img)), img)
+
+    def test_region_offset_composites_onto_page(self):
+        rng = np.random.default_rng(12)
+        img = (rng.random((10, 14)) < 0.5).astype(np.uint8)
+        out = jbig2_decode(jbig2_encode(img, x=6, y=4, page_size=(30, 20)))
+        assert out.shape == (20, 30)
+        np.testing.assert_array_equal(out[4:14, 6:20], img)
+        assert out[:4].sum() == 0 and out[:, :6].sum() == 0
+
+    @pytest.mark.parametrize("template,tpgdon", [(0, False), (2, True)])
+    def test_template_variants_through_stream(self, template, tpgdon):
+        rng = np.random.default_rng(13)
+        img = (rng.random((16, 24)) < 0.4).astype(np.uint8)
+        stream = jbig2_encode(img, template=template, tpgdon=tpgdon)
+        np.testing.assert_array_equal(jbig2_decode(stream), img)
+
+    def test_symbol_segment_named_error(self):
+        import struct
+
+        seg = (
+            struct.pack(">IB", 0, 0)  # segment 0, type 0 = symbol dict
+            + b"\x00\x01" + struct.pack(">I", 2) + b"\x00\x00"
+        )
+        with pytest.raises(ValueError, match="symbol"):
+            jbig2_decode(seg)
+
+    def test_truncated_segment_raises(self):
+        stream = jbig2_encode(np.ones((16, 16), np.uint8))
+        # cut inside the generic-region segment body
+        with pytest.raises(ValueError, match="truncated|no generic region"):
+            jbig2_decode(stream[: 30 + 12])
+
+    def test_empty_stream_raises(self):
+        with pytest.raises(ValueError, match="no generic region"):
+            jbig2_decode(b"")

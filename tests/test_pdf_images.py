@@ -51,11 +51,32 @@ def test_text_layer_survives_images():
 
 
 def test_unsupported_filter_named_envelope():
-    pdf = pdf_write_images([], [(GRAY, "jbig2"), (GRAY, "flate")])
+    pdf = pdf_write_images([], [(GRAY, "jpx"), (GRAY, "flate")])
     imgs = pdf_images(pdf)
-    assert "JBIG2Decode" in imgs[0]["error"] and imgs[0]["content"] is None
+    assert "JPXDecode" in imgs[0]["error"] and imgs[0]["content"] is None
     assert imgs[1]["error"] is None  # the bad image never poisons its peers
     assert np.array_equal(decode_image(imgs[1]["content"]), GRAY)
+
+
+def test_jbig2_generic_region_decode():
+    pdf = pdf_write_images([], [(GRAY, "jbig2")])
+    img = pdf_images(pdf)[0]
+    assert img["error"] is None and img["format"] == "png"
+    want = np.where(GRAY < 128, 0, 255).astype(np.uint8)
+    assert np.array_equal(decode_image(img["content"]), want)
+    # /Decode [1 0] inverts
+    pdf_inv = pdf.replace(
+        b"/BitsPerComponent 1 ", b"/BitsPerComponent 1 /Decode [1 0] "
+    )
+    got = decode_image(pdf_images(pdf_inv)[0]["content"])
+    assert np.array_equal(got, 255 - want)
+
+
+def test_jbig2_symbol_coded_named_envelope():
+    pdf = pdf_write_images([], [(GRAY, "jbig2_symbol"), (GRAY, "jbig2")])
+    imgs = pdf_images(pdf)
+    assert imgs[0]["error"] is not None and "symbol" in imgs[0]["error"]
+    assert imgs[1]["error"] is None  # peers survive
 
 
 def test_ccitt_fax_decode():
@@ -111,7 +132,7 @@ class TestSpark:
     def test_assets_and_feature_composition(self, spark):
         pdf_imgs = pdf_write_images(
             [{"x": 40, "y": 40, "text": "Cover"}],
-            [(GRAY, "jpeg"), (RGB, "flate"), (GRAY, "ccitt"), (GRAY, "jbig2")],
+            [(GRAY, "jpeg"), (RGB, "flate"), (GRAY, "ccitt"), (GRAY, "jpx")],
         )
         pdf_plain = pdf_write([{"x": 1, "y": 1, "text": "text only"}])
         docs = spark.createDataFrame(
@@ -132,7 +153,7 @@ class TestSpark:
         assert rows["d1#img0"]["format"] == "jpeg"
         assert rows["d1#img1"]["format"] == "png"
         assert rows["d1#img2"]["format"] == "png"  # real G4 fax decode
-        assert "JBIG2Decode" in rows["d1#img3"]["error"]
+        assert "JPXDecode" in rows["d1#img3"]["error"]
         assert "not a PDF" in rows["d3#img"]["error"]
         assert "null payload" in rows["d4#img"]["error"]
         # zero Exchange: one Arrow stage over the scan
