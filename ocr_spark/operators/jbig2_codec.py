@@ -469,6 +469,10 @@ def generic_region_decode(
     Returns uint8 (H,W), 1=black."""
     if width <= 0 or height <= 0:
         raise ValueError("region dims must be positive")
+    if width * height > _MAX_PIXELS:
+        # the MQ decoder never fails on exhausted data (it feeds 1-bits),
+        # so unbounded declared dims are a CPU/memory DoS from tiny streams
+        raise ValueError(f"implausible JBIG2 region dims {width}x{height}")
     if mmr:
         from ocr_spark.operators.fax_codec import g4_decode
 
@@ -538,8 +542,18 @@ def generic_region_encode(
 # ---------------------------------------------------------------------------
 
 
+_MAX_PIXELS = 64_000_000  # matches the PDF image-path implausibility guard
+
+
 def _parse_segment_header(data: bytes, pos: int):
     """Returns (number, type, page, data_length, data_start)."""
+    try:
+        return _parse_segment_header_inner(data, pos)
+    except (struct.error, IndexError):
+        raise ValueError("truncated JBIG2 segment header") from None
+
+
+def _parse_segment_header_inner(data: bytes, pos: int):
     if pos + 11 > len(data):
         raise ValueError("truncated JBIG2 segment header")
     number, flags = struct.unpack_from(">IB", data, pos)
@@ -571,8 +585,8 @@ def _parse_segment_header(data: bytes, pos: int):
 
 
 def _parse_region_info(data: bytes, pos: int):
-    w, h, x, y, _comb = struct.unpack_from(">IIIIB", data, pos)
-    return w, h, x, y, pos + 17
+    w, h, x, y, comb = struct.unpack_from(">IIIIB", data, pos)
+    return w, h, x, y, comb & 7, pos + 17
 
 
 def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
@@ -597,11 +611,15 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             raise ValueError(f"segment {number} body truncated")
         pos = dstart + length
         if seg_type == 48:  # page info
+            if len(body) < 17:
+                raise ValueError("truncated JBIG2 page-info segment")
             page_w, page_h = struct.unpack_from(">II", body, 0)
-            flags = body[16] if len(body) > 16 else 0
+            flags = body[16]
             page_default = (flags >> 2) & 1
         elif seg_type in (36, 38, 39):  # (intermediate/)immediate generic
-            w, h, x, y, bpos = _parse_region_info(body, 0)
+            if len(body) < 18:
+                raise ValueError("truncated JBIG2 region segment")
+            w, h, x, y, comb, bpos = _parse_region_info(body, 0)
             gflags = body[bpos]
             bpos += 1
             mmr = bool(gflags & 1)
@@ -619,7 +637,7 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 body[bpos:], w, h, template=template, at=at,
                 tpgdon=tpgdon, mmr=mmr,
             )
-            regions.append((x, y, bmp))
+            regions.append((x, y, comb, bmp))
         elif seg_type in (49, 50, 51, 62):  # end-of-page/stripe/file, ext
             continue
         elif seg_type in (0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43, 53):
@@ -631,16 +649,34 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             raise ValueError(f"unknown JBIG2 segment type {seg_type}")
     if not regions:
         raise ValueError("JBIG2 stream has no generic region")
-    if page_w is None or page_w == 0xFFFFFFFF or page_h == 0xFFFFFFFF:
-        # no/striped page info: tight bounding box over the regions
-        page_w = max(x + r.shape[1] for x, _y, r in regions)
-        page_h = max(y + r.shape[0] for _x, y, r in regions)
+    # recompute ONLY the unknown dimension(s): striped pages declare
+    # height 0xFFFFFFFF with a valid width
+    if page_w is None or page_w == 0xFFFFFFFF:
+        page_w = max(x + r.shape[1] for x, _y, _c, r in regions)
+    if page_h is None or page_h == 0xFFFFFFFF:
+        page_h = max(y + r.shape[0] for _x, y, _c, r in regions)
+    if page_w <= 0 or page_h <= 0 or page_w * page_h > _MAX_PIXELS:
+        raise ValueError(f"implausible JBIG2 page dims {page_w}x{page_h}")
     page = np.full(
         (page_h, page_w), 1 if page_default else 0, dtype=np.uint8
     )
-    for x, y, bmp in regions:
+    for x, y, comb, bmp in regions:
+        if x >= page_w or y >= page_h:
+            continue
+        # conformant decoders clip regions to the page
+        bmp = bmp[: page_h - y, : page_w - x]
         h, w = bmp.shape
-        page[y : y + h, x : x + w] |= bmp  # OR composition (the default)
+        tgt = page[y : y + h, x : x + w]
+        if comb == 0:
+            tgt |= bmp
+        elif comb == 1:
+            tgt &= bmp
+        elif comb == 2:
+            tgt ^= bmp
+        elif comb == 3:
+            tgt ^= bmp ^ 1  # XNOR
+        else:  # 4 = REPLACE
+            tgt[:] = bmp
     return page
 
 

@@ -1461,10 +1461,17 @@ def pdf_images(data: bytes) -> list[dict]:
                 continue
             if filters == ["JBIG2Decode"]:
                 # generic-region JBIG2 (jbig2_codec, ITU-T T.88); symbol/
-                # text-coded streams and /JBIG2Globals-dependent ones
-                # degrade to the named per-image envelope below
+                # text-coded streams degrade to the named per-image
+                # envelope below
                 from ocr_spark.operators.jbig2_codec import jbig2_decode
 
+                if _re.search(r"/JBIG2Globals\b", ddict):
+                    # globals carry shared (symbol-dictionary) segments in
+                    # a separate indirect stream; decoding the data part
+                    # alone would be silently wrong — fail fast, named
+                    raise ValueError(
+                        "JBIG2Globals (shared symbol segments) not supported"
+                    )
                 bits = jbig2_decode(bytes(raw))
                 if bits.shape != (h, w):
                     bits = bits[:h, :w]

@@ -176,3 +176,99 @@ class TestEmbeddedStream:
     def test_empty_stream_raises(self):
         with pytest.raises(ValueError, match="no generic region"):
             jbig2_decode(b"")
+
+
+class TestReviewHardening:
+    """Regressions for the adversarial-review findings."""
+
+    def test_implausible_region_dims_rejected(self):
+        import struct
+
+        # 30-byte stream declaring a giant region: must be a cheap error,
+        # not minutes of MQ pixel loop or an 8 GB page allocation
+        region = (
+            struct.pack(">IIIIB", 50_000, 50_000, 0, 0, 0) + b"\x00"
+            + b"\x03\xff" * 4 + b"\x00" * 4
+        )
+        seg = (
+            struct.pack(">IB", 0, 38) + b"\x00\x01"
+            + struct.pack(">I", len(region)) + region
+        )
+        with pytest.raises(ValueError, match="implausible"):
+            jbig2_decode(seg)
+
+    def test_huge_region_offset_rejected(self):
+        rng = np.random.default_rng(21)
+        img = (rng.random((6, 8)) < 0.5).astype(np.uint8)
+        stream = bytearray(jbig2_encode(img))
+        # page-info at offset 11: patch page W/H to giant values
+        import struct
+
+        stream[11:19] = struct.pack(">II", 0xFFFFFF00, 0xFFFFFF00)
+        with pytest.raises(ValueError, match="implausible"):
+            jbig2_decode(bytes(stream))
+
+    def test_page_default_one_with_and_composition(self):
+        import struct
+
+        rng = np.random.default_rng(22)
+        img = (rng.random((9, 13)) < 0.5).astype(np.uint8)
+        stream = bytearray(jbig2_encode(img))
+        # set page default-pixel flag (bit 2) and region comb op AND (1)
+        # page-info body: 11-byte header + 16 bytes -> flags at 11+16
+        stream[11 + 16] |= 0b100
+        # region segment starts at 30: 11-byte header + 16 -> comb byte
+        stream[30 + 11 + 16] = 1
+        out = jbig2_decode(bytes(stream))
+        np.testing.assert_array_equal(out, img)  # 1 AND bmp == bmp
+
+    def test_replace_composition(self):
+        import struct
+
+        rng = np.random.default_rng(23)
+        img = (rng.random((7, 11)) < 0.5).astype(np.uint8)
+        stream = bytearray(jbig2_encode(img))
+        stream[11 + 16] |= 0b100  # default-1 page
+        stream[30 + 11 + 16] = 4  # REPLACE
+        out = jbig2_decode(bytes(stream))
+        np.testing.assert_array_equal(out, img)
+
+    def test_region_clipped_to_page(self):
+        img = np.ones((8, 8), np.uint8)
+        # region at x=4 on an 8-wide page: right half clipped, no crash
+        out = jbig2_decode(jbig2_encode(img, x=4, y=0, page_size=(8, 8)))
+        assert out.shape == (8, 8)
+        np.testing.assert_array_equal(out[:, 4:], np.ones((8, 4), np.uint8))
+        assert out[:, :4].sum() == 0
+
+    def test_striped_height_keeps_declared_width(self):
+        import struct
+
+        rng = np.random.default_rng(24)
+        img = (rng.random((5, 10)) < 0.5).astype(np.uint8)
+        stream = bytearray(jbig2_encode(img, page_size=(32, 5)))
+        # declare height unknown (striped form); width 32 must survive
+        stream[15:19] = struct.pack(">I", 0xFFFFFFFF)
+        out = jbig2_decode(bytes(stream))
+        assert out.shape == (5, 32)
+        np.testing.assert_array_equal(out[:, :10], img)
+
+    def test_truncated_header_is_valueerror(self):
+        import struct
+
+        # 4-byte page-association flag set, then truncation
+        seg = struct.pack(">IB", 0, 0x40 | 38) + b"\x00" * 7
+        with pytest.raises(ValueError, match="truncated"):
+            jbig2_decode(seg)
+
+    def test_pdf_jbig2globals_named_envelope(self):
+        from ocr_spark.operators.pdf_layout import pdf_images, pdf_write_images
+
+        gray = (np.arange(12 * 16).reshape(12, 16) % 251).astype(np.uint8)
+        pdf = pdf_write_images([], [(gray, "jbig2")])
+        pdf2 = pdf.replace(
+            b"/Filter /JBIG2Decode ",
+            b"/Filter /JBIG2Decode /DecodeParms << /JBIG2Globals 9 0 R >> ",
+        )
+        img = pdf_images(pdf2)[0]
+        assert img["error"] is not None and "JBIG2Globals" in img["error"]
