@@ -680,6 +680,35 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     return page
 
 
+_FILE_MAGIC = b"\x97JB2\r\n\x1a\n"
+
+
+def jbig2_file_decode(data: bytes) -> np.ndarray:
+    """Standalone JBIG2 file organization (T.88 Annex D): the 8-byte magic,
+    a file-header flags byte (bit 0 = sequential, bit 1 = number-of-pages
+    unknown), optional 4-byte page count, then the same segment stream as
+    the embedded organization (sequential only; random-access files carry
+    all headers first and are rejected with a named error). Returns uint8
+    (H,W), 1=black, gray mapping left to the caller."""
+    data = bytes(data)
+    if data[:8] != _FILE_MAGIC:
+        raise ValueError("not a JBIG2 file (bad magic)")
+    if len(data) < 9:
+        raise ValueError("truncated JBIG2 file header")
+    flags = data[8]
+    pos = 9
+    if not flags & 1:
+        raise ValueError("random-access JBIG2 file organization not supported")
+    if not flags & 2:  # known number of pages: 4-byte count present
+        pos += 4
+    return jbig2_decode(data[pos:])
+
+
+def jbig2_file_encode(img: np.ndarray) -> bytes:
+    """Fixture writer: sequential file organization, one page."""
+    return _FILE_MAGIC + b"\x01" + struct.pack(">I", 1) + jbig2_encode(img)
+
+
 def jbig2_encode(
     img: np.ndarray, template: int = 0, tpgdon: bool = False,
     x: int = 0, y: int = 0, page_size: tuple[int, int] | None = None,

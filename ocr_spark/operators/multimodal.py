@@ -83,6 +83,8 @@ def detect_codec(head: bytes) -> str | None:
         return "gif"
     if h[:4] == b"RIFF" and h[8:12] == b"WEBP":
         return "webp"
+    if h[:8] == b"\x97JB2\r\n\x1a\n":
+        return "jbig2"
     return None
 
 
@@ -121,6 +123,11 @@ def decode_image(content: bytes, codec: str = "auto") -> np.ndarray:
         from ocr_spark.operators.webp_codec import webp_decode
 
         return webp_decode(content)
+    if codec == "jbig2":
+        from ocr_spark.operators.jbig2_codec import jbig2_file_decode
+
+        # coding 1 = black -> gray (white page background = 255)
+        return ((1 - jbig2_file_decode(content)) * 255).astype(np.uint8)
     if codec == "synthetic":
         from ocr_spark.operators.media_kernels import bytes_to_image
 

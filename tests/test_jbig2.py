@@ -272,3 +272,65 @@ class TestReviewHardening:
         )
         img = pdf_images(pdf2)[0]
         assert img["error"] is not None and "JBIG2Globals" in img["error"]
+
+
+class TestFileOrganization:
+    def test_roundtrip_through_decode_image(self):
+        from ocr_spark.operators.jbig2_codec import jbig2_file_encode
+        from ocr_spark.operators.multimodal import decode_image, detect_codec
+
+        rng = np.random.default_rng(31)
+        img = (rng.random((18, 27)) < 0.4).astype(np.uint8)
+        data = jbig2_file_encode(img)
+        assert detect_codec(data[:12]) == "jbig2"
+        got = decode_image(data)  # auto-sniffed
+        want = ((1 - img) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(got, want)
+
+    def test_random_access_named_error(self):
+        from ocr_spark.operators.jbig2_codec import (
+            jbig2_file_decode,
+            jbig2_file_encode,
+        )
+
+        data = bytearray(jbig2_file_encode(np.ones((4, 4), np.uint8)))
+        data[8] = 0  # clear the sequential bit
+        with pytest.raises(ValueError, match="random-access"):
+            jbig2_file_decode(bytes(data))
+
+    def test_bad_magic(self):
+        from ocr_spark.operators.jbig2_codec import jbig2_file_decode
+
+        with pytest.raises(ValueError, match="magic"):
+            jbig2_file_decode(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+
+    def test_jbig2_through_image_features(self, spark):
+        """A standalone .jb2 scan is just another image asset: the sniffer
+        routes it through jbig2_file_decode inside the feature stage."""
+        import pyspark.sql.functions as F
+
+        from ocr_spark.operators.jbig2_codec import jbig2_file_encode
+        from ocr_spark.operators.multimodal import image_features
+
+        img = np.zeros((30, 50), np.uint8)
+        img[8:22, 10:40] = 1
+        data = jbig2_file_encode(img)
+        assets = spark.createDataFrame(
+            [("scan.jb2", bytearray(data))],
+            "media_ref string, content binary",
+        ).select(
+            "media_ref",
+            F.lit("image").alias("media_type"),
+            "content",
+            F.struct(
+                F.lit(None).cast("int").alias("width"),
+                F.lit(None).cast("int").alias("height"),
+                F.length("content").cast("long").alias("n_bytes"),
+                F.lit("jbig2").alias("codec"),
+            ).alias("meta"),
+        )
+        row = image_features(assets).collect()[0]
+        assert row["error"] is None
+        assert (row["width"], row["height"]) == (50, 30)
+        want_mean = float(((1 - img) * 255).mean())
+        assert row["mean_intensity"] == pytest.approx(want_mean)
