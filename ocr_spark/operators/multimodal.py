@@ -85,6 +85,8 @@ def detect_codec(head: bytes) -> str | None:
         return "webp"
     if h[:8] == b"\x97JB2\r\n\x1a\n":
         return "jbig2"
+    if h[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n" or h[:2] == b"\xff\x4f":
+        return "jp2"
     return None
 
 
@@ -128,6 +130,10 @@ def decode_image(content: bytes, codec: str = "auto") -> np.ndarray:
 
         # coding 1 = black -> gray (white page background = 255)
         return ((1 - jbig2_file_decode(content)) * 255).astype(np.uint8)
+    if codec == "jp2":
+        from ocr_spark.operators.jp2_codec import jp2_decode
+
+        return jp2_decode(content)
     if codec == "synthetic":
         from ocr_spark.operators.media_kernels import bytes_to_image
 

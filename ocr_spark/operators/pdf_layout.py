@@ -1343,8 +1343,10 @@ def extract_pdf_batch(payloads: list[str]) -> list[str]:
 #   * JBIG2Decode — REAL generic-region decode (jbig2_codec.py, ITU-T
 #     T.88 MQ coder + templates 0-3 + TPGDON + MMR-over-T.6); symbol/
 #     text/halftone-coded streams degrade to named per-image error rows;
-#   * JPXDecode — named per-image error rows (JPEG2000 wavelets are out
-#     of scope; the envelope keeps crawl accounting honest).
+#   * JPXDecode — REAL lossless-profile JPEG2000 decode (jp2_codec.py,
+#     ITU-T T.800: MQ-coded T1 passes, tag-tree packets, reversible 5/3
+#     DWT + RCT, JP2 boxes); irreversible 9/7 / quantized / multi-tile
+#     streams keep named per-image error rows.
 #
 # Spark surface `pdf_image_assets`: ONE Arrow-batched mapInPandas stage
 # over (doc_id, payload) emitting (doc_id, media_ref, format, width,
@@ -1486,6 +1488,21 @@ def pdf_images(data: bytes) -> list[dict]:
                 img = ((1 - bits) * 255).astype(np.uint8)
                 row["format"], row["content"] = "png", png_encode(img)
                 continue
+            if filters == ["JPXDecode"]:
+                # lossless-profile JPEG2000 (jp2_codec, ITU-T T.800): raw
+                # codestream or JP2 box file; the stream self-describes
+                # per PDF §7.4.9 (dict BPC/ColorSpace are advisory).
+                # Irreversible 9/7, quantized, or multi-tile streams
+                # degrade to named per-image envelopes
+                from ocr_spark.operators.jp2_codec import jp2_decode
+
+                img = jp2_decode(bytes(raw))
+                if img.ndim == 2 and _re.search(
+                    r"/Decode\s*\[\s*1[\s.0]*0", ddict
+                ):
+                    img = 255 - img
+                row["format"], row["content"] = "png", png_encode(img)
+                continue
             if filters not in ([], ["FlateDecode"]):
                 raise ValueError(f"unsupported image filter chain {filters}")
             body = raw
@@ -1568,7 +1585,8 @@ def pdf_write_images(
     'ccitt' (REAL CCITTFaxDecode G4, K=-1) / 'ccitt_g3' (K=0 1-D MH) /
     'jbig2' (REAL JBIG2Decode generic region) with input thresholded at
     128, 'jbig2_symbol' (symbol-coded JBIG2 -> named envelope), 'jpx'
-    (an unsupported-filter stub exercising the error envelope)."""
+    (REAL lossless JPXDecode JP2), 'jpx_lossy' (a 9/7 irreversible
+    codestream -> named envelope)."""
     import zlib
 
     from ocr_spark.operators.image_codecs import jpeg_encode
@@ -1650,8 +1668,20 @@ def pdf_write_images(
             )
             filt, bpc = b"/Filter /JBIG2Decode ", 1
         elif codec == "jpx":
-            body = b"\x00" * 16
-            filt, bpc = b"/Filter /JPXDecode ", 1
+            from ocr_spark.operators.jp2_codec import jp2_encode
+
+            body = jp2_encode(img)
+            filt, bpc = b"/Filter /JPXDecode ", 8
+        elif codec == "jpx_lossy":
+            # a 9/7 (irreversible) codestream: legal JPEG2000 this module's
+            # reversible-profile decoder must reject with a NAMED error
+            from ocr_spark.operators.jp2_codec import jp2k_encode
+
+            cs = bytearray(jp2k_encode(img if img.ndim == 2 else img[..., 0]))
+            i2 = cs.find(b"\xff\x52")  # COD; transform byte is last of body
+            cs[i2 + 13] = 0
+            body = bytes(cs)
+            filt, bpc = b"/Filter /JPXDecode ", 8
         else:
             raise ValueError(f"unknown fixture codec {codec!r}")
         img_objs.append(

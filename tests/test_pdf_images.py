@@ -51,11 +51,19 @@ def test_text_layer_survives_images():
 
 
 def test_unsupported_filter_named_envelope():
-    pdf = pdf_write_images([], [(GRAY, "jpx"), (GRAY, "flate")])
+    # a lossy (9/7) JPX stream: outside the reversible profile -> named row
+    pdf = pdf_write_images([], [(GRAY, "jpx_lossy"), (GRAY, "flate")])
     imgs = pdf_images(pdf)
-    assert "JPXDecode" in imgs[0]["error"] and imgs[0]["content"] is None
+    assert "9/7" in imgs[0]["error"] and imgs[0]["content"] is None
     assert imgs[1]["error"] is None  # the bad image never poisons its peers
     assert np.array_equal(decode_image(imgs[1]["content"]), GRAY)
+
+
+def test_jpx_lossless_decode():
+    pdf = pdf_write_images([], [(GRAY, "jpx")])
+    img = pdf_images(pdf)[0]
+    assert img["error"] is None and img["format"] == "png"
+    assert np.array_equal(decode_image(img["content"]), GRAY)
 
 
 def test_jbig2_generic_region_decode():
@@ -132,7 +140,8 @@ class TestSpark:
     def test_assets_and_feature_composition(self, spark):
         pdf_imgs = pdf_write_images(
             [{"x": 40, "y": 40, "text": "Cover"}],
-            [(GRAY, "jpeg"), (RGB, "flate"), (GRAY, "ccitt"), (GRAY, "jpx")],
+            [(GRAY, "jpeg"), (RGB, "flate"), (GRAY, "ccitt"),
+             (GRAY, "jpx_lossy")],
         )
         pdf_plain = pdf_write([{"x": 1, "y": 1, "text": "text only"}])
         docs = spark.createDataFrame(
@@ -153,7 +162,7 @@ class TestSpark:
         assert rows["d1#img0"]["format"] == "jpeg"
         assert rows["d1#img1"]["format"] == "png"
         assert rows["d1#img2"]["format"] == "png"  # real G4 fax decode
-        assert "JPXDecode" in rows["d1#img3"]["error"]
+        assert "9/7" in rows["d1#img3"]["error"]  # lossy JPX -> named row
         assert "not a PDF" in rows["d3#img"]["error"]
         assert "null payload" in rows["d4#img"]["error"]
         # zero Exchange: one Arrow stage over the scan
