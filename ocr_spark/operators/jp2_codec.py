@@ -540,67 +540,6 @@ def t1_decode_block(
 # ---------------------------------------------------------------------------
 
 
-def _dwt53_fwd_1d(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """One 5/3 lifting level along axis 0. Returns (low, high) with
-    low = ceil(n/2) even samples, high = floor(n/2) odd samples. Symmetric
-    extension at the borders (F.2.3)."""
-    n = x.shape[0]
-    if n == 1:
-        return x.copy(), x[:0].copy()
-    ev = x[0::2].astype(np.int64)
-    od = x[1::2].astype(np.int64)
-    # predict: d[i] = od[i] - floor((ev[i] + ev[i+1]) / 2), symmetric ext
-    ev_r = np.concatenate([ev[1:], ev[-2:-1]]) if n % 2 == 0 else ev[1:]
-    if n % 2 == 1:
-        ev_right = ev[1:]
-    else:
-        ev_right = np.concatenate([ev[1:], ev[-1:]])
-    d = od - ((ev[: od.shape[0]] + ev_right[: od.shape[0]]) >> 1)
-    # update: s[i] = ev[i] + floor((d[i-1] + d[i] + 2) / 4), symmetric ext
-    d_left = np.concatenate([d[0:1], d[:-1]]) if d.size else d
-    if n % 2 == 1:
-        d_right = np.concatenate([d, d[-1:]]) if d.size else np.zeros(1, np.int64)
-        s = ev + ((d_left_ext(d) + d_right_ext(d, n) + 2) >> 2)
-    s = ev + ((_dl(d, ev.shape[0]) + _dr(d, ev.shape[0]) + 2) >> 2)
-    del ev_r
-    return s, d
-
-
-def _dl(d: np.ndarray, ns: int) -> np.ndarray:
-    """d[i-1] with symmetric extension, sized to the even array."""
-    if d.size == 0:
-        return np.zeros(ns, np.int64)
-    idx = np.clip(np.arange(ns) - 1, 0, d.size - 1)
-    return d[idx]
-
-
-def _dr(d: np.ndarray, ns: int) -> np.ndarray:
-    """d[i] with symmetric extension, sized to the even array."""
-    if d.size == 0:
-        return np.zeros(ns, np.int64)
-    idx = np.clip(np.arange(ns), 0, d.size - 1)
-    return d[idx]
-
-
-def _dwt53_inv_1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
-    """Inverse of _dwt53_fwd_1d."""
-    ns, nd = s.shape[0], d.shape[0]
-    n = ns + nd
-    ev = s.astype(np.int64) - ((_dl(d, ns) + _dr(d, ns) + 2) >> 2)
-    if nd:
-        ev_right = np.empty(nd, np.int64)
-        ev_right[: min(nd, ns - 1)] = ev[1 : min(nd, ns - 1) + 1]
-        if nd > ns - 1:  # even length: last odd mirrors ev[-1]
-            ev_right[ns - 1 :] = ev[-1]
-        od = d + ((ev[:nd] + ev_right) >> 1)
-    else:
-        od = d.astype(np.int64)
-    out = np.empty(n, np.int64)
-    out[0::2] = ev
-    out[1::2] = od
-    return out
-
-
 def dwt53_forward(img: np.ndarray, levels: int):
     """Multi-level 2-D forward 5/3: returns (LL, [(HL, LH, HH) per level,
     finest first])."""
@@ -707,14 +646,6 @@ _GUARD_BITS = 2
 # Mpx/s of sequential Python, so unbounded declared dims are a CPU DoS;
 # 16 Mpx covers A4 at 400 dpi
 _MAX_PIXELS = 16_000_000
-
-
-def _band_list(levels: int):
-    """Per-resolution band names: r=0 -> ['LL']; r>=1 -> HL, LH, HH."""
-    out = [["LL"]]
-    for _ in range(levels):
-        out.append(["HL", "LH", "HH"])
-    return out
 
 
 def _cb_grid(bh: int, bw: int, cb: int):
@@ -886,7 +817,6 @@ def _component_bands(comp: np.ndarray, levels: int):
     """Forward DWT -> [(resolution, [(orient, coeffs)])] plus per-band Mb
     from the actual coefficient range."""
     ll, hbands = dwt53_forward(comp, levels)
-    res = [("LL", [("LL", ll)])]
     out = [[("LL", ll)]]
     for r in range(1, levels + 1):
         hl, lh, hh = hbands[levels - r]
@@ -944,7 +874,6 @@ def jp2k_encode(
     siz = struct.pack(
         ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp
     )
-    ssiz_base = bitdepth - 1
     for ci in range(ncomp):
         signed = 0x80 if (mct and ci > 0) else 0
         depth = bitdepth if not (mct and ci > 0) else bitdepth + 1
@@ -1040,6 +969,8 @@ def _jp2k_decode_inner(data: bytes) -> np.ndarray:
                 raise ValueError("multi-tile / offset grids not supported")
             if w * h > _MAX_PIXELS:
                 raise ValueError(f"implausible image dims {w}x{h}")
+            if not 1 <= ncomp <= 4:
+                raise ValueError(f"{ncomp} components not supported")
             for ci in range(ncomp):
                 ssiz, xr, yr = body[36 + 3 * ci : 39 + 3 * ci]
                 if xr != 1 or yr != 1:
@@ -1072,14 +1003,31 @@ def _jp2k_decode_inner(data: bytes) -> np.ndarray:
                 raise ValueError("quantized (lossy) subbands not supported")
             guard = sqcd >> 5
             eps_list = [b >> 3 for b in body[1:]]
+        elif marker in (
+            b"\xff\x53", b"\xff\x5d", b"\xff\x5e",
+            b"\xff\x5f", b"\xff\x60", b"\xff\x61",
+        ):
+            names = {0x53: "COC", 0x5D: "QCC", 0x5E: "RGN",
+                     0x5F: "POC", 0x60: "PPM", 0x61: "PPT"}
+            raise ValueError(
+                f"{names[marker[1]]} marker (per-component/packed coding "
+                "overrides) not supported"
+            )
         elif marker == b"\xff\x90":  # SOT
-            (_isot, psot, _tpsot, _tnsot) = struct.unpack_from(
+            (_isot, psot, tpsot, _tnsot) = struct.unpack_from(
                 ">HIBB", body, 0
             )
+            if tpsot != 0 or tile_data is not None:
+                raise ValueError("multiple tile-parts not supported")
             sod_at = pos + 2 + ln
             if data[sod_at : sod_at + 2] != b"\xff\x93":
                 raise ValueError("expected SOD after SOT")
-            end = pos + psot if psot else len(data) - 2
+            if psot:
+                end = pos + psot
+            else:  # Psot 0: tile extends to EOC (tolerate trailing pad)
+                end = data.rfind(b"\xff\xd9")
+                if end < sod_at:
+                    raise ValueError("Psot=0 stream missing EOC")
             tile_data = data[sod_at + 2 : end]
             pos = end
             continue
@@ -1121,17 +1069,19 @@ def _jp2k_decode_inner(data: bytes) -> np.ndarray:
             hh = comp_bands[ci][r][2][1]
             hbands.append((hl, lh, hh))
         comps.append(dwt53_inverse(ll, hbands))
+    if depths[0] > 8 or (not mct and any(signeds)):
+        raise ValueError(
+            f"bit depth {depths[0]}/signed components beyond the 8-bit "
+            "unsigned output contract not supported"
+        )
     if mct and ncomp == 3:
         rgb = rct_inverse(comps[0], comps[1], comps[2])
         out = rgb + (1 << (depths[0] - 1))
         return np.clip(out, 0, (1 << depths[0]) - 1).astype(np.uint8)
     outs = []
     for ci, c in enumerate(comps):
-        if signeds[ci]:
-            outs.append(c)
-        else:
-            c = c + (1 << (depths[ci] - 1))
-            outs.append(np.clip(c, 0, (1 << depths[ci]) - 1))
+        c = c + (1 << (depths[ci] - 1))
+        outs.append(np.clip(c, 0, (1 << depths[ci]) - 1))
     if ncomp == 1:
         return outs[0].astype(np.uint8)
     return np.stack(outs, axis=-1).astype(np.uint8)
@@ -1175,6 +1125,8 @@ def jp2_unwrap(data: bytes) -> bytes:
         btype = data[pos + 4 : pos + 8]
         if ln == 1:  # extended length
             (xln,) = struct.unpack_from(">Q", data, pos + 8)
+            if xln < 16:
+                raise ValueError("JP2 extended box length too small")
             body = data[pos + 16 : pos + xln]
             nxt = pos + xln
         elif ln == 0:  # to end of file
@@ -1185,6 +1137,8 @@ def jp2_unwrap(data: bytes) -> bytes:
             nxt = pos + ln
         if btype == b"jp2c":
             return body
+        if nxt <= pos:  # zero/backward box length: would loop forever
+            raise ValueError("JP2 box length does not advance")
         pos = nxt
     raise ValueError("JP2 file has no jp2c codestream box")
 

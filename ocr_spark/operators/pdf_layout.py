@@ -1497,6 +1497,9 @@ def pdf_images(data: bytes) -> list[dict]:
                 from ocr_spark.operators.jp2_codec import jp2_decode
 
                 img = jp2_decode(bytes(raw))
+                # the codestream is authoritative for geometry (PDF
+                # §7.4.9); reconcile the row metadata with it
+                row["width"], row["height"] = int(img.shape[1]), int(img.shape[0])
                 if img.ndim == 2 and _re.search(
                     r"/Decode\s*\[\s*1[\s.0]*0", ddict
                 ):

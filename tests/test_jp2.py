@@ -237,3 +237,71 @@ class TestSparkE2E:
         assert row["error"] is None
         assert (row["width"], row["height"]) == (60, 40)
         assert row["mean_intensity"] == pytest.approx(float(img.mean()))
+
+
+class TestReviewHardening:
+    """Regressions for the adversarial-review findings."""
+
+    def test_zero_length_box_no_hang(self):
+        import struct
+
+        from ocr_spark.operators.jp2_codec import _JP2_SIG
+
+        bad = _JP2_SIG + struct.pack(">I", 1) + b"abcd" + struct.pack(">Q", 0)
+        with pytest.raises(ValueError, match="box length"):
+            jp2_unwrap(bad)
+
+    def test_component_count_bounded(self):
+        import struct
+
+        img = np.zeros((8, 8), np.uint8)
+        cs = bytearray(jp2k_encode(img))
+        i = cs.find(b"\xff\x51")
+        cs[i + 38 : i + 40] = struct.pack(">H", 50)  # Csiz: 50 components
+        with pytest.raises(ValueError, match="components"):
+            jp2k_decode(bytes(cs))
+
+    def test_deep_component_named_error(self):
+        img = np.zeros((8, 8), np.uint8)
+        cs = bytearray(jp2k_encode(img))
+        i = cs.find(b"\xff\x51")
+        cs[i + 40] = 15  # Ssiz: 16-bit depth
+        with pytest.raises(ValueError, match="bit depth"):
+            jp2k_decode(bytes(cs))
+
+    def test_multi_tile_part_named_error(self):
+        img = np.zeros((8, 8), np.uint8)
+        cs = bytearray(jp2k_encode(img))
+        i = cs.find(b"\xff\x90")
+        cs[i + 10] = 1  # TPsot = 1 (a later tile-part)
+        with pytest.raises(ValueError, match="tile-part"):
+            jp2k_decode(bytes(cs))
+
+    def test_coc_marker_named_error(self):
+        img = np.zeros((8, 8), np.uint8)
+        cs = bytearray(jp2k_encode(img))
+        i = cs.find(b"\xff\x5c")  # overwrite QCD marker id with COC
+        cs[i + 1] = 0x53
+        with pytest.raises(ValueError, match="COC"):
+            jp2k_decode(bytes(cs))
+
+    def test_psot_zero_with_trailing_pad(self):
+        import struct
+
+        img = np.arange(120, dtype=np.uint8).reshape(10, 12)
+        cs = bytearray(jp2k_encode(img, levels=1))
+        i = cs.find(b"\xff\x90")
+        cs[i + 6 : i + 10] = struct.pack(">I", 0)  # Psot = 0
+        padded = bytes(cs) + b"\x00" * 7  # pad after EOC
+        assert np.array_equal(jp2k_decode(padded), img)
+
+    def test_pdf_jpx_geometry_from_codestream(self):
+        from ocr_spark.operators.pdf_layout import pdf_images, pdf_write_images
+
+        gray = (np.arange(12 * 16).reshape(12, 16) % 251).astype(np.uint8)
+        pdf = pdf_write_images([], [(gray, "jpx")])
+        # inflate the dict /Width /Height: the codestream must win
+        pdf2 = pdf.replace(b"/Width 16 /Height 12", b"/Width 99 /Height 77")
+        img = pdf_images(pdf2)[0]
+        assert img["error"] is None
+        assert (img["width"], img["height"]) == (16, 12)
