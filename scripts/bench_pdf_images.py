@@ -2,7 +2,7 @@
 N single-page PDFs synthesized executor-side, each carrying 2 image
 XObjects rotating the codec mix — JPEG (DCTDecode passthrough), Flate RGB,
 Flate+PNG-predictor gray, 1-bit bilevel, CCITT G4 fax, JBIG2 generic
-region — plus a text block,
+region, lossless JPEG2000 — plus a text block,
 so the bench
 exercises every decode path at once.
 
@@ -10,8 +10,9 @@ Exactness is closed-form and row-wise:
   * 2N image rows, zero errors;
   * each row's (width, height) equals the deterministic per-doc size
     derived from the did parsed back out of media_ref (zero mismatches);
-  * format arithmetic holds (img0 rotates jpeg/flate/flate_png/bilevel/
-    ccitt/jbig2 by did%6 -> jpeg|png, img1 is always Flate RGB -> png).
+  * format arithmetic holds (img0 rotates jpeg/flate/flate_png/
+    bilevel/ccitt/jbig2/jpx by did%7 -> jpeg|png, img1 is always Flate
+    RGB -> png).
 
 Run: python scripts/bench_pdf_images.py [--docs 50000] [--cpus 32]
 Appends one JSON line to BENCH/pdf_images_history.jsonl.
@@ -30,7 +31,7 @@ sys.path.insert(0, REPO)
 
 HIST = os.path.join(REPO, "BENCH", "pdf_images_history.jsonl")
 
-CODECS = ["jpeg", "flate", "flate_png", "bilevel", "ccitt", "jbig2"]
+CODECS = ["jpeg", "flate", "flate_png", "bilevel", "ccitt", "jbig2", "jpx"]
 
 
 def main() -> None:
@@ -55,7 +56,7 @@ def main() -> None:
         img0 = ((np.arange(h0 * w0).reshape(h0, w0) * (did % 251 + 1)) % 256).astype(
             np.uint8
         )
-        c0 = CODECS[did % 6]
+        c0 = CODECS[did % 7]
         if c0 in ("bilevel", "ccitt", "jbig2"):
             img0 = (img0 > 127).astype(np.uint8) * 255
         w1, h1 = 8 + did % 5, 6 + did % 7
@@ -96,7 +97,7 @@ def main() -> None:
     w_exp = F.when(img_i == 0, (did % 17 + 16)).otherwise(did % 5 + 8).cast("int")
     h_exp = F.when(img_i == 0, (did % 13 + 12)).otherwise(did % 7 + 6).cast("int")
     fmt_exp = F.when(
-        (img_i == 0) & (did % 6 == 0), F.lit("jpeg")
+        (img_i == 0) & (did % 7 == 0), F.lit("jpeg")
     ).otherwise(F.lit("png"))
     agg = out.agg(
         F.count("*").alias("rows"),
