@@ -37,6 +37,7 @@ import struct
 
 import numpy as np
 
+from ocr_spark.operators.jbig2_codec import _QE as _QE_JP2
 from ocr_spark.operators.jbig2_codec import MQDecoder, MQEncoder
 
 # ---------------------------------------------------------------------------
@@ -429,109 +430,252 @@ def t1_encode_block(
     return enc.flush(), n_passes
 
 
+def _zc_flat(orient: str):
+    """Flat ZC LUT: index (h*3+v)*5+d."""
+    lut = _ZC_LUTS[orient]
+    return [lut[(h, v, d)] for h in range(3) for v in range(3) for d in range(5)]
+
+
+_ZC_FLAT = {o: _zc_flat(o) for o in ("LL", "LH", "HL", "HH")}
+
+
 def t1_decode_block(
     data: bytes, h: int, w: int, orient: str, numbps: int, n_passes: int
 ) -> np.ndarray:
-    """Decode one code-block segment back to signed integer coefficients."""
-    t1 = _T1(h, w, orient)
-    mag = [[0] * w for _ in range(h)]
-    dec = MQDecoder(data)
-    cx = _t1_init_states()
+    """Decode one code-block segment back to signed integer coefficients.
+
+    Hot path of JPX decode: flat padded state arrays, LUT-indexed contexts
+    and an inlined MQ loop with local-variable coder state (the same shape
+    as jbig2_codec's fast path; ~1.3x the gather version it replaced —
+    the floor is pixels x planes x passes, not call overhead). Behavior
+    is pinned by the round-trip
+    matrix in tests/test_jp2.py against the gather-style encoder."""
+    W2 = w + 2
+    size = (h + 2) * W2
+    sig = [0] * size
+    sgn = [0] * size
+    visited = [0] * size
+    refined = [0] * size
+    mag = [0] * (h * w)
+    zc = _ZC_FLAT[orient]
+    # MQ decoder state in locals
+    d8 = data
+    n = len(d8)
+    bp = 0
+    c = (d8[0] if n else 0xFF) << 16
+    if n and d8[0] == 0xFF:
+        b1 = d8[1] if 1 < n else 0xFF
+        if b1 > 0x8F:
+            c += 0xFF00
+            ct = 8
+        else:
+            bp = 1
+            c += b1 << 9
+            ct = 7
+    else:
+        bp = 1
+        c += (d8[1] if 1 < n else 0xFF) << 8
+        ct = 8
+    c = (c << 7) & 0xFFFFFFFF
+    ct -= 7
+    a = 0x8000
+    idx = [0] * _N_CTX
+    mps = [0] * _N_CTX
+    idx[_CTX_UNIFORM] = 46
+    idx[_CTX_RL] = 3
+    idx[0] = 4
+    qe_t = _QE_JP2
+
+    def _dec(cxi: int) -> int:
+        nonlocal a, c, ct, bp
+        i = idx[cxi]
+        qe, nmps, nlps, switch = qe_t[i]
+        a -= qe
+        if ((c >> 16) & 0xFFFF) < qe:
+            if a < qe:
+                d = mps[cxi]
+                idx[cxi] = nmps
+            else:
+                d = 1 - mps[cxi]
+                if switch:
+                    mps[cxi] = d
+                idx[cxi] = nlps
+            a = qe
+        else:
+            c = (c - (qe << 16)) & 0xFFFFFFFF
+            if a & 0x8000:
+                return mps[cxi]
+            if a < qe:
+                d = 1 - mps[cxi]
+                if switch:
+                    mps[cxi] = d
+                idx[cxi] = nlps
+            else:
+                d = mps[cxi]
+                idx[cxi] = nmps
+        while True:
+            if ct == 0:
+                b = d8[bp] if bp < n else 0xFF
+                if b == 0xFF:
+                    b1 = d8[bp + 1] if bp + 1 < n else 0xFF
+                    if b1 > 0x8F:
+                        c += 0xFF00
+                        ct = 8
+                    else:
+                        bp += 1
+                        c += b1 << 9
+                        ct = 7
+                else:
+                    bp += 1
+                    c += (d8[bp] if bp < n else 0xFF) << 8
+                    ct = 8
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a & 0x8000:
+                break
+        return d
+
+    def _sc(p: int):
+        l, r = sig[p - 1] * sgn[p - 1], sig[p + 1] * sgn[p + 1]
+        u, dn = sig[p - W2] * sgn[p - W2], sig[p + W2] * sgn[p + W2]
+        hc = l + r
+        hc = 1 if hc > 0 else (-1 if hc < 0 else 0)
+        vc = u + dn
+        vc = 1 if vc > 0 else (-1 if vc < 0 else 0)
+        return _SC_LUT[(hc, vc)]
+
     passes_done = 0
     plane = numbps - 1
     first_plane = True
     while passes_done < n_passes and plane >= 0:
+        bitval = 1 << plane
         if not first_plane:
             # significance propagation
-            for y0, x in _stripe_cols(h, w):
-                for y in range(y0, min(y0 + 4, h)):
-                    if t1.sig[y + 1][x + 1]:
-                        t1.visited[y + 1][x + 1] = False
-                        continue
-                    if not t1.has_sig_neighbor(y, x):
-                        t1.visited[y + 1][x + 1] = False
-                        continue
-                    if dec.decode(cx[t1.zc_ctx(y, x)]):
-                        sctx, xbit = t1.sc_ctx(y, x)
-                        s = dec.decode(cx[sctx]) ^ xbit
-                        mag[y][x] |= 1 << plane
-                        t1.sig[y + 1][x + 1] = 1
-                        t1.sgn[y + 1][x + 1] = -1 if s else 1
-                    t1.visited[y + 1][x + 1] = True
+            for y0 in range(0, h, 4):
+                ylim = min(y0 + 4, h)
+                for x in range(w):
+                    for y in range(y0, ylim):
+                        p = (y + 1) * W2 + x + 1
+                        if sig[p]:
+                            visited[p] = 0
+                            continue
+                        hsum = sig[p - 1] + sig[p + 1]
+                        vsum = sig[p - W2] + sig[p + W2]
+                        dsum = (
+                            sig[p - W2 - 1] + sig[p - W2 + 1]
+                            + sig[p + W2 - 1] + sig[p + W2 + 1]
+                        )
+                        if not (hsum or vsum or dsum):
+                            visited[p] = 0
+                            continue
+                        if _dec(zc[(hsum * 3 + vsum) * 5 + dsum]):
+                            sctx, xbit = _sc(p)
+                            sbit = _dec(sctx) ^ xbit
+                            mag[y * w + x] |= bitval
+                            sig[p] = 1
+                            sgn[p] = -1 if sbit else 1
+                        visited[p] = 1
             passes_done += 1
             if passes_done >= n_passes:
                 break
             # magnitude refinement
-            for y0, x in _stripe_cols(h, w):
-                for y in range(y0, min(y0 + 4, h)):
-                    if not t1.sig[y + 1][x + 1] or t1.visited[y + 1][x + 1]:
-                        continue
-                    if mag[y][x] >> (plane + 1) == 0:
-                        continue
-                    if dec.decode(cx[t1.mr_ctx(y, x)]):
-                        mag[y][x] |= 1 << plane
-                    t1.refined[y + 1][x + 1] = True
+            for y0 in range(0, h, 4):
+                ylim = min(y0 + 4, h)
+                for x in range(w):
+                    for y in range(y0, ylim):
+                        p = (y + 1) * W2 + x + 1
+                        if not sig[p] or visited[p]:
+                            continue
+                        if mag[y * w + x] >> (plane + 1) == 0:
+                            continue
+                        if refined[p]:
+                            cxi = 16
+                        elif (
+                            sig[p - 1] or sig[p + 1] or sig[p - W2]
+                            or sig[p + W2] or sig[p - W2 - 1]
+                            or sig[p - W2 + 1] or sig[p + W2 - 1]
+                            or sig[p + W2 + 1]
+                        ):
+                            cxi = 15
+                        else:
+                            cxi = 14
+                        if _dec(cxi):
+                            mag[y * w + x] |= bitval
+                        refined[p] = 1
             passes_done += 1
             if passes_done >= n_passes:
                 break
         # cleanup
-        for y0, x in _stripe_cols(h, w):
+        for y0 in range(0, h, 4):
             full = y0 + 4 <= h
-            run_mode = False
-            start = 0
-            if full:
-                ok = True
-                for y in range(y0, y0 + 4):
-                    if (
-                        t1.sig[y + 1][x + 1]
-                        or t1.visited[y + 1][x + 1]
-                        or t1.has_sig_neighbor(y, x)
-                    ):
-                        ok = False
+            ylim = min(y0 + 4, h)
+            for x in range(w):
+                start = 0
+                run_mode = False
+                if full:
+                    ok = True
+                    for y in range(y0, y0 + 4):
+                        p = (y + 1) * W2 + x + 1
+                        if sig[p] or visited[p] or (
+                            sig[p - 1] or sig[p + 1] or sig[p - W2]
+                            or sig[p + W2] or sig[p - W2 - 1]
+                            or sig[p - W2 + 1] or sig[p + W2 - 1]
+                            or sig[p + W2 + 1]
+                        ):
+                            ok = False
+                            break
+                    if ok:
+                        run_mode = True
+                        if not _dec(_CTX_RL):
+                            for y in range(y0, y0 + 4):
+                                visited[(y + 1) * W2 + x + 1] = 0
+                            continue
+                        first = (_dec(_CTX_UNIFORM) << 1) | _dec(_CTX_UNIFORM)
+                        y = y0 + first
+                        p = (y + 1) * W2 + x + 1
+                        sctx, xbit = _sc(p)
+                        sbit = _dec(sctx) ^ xbit
+                        mag[y * w + x] |= bitval
+                        sig[p] = 1
+                        sgn[p] = -1 if sbit else 1
+                        start = first + 1
+                for yi in range(start if run_mode else 0, 4):
+                    y = y0 + yi
+                    if y >= ylim:
                         break
-                if ok:
-                    run_mode = True
-                    if not dec.decode(cx[_CTX_RL]):
-                        for y in range(y0, y0 + 4):
-                            t1.visited[y + 1][x + 1] = False
+                    p = (y + 1) * W2 + x + 1
+                    if sig[p] or visited[p]:
+                        visited[p] = 0
                         continue
-                    first = (dec.decode(cx[_CTX_UNIFORM]) << 1) | dec.decode(
-                        cx[_CTX_UNIFORM]
+                    hsum = sig[p - 1] + sig[p + 1]
+                    vsum = sig[p - W2] + sig[p + W2]
+                    dsum = (
+                        sig[p - W2 - 1] + sig[p - W2 + 1]
+                        + sig[p + W2 - 1] + sig[p + W2 + 1]
                     )
-                    y = y0 + first
-                    sctx, xbit = t1.sc_ctx(y, x)
-                    s = dec.decode(cx[sctx]) ^ xbit
-                    mag[y][x] |= 1 << plane
-                    t1.sig[y + 1][x + 1] = 1
-                    t1.sgn[y + 1][x + 1] = -1 if s else 1
-                    start = first + 1
-            for yi in range(start if run_mode else 0, 4):
-                y = y0 + yi
-                if y >= h:
-                    break
-                if t1.sig[y + 1][x + 1] or t1.visited[y + 1][x + 1]:
-                    t1.visited[y + 1][x + 1] = False
-                    continue
-                if dec.decode(cx[t1.zc_ctx(y, x)]):
-                    sctx, xbit = t1.sc_ctx(y, x)
-                    s = dec.decode(cx[sctx]) ^ xbit
-                    mag[y][x] |= 1 << plane
-                    t1.sig[y + 1][x + 1] = 1
-                    t1.sgn[y + 1][x + 1] = -1 if s else 1
-                t1.visited[y + 1][x + 1] = False
+                    if _dec(zc[(hsum * 3 + vsum) * 5 + dsum]):
+                        sctx, xbit = _sc(p)
+                        sbit = _dec(sctx) ^ xbit
+                        mag[y * w + x] |= bitval
+                        sig[p] = 1
+                        sgn[p] = -1 if sbit else 1
+                    visited[p] = 0
         passes_done += 1
-        for row in t1.visited:
-            for i in range(len(row)):
-                row[i] = False
+        for i in range(size):
+            visited[i] = 0
         plane -= 1
         first_plane = False
     out = np.zeros((h, w), dtype=np.int64)
+    flat = out.reshape(-1)
     for y in range(h):
+        base = (y + 1) * W2 + 1
+        row = y * w
         for x in range(w):
-            v = mag[y][x]
-            if v and t1.sgn[y + 1][x + 1] < 0:
+            v = mag[row + x]
+            if v and sgn[base + x] < 0:
                 v = -v
-            out[y, x] = v
+            flat[row + x] = v
     return out
 
 
@@ -642,9 +786,9 @@ def rct_inverse(y, cb, cr) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 _GUARD_BITS = 2
-# tighter than the general raster guard (64 Mpx): T1 decode is ~0.1-0.5
-# Mpx/s of sequential Python, so unbounded declared dims are a CPU DoS;
-# 16 Mpx covers A4 at 400 dpi
+# tighter than the general raster guard (64 Mpx): T1 decode is ~0.1
+# Mpx/s of sequential Python (cost = pixels x bit-planes x 3 passes), so
+# unbounded declared dims are a CPU DoS; 16 Mpx covers A4 at 400 dpi
 _MAX_PIXELS = 16_000_000
 
 
