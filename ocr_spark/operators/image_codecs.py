@@ -1125,6 +1125,8 @@ def tiff_decode(data: bytes) -> np.ndarray:
     except KeyError:
         raise ValueError("TIFF missing dimensions") from None
     compression = tags.get(259, [1])[0]
+    if 322 in tags:  # tiled organization (TIFF 6.0 §15)
+        return _tiff_tiled_decode(data, tags)
     if compression in (2, 3, 4):  # CCITT G3 1-D / G3 / G4 bilevel fax
         return _tiff_ccitt_decode(data, tags)
     if compression == 7:  # new-style JPEG-in-TIFF (TTN2)
@@ -1256,6 +1258,116 @@ def _tiff_jpeg_decode(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
     return img[:h, :w] if img.ndim == 2 else img[:h, :w, :]
 
 
+def _tiff_tiled_decode(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
+    """Tiled TIFF (tags 322/323/324/325): tiles are INDEPENDENT compressed
+    streams of exactly TileWidth x TileLength samples (edge tiles are
+    encoded at full tile size and cropped on assembly), laid out
+    left-to-right, top-to-bottom. Supports the same compressions as the
+    strip path: none/LZW/PackBits/Deflate (+Predictor 2), CCITT 2/3/4
+    (bilevel), and new-style JPEG (7, with JPEGTables)."""
+    w, h = tags[256][0], tags[257][0]
+    compression = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    tw = tags.get(322, [0])[0]
+    th = tags.get(323, [0])[0]
+    if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+        raise ValueError(f"bad TIFF tile size {tw}x{th}")
+    offs = tags.get(324)
+    if not offs:
+        raise ValueError("tiled TIFF missing TileOffsets")
+    counts = tags.get(325, [0] * len(offs))
+    tiles_across = (w + tw - 1) // tw
+    tiles_down = (h + th - 1) // th
+    if len(offs) < tiles_across * tiles_down:
+        raise ValueError("TileOffsets shorter than the tile grid")
+    predictor = tags.get(317, [1])[0]
+    bps = tags.get(258, [1] * spp)
+    ccitt = compression in (2, 3, 4)
+    if ccitt:
+        if spp != 1 or bps[0] != 1:
+            raise ValueError("CCITT tiles must be bilevel")
+        photometric = tags.get(262, [0])[0]
+        out = np.zeros((h, w), dtype=np.uint8)
+    elif compression == 7:
+        tbl = b""
+        if 347 in tags:
+            t = bytes(tags[347])
+            if t[:2] != b"\xff\xd8":
+                raise ValueError("JPEGTables does not start with SOI")
+            tbl = t[2:]
+            if tbl[-2:] == b"\xff\xd9":
+                tbl = tbl[:-2]
+        out = None  # shape set from the first tile's component count
+    else:
+        if compression not in (1, 5, 8, 32773, 32946):
+            raise ValueError(f"unsupported TIFF compression {compression}")
+        if any(b != 8 for b in bps):
+            raise ValueError(f"unsupported TIFF bits-per-sample {bps}")
+        out = np.zeros(
+            (h, w) if spp == 1 else (h, w, spp), dtype=np.uint8
+        )
+    for ti in range(tiles_down):
+        for tj in range(tiles_across):
+            i = ti * tiles_across + tj
+            o, c = offs[i], counts[i]
+            raw = data[o : o + c] if c else data[o:]
+            y0, x0 = ti * th, tj * tw
+            hh_, ww_ = min(th, h - y0), min(tw, w - x0)
+            if ccitt:
+                from ocr_spark.operators.fax_codec import (
+                    g3_1d_decode,
+                    g3_2d_decode,
+                    g4_decode,
+                )
+
+                if compression == 2:
+                    bits = g3_1d_decode(raw, tw, th, byte_align=True)
+                elif compression == 3:
+                    if tags.get(292, [0])[0] & 0b1:
+                        bits = g3_2d_decode(raw, tw, th)
+                    else:
+                        bits = g3_1d_decode(raw, tw, th)
+                else:
+                    bits = g4_decode(raw, tw, th)
+                tile = (
+                    (bits * 255) if photometric == 1 else ((1 - bits) * 255)
+                ).astype(np.uint8)
+            elif compression == 7:
+                if raw[:2] != b"\xff\xd8":
+                    raise ValueError("JPEG tile does not start with SOI")
+                tile = jpeg_decode(raw[:2] + tbl + raw[2:])
+                if out is None:
+                    shape = (h, w) if tile.ndim == 2 else (h, w, tile.shape[2])
+                    out = np.zeros(shape, dtype=np.uint8)
+            else:
+                expected = tw * th * spp
+                if compression == 1:
+                    buf = bytes(raw[:expected])
+                elif compression == 5:
+                    buf = _tiff_lzw_decode(raw, expected)
+                elif compression in (8, 32946):
+                    import zlib
+
+                    buf = zlib.decompress(raw)[:expected]
+                else:
+                    buf = _packbits_decode(raw, expected)
+                if len(buf) < expected:
+                    raise ValueError(
+                        f"tile {i}: {len(buf)} < {expected} bytes"
+                    )
+                arr = np.frombuffer(buf, np.uint8, count=expected)
+                if predictor == 2:
+                    rows = arr.reshape(th, tw, spp).astype(np.int64)
+                    arr = (np.cumsum(rows, axis=1) & 0xFF).astype(np.uint8)
+                tile = arr.reshape(th, tw) if spp == 1 else arr.reshape(
+                    th, tw, spp
+                )
+            out[y0 : y0 + hh_, x0 : x0 + ww_] = tile[:hh_, :ww_]
+    if out is None:
+        raise ValueError("tiled TIFF decoded no tiles")
+    return out
+
+
 def _tiff_ccitt_decode(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
     """TIFF compression 2 (T.4 MH, byte-aligned lines), 3 (Group 3 with
     EOLs; T4Options bit 0 selects 2-D lines) and 4 (T.6/G4). Bilevel only
@@ -1318,6 +1430,102 @@ def _tiff_ccitt_decode(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
     if photometric == 1:  # BlackIsZero: coding-white displays black
         return (bits * 255).astype(np.uint8)
     return ((1 - bits) * 255).astype(np.uint8)
+
+
+def tiff_encode_tiled(
+    img: np.ndarray, compression: str = "none",
+    tile_w: int = 64, tile_h: int = 64,
+) -> bytes:
+    """Tiled-TIFF fixture writer (TIFF 6.0 §15): each tile an independent
+    stream at full tile size (edges zero-padded), compression 'none' |
+    'lzw' | 'deflate' | 'packbits' | 'g4' (bilevel) | 'jpeg'."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    if tile_w % 16 or tile_h % 16:
+        raise ValueError("tile dims must be multiples of 16")
+    tiles_across = (w + tile_w - 1) // tile_w
+    tiles_down = (h + tile_h - 1) // tile_h
+    bodies = []
+    for ti in range(tiles_down):
+        for tj in range(tiles_across):
+            y0, x0 = ti * tile_h, tj * tile_w
+            pad_shape = (tile_h, tile_w) if spp == 1 else (tile_h, tile_w, spp)
+            tile = np.zeros(pad_shape, np.uint8)
+            sub = img[y0 : y0 + tile_h, x0 : x0 + tile_w]
+            tile[: sub.shape[0], : sub.shape[1]] = sub
+            if compression == "none":
+                bodies.append(tile.tobytes())
+            elif compression == "lzw":
+                bodies.append(_tiff_lzw_encode(tile.tobytes()))
+            elif compression == "deflate":
+                import zlib
+
+                bodies.append(zlib.compress(tile.tobytes()))
+            elif compression == "packbits":
+                bodies.append(
+                    b"".join(
+                        _packbits_encode(
+                            tile.reshape(tile_h, tile_w * spp)[r].tobytes()
+                        )
+                        for r in range(tile_h)
+                    )
+                )
+            elif compression == "g4":
+                from ocr_spark.operators.fax_codec import g4_encode
+
+                bodies.append(g4_encode((tile < 128).astype(np.uint8)))
+            elif compression == "jpeg":
+                bodies.append(jpeg_encode(tile))
+            else:
+                raise ValueError(f"unknown tile compression {compression!r}")
+    comp_tag = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
+                "g4": 4, "jpeg": 7}[compression]
+    bps = 1 if compression == "g4" else 8
+    photometric = 0 if compression == "g4" else (1 if spp == 1 else 2)
+    # layout: header | tiles | offset+count arrays (+bits array) | IFD
+    data_off = 8
+    offs, pos = [], data_off
+    for b in bodies:
+        offs.append(pos)
+        pos += len(b)
+    arr_off = pos
+    n_tiles = len(bodies)
+    arrays = struct.pack(f"<{n_tiles}I", *offs) + struct.pack(
+        f"<{n_tiles}I", *[len(b) for b in bodies]
+    )
+    bits_off = arr_off + len(arrays)
+    ifd_off = bits_off + (6 if spp == 3 else 0)
+    entries = []
+
+    def entry(tag, typ, cnt, val):
+        entries.append(struct.pack("<HHI", tag, typ, cnt) + struct.pack("<I", val))
+
+    def eshort(tag, val):
+        entries.append(struct.pack("<HHIHH", tag, 3, 1, val, 0))
+
+    eshort(256, w)
+    eshort(257, h)
+    if spp == 3:
+        entry(258, 3, 3, bits_off)
+    else:
+        eshort(258, bps)
+    eshort(259, comp_tag)
+    eshort(262, photometric)
+    eshort(277, spp)
+    eshort(322, tile_w)
+    eshort(323, tile_h)
+    if n_tiles == 1:  # 4-byte LONG values are stored inline, not pointed-to
+        entry(324, 4, 1, offs[0])
+        entry(325, 4, 1, len(bodies[0]))
+    else:
+        entry(324, 4, n_tiles, arr_off)
+        entry(325, 4, n_tiles, arr_off + 4 * n_tiles)
+    ifd = struct.pack("<H", len(entries)) + b"".join(entries) + struct.pack("<I", 0)
+    out = b"II*\x00" + struct.pack("<I", ifd_off) + b"".join(bodies) + arrays
+    if spp == 3:
+        out += struct.pack("<HHH", 8, 8, 8)
+    return out + ifd
 
 
 def tiff_encode(

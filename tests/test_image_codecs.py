@@ -1062,3 +1062,86 @@ class TestTiffReviewHardening:
                 data[off + 8:off + 10] = struct.pack("<H", 0)
         with pytest.raises(ValueError):
             tiff_decode(bytes(data))
+
+
+class TestTiffTiled:
+    """Tiled TIFF organization (tags 322-325, TIFF 6.0 §15)."""
+
+    @staticmethod
+    def _img(h, w, spp=1, seed=3):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if spp == 1 else (h, w, spp)
+        return rng.integers(0, 256, shape, dtype=np.uint8)
+
+    @pytest.mark.parametrize("comp", ["none", "lzw", "deflate", "packbits"])
+    def test_roundtrip_gray(self, comp):
+        from ocr_spark.operators.image_codecs import (
+            tiff_decode,
+            tiff_encode_tiled,
+        )
+
+        # 150x130 with 64x64 tiles: 3x3 grid with cropped edges
+        img = self._img(130, 150)
+        got = tiff_decode(tiff_encode_tiled(img, compression=comp))
+        assert np.array_equal(got, img), comp
+
+    def test_roundtrip_rgb(self):
+        from ocr_spark.operators.image_codecs import (
+            tiff_decode,
+            tiff_encode_tiled,
+        )
+
+        img = self._img(70, 90, spp=3)
+        got = tiff_decode(tiff_encode_tiled(img, compression="deflate"))
+        assert np.array_equal(got, img)
+
+    def test_single_tile_inline_offsets(self):
+        from ocr_spark.operators.image_codecs import (
+            tiff_decode,
+            tiff_encode_tiled,
+        )
+
+        img = self._img(40, 50)  # fits one 64x64 tile
+        got = tiff_decode(tiff_encode_tiled(img))
+        assert np.array_equal(got, img)
+
+    def test_g4_bilevel_tiles(self):
+        from ocr_spark.operators.image_codecs import (
+            tiff_decode,
+            tiff_encode_tiled,
+        )
+
+        img = np.full((100, 140), 255, np.uint8)
+        img[20:80, 30:110:7] = 0
+        got = tiff_decode(tiff_encode_tiled(img, compression="g4"))
+        assert np.array_equal(got, img)
+
+    def test_jpeg_tiles_within_quantization(self):
+        from ocr_spark.operators.image_codecs import (
+            tiff_decode,
+            tiff_encode_tiled,
+        )
+
+        img = self._img(80, 96)
+        got = tiff_decode(tiff_encode_tiled(img, compression="jpeg"))
+        assert got.shape == img.shape
+        assert abs(got.astype(int) - img.astype(int)).mean() < 6
+
+    def test_bad_tile_size_rejected(self):
+        import struct
+
+        from ocr_spark.operators.image_codecs import (
+            tiff_decode,
+            tiff_encode_tiled,
+        )
+
+        data = bytearray(tiff_encode_tiled(self._img(40, 40)))
+        (ifd_off,) = struct.unpack("<I", data[4:8])
+        (n,) = struct.unpack("<H", data[ifd_off:ifd_off + 2])
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            (tag,) = struct.unpack("<H", data[off:off + 2])
+            if tag == 322:
+                data[off + 8:off + 10] = struct.pack("<H", 60)  # not %16
+        with pytest.raises(ValueError, match="tile size"):
+            tiff_decode(bytes(data))
