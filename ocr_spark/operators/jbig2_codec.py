@@ -18,10 +18,13 @@ streams. This module implements, from the published ITU-T T.88 spec:
     36/38/39, end-of-page/file 49/51/50 skipped), single-page compositing
     of region bitmaps at their (x, y) offsets.
 
-Out of scope (named ValueError envelopes, like JPX): symbol-dictionary /
-text-region / halftone / refinement coding — the arithmetic-coded symbol
-machinery is a full second engine; generic regions cover `jbig2enc
--generic` output and the common fax-style single-region streams.
+Also implemented: arithmetic SYMBOL-DICTIONARY + TEXT-REGION coding (the
+mode real scanner streams use) — the IAx/IAID arithmetic integer
+decoders (Annex A), height-class symbol decoding with shared generic
+contexts, export-flag runs, and strip-based symbol placement with the
+four combination ops. Out of scope (named ValueError envelopes):
+Huffman-coded variants, refinement/aggregate coding, halftone regions,
+transposed text regions.
 
 Coding domain: 1 = black (JBIG2 pixel value 1), matching fax_codec;
 callers map to gray. Cost: one context lookup + one MQ DECODE per pixel,
@@ -600,6 +603,7 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     page_w = page_h = None
     page_default = 0
     regions: list[tuple[int, int, np.ndarray]] = []
+    symbols: list[np.ndarray] = []
     while pos < len(stream):
         if len(stream) - pos < 11:
             break  # trailing pad
@@ -638,17 +642,25 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 tpgdon=tpgdon, mmr=mmr,
             )
             regions.append((x, y, comb, bmp))
+        elif seg_type == 0:  # symbol dictionary (arithmetic)
+            symbols.extend(symbol_dict_decode(body))
+        elif seg_type in (4, 6, 7):  # (intermediate/)immediate text region
+            # simplification over referred-segment scoping: the symbol
+            # table is every dictionary seen so far, in stream order (the
+            # layout single-dict scanner streams use)
+            x, y, comb, bmp = text_region_decode(body, symbols)
+            regions.append((x, y, comb, bmp))
         elif seg_type in (49, 50, 51, 62):  # end-of-page/stripe/file, ext
             continue
-        elif seg_type in (0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43, 53):
+        elif seg_type in (16, 20, 22, 23, 40, 42, 43, 53):
             raise ValueError(
-                f"JBIG2 segment type {seg_type} (symbol/text/halftone/"
-                "refinement) not supported — generic regions only"
+                f"JBIG2 segment type {seg_type} (halftone/refinement/"
+                "tables) not supported"
             )
         else:
             raise ValueError(f"unknown JBIG2 segment type {seg_type}")
     if not regions:
-        raise ValueError("JBIG2 stream has no generic region")
+        raise ValueError("JBIG2 stream has no region")
     # recompute ONLY the unknown dimension(s): striped pages declare
     # height 0xFFFFFFFF with a valid width
     if page_w is None or page_w == 0xFFFFFFFF:
@@ -744,4 +756,468 @@ def jbig2_encode(
         seg(0, 48, page_info)
         + seg(1, 38, region)  # immediate lossless generic region
         + seg(2, 49, b"")  # end of page
+    )
+
+
+# ---------------------------------------------------------------------------
+# arithmetic integer decoding (T.88 Annex A) — IAx and IAID procedures,
+# plus the matching encoders for fixture writing. Each IAx category owns a
+# 512-state context bank; IAID owns a (1 << SBSYMCODELEN+1) bank.
+# ---------------------------------------------------------------------------
+
+_OOB = object()  # out-of-band marker returned by IAx decode
+
+
+class IntCtx:
+    """One IAx category: 512 MQ contexts driven by the PREV tree."""
+
+    __slots__ = ("cx",)
+
+    def __init__(self):
+        self.cx = [[0, 0] for _ in range(512)]
+
+
+def _ia_decode(dec: MQDecoder, ic: IntCtx):
+    """Decode one integer (or _OOB) per A.2."""
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = dec.decode(ic.cx[prev])
+        prev = ((prev << 1) | b) if prev < 256 else ((((prev << 1) | b) & 511) | 256)
+        return b
+
+    s = bit()
+    if not bit():
+        v = (bit() << 1) | bit()
+    elif not bit():
+        v = 4
+        for _ in range(4):
+            v = (v << 1) | bit()
+        v = (v & 0xF) + 4
+    elif not bit():
+        v = 0
+        for _ in range(6):
+            v = (v << 1) | bit()
+        v += 20
+    elif not bit():
+        v = 0
+        for _ in range(8):
+            v = (v << 1) | bit()
+        v += 84
+    elif not bit():
+        v = 0
+        for _ in range(12):
+            v = (v << 1) | bit()
+        v += 340
+    else:
+        v = 0
+        for _ in range(32):
+            v = (v << 1) | bit()
+        v += 4436
+    if s and v == 0:
+        return _OOB
+    return -v if s else v
+
+
+def _ia_encode(enc: MQEncoder, ic: IntCtx, value) -> None:
+    """Mirror of _ia_decode (A.3)."""
+    prev = 1
+
+    def put(b: int) -> None:
+        nonlocal prev
+        enc.encode(ic.cx[prev], b)
+        prev = ((prev << 1) | b) if prev < 256 else ((((prev << 1) | b) & 511) | 256)
+
+    if value is _OOB:
+        put(1)  # S = 1
+        put(0)
+        put(0)
+        put(0)  # V = 0 in the 2-bit class
+        return
+    s = 1 if value < 0 else 0
+    v = -value if s else value
+    put(s)
+    if v < 4:
+        put(0)
+        put((v >> 1) & 1)
+        put(v & 1)
+    elif v < 20:
+        put(1)
+        put(0)
+        for i in range(3, -1, -1):
+            put(((v - 4) >> i) & 1)
+    elif v < 84:
+        put(1)
+        put(1)
+        put(0)
+        for i in range(5, -1, -1):
+            put(((v - 20) >> i) & 1)
+    elif v < 340:
+        put(1)
+        put(1)
+        put(1)
+        put(0)
+        for i in range(7, -1, -1):
+            put(((v - 84) >> i) & 1)
+    elif v < 4436:
+        put(1)
+        put(1)
+        put(1)
+        put(1)
+        put(0)
+        for i in range(11, -1, -1):
+            put(((v - 340) >> i) & 1)
+    else:
+        put(1)
+        put(1)
+        put(1)
+        put(1)
+        put(1)
+        for i in range(31, -1, -1):
+            put(((v - 4436) >> i) & 1)
+
+
+class IdCtx:
+    """IAID: symbol-ID decoding over a binary-tree context bank."""
+
+    __slots__ = ("cx", "nbits")
+
+    def __init__(self, nbits: int):
+        self.nbits = nbits
+        self.cx = [[0, 0] for _ in range(1 << (nbits + 1))]
+
+
+def _iaid_decode(dec: MQDecoder, ic: IdCtx) -> int:
+    prev = 1
+    for _ in range(ic.nbits):
+        b = dec.decode(ic.cx[prev])
+        prev = (prev << 1) | b
+    return prev - (1 << ic.nbits)
+
+
+def _iaid_encode(enc: MQEncoder, ic: IdCtx, value: int) -> None:
+    prev = 1
+    for i in range(ic.nbits - 1, -1, -1):
+        b = (value >> i) & 1
+        enc.encode(ic.cx[prev], b)
+        prev = (prev << 1) | b
+
+
+# ---------------------------------------------------------------------------
+# symbol dictionary (type 0) + text region (types 4/6/7), arithmetic
+# coding only (SDHUFF/SBHUFF=0), no refinement/aggregation — the layout
+# jbig2enc-class encoders emit for scanned text. Shared generic-region
+# pixel machinery: symbols are decoded with the same template contexts,
+# one shared MQ decoder and GB context bank across the whole dictionary.
+# ---------------------------------------------------------------------------
+
+
+def _decode_symbol_bitmap(
+    dec: MQDecoder, cx: list, template: int, w: int, h: int
+) -> np.ndarray:
+    """One symbol's bitmap via generic decoding with SHARED contexts (the
+    dictionary form of §6.5.8.2.1): same pixel walk as the nominal-AT
+    fast path but over an existing decoder/context bank."""
+    pixels = _template_pixels(template, None)
+    bitmap = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            ctx = 0
+            for dx, dy in pixels:
+                ctx = (ctx << 1) | _region_pixel(bitmap, x + dx, y + dy)
+            bitmap[y, x] = dec.decode(cx[ctx])
+    return bitmap
+
+
+def _encode_symbol_bitmap(
+    enc: MQEncoder, cx: list, template: int, bmp: np.ndarray
+) -> None:
+    pixels = _template_pixels(template, None)
+    h, w = bmp.shape
+    for y in range(h):
+        for x in range(w):
+            ctx = 0
+            for dx, dy in pixels:
+                ctx = (ctx << 1) | _region_pixel(bmp, x + dx, y + dy)
+            enc.encode(cx[ctx], int(bmp[y, x]))
+
+
+def symbol_dict_decode(data: bytes) -> list[np.ndarray]:
+    """Symbol-dictionary segment body -> exported symbol bitmaps."""
+    try:
+        return _symbol_dict_decode_inner(data)
+    except (struct.error, IndexError):
+        raise ValueError("truncated JBIG2 symbol dictionary") from None
+
+
+def _symbol_dict_decode_inner(data: bytes) -> list[np.ndarray]:
+    if len(data) < 4:
+        raise ValueError("truncated JBIG2 symbol dictionary")
+    flags = struct.unpack_from(">H", data, 0)[0]
+    if flags & 1:
+        raise ValueError("Huffman-coded symbol dictionary not supported")
+    if flags & 2:
+        raise ValueError("refinement/aggregate symbol coding not supported")
+    template = (flags >> 10) & 3
+    pos = 2
+    n_at = 4 if template == 0 else 1
+    at = []
+    for _ in range(n_at):
+        ax, ay = struct.unpack_from(">bb", data, pos)
+        at.append((ax, ay))
+        pos += 2
+    if at != _TEMPLATES[template][1]:
+        raise ValueError("non-nominal symbol-dictionary AT pixels not supported")
+    n_ex, n_new = struct.unpack_from(">II", data, pos)
+    pos += 8
+    if n_new > 10_000 or n_ex > 10_000:
+        raise ValueError(f"implausible symbol counts new={n_new} ex={n_ex}")
+    dec = MQDecoder(data[pos:])
+    iadh, iadw, iaex, iaai = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    gb_cx = [[0, 0] for _ in range(1 << len(_template_pixels(template, None)))]
+    symbols: list[np.ndarray] = []
+    hcheight = 0
+    while len(symbols) < n_new:
+        dh = _ia_decode(dec, iadh)
+        if dh is _OOB:
+            raise ValueError("unexpected OOB in IADH")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 4096:
+            raise ValueError(f"implausible symbol height {hcheight}")
+        symwidth = 0
+        while True:
+            dw = _ia_decode(dec, iadw)
+            if dw is _OOB:
+                break  # end of height class
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 4096:
+                raise ValueError(f"implausible symbol width {symwidth}")
+            if len(symbols) >= n_new:
+                raise ValueError("more symbols than declared")
+            symbols.append(
+                _decode_symbol_bitmap(dec, gb_cx, template, symwidth, hcheight)
+            )
+    # export flags: alternating skip/export run lengths via IAEX
+    exported: list[np.ndarray] = []
+    i = 0
+    exflag = False
+    while i < len(symbols) and len(exported) < n_ex:
+        run = _ia_decode(dec, iaex)
+        if run is _OOB or run < 0:
+            raise ValueError("bad IAEX run")
+        if exflag:
+            exported.extend(symbols[i : i + run])
+        i += run
+        exflag = not exflag
+    if len(exported) != n_ex:
+        raise ValueError(
+            f"exported {len(exported)} symbols, declared {n_ex}"
+        )
+    return exported
+
+
+def symbol_dict_encode(symbols: list[np.ndarray], template: int = 0) -> bytes:
+    """Fixture writer: one height class per distinct height, all symbols
+    exported."""
+    flags = template << 10
+    out = struct.pack(">H", flags)
+    for ax, ay in _TEMPLATES[template][1]:
+        out += struct.pack(">bb", ax, ay)
+    out += struct.pack(">II", len(symbols), len(symbols))
+    order = sorted(range(len(symbols)), key=lambda i: symbols[i].shape[0])
+    enc = MQEncoder()
+    iadh, iadw, iaex, _ = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    gb_cx = [[0, 0] for _ in range(1 << len(_template_pixels(template, None)))]
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        h = symbols[order[i]].shape[0]
+        _ia_encode(enc, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(order) and symbols[order[i]].shape[0] == h:
+            w = symbols[order[i]].shape[1]
+            _ia_encode(enc, iadw, w - symwidth)
+            symwidth = w
+            _encode_symbol_bitmap(enc, gb_cx, template, symbols[order[i]])
+            i += 1
+        _ia_encode(enc, iadw, _OOB)
+    _ia_encode(enc, iaex, 0)  # skip none
+    _ia_encode(enc, iaex, len(symbols))  # export all
+    return out + enc.flush(), order
+
+
+def text_region_decode(
+    data: bytes, symbols: list[np.ndarray]
+) -> tuple[int, int, int, np.ndarray]:
+    """Text-region segment body + symbol table -> (x, y, comb, bitmap)."""
+    try:
+        return _text_region_decode_inner(data, symbols)
+    except (struct.error, IndexError):
+        raise ValueError("truncated JBIG2 text region") from None
+
+
+def _text_region_decode_inner(
+    data: bytes, symbols: list[np.ndarray]
+) -> tuple[int, int, int, np.ndarray]:
+    w, h, x, y, comb, pos = _parse_region_info(data, 0)
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"implausible text region dims {w}x{h}")
+    flags = struct.unpack_from(">H", data, pos)[0]
+    pos += 2
+    if flags & 1:
+        raise ValueError("Huffman-coded text region not supported")
+    if (flags >> 1) & 1:
+        raise ValueError("refinement-coded text region not supported")
+    log_strips = (flags >> 2) & 3
+    strips = 1 << log_strips
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    comb_op = (flags >> 7) & 3
+    def_pixel = (flags >> 9) & 1
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32
+    if transposed:
+        raise ValueError("transposed text regions not supported")
+    n_inst = struct.unpack_from(">I", data, pos)[0]
+    pos += 4
+    if n_inst > 100_000:
+        raise ValueError(f"implausible instance count {n_inst}")
+    nsyms = len(symbols)
+    if nsyms == 0:
+        raise ValueError("text region with no symbols in scope")
+    codelen = max(1, (nsyms - 1).bit_length())
+    dec = MQDecoder(data[pos:])
+    iadt, iafs, iads, iait = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    iaid = IdCtx(codelen)
+    bitmap = np.full((h, w), def_pixel, dtype=np.uint8)
+    stript = -(_ia_decode(dec, iadt) * strips)
+    firsts = 0
+    placed = 0
+    while placed < n_inst:
+        dt = _ia_decode(dec, iadt)
+        if dt is _OOB:
+            raise ValueError("unexpected OOB in IADT")
+        stript += dt * strips
+        dfs = _ia_decode(dec, iafs)
+        if dfs is _OOB:
+            raise ValueError("unexpected OOB in IAFS")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = _ia_decode(dec, iads)
+                if ids is _OOB:
+                    break  # end of strip
+                curs += ids + ds_offset
+            first = False
+            curt = _ia_decode(dec, iait) if strips > 1 else 0
+            t = stript + curt
+            sid = _iaid_decode(dec, iaid)
+            if not 0 <= sid < nsyms:
+                raise ValueError(f"symbol id {sid} out of range")
+            sym = symbols[sid]
+            sh, sw = sym.shape
+            # refcorner: 0=BL, 1=TL, 2=BR, 3=TR (S along x, T along y)
+            sx = curs
+            sy = t if refcorner in (1, 3) else t - sh + 1
+            if refcorner in (2, 3):
+                pass  # right corners still place left edge at S per spec
+            # clip to region
+            if sx < w and sy < h:
+                x0, y0 = max(sx, 0), max(sy, 0)
+                x1, y1 = min(sx + sw, w), min(sy + sh, h)
+                if x1 > x0 and y1 > y0:
+                    sub = sym[y0 - sy : y1 - sy, x0 - sx : x1 - sx]
+                    tgt = bitmap[y0:y1, x0:x1]
+                    if comb_op == 0:
+                        tgt |= sub
+                    elif comb_op == 1:
+                        tgt &= sub
+                    elif comb_op == 2:
+                        tgt ^= sub
+                    else:
+                        tgt ^= sub ^ 1
+            curs += sw - 1
+            placed += 1
+            if placed >= n_inst:
+                break
+    return x, y, comb, bitmap
+
+
+def text_region_encode(
+    placements: list[tuple[int, int, int]], symbols: list[np.ndarray],
+    w: int, h: int, x: int = 0, y: int = 0,
+) -> bytes:
+    """Fixture writer: placements = [(sym_idx, sx, sy_top)] sorted however;
+    encodes with TL refcorner, 1-px strips, OR composition."""
+    nsyms = len(symbols)
+    codelen = max(1, (nsyms - 1).bit_length())
+    out = struct.pack(">IIIIB", w, h, x, y, 0)
+    flags = (1 << 4)  # refcorner TL, log_strips 0, arithmetic, no refine
+    out += struct.pack(">H", flags)
+    out += struct.pack(">I", len(placements))
+    enc = MQEncoder()
+    iadt, iafs, iads, iait = IntCtx(), IntCtx(), IntCtx(), IntCtx()
+    iaid = IdCtx(codelen)
+    del iait  # strips == 1: CURT never coded
+    # group placements by row (T), ascending
+    rows: dict[int, list[tuple[int, int]]] = {}
+    for sid, sx, sy in placements:
+        rows.setdefault(sy, []).append((sx, sid))
+    _ia_encode(enc, iadt, 0)  # STRIPT init: 0
+    stript = 0
+    firsts = 0
+    for t in sorted(rows):
+        _ia_encode(enc, iadt, t - stript)
+        stript = t
+        insts = sorted(rows[t])
+        fs = insts[0][0]
+        _ia_encode(enc, iafs, fs - firsts)
+        firsts = fs
+        curs = fs
+        for j, (sx, sid) in enumerate(insts):
+            if j > 0:
+                _ia_encode(enc, iads, sx - curs)
+                curs = sx
+            _iaid_encode(enc, iaid, sid)
+            curs += symbols[sid].shape[1] - 1
+        _ia_encode(enc, iads, _OOB)
+    return out + enc.flush()
+
+
+def jbig2_encode_text(
+    symbols: list[np.ndarray],
+    placements: list[tuple[int, int, int]],
+    page_size: tuple[int, int],
+    template: int = 0,
+) -> bytes:
+    """Fixture writer: embedded stream with page info, ONE symbol
+    dictionary (all symbols exported; the dictionary reorders by height,
+    the placement ids are remapped automatically) and ONE immediate text
+    region. placements = [(symbol_index, x, y_top)]."""
+    pw, ph = page_size
+
+    def seg(number: int, seg_type: int, body: bytes) -> bytes:
+        return (
+            struct.pack(">IB", number, seg_type)
+            + b"\x00\x01"
+            + struct.pack(">I", len(body))
+            + body
+        )
+
+    dict_body, order = symbol_dict_encode(symbols, template=template)
+    new_id = {orig: i for i, orig in enumerate(order)}
+    remapped = [(new_id[sid], x, y) for sid, x, y in placements]
+    reordered = [symbols[i] for i in order]
+    text_body = text_region_encode(remapped, reordered, pw, ph)
+    page_info = struct.pack(">IIIIB", pw, ph, 0, 0, 0) + b"\x00\x00"
+    return (
+        seg(0, 48, page_info)
+        + seg(1, 0, dict_body)
+        + seg(2, 6, text_body)  # immediate text region
+        + seg(3, 49, b"")
     )

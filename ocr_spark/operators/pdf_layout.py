@@ -1586,8 +1586,9 @@ def pdf_write_images(
     'flate' (FlateDecode raw samples), 'flate_png' (FlateDecode + PNG
     Up-predictor /DecodeParms), 'bilevel' (1-bit /ImageMask-style Flate),
     'ccitt' (REAL CCITTFaxDecode G4, K=-1) / 'ccitt_g3' (K=0 1-D MH) /
-    'jbig2' (REAL JBIG2Decode generic region) with input thresholded at
-    128, 'jbig2_symbol' (symbol-coded JBIG2 -> named envelope), 'jpx'
+    'jbig2' (REAL JBIG2Decode generic region) / 'jbig2_text' (REAL
+    symbol-dictionary + text-region stream) with input thresholded at
+    128, 'jbig2_halftone' (halftone-coded JBIG2 -> named envelope), 'jpx'
     (REAL lossless JPXDecode JP2), 'jpx_lossy' (a 9/7 irreversible
     codestream -> named envelope)."""
     import zlib
@@ -1660,13 +1661,25 @@ def pdf_write_images(
 
             body = jbig2_encode((img < 128).astype(np.uint8))
             filt, bpc = b"/Filter /JBIG2Decode ", 1
-        elif codec == "jbig2_symbol":
-            # a symbol-dictionary segment header (type 0): legal JBIG2 the
-            # generic-region decoder must reject with a NAMED error
+        elif codec == "jbig2_text":
+            # REAL symbol-dictionary + text-region stream: the page is
+            # tiled with two alternating glyph bitmaps cut from the image
+            from ocr_spark.operators.jbig2_codec import jbig2_encode_text
+
+            bl = (img < 128).astype(np.uint8)
+            g1, g2 = bl[: h // 2, : w // 2], bl[h // 2 :, w // 2 :]
+            placements = [(0, 0, 0), (1, w // 2, h // 2)]
+            body = jbig2_encode_text(
+                [g1, g2], placements, (w, h)
+            )
+            filt, bpc = b"/Filter /JBIG2Decode ", 1
+        elif codec == "jbig2_halftone":
+            # a halftone-region segment header (type 20): legal JBIG2 this
+            # decoder must reject with a NAMED error
             import struct as _struct
 
             body = (
-                _struct.pack(">IB", 0, 0) + b"\x00\x01"
+                _struct.pack(">IB", 0, 20) + b"\x00\x01"
                 + _struct.pack(">I", 4) + b"\x00\x00\x00\x00"
             )
             filt, bpc = b"/Filter /JBIG2Decode ", 1

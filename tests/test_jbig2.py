@@ -157,14 +157,24 @@ class TestEmbeddedStream:
         stream = jbig2_encode(img, template=template, tpgdon=tpgdon)
         np.testing.assert_array_equal(jbig2_decode(stream), img)
 
-    def test_symbol_segment_named_error(self):
+    def test_truncated_symbol_dict_named_error(self):
         import struct
 
         seg = (
             struct.pack(">IB", 0, 0)  # segment 0, type 0 = symbol dict
             + b"\x00\x01" + struct.pack(">I", 2) + b"\x00\x00"
         )
-        with pytest.raises(ValueError, match="symbol"):
+        with pytest.raises(ValueError, match="symbol dictionary"):
+            jbig2_decode(seg)
+
+    def test_halftone_segment_named_error(self):
+        import struct
+
+        seg = (
+            struct.pack(">IB", 0, 20)  # type 20 = halftone region
+            + b"\x00\x01" + struct.pack(">I", 2) + b"\x00\x00"
+        )
+        with pytest.raises(ValueError, match="halftone"):
             jbig2_decode(seg)
 
     def test_truncated_segment_raises(self):
@@ -174,7 +184,7 @@ class TestEmbeddedStream:
             jbig2_decode(stream[: 30 + 12])
 
     def test_empty_stream_raises(self):
-        with pytest.raises(ValueError, match="no generic region"):
+        with pytest.raises(ValueError, match="no region"):
             jbig2_decode(b"")
 
 
@@ -334,3 +344,165 @@ class TestFileOrganization:
         assert (row["width"], row["height"]) == (50, 30)
         want_mean = float(((1 - img) * 255).mean())
         assert row["mean_intensity"] == pytest.approx(want_mean)
+
+
+class TestSymbolText:
+    """Arithmetic symbol-dictionary + text-region coding (T.88 §6.4/6.5,
+    Annex A integer decoding) — the layout real scanner streams use."""
+
+    @staticmethod
+    def _glyphs(rng, n=5):
+        syms = []
+        for _ in range(n):
+            h, w = int(rng.integers(4, 13)), int(rng.integers(3, 11))
+            g = (rng.random((h, w)) < 0.5).astype(np.uint8)
+            g[0, 0] = 1
+            syms.append(g)
+        return syms
+
+    def test_ia_integer_roundtrip(self):
+        from ocr_spark.operators.jbig2_codec import (
+            _OOB,
+            IntCtx,
+            MQDecoder,
+            MQEncoder,
+            _ia_decode,
+            _ia_encode,
+        )
+
+        rng = np.random.default_rng(41)
+        values = [0, 1, -1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+                  100000, -54321]
+        values += [int(v) for v in rng.integers(-5000, 5000, 60)]
+        values.append(_OOB)
+        enc = MQEncoder()
+        ic = IntCtx()
+        for v in values:
+            _ia_encode(enc, ic, v)
+        dec = MQDecoder(enc.flush())
+        ic = IntCtx()
+        got = [_ia_decode(dec, ic) for _ in values]
+        assert got == values
+
+    def test_iaid_roundtrip(self):
+        from ocr_spark.operators.jbig2_codec import (
+            IdCtx,
+            MQDecoder,
+            MQEncoder,
+            _iaid_decode,
+            _iaid_encode,
+        )
+
+        rng = np.random.default_rng(42)
+        for nbits in (1, 3, 6):
+            ids = [int(v) for v in rng.integers(0, 1 << nbits, 200)]
+            enc = MQEncoder()
+            ic = IdCtx(nbits)
+            for v in ids:
+                _iaid_encode(enc, ic, v)
+            dec = MQDecoder(enc.flush())
+            ic = IdCtx(nbits)
+            assert [_iaid_decode(dec, ic) for _ in ids] == ids
+
+    def test_symbol_dict_roundtrip(self):
+        from ocr_spark.operators.jbig2_codec import (
+            symbol_dict_decode,
+            symbol_dict_encode,
+        )
+
+        rng = np.random.default_rng(43)
+        syms = self._glyphs(rng, 7)
+        body, order = symbol_dict_encode(syms)
+        out = symbol_dict_decode(body)
+        assert len(out) == len(syms)
+        for i, orig in enumerate(order):
+            np.testing.assert_array_equal(out[i], syms[orig])
+
+    def test_text_e2e_or_composition(self):
+        from ocr_spark.operators.jbig2_codec import (
+            jbig2_decode,
+            jbig2_encode_text,
+        )
+
+        rng = np.random.default_rng(44)
+        syms = self._glyphs(rng, 5)
+        placements, x = [], 2
+        for i in (0, 3, 1, 4, 2, 2, 0):
+            placements.append((i, x, 4))
+            x += syms[i].shape[1] + 2
+        x = 3
+        for i in (4, 1, 0):
+            placements.append((i, x, 25))
+            x += syms[i].shape[1] + 3
+        out = jbig2_decode(jbig2_encode_text(syms, placements, (95, 45)))
+        want = np.zeros((45, 95), np.uint8)
+        for sid, sx, sy in placements:
+            g = syms[sid]
+            want[sy : sy + g.shape[0], sx : sx + g.shape[1]] |= g
+        np.testing.assert_array_equal(out, want)
+
+    def test_overlapping_symbols_and_clipping(self):
+        from ocr_spark.operators.jbig2_codec import (
+            jbig2_decode,
+            jbig2_encode_text,
+        )
+
+        g = np.ones((6, 6), np.uint8)
+        # overlap + placement running past the right region edge (clipped)
+        placements = [(0, 0, 0), (0, 3, 2), (0, 17, 1)]
+        out = jbig2_decode(jbig2_encode_text([g], placements, (20, 10)))
+        want = np.zeros((10, 20), np.uint8)
+        want[0:6, 0:6] = 1
+        want[2:8, 3:9] = 1
+        want[1:7, 17:20] = 1
+        np.testing.assert_array_equal(out, want)
+
+    def test_many_symbols_wide_id_codes(self):
+        from ocr_spark.operators.jbig2_codec import (
+            jbig2_decode,
+            jbig2_encode_text,
+        )
+
+        rng = np.random.default_rng(45)
+        syms = self._glyphs(rng, 19)  # codelen 5
+        placements = []
+        x = y = 1
+        for i in range(19):
+            placements.append((i, x, y))
+            x += syms[i].shape[1] + 1
+            if x > 150:
+                x = 1
+                y += 16
+        out = jbig2_decode(jbig2_encode_text(syms, placements, (170, 70)))
+        want = np.zeros((70, 170), np.uint8)
+        for sid, sx, sy in placements:
+            g = syms[sid]
+            want[sy : sy + g.shape[0], sx : sx + g.shape[1]] |= g
+        np.testing.assert_array_equal(out, want)
+
+    def test_huffman_dict_named_error(self):
+        from ocr_spark.operators.jbig2_codec import symbol_dict_decode
+
+        import struct
+
+        body = struct.pack(">H", 1) + b"\x00" * 16  # SDHUFF set
+        with pytest.raises(ValueError, match="Huffman"):
+            symbol_dict_decode(body)
+
+    def test_text_compresses_repeated_glyphs(self):
+        from ocr_spark.operators.jbig2_codec import (
+            generic_region_encode,
+            jbig2_encode_text,
+        )
+
+        rng = np.random.default_rng(46)
+        g = (rng.random((12, 9)) < 0.5).astype(np.uint8)
+        placements = [(0, 2 + 12 * k, 3 + 15 * (k % 4)) for k in range(40)]
+        stream = jbig2_encode_text([g], placements, (520, 70))
+        page = np.zeros((70, 520), np.uint8)
+        for _, sx, sy in placements:
+            page[sy : sy + 12, sx : sx + 9] |= g
+        generic = generic_region_encode(page)
+        # one shared glyph + 40 placements beats generic re-coding (the
+        # margin is modest: MQ context adaptation also learns the texture)
+        assert len(stream) < len(generic)

@@ -80,10 +80,24 @@ def test_jbig2_generic_region_decode():
     assert np.array_equal(got, 255 - want)
 
 
-def test_jbig2_symbol_coded_named_envelope():
-    pdf = pdf_write_images([], [(GRAY, "jbig2_symbol"), (GRAY, "jbig2")])
+def test_jbig2_text_region_decode():
+    # symbol-dictionary + text-region stream (the scanner layout)
+    pdf = pdf_write_images([], [(GRAY, "jbig2_text")])
+    img = pdf_images(pdf)[0]
+    assert img["error"] is None and img["format"] == "png"
+    h, w = GRAY.shape
+    bl = (GRAY < 128).astype(np.uint8)
+    want = np.zeros((h, w), np.uint8)
+    want[: h // 2, : w // 2] = bl[: h // 2, : w // 2]
+    want[h // 2 :, w // 2 :] = bl[h // 2 :, w // 2 :]
+    got = decode_image(img["content"])
+    assert np.array_equal(got, ((1 - want) * 255).astype(np.uint8))
+
+
+def test_jbig2_halftone_named_envelope():
+    pdf = pdf_write_images([], [(GRAY, "jbig2_halftone"), (GRAY, "jbig2")])
     imgs = pdf_images(pdf)
-    assert imgs[0]["error"] is not None and "symbol" in imgs[0]["error"]
+    assert imgs[0]["error"] is not None and "halftone" in imgs[0]["error"]
     assert imgs[1]["error"] is None  # peers survive
 
 
