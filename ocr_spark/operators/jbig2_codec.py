@@ -594,10 +594,11 @@ def _parse_region_info(data: bytes, pos: int):
 
 def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     """Embedded-organization JBIG2 (the PDF /JBIG2Decode layout: bare
-    segment sequence, no file header). Supports page-info + generic-region
-    segments; symbol/text/halftone/refinement segments raise a NAMED
-    ValueError (the per-image envelope upstream keeps accounting honest).
-    Returns uint8 (H,W), 1=black."""
+    segment sequence, no file header). Supports page-info, generic-region,
+    symbol-dictionary (one per stream) and text-region segments;
+    halftone/refinement/Huffman layouts raise a NAMED ValueError (the
+    per-image envelope upstream keeps accounting honest). Returns uint8
+    (H,W), 1=black."""
     stream = bytes(globals_data) + bytes(data)
     pos = 0
     page_w = page_h = None
@@ -643,11 +644,18 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             )
             regions.append((x, y, comb, bmp))
         elif seg_type == 0:  # symbol dictionary (arithmetic)
+            if symbols:
+                # a second dictionary changes SBSYMCODELEN scoping per
+                # referred segments, which this decoder does not model —
+                # decoding on would silently desync, so fail by name
+                raise ValueError(
+                    "multiple symbol dictionaries (referred-segment "
+                    "scoping) not supported"
+                )
             symbols.extend(symbol_dict_decode(body))
         elif seg_type in (4, 6, 7):  # (intermediate/)immediate text region
-            # simplification over referred-segment scoping: the symbol
-            # table is every dictionary seen so far, in stream order (the
-            # layout single-dict scanner streams use)
+            # single-dictionary scoping: the symbol table is THE one
+            # dictionary (the layout scanner streams use)
             x, y, comb, bmp = text_region_decode(body, symbols)
             regions.append((x, y, comb, bmp))
         elif seg_type in (49, 50, 51, 62):  # end-of-page/stripe/file, ext
@@ -978,6 +986,7 @@ def _symbol_dict_decode_inner(data: bytes) -> list[np.ndarray]:
     gb_cx = [[0, 0] for _ in range(1 << len(_template_pixels(template, None)))]
     symbols: list[np.ndarray] = []
     hcheight = 0
+    total_px = 0
     while len(symbols) < n_new:
         dh = _ia_decode(dec, iadh)
         if dh is _OOB:
@@ -995,14 +1004,30 @@ def _symbol_dict_decode_inner(data: bytes) -> list[np.ndarray]:
                 raise ValueError(f"implausible symbol width {symwidth}")
             if len(symbols) >= n_new:
                 raise ValueError("more symbols than declared")
+            total_px += symwidth * hcheight
+            # symbols are glyphs: 2M px of dictionary bitmaps is already
+            # far beyond any real page's character set — and the budget
+            # must trip BEFORE the first huge symbol decodes (Python MQ
+            # decode is ~0.1 Mpx/s)
+            if total_px > 2_000_000:
+                raise ValueError(
+                    "symbol dictionary exceeds the pixel budget"
+                )
             symbols.append(
                 _decode_symbol_bitmap(dec, gb_cx, template, symwidth, hcheight)
             )
-    # export flags: alternating skip/export run lengths via IAEX
+    # export flags: alternating skip/export run lengths via IAEX. Zero
+    # runs are legal but must not repeat forever: cap iterations (a
+    # crafted stream of endless run=0 would otherwise spin, since the MQ
+    # decoder never exhausts)
     exported: list[np.ndarray] = []
     i = 0
     exflag = False
+    iters = 0
     while i < len(symbols) and len(exported) < n_ex:
+        iters += 1
+        if iters > 2 * len(symbols) + 4:
+            raise ValueError("IAEX export runs do not converge")
         run = _ia_decode(dec, iaex)
         if run is _OOB or run < 0:
             raise ValueError("bad IAEX run")
@@ -1017,7 +1042,9 @@ def _symbol_dict_decode_inner(data: bytes) -> list[np.ndarray]:
     return exported
 
 
-def symbol_dict_encode(symbols: list[np.ndarray], template: int = 0) -> bytes:
+def symbol_dict_encode(
+    symbols: list[np.ndarray], template: int = 0
+) -> tuple[bytes, list[int]]:
     """Fixture writer: one height class per distinct height, all symbols
     exported."""
     flags = template << 10
@@ -1093,7 +1120,10 @@ def _text_region_decode_inner(
     iadt, iafs, iads, iait = IntCtx(), IntCtx(), IntCtx(), IntCtx()
     iaid = IdCtx(codelen)
     bitmap = np.full((h, w), def_pixel, dtype=np.uint8)
-    stript = -(_ia_decode(dec, iadt) * strips)
+    dt0 = _ia_decode(dec, iadt)
+    if dt0 is _OOB:
+        raise ValueError("unexpected OOB in initial IADT")
+    stript = -(dt0 * strips)
     firsts = 0
     placed = 0
     while placed < n_inst:
@@ -1114,7 +1144,12 @@ def _text_region_decode_inner(
                     break  # end of strip
                 curs += ids + ds_offset
             first = False
-            curt = _ia_decode(dec, iait) if strips > 1 else 0
+            if strips > 1:
+                curt = _ia_decode(dec, iait)
+                if curt is _OOB:
+                    raise ValueError("unexpected OOB in IAIT")
+            else:
+                curt = 0
             t = stript + curt
             sid = _iaid_decode(dec, iaid)
             if not 0 <= sid < nsyms:
@@ -1123,9 +1158,8 @@ def _text_region_decode_inner(
             sh, sw = sym.shape
             # refcorner: 0=BL, 1=TL, 2=BR, 3=TR (S along x, T along y)
             sx = curs
+            # right corners (2, 3) still place the LEFT edge at S per spec
             sy = t if refcorner in (1, 3) else t - sh + 1
-            if refcorner in (2, 3):
-                pass  # right corners still place left edge at S per spec
             # clip to region
             if sx < w and sy < h:
                 x0, y0 = max(sx, 0), max(sy, 0)

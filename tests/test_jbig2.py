@@ -506,3 +506,91 @@ class TestSymbolText:
         # one shared glyph + 40 placements beats generic re-coding (the
         # margin is modest: MQ context adaptation also learns the texture)
         assert len(stream) < len(generic)
+
+
+class TestSymbolTextHardening:
+    """Regressions for the symbol/text review findings."""
+
+    def test_iaex_zero_runs_terminate(self):
+        from ocr_spark.operators.jbig2_codec import (
+            IntCtx,
+            MQEncoder,
+            _encode_symbol_bitmap,
+            _ia_encode,
+            _template_pixels,
+            symbol_dict_decode,
+        )
+
+        # one 1x1 symbol, then endless run=0 export flags
+        import struct
+
+        enc = MQEncoder()
+        iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+        gb = [[0, 0] for _ in range(1 << len(_template_pixels(0, None)))]
+        _ia_encode(enc, iadh, 1)
+        _ia_encode(enc, iadw, 1)
+        _encode_symbol_bitmap(enc, gb, 0, np.ones((1, 1), np.uint8))
+        import ocr_spark.operators.jbig2_codec as J
+
+        _ia_encode(enc, iadw, J._OOB)
+        for _ in range(50):
+            _ia_encode(enc, iaex, 0)
+        body = (
+            struct.pack(">H", 0)
+            + b"".join(struct.pack(">bb", ax, ay) for ax, ay in
+                       J._TEMPLATES[0][1])
+            + struct.pack(">II", 1, 1)
+            + enc.flush()
+        )
+        with pytest.raises(ValueError, match="converge|export"):
+            symbol_dict_decode(body)
+
+    def test_symbol_pixel_budget(self):
+        from ocr_spark.operators.jbig2_codec import (
+            IntCtx,
+            MQEncoder,
+            _ia_encode,
+        )
+        import struct
+
+        import ocr_spark.operators.jbig2_codec as J
+
+        # declare 10000 symbols of 4096x4096: must die on the budget, not
+        # start decoding terapixels
+        enc = MQEncoder()
+        iadh, iadw = IntCtx(), IntCtx()
+        _ia_encode(enc, iadh, 4096)
+        for _ in range(40):
+            _ia_encode(enc, iadw, 4096 if _ == 0 else 0)
+        body = (
+            struct.pack(">H", 0)
+            + b"".join(struct.pack(">bb", ax, ay) for ax, ay in
+                       J._TEMPLATES[0][1])
+            + struct.pack(">II", 10_000, 10_000)
+            + enc.flush()
+        )
+        with pytest.raises(ValueError, match="budget|implausible"):
+            J.symbol_dict_decode(body)
+
+    def test_second_dictionary_named_error(self):
+        from ocr_spark.operators.jbig2_codec import (
+            jbig2_decode,
+            jbig2_encode_text,
+            symbol_dict_encode,
+        )
+        import struct
+
+        g = np.ones((3, 3), np.uint8)
+        stream = bytearray(jbig2_encode_text([g], [(0, 1, 1)], (10, 8)))
+        dict_body, _ = symbol_dict_encode([g])
+        extra = (
+            struct.pack(">IB", 9, 0) + b"\x00\x01"
+            + struct.pack(">I", len(dict_body)) + dict_body
+        )
+        # splice a second dictionary before the text region (offset: after
+        # page info (30 bytes) + first dict segment)
+        first_dict_len = 11 + len(dict_body)
+        insert_at = 30 + first_dict_len
+        patched = bytes(stream[:insert_at]) + extra + bytes(stream[insert_at:])
+        with pytest.raises(ValueError, match="multiple symbol"):
+            jbig2_decode(patched)
