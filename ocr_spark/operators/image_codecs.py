@@ -1100,6 +1100,20 @@ _TIFF_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 7: ("B", 1)}
 
 
 def tiff_decode(data: bytes) -> np.ndarray:
+    """Decode a TIFF container (strips or tiles, all supported
+    compressions). Malformed input raises ValueError — foreign exception
+    types from corrupt tag soup (struct/zlib/slice errors, allocation
+    blowups from corrupt dims) are converted so the per-asset envelopes
+    and ValueError-filtering callers stay airtight."""
+    import zlib
+
+    try:
+        return _tiff_decode_inner(data)
+    except (struct.error, IndexError, MemoryError, zlib.error) as e:
+        raise ValueError(f"corrupt TIFF: {type(e).__name__}: {e}") from None
+
+
+def _tiff_decode_inner(data: bytes) -> np.ndarray:
     if data[:4] == b"II*\x00":
         bo = "<"
     elif data[:4] == b"MM\x00*":
@@ -1116,6 +1130,10 @@ def tiff_decode(data: bytes) -> np.ndarray:
             continue
         fmt, sz = _TIFF_TYPES[typ]
         total = sz * cnt
+        if total > len(data):
+            # a corrupt count here would otherwise build a gigabyte-scale
+            # struct format string below
+            raise ValueError(f"TIFF tag {tag} count {cnt} exceeds file size")
         raw = e[8 : 8 + total] if total <= 4 else data[
             struct.unpack(bo + "I", e[8:12])[0] :
         ][:total]
@@ -1124,6 +1142,8 @@ def tiff_decode(data: bytes) -> np.ndarray:
         w, h = tags[256][0], tags[257][0]
     except KeyError:
         raise ValueError("TIFF missing dimensions") from None
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError(f"implausible TIFF dims {w}x{h}")
     compression = tags.get(259, [1])[0]
     if 322 in tags:  # tiled organization (TIFF 6.0 §15)
         return _tiff_tiled_decode(data, tags)

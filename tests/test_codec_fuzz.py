@@ -1,0 +1,133 @@
+"""Adversarial byte-fuzz over the session-11 decoders.
+
+The per-image/per-asset envelope upstream catches EXCEPTIONS — it cannot
+catch hangs, and callers that filter on ValueError would crash on foreign
+exception types. So for every new decoder: deterministic corruption
+sweeps (bit flips, truncations, random tails) must terminate fast and
+raise nothing but ValueError (or return a valid array). Seeds are fixed;
+each case is time-boxed by construction (small inputs + the decoders'
+dimension budgets)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+N_FLIPS = 40
+N_TRUNC = 12
+
+
+def _corruptions(rng, data: bytes):
+    """Deterministic corruption stream: single byte flips, truncations,
+    random garbage with the same prefix."""
+    data = bytearray(data)
+    for _ in range(N_FLIPS):
+        i = int(rng.integers(0, len(data)))
+        out = bytearray(data)
+        out[i] ^= int(rng.integers(1, 256))
+        yield bytes(out)
+    for _ in range(N_TRUNC):
+        yield bytes(data[: int(rng.integers(0, len(data)))])
+    for _ in range(6):
+        n = int(rng.integers(4, 80))
+        yield bytes(rng.integers(0, 256, n, dtype=np.uint8))
+
+
+def _sweep(decode, payload: bytes, seed: int):
+    rng = np.random.default_rng(seed)
+    ok = err = 0
+    for cand in _corruptions(rng, payload):
+        try:
+            out = decode(cand)
+            assert isinstance(out, np.ndarray)
+            ok += 1
+        except ValueError:
+            err += 1
+        # anything else (TypeError, struct.error, IndexError, OverflowError,
+        # RecursionError, hang) fails the test by propagating/timeout
+    assert ok + err == N_FLIPS + N_TRUNC + 6
+
+
+def test_fuzz_fax_g4():
+    from ocr_spark.operators.fax_codec import g4_decode, g4_encode
+
+    rng = np.random.default_rng(1)
+    img = (rng.random((20, 60)) < 0.3).astype(np.uint8)
+    payload = g4_encode(img)
+    _sweep(lambda d: g4_decode(d, 60, 20), payload, 101)
+
+
+def test_fuzz_fax_g3():
+    from ocr_spark.operators.fax_codec import g3_1d_decode, g3_1d_encode
+
+    rng = np.random.default_rng(2)
+    img = (rng.random((12, 48)) < 0.4).astype(np.uint8)
+    payload = g3_1d_encode(img, byte_align=True)
+    _sweep(lambda d: g3_1d_decode(d, 48, 12, byte_align=True), payload, 102)
+
+
+def test_fuzz_tiff_ccitt():
+    from ocr_spark.operators.image_codecs import tiff_decode, tiff_encode
+
+    img = np.full((24, 64), 255, np.uint8)
+    img[6:18, 10:50:5] = 0
+    _sweep(tiff_decode, tiff_encode(img, compression="g4"), 103)
+
+
+def test_fuzz_tiff_tiled():
+    from ocr_spark.operators.image_codecs import (
+        tiff_decode,
+        tiff_encode_tiled,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 70), dtype=np.uint8)
+    _sweep(tiff_decode, tiff_encode_tiled(img, compression="deflate"), 104)
+
+
+def test_fuzz_tiff_jpeg7():
+    from ocr_spark.operators.image_codecs import tiff_decode, tiff_encode
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    _sweep(tiff_decode, tiff_encode(img, compression="jpeg"), 105)
+
+
+def test_fuzz_jbig2_generic():
+    from ocr_spark.operators.jbig2_codec import jbig2_decode, jbig2_encode
+
+    rng = np.random.default_rng(5)
+    img = (rng.random((18, 40)) < 0.35).astype(np.uint8)
+    _sweep(jbig2_decode, jbig2_encode(img), 106)
+
+
+def test_fuzz_jbig2_text():
+    from ocr_spark.operators.jbig2_codec import (
+        jbig2_decode,
+        jbig2_encode_text,
+    )
+
+    rng = np.random.default_rng(6)
+    syms = [
+        (rng.random((int(rng.integers(4, 9)), int(rng.integers(3, 8)))) < 0.5)
+        .astype(np.uint8)
+        for _ in range(4)
+    ]
+    placements = [(i, 2 + 9 * i, 3) for i in range(4)]
+    _sweep(jbig2_decode, jbig2_encode_text(syms, placements, (50, 16)), 107)
+
+
+def test_fuzz_jp2():
+    from ocr_spark.operators.jp2_codec import jp2_decode, jp2_encode
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (20, 28), dtype=np.uint8)
+    _sweep(jp2_decode, jp2_encode(img, levels=2), 108)
+
+
+def test_fuzz_jp2_raw_codestream():
+    from ocr_spark.operators.jp2_codec import jp2k_decode, jp2k_encode
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (16, 22), dtype=np.uint8)
+    _sweep(jp2k_decode, jp2k_encode(img, levels=1), 109)
