@@ -227,6 +227,18 @@ def _png_samples(
 
 
 def png_decode(data: bytes) -> np.ndarray:
+    """Corrupt-input contract wrapper: malformed PNGs raise ValueError
+    only (zlib/struct/slice errors from corrupt chunk soup are converted
+    so per-asset envelopes and ValueError-filtering callers hold)."""
+    import zlib
+
+    try:
+        return _png_decode_inner(data)
+    except (zlib.error, struct.error, IndexError, MemoryError, OverflowError) as e:
+        raise ValueError(f"corrupt PNG: {type(e).__name__}: {e}") from None
+
+
+def _png_decode_inner(data: bytes) -> np.ndarray:
     """Real PNG decoder (stdlib zlib): grayscale / RGB / gray+alpha / RGBA
     at depths 8 and 16, palette (PLTE) at depths 1/2/4/8, grayscale at
     depths 1/2/4 (round 5: the indexed + bilevel web-image formats),

@@ -186,7 +186,16 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     (SOF0/1) and progressive (SOF2: spectral selection + successive
     approximation per T.81 Annex G — the dominant real-web encoding,
     VERDICT r3 #3; ref loads any PIL format,
-    ocr_workflow_orchestrator.py:153-178)."""
+    ocr_workflow_orchestrator.py:153-178). Malformed input raises
+    ValueError only (corrupt entropy data can blow the DC predictor past
+    C-long range or slice past buffers — converted here)."""
+    try:
+        return _jpeg_decode_inner(data)
+    except (struct.error, IndexError, MemoryError, OverflowError) as e:
+        raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from None
+
+
+def _jpeg_decode_inner(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

@@ -131,3 +131,81 @@ def test_fuzz_jp2_raw_codestream():
     rng = np.random.default_rng(8)
     img = rng.integers(0, 256, (16, 22), dtype=np.uint8)
     _sweep(jp2k_decode, jp2k_encode(img, levels=1), 109)
+
+
+# -- pre-existing decoders: same contract, older code ----------------------
+
+
+def test_fuzz_png():
+    from ocr_spark.operators.cloud_engine import png_decode, png_encode
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (20, 26), dtype=np.uint8)
+    _sweep(png_decode, png_encode(img), 110)
+
+
+def test_fuzz_jpeg():
+    from ocr_spark.operators.image_codecs import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    _sweep(jpeg_decode, jpeg_encode(img), 111)
+
+
+def test_fuzz_gif():
+    from ocr_spark.operators.image_codecs import (
+        gif_decode_frames,
+        gif_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 20), dtype=np.uint8)
+    _sweep(lambda d: gif_decode_frames(d)[0], gif_encode(img), 112)
+
+
+def test_fuzz_bmp():
+    from ocr_spark.operators.image_codecs import bmp_decode, bmp_encode
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (14, 18, 3), dtype=np.uint8)
+    _sweep(bmp_decode, bmp_encode(img), 113)
+
+
+def test_fuzz_webp():
+    from ocr_spark.operators.webp_codec import webp_decode, webp_encode
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (18, 22, 3), dtype=np.uint8)
+    _sweep(webp_decode, webp_encode(img), 114)
+
+
+def test_fuzz_wav():
+    from ocr_spark.operators.audio_codecs import wav_decode, wav_encode
+
+    rng = np.random.default_rng(14)
+    samples = rng.integers(-3000, 3000, (500, 1)).astype(np.int16)
+    payload = wav_encode(samples, 8000)
+
+    def dec(d):
+        out, _sr = wav_decode(d)
+        return out
+
+    _sweep(dec, payload, 115)
+
+
+def test_fuzz_flac():
+    from ocr_spark.operators.flac_codec import flac_decode, flac_encode
+
+    rng = np.random.default_rng(15)
+    samples = (
+        np.cumsum(rng.integers(-80, 80, (400, 1)), axis=0)
+        .clip(-30000, 30000)
+        .astype(np.int16)
+    )
+    payload = flac_encode(samples, 8000)
+
+    def dec(d):
+        out, _sr = flac_decode(d)
+        return out
+
+    _sweep(dec, payload, 116)
