@@ -1091,11 +1091,14 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
     if not data.lstrip()[:5] == b"%PDF-":
         raise ValueError("not a PDF")
     if _re.search(rb"/Encrypt\s*(\d+\s+\d+\s*R|<<)", data):
-        # encrypted document: stream bodies are ciphertext — decoding would
-        # either fail on inflate or, worse, silently emit garbled text.
-        # Named envelope per the media_probe convention (no decryption in
-        # scope; crawl policy is to skip DRM'd documents anyway).
-        raise ValueError("encrypted PDF (/Encrypt in trailer): not extractable")
+        # encrypted document: decrypt in place when the standard security
+        # handler opens with an empty user/owner password (the dominant
+        # "permissions-only" case on a real crawl — see pdf_crypt docstring).
+        # Password-locked or unsupported handlers raise pdf_crypt's NAMED
+        # ValueError envelopes, keeping the per-document error-row contract.
+        from ocr_spark.operators.pdf_crypt import decrypt_pdf
+
+        data = decrypt_pdf(data)
     if b"/FlateDecode" in data:
         data = _inflate_streams(data)
     text = data.decode("latin-1")
@@ -1387,6 +1390,12 @@ def pdf_images(data: bytes) -> list[dict]:
 
     if isinstance(data, str):
         data = data.encode("latin-1", "replace")
+    if _re.search(rb"/Encrypt\s*(\d+\s+\d+\s*R|<<)", data):
+        # same transparent-decrypt contract as pdf_parse_blocks: image
+        # XObject bodies are ciphertext until the standard handler runs
+        from ocr_spark.operators.pdf_crypt import decrypt_pdf
+
+        data = decrypt_pdf(data)
     out: list[dict] = []
     idx = 0
     for ddict, raw, _k, _end in _iter_raw_streams(data):

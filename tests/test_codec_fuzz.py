@@ -209,3 +209,27 @@ def test_fuzz_flac():
         return out
 
     _sweep(dec, payload, 116)
+
+
+def test_fuzz_pdf_decrypt():
+    """decrypt_pdf under the same corruption stream: every corrupted
+    encrypted document either decrypts (bytes out) or raises ValueError —
+    never struct.error/IndexError/TypeError, never hangs. Corruptions hit
+    the /Encrypt dict, the O/U/UE hex strings, stream ciphertext, and the
+    trailer alike."""
+    from ocr_spark.operators.pdf_crypt import decrypt_pdf, encrypt_pdf
+    from ocr_spark.operators.pdf_layout import pdf_write
+
+    plain = pdf_write([{"x": 40, "y": 50, "text": "fuzz target"}], compress=True)
+    for variant, seed in (("rc4-128", 117), ("aesv2", 118), ("aesv3", 119)):
+        payload = encrypt_pdf(plain, variant=variant)
+        rng = np.random.default_rng(seed)
+        ok = err = 0
+        for cand in _corruptions(rng, payload):
+            try:
+                out = decrypt_pdf(cand)
+                assert isinstance(out, bytes)
+                ok += 1
+            except ValueError:
+                err += 1
+        assert ok + err == N_FLIPS + N_TRUNC + 6
