@@ -21,10 +21,15 @@ for lossless bilevel/gray/RGB — raw codestreams (SOC..EOC) and JP2 boxes:
     assembly, forward 5/3, codestream writer) so fixtures round-trip
     real codestreams bit-exactly.
 
-Out of scope (named ValueError envelopes): the irreversible 9/7 path,
-quantized subbands, multiple layers/precincts beyond the defaults, ROI,
-and JPIP. Those matter for photographic rate control, not for the
-lossless scan/master archive workload this engine ingests.
+Also in scope since round 5 session 12: the IRREVERSIBLE path —
+9/7 float wavelet (F.4.8, spec scaling so band log2 gains are 0/1/2),
+scalar quantization with E.1 (εb, μb)-coded steps (QCD styles 1 scalar
+derived and 2 scalar expounded, midpoint r=0.5 reconstruction), and the
+ICT (G.2) for RGB — the photographic profile real crawl JPX assets use.
+The matching encoder emits real quantized codestreams for round-trips.
+
+Out of scope (named ValueError envelopes): multiple layers/precincts
+beyond the defaults, multi-tile(-part) streams, ROI, and JPIP.
 
 Layout notes kept deliberately simple and spec-conformant: one tile, one
 layer, LRCP progression, full-size precincts, no SOP/EPH markers — which
@@ -763,6 +768,141 @@ def dwt53_inverse(ll: np.ndarray, bands) -> np.ndarray:
     return ll
 
 
+# ---------------------------------------------------------------------------
+# irreversible 9/7 wavelet (T.800 F.4.8.1/F.4.8.2, Table F.4 constants).
+# Same even/odd clamped-neighbor structure as the 5/3 above — the index
+# clamping IS whole-sample symmetric extension for these 2-tap lifting
+# supports. Scaling convention matches the spec/OpenJPEG: the stored low
+# band is s/K and the stored high band is d*(K/2), so a constant image has
+# LL == the constant (analysis lowpass DC gain 1, band log2 gains 0/1/2 as
+# assumed by the E.1 dequantization table).
+# ---------------------------------------------------------------------------
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _lift_pair(ev: np.ndarray, od: np.ndarray, coef: float):
+    """od[i] += coef * (ev[i] + ev[i+1]) with right-edge clamp."""
+    nd, ns = od.shape[0], ev.shape[0]
+    ev_right = np.empty_like(od)
+    ev_right[: min(nd, ns - 1)] = ev[1 : min(nd, ns - 1) + 1]
+    if nd > ns - 1:
+        ev_right[ns - 1 :] = ev[-1]
+    return od + coef * (ev[:nd] + ev_right)
+
+
+def _lift_pair_rev(od: np.ndarray, ev: np.ndarray, coef: float):
+    """ev[i] += coef * (od[i-1] + od[i]) with edge clamps (ns samples)."""
+    ns = ev.shape[0]
+    return ev + coef * (_dl2(od, ns) + _dr2(od, ns))
+
+
+def _dwt97_fwd_axis(a: np.ndarray, axis: int):
+    if axis == 1:
+        lo, hi = _dwt97_fwd_axis(a.T, 0)
+        return lo.T, hi.T
+    a = a.astype(np.float64)
+    if a.shape[0] == 1:
+        return a, a[:0]
+    ev, od = a[0::2], a[1::2]
+    if od.shape[0] == 0:
+        return ev, od
+    d = _lift_pair(ev, od, _A97)
+    s = _lift_pair_rev(d, ev, _B97)
+    d = _lift_pair(s, d, _G97)
+    s = _lift_pair_rev(d, s, _D97)
+    return s * (1.0 / _K97), d * (_K97 / 2.0)
+
+
+def _dwt97_inv_axis(s: np.ndarray, d: np.ndarray, axis: int) -> np.ndarray:
+    if axis == 1:
+        return _dwt97_inv_axis(s.T, d.T, 0).T
+    ns, nd = s.shape[0], d.shape[0]
+    if nd == 0:
+        out = np.asarray(s, np.float64).copy()
+        return out
+    s = np.asarray(s, np.float64) * _K97
+    d = np.asarray(d, np.float64) * (2.0 / _K97)
+    s = _lift_pair_rev(d, s, -_D97)
+    d = _lift_pair(s, d, -_G97)
+    ev = _lift_pair_rev(d, s, -_B97)
+    od = _lift_pair(ev, d, -_A97)
+    out = np.empty((ns + nd,) + s.shape[1:], np.float64)
+    out[0::2] = ev
+    out[1::2] = od
+    return out
+
+
+def dwt97_forward(img: np.ndarray, levels: int):
+    """Multi-level 2-D forward 9/7 (float): returns (LL, [(HL, LH, HH)
+    per level, finest first]) — same layout contract as dwt53_forward."""
+    ll = img.astype(np.float64)
+    bands = []
+    for _ in range(levels):
+        lo_c, hi_c = _dwt97_fwd_axis(ll, axis=0)
+        ll_, hl = _dwt97_fwd_axis(lo_c, axis=1)
+        lh, hh = _dwt97_fwd_axis(hi_c, axis=1)
+        bands.append((hl, lh, hh))
+        ll = ll_
+    return ll, bands
+
+
+def dwt97_inverse(ll: np.ndarray, bands) -> np.ndarray:
+    for hl, lh, hh in reversed(bands):
+        lo_c = _dwt97_inv_axis(ll, hl, axis=1)
+        hi_c = _dwt97_inv_axis(lh, hh, axis=1)
+        ll = _dwt97_inv_axis(lo_c, hi_c, axis=0)
+    return ll
+
+
+def ict_forward(rgb: np.ndarray):
+    """Irreversible component transform (T.800 G.2: the JPEG YCbCr)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def ict_inverse(y, cb, cr) -> np.ndarray:
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+_BAND_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _qstep(rb: int, eps: int, mu: int) -> float:
+    """E.1 quantization step: Δb = 2^(Rb-εb) · (1 + μb/2^11)."""
+    return (1.0 + mu / 2048.0) * 2.0 ** (rb - eps)
+
+
+def _qstep_to_code(delta: float, rb: int) -> tuple[int, int]:
+    """Inverse of _qstep: the (εb, μb) pair whose coded step is closest to
+    (and deterministically derived from) the requested delta."""
+    import math
+
+    if delta <= 0:
+        raise ValueError("quantization step must be positive")
+    f = math.floor(math.log2(delta))
+    eps = rb - f
+    mu = round((delta / 2.0 ** f - 1.0) * 2048.0)
+    if mu > 2047:  # mantissa rounding crossed the octave
+        mu = 0
+        eps -= 1
+    if not 0 <= eps <= 31:
+        raise ValueError(f"quantization exponent {eps} out of range for Rb={rb}")
+    return eps, mu
+
+
 def rct_forward(rgb: np.ndarray):
     r = rgb[..., 0].astype(np.int64)
     g = rgb[..., 1].astype(np.int64)
@@ -970,11 +1110,17 @@ def _component_bands(comp: np.ndarray, levels: int):
 
 def jp2k_encode(
     img: np.ndarray, levels: int = 2, bitdepth: int = 8,
+    irreversible: bool = False, delta: float = 1.0 / 32.0,
 ) -> bytes:
-    """Lossless raw JPEG2000 codestream (SOC..EOC): single tile, one
-    layer, LRCP, 5/3 reversible, RCT for 3-component input. img: uint
+    """Raw JPEG2000 codestream (SOC..EOC): single tile, one layer, LRCP.
+    Default: 5/3 reversible (lossless), RCT for 3-component input.
+    irreversible=True: the 9/7 float wavelet with scalar-expounded
+    quantization (QCD style 2) at nominal step `delta`, ICT for RGB —
+    the photographic/lossy profile real JPX crawl assets use. img: uint
     gray (H,W) or RGB (H,W,3)."""
     img = np.asarray(img)
+    if irreversible:
+        return _jp2k_encode_lossy(img, levels, bitdepth, delta)
     if img.ndim == 2:
         comps_in = [img.astype(np.int64)]
         mct = 0
@@ -1052,6 +1198,112 @@ def jp2k_encode(
     return bytes(out)
 
 
+def _jp2k_encode_lossy(
+    img: np.ndarray, levels: int, bitdepth: int, delta: float,
+) -> bytes:
+    """The irreversible twin of jp2k_encode: 9/7 forward DWT, deadzone
+    scalar quantization with the E.1 (εb, μb)-coded step per band (QCD
+    style 2, scalar expounded), ICT for RGB. Guard bits are computed from
+    the actual quantized magnitudes so Mb = G + εb - 1 always covers the
+    coded bit-planes (the image-wide QCD constraint)."""
+    if img.ndim == 2:
+        comps_in = [img.astype(np.float64)]
+        mct = 0
+    elif img.ndim == 3 and img.shape[2] == 3:
+        mct = 1
+    else:
+        raise ValueError("expected gray (H,W) or RGB (H,W,3)")
+    h, w = img.shape[:2]
+    if h <= 0 or w <= 0 or h * w > _MAX_PIXELS:
+        raise ValueError(f"implausible image dims {w}x{h}")
+    levels = max(0, min(int(levels), 6))
+    dc = 1 << (bitdepth - 1)
+    if mct:
+        y, cb, cr = ict_forward(img.astype(np.float64) - dc)
+        comps = [y, cb, cr]
+    else:
+        comps = [comps_in[0] - dc]
+    ncomp = len(comps)
+    n_res = levels + 1
+
+    # forward 9/7 per component, arranged like _component_bands
+    all_bands = []
+    for c in comps:
+        ll, hbands = dwt97_forward(c, levels)
+        out = [[("LL", ll)]]
+        for r in range(1, levels + 1):
+            hl, lh, hh = hbands[levels - r]
+            out.append([("HL", hl), ("LH", lh), ("HH", hh)])
+        all_bands.append(out)
+
+    # per-band coded quantization step + quantized indices; the step is
+    # shared across components (one QCD marker governs all of them)
+    qcodes: list[list[tuple[int, int]]] = []
+    quantized = [
+        [[None] * len(all_bands[0][r]) for r in range(n_res)]
+        for _ in range(ncomp)
+    ]
+    min_mb_slack = None
+    for r in range(n_res):
+        row = []
+        for bi, (orient, _a) in enumerate(all_bands[0][r]):
+            rb = bitdepth + _BAND_GAIN[orient]
+            # delta may be a callable (orient, resolution) -> step, the
+            # shape gain-scaled/derived-profile encoders use
+            d = delta(orient, r) if callable(delta) else delta
+            eps, mu = _qstep_to_code(d, rb)
+            dlt = _qstep(rb, eps, mu)
+            row.append((eps, mu))
+            for ci in range(ncomp):
+                coeffs = all_bands[ci][r][bi][1]
+                q = np.sign(coeffs) * np.floor(np.abs(coeffs) / dlt)
+                q = q.astype(np.int64)
+                quantized[ci][r][bi] = q
+                maxa = int(np.abs(q).max()) if q.size else 0
+                nb = max(1, maxa.bit_length())
+                # Mb = guard + eps - 1 must be >= nb
+                slack = eps - 1 - nb
+                if min_mb_slack is None or slack < min_mb_slack:
+                    min_mb_slack = slack
+        qcodes.append(row)
+    guard = max(_GUARD_BITS, -(min_mb_slack if min_mb_slack is not None else 0))
+    if guard > 7:
+        raise ValueError(
+            f"quantization step {delta} needs {guard} guard bits (max 7); "
+            "choose a coarser step"
+        )
+
+    out = bytearray()
+    out += b"\xff\x4f"  # SOC
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp)
+    for _ci in range(ncomp):
+        siz += bytes([bitdepth - 1, 1, 1])  # unsigned; ICT keeps depths
+    out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
+    cod = bytes([0])  # Scod
+    cod += bytes([0]) + struct.pack(">H", 1) + bytes([mct])
+    cod += bytes([levels, 4, 4, 0, 0])  # 64x64 cb, no styles, 9/7
+    out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
+    # QCD style 2 (scalar expounded): 16-bit (eps<<11 | mu) per band
+    qbody = bytearray([(guard << 5) | 2])
+    for r in range(n_res):
+        for eps, mu in qcodes[r]:
+            qbody += struct.pack(">H", (eps << 11) | mu)
+    out += b"\xff\x5c" + struct.pack(">H", len(qbody) + 2) + bytes(qbody)
+    packets = bytearray()
+    for r in range(n_res):
+        for ci in range(ncomp):
+            bands = [
+                (orient, quantized[ci][r][bi], guard + qcodes[r][bi][0] - 1)
+                for bi, (orient, _a) in enumerate(all_bands[ci][r])
+            ]
+            packets += _encode_packet(bands)
+    psot = 12 + 2 + len(packets)
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + packets
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _band_shapes(h: int, w: int, levels: int):
     """Per-resolution band shapes for an image of (h, w) at origin 0."""
     shapes = []
@@ -1096,6 +1348,8 @@ def _jp2k_decode_inner(data: bytes) -> np.ndarray:
     mct = 0
     eps_list = []
     guard = _GUARD_BITS
+    qstyle = 0
+    irreversible = False
     tile_data = None
     while pos + 4 <= len(data):
         marker = data[pos : pos + 2]
@@ -1137,16 +1391,25 @@ def _jp2k_decode_inner(data: bytes) -> np.ndarray:
                 raise ValueError("only 64x64 code-blocks supported")
             if cbstyle != 0:
                 raise ValueError("code-block style modes not supported")
-            if transform != 1:
-                raise ValueError("irreversible 9/7 wavelet not supported")
+            if transform not in (0, 1):
+                raise ValueError(f"unknown wavelet transform {transform}")
+            irreversible = transform == 0
             if levels > 6:
                 raise ValueError("more than 6 decomposition levels")
         elif marker == b"\xff\x5c":  # QCD
             sqcd = body[0]
-            if sqcd & 0x1F:
-                raise ValueError("quantized (lossy) subbands not supported")
+            qstyle = sqcd & 0x1F
             guard = sqcd >> 5
-            eps_list = [b >> 3 for b in body[1:]]
+            if qstyle == 0:  # no quantization (reversible path)
+                eps_list = [(b >> 3, 0) for b in body[1:]]
+            elif qstyle in (1, 2):  # scalar derived / scalar expounded
+                nvals = (len(body) - 1) // 2
+                if nvals < 1:
+                    raise ValueError("QCD: empty quantization value list")
+                vals = struct.unpack_from(f">{nvals}H", body, 1)
+                eps_list = [(v >> 11, v & 0x7FF) for v in vals]
+            else:
+                raise ValueError(f"QCD quantization style {qstyle} not supported")
         elif marker in (
             b"\xff\x53", b"\xff\x5d", b"\xff\x5e",
             b"\xff\x5f", b"\xff\x60", b"\xff\x61",
@@ -1178,17 +1441,32 @@ def _jp2k_decode_inner(data: bytes) -> np.ndarray:
         pos += 2 + ln
     if w is None or levels is None or tile_data is None:
         raise ValueError("missing SIZ/COD/tile data")
+    if irreversible and qstyle == 0:
+        raise ValueError("9/7 stream without quantization signalling (QCD style 0)")
+    if not irreversible and qstyle != 0:
+        raise ValueError("reversible 5/3 stream with quantized subbands")
     n_res = levels + 1
     shapes = _band_shapes(h, w, levels)
+    qs = []  # per resolution, per band: (eps, mu)
     mbs = []
     ei = 0
     for r in range(n_res):
-        row = []
+        qrow, row = [], []
         for _ in shapes[r]:
-            if ei >= len(eps_list):
-                raise ValueError("QCD exponent list too short")
-            row.append(guard + eps_list[ei] - 1)
-            ei += 1
+            if qstyle == 1:
+                # scalar derived (E-5): eps_b = eps0 - r + 1 below res 0
+                e0, m0 = eps_list[0]
+                e, m = (e0, m0) if r == 0 else (e0 - r + 1, m0)
+            else:
+                if ei >= len(eps_list):
+                    raise ValueError("QCD exponent list too short")
+                e, m = eps_list[ei]
+                ei += 1
+            if guard + e - 1 < 0 or e < 0:
+                raise ValueError(f"invalid QCD exponent {e}")
+            qrow.append((e, m))
+            row.append(guard + e - 1)
+        qs.append(qrow)
         mbs.append(row)
     # band buffers per component
     comp_bands = [
@@ -1203,28 +1481,57 @@ def _jp2k_decode_inner(data: bytes) -> np.ndarray:
     for r in range(n_res):
         for ci in range(ncomp):
             tpos = _decode_packet(tile_data, tpos, comp_bands[ci][r])
-    comps = []
-    for ci in range(ncomp):
-        ll = comp_bands[ci][0][0][1]
-        hbands = []
-        for r in range(n_res - 1, 0, -1):
-            hl = comp_bands[ci][r][0][1]
-            lh = comp_bands[ci][r][1][1]
-            hh = comp_bands[ci][r][2][1]
-            hbands.append((hl, lh, hh))
-        comps.append(dwt53_inverse(ll, hbands))
     if depths[0] > 8 or (not mct and any(signeds)):
         raise ValueError(
             f"bit depth {depths[0]}/signed components beyond the 8-bit "
             "unsigned output contract not supported"
         )
+    comps = []
+    for ci in range(ncomp):
+        if irreversible:
+            # E.1 dequantization with midpoint reconstruction (r = 0.5,
+            # the Annex E recommended value for nonzero indices)
+            def _deq(r_i: int, bi: int, arr: np.ndarray, orient: str):
+                e, m = qs[r_i][bi]
+                dlt = _qstep(depths[ci] + _BAND_GAIN[orient], e, m)
+                return np.where(
+                    arr == 0, 0.0, (np.abs(arr) + 0.5) * dlt * np.sign(arr)
+                )
+
+            ll = _deq(0, 0, comp_bands[ci][0][0][1], "LL")
+            hbands = []
+            for r in range(n_res - 1, 0, -1):
+                hbands.append(
+                    tuple(
+                        _deq(r, bi, comp_bands[ci][r][bi][1], orient)
+                        for bi, orient in enumerate(("HL", "LH", "HH"))
+                    )
+                )
+            comps.append(dwt97_inverse(ll, hbands))
+        else:
+            ll = comp_bands[ci][0][0][1]
+            hbands = []
+            for r in range(n_res - 1, 0, -1):
+                hl = comp_bands[ci][r][0][1]
+                lh = comp_bands[ci][r][1][1]
+                hh = comp_bands[ci][r][2][1]
+                hbands.append((hl, lh, hh))
+            comps.append(dwt53_inverse(ll, hbands))
+    maxv = (1 << depths[0]) - 1
     if mct and ncomp == 3:
-        rgb = rct_inverse(comps[0], comps[1], comps[2])
-        out = rgb + (1 << (depths[0] - 1))
-        return np.clip(out, 0, (1 << depths[0]) - 1).astype(np.uint8)
+        if irreversible:
+            rgb = ict_inverse(comps[0], comps[1], comps[2])
+            out = np.rint(rgb + (1 << (depths[0] - 1)))
+        else:
+            rgb = rct_inverse(comps[0], comps[1], comps[2])
+            out = rgb + (1 << (depths[0] - 1))
+        return np.clip(out, 0, maxv).astype(np.uint8)
     outs = []
     for ci, c in enumerate(comps):
-        c = c + (1 << (depths[ci] - 1))
+        if irreversible:
+            c = np.rint(c + (1 << (depths[ci] - 1)))
+        else:
+            c = c + (1 << (depths[ci] - 1))
         outs.append(np.clip(c, 0, (1 << depths[ci]) - 1))
     if ncomp == 1:
         return outs[0].astype(np.uint8)

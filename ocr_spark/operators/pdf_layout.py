@@ -1346,10 +1346,10 @@ def extract_pdf_batch(payloads: list[str]) -> list[str]:
 #   * JBIG2Decode — REAL generic-region decode (jbig2_codec.py, ITU-T
 #     T.88 MQ coder + templates 0-3 + TPGDON + MMR-over-T.6); symbol/
 #     text/halftone-coded streams degrade to named per-image error rows;
-#   * JPXDecode — REAL lossless-profile JPEG2000 decode (jp2_codec.py,
-#     ITU-T T.800: MQ-coded T1 passes, tag-tree packets, reversible 5/3
-#     DWT + RCT, JP2 boxes); irreversible 9/7 / quantized / multi-tile
-#     streams keep named per-image error rows.
+#   * JPXDecode — REAL JPEG2000 decode (jp2_codec.py, ITU-T T.800:
+#     MQ-coded T1 passes, tag-tree packets, reversible 5/3 DWT + RCT,
+#     irreversible 9/7 DWT + E.1 dequantization + ICT, JP2 boxes);
+#     multi-tile(-part) streams keep named per-image error rows.
 #
 # Spark surface `pdf_image_assets`: ONE Arrow-batched mapInPandas stage
 # over (doc_id, payload) emitting (doc_id, media_ref, format, width,
@@ -1498,11 +1498,11 @@ def pdf_images(data: bytes) -> list[dict]:
                 row["format"], row["content"] = "png", png_encode(img)
                 continue
             if filters == ["JPXDecode"]:
-                # lossless-profile JPEG2000 (jp2_codec, ITU-T T.800): raw
+                # JPEG2000 (jp2_codec, ITU-T T.800): the reversible 5/3
+                # AND irreversible 9/7 (quantized) profiles, raw
                 # codestream or JP2 box file; the stream self-describes
                 # per PDF §7.4.9 (dict BPC/ColorSpace are advisory).
-                # Irreversible 9/7, quantized, or multi-tile streams
-                # degrade to named per-image envelopes
+                # Multi-tile(-part) streams degrade to named envelopes
                 from ocr_spark.operators.jp2_codec import jp2_decode
 
                 img = jp2_decode(bytes(raw))
@@ -1598,8 +1598,8 @@ def pdf_write_images(
     'jbig2' (REAL JBIG2Decode generic region) / 'jbig2_text' (REAL
     symbol-dictionary + text-region stream) with input thresholded at
     128, 'jbig2_halftone' (halftone-coded JBIG2 -> named envelope), 'jpx'
-    (REAL lossless JPXDecode JP2), 'jpx_lossy' (a 9/7 irreversible
-    codestream -> named envelope)."""
+    (REAL lossless JPXDecode JP2), 'jpx_lossy' (a REAL 9/7 irreversible
+    quantized codestream, decoded lossily)."""
     import zlib
 
     from ocr_spark.operators.image_codecs import jpeg_encode
@@ -1698,14 +1698,16 @@ def pdf_write_images(
             body = jp2_encode(img)
             filt, bpc = b"/Filter /JPXDecode ", 8
         elif codec == "jpx_lossy":
-            # a 9/7 (irreversible) codestream: legal JPEG2000 this module's
-            # reversible-profile decoder must reject with a NAMED error
+            # a REAL 9/7 (irreversible) codestream: quantized subbands
+            # (QCD style 2), float DWT — decodes for real via jp2_codec's
+            # lossy path (delta=1/2 keeps the reconstruction within a few
+            # intensity levels, the photographic-profile shape)
             from ocr_spark.operators.jp2_codec import jp2k_encode
 
-            cs = bytearray(jp2k_encode(img if img.ndim == 2 else img[..., 0]))
-            i2 = cs.find(b"\xff\x52")  # COD; transform byte is last of body
-            cs[i2 + 13] = 0
-            body = bytes(cs)
+            body = jp2k_encode(
+                img if img.ndim == 2 else img[..., 0],
+                irreversible=True, delta=0.5,
+            )
             filt, bpc = b"/Filter /JPXDecode ", 8
         else:
             raise ValueError(f"unknown fixture codec {codec!r}")

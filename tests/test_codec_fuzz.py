@@ -133,6 +133,16 @@ def test_fuzz_jp2_raw_codestream():
     _sweep(jp2k_decode, jp2k_encode(img, levels=1), 109)
 
 
+def test_fuzz_jp2_irreversible():
+    # the 9/7 quantized profile: corrupt QCD (eps, mu) pairs, float DWT
+    # inputs and packet bodies must all stay inside the ValueError contract
+    from ocr_spark.operators.jp2_codec import jp2k_decode, jp2k_encode
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 22), dtype=np.uint8)
+    _sweep(jp2k_decode, jp2k_encode(img, levels=1, irreversible=True), 121)
+
+
 # -- pre-existing decoders: same contract, older code ----------------------
 
 

@@ -147,21 +147,20 @@ class TestCodestream:
         assert len(data) < 256 * 512 // 4
         assert np.array_equal(jp2k_decode(data), page)
 
-    def test_lossy_stream_named_error(self):
+    def test_mismatched_transform_quant_named_errors(self):
+        # a 9/7 COD with style-0 QCD (and the converse) is inconsistent
+        # signalling — named errors, never a silent wrong decode
         img = np.zeros((16, 16), np.uint8)
         cs = bytearray(jp2k_encode(img))
         i = cs.find(b"\xff\x52")
-        cs[i + 13] = 0  # transform -> 9/7 irreversible
-        with pytest.raises(ValueError, match="9/7"):
+        cs[i + 13] = 0  # transform -> 9/7 irreversible, QCD still style 0
+        with pytest.raises(ValueError, match="without quantization"):
             jp2k_decode(bytes(cs))
-
-    def test_quantized_stream_named_error(self):
-        img = np.zeros((16, 16), np.uint8)
-        cs = bytearray(jp2k_encode(img))
-        i = cs.find(b"\xff\x5c")
-        cs[i + 4] |= 0x02  # Sqcd style: scalar derived quantization
-        with pytest.raises(ValueError, match="quantized"):
-            jp2k_decode(bytes(cs))
+        cs2 = bytearray(jp2k_encode(img, irreversible=True))
+        i = cs2.find(b"\xff\x52")
+        cs2[i + 13] = 1  # transform -> 5/3, QCD still quantized
+        with pytest.raises(ValueError, match="reversible 5/3 stream with quantized"):
+            jp2k_decode(bytes(cs2))
 
     def test_implausible_dims_rejected(self):
         import struct
@@ -305,3 +304,143 @@ class TestReviewHardening:
         img = pdf_images(pdf2)[0]
         assert img["error"] is None
         assert (img["width"], img["height"]) == (16, 12)
+
+
+class TestIrreversible97:
+    """Round-5 session-12 layer: the 9/7 float wavelet + E.1 quantization
+    + ICT (the photographic JPX profile)."""
+
+    def _page(self, h=80, w=96):
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        return (128 + 60 * np.sin(x / 9.0) * np.cos(y / 7.0)).astype(np.uint8)
+
+    def test_dwt97_identity_across_shapes(self):
+        from ocr_spark.operators.jp2_codec import dwt97_forward, dwt97_inverse
+
+        rng = np.random.default_rng(0)
+        for shape in [(64, 64), (37, 53), (1, 40), (40, 1), (5, 5), (2, 3)]:
+            img = rng.random(shape) * 255
+            ll, bands = dwt97_forward(img, 3)
+            out = dwt97_inverse(ll, bands)
+            assert out.shape == img.shape
+            assert np.abs(out - img).max() < 1e-9
+
+    def test_dwt97_dc_gain_one(self):
+        # analysis lowpass DC gain 1 (the E.1 band-gain table assumption):
+        # a constant image yields LL == the constant and zero high bands
+        from ocr_spark.operators.jp2_codec import dwt97_forward
+
+        ll, bands = dwt97_forward(np.full((32, 48), 77.0), 2)
+        assert np.abs(ll - 77.0).max() < 1e-9
+        for trio in bands:
+            for b in trio:
+                assert np.abs(b).max() < 1e-9
+
+    def test_ict_roundtrip_spec_constants(self):
+        # G.2 constants are rounded to 6 decimals in the spec; the matrix
+        # inverse reproduces RGB to ~1e-4 of an intensity level
+        from ocr_spark.operators.jp2_codec import ict_forward, ict_inverse
+
+        rng = np.random.default_rng(1)
+        rgb = rng.random((9, 11, 3)) * 255
+        y, cb, cr = ict_forward(rgb)
+        assert np.abs(ict_inverse(y, cb, cr) - rgb).max() < 1e-3
+        # grayscale maps to zero chroma
+        g = np.full((4, 4, 3), 100.0)
+        _y, cb, cr = ict_forward(g)
+        assert np.abs(cb).max() < 1e-9 and np.abs(cr).max() < 1e-9
+
+    def test_qstep_code_roundtrip(self):
+        from ocr_spark.operators.jp2_codec import _qstep, _qstep_to_code
+
+        for rb in (8, 9, 10):
+            for d in (1 / 64, 1 / 32, 0.3, 0.5, 1.0, 1.7, 2.0):
+                eps, mu = _qstep_to_code(d, rb)
+                assert 0 <= eps <= 31 and 0 <= mu <= 2047
+                got = _qstep(rb, eps, mu)
+                # mantissa has 11 bits: relative error < 2^-11
+                assert abs(got - d) / d < 1.0 / 2048 + 1e-12
+
+    def test_qstep_e1_formula_pin(self):
+        # Δb = 2^(Rb−εb) · (1 + μb/2^11) — hand-computed values
+        from ocr_spark.operators.jp2_codec import _qstep
+
+        assert _qstep(8, 8, 0) == 1.0
+        assert _qstep(8, 9, 0) == 0.5
+        assert _qstep(9, 9, 1024) == 1.5
+        assert _qstep(10, 8, 512) == 5.0
+
+    @pytest.mark.parametrize("levels", [0, 1, 2, 3])
+    def test_gray_roundtrip_bounded(self, levels):
+        img = self._page()
+        cs = jp2k_encode(img, levels=levels, irreversible=True, delta=0.5)
+        dec = jp2k_decode(cs)
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+    def test_rgb_ict_roundtrip_bounded(self):
+        g = self._page()
+        rgb = np.stack([g, 255 - g, np.roll(g, 7, 1)], -1)
+        cs = jp2k_encode(rgb, levels=2, irreversible=True, delta=0.5)
+        dec = jp2k_decode(cs)
+        assert dec.shape == rgb.shape
+        assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 6
+
+    def test_rate_distortion_monotone(self):
+        # coarser steps must shrink the stream; reconstruction error stays
+        # within a small multiple of the step through synthesis
+        img = self._page(200, 256)
+        sizes = []
+        for d in (1 / 8, 1 / 2, 2.0):
+            cs = jp2k_encode(img, levels=3, irreversible=True, delta=d)
+            err = np.abs(jp2k_decode(cs).astype(int) - img.astype(int)).max()
+            assert err <= max(1, int(8 * d))
+            sizes.append(len(cs))
+        assert sizes[0] > sizes[1] > sizes[2]
+        # and real compression vs the lossless twin at a moderate step
+        assert sizes[1] < len(jp2k_encode(img, levels=3))
+
+    def test_scalar_derived_style1_decodes(self):
+        # craft a scalar-DERIVED (QCD style 1) stream: encode expounded
+        # with per-band steps following the E-5 derivation pattern, then
+        # rewrite the QCD to the single-value style-1 form — decodes must
+        # be identical, proving the εb = ε0 − r + 1 expansion
+        import struct
+
+        from ocr_spark.operators.jp2_codec import _BAND_GAIN, _qstep
+
+        eps0, mu0 = 10, 512
+        img = self._page()
+
+        def derived_delta(orient, r):
+            eps = eps0 if r == 0 else eps0 - r + 1
+            return _qstep(8 + _BAND_GAIN[orient], eps, mu0)
+
+        cs = bytearray(jp2k_encode(img, levels=2, irreversible=True,
+                                   delta=derived_delta))
+        ref = jp2k_decode(bytes(cs))
+        i = cs.find(b"\xff\x5c")
+        (ln,) = struct.unpack_from(">H", cs, i + 2)
+        sqcd = cs[i + 4]
+        assert sqcd & 0x1F == 2
+        n_bands = (ln - 3) // 2
+        assert n_bands == 7  # LL + 2 levels x 3
+        # all coded values must collapse to the derived pattern's first
+        v0 = struct.unpack_from(">H", cs, i + 5)[0]
+        assert v0 == (eps0 << 11) | mu0
+        style1 = (
+            bytes([(sqcd & ~0x1F) | 1]) + struct.pack(">H", v0)
+        )
+        cs2 = cs[: i + 2] + struct.pack(">H", len(style1) + 2) + style1 + cs[i + 2 + ln :]
+        dec = jp2k_decode(bytes(cs2))
+        assert np.array_equal(dec, ref)
+
+    def test_guard_bit_escalation(self):
+        # a very fine step on a high-contrast image needs more than the
+        # default 2 guard bits; the encoder computes them, the decoder
+        # honors them (round-trip is the proof)
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+        cs = jp2k_encode(img, levels=2, irreversible=True, delta=1 / 256)
+        dec = jp2k_decode(cs)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
