@@ -25,11 +25,14 @@ Also in scope since round 5 session 12: the IRREVERSIBLE path —
 9/7 float wavelet (F.4.8, spec scaling so band log2 gains are 0/1/2),
 scalar quantization with E.1 (εb, μb)-coded steps (QCD styles 1 scalar
 derived and 2 scalar expounded, midpoint r=0.5 reconstruction), and the
-ICT (G.2) for RGB — the photographic profile real crawl JPX assets use.
-The matching encoder emits real quantized codestreams for round-trips.
+ICT (G.2) for RGB — the photographic profile real crawl JPX assets use —
+plus MULTI-TILE grids (B.3, raster order, tile dims a multiple of
+2^levels so tile origins stay even at every DWT level) and multiple
+tile-parts per tile (A.4.2, TPsot-ordered concatenation). The matching
+encoder emits real quantized/tiled codestreams for round-trips.
 
 Out of scope (named ValueError envelopes): multiple layers/precincts
-beyond the defaults, multi-tile(-part) streams, ROI, and JPIP.
+beyond the defaults, offset reference grids, ROI, and JPIP.
 
 Layout notes kept deliberately simple and spec-conformant: one tile, one
 layer, LRCP progression, full-size precincts, no SOP/EPH markers — which
@@ -1108,19 +1111,64 @@ def _component_bands(comp: np.ndarray, levels: int):
     return out
 
 
+def _tile_grid(h: int, w: int, tiles, levels: int):
+    """((th, tw), [(y0, x0, th_, tw_) raster order]) for the writer side.
+    Tile dims must be multiples of 2^levels whenever the grid is real —
+    same constraint the decoder enforces (origin parity at every level)."""
+    if tiles is None:
+        return (h, w), [(0, 0, h, w)]
+    th, tw = int(tiles[0]), int(tiles[1])
+    if th <= 0 or tw <= 0:
+        raise ValueError(f"invalid tile size {tw}x{th}")
+    if (h > th or w > tw) and (th % (1 << levels) or tw % (1 << levels)):
+        raise ValueError(
+            f"tile size {tw}x{th} not a multiple of 2^levels={1 << levels}"
+        )
+    grid = [
+        (y0, x0, min(th, h - y0), min(tw, w - x0))
+        for y0 in range(0, h, th)
+        for x0 in range(0, w, tw)
+    ]
+    return (th, tw), grid
+
+
+def _emit_tile(isot: int, packets: list[bytes], tile_parts: int) -> bytes:
+    """SOT/SOD tile-part frames for one tile. tile_parts > 1 splits the
+    packet list across that many parts (at packet boundaries, per A.4.2)."""
+    tile_parts = max(1, min(int(tile_parts), len(packets) or 1))
+    chunks: list[bytes] = []
+    per = (len(packets) + tile_parts - 1) // tile_parts
+    for i in range(0, len(packets), per):
+        chunks.append(b"".join(packets[i : i + per]))
+    if not chunks:
+        chunks = [b""]
+    out = bytearray()
+    for tp, chunk in enumerate(chunks):
+        psot = 12 + 2 + len(chunk)
+        out += b"\xff\x90" + struct.pack(
+            ">HHIBB", 10, isot, psot, tp, len(chunks)
+        )
+        out += b"\xff\x93" + chunk
+    return bytes(out)
+
+
 def jp2k_encode(
     img: np.ndarray, levels: int = 2, bitdepth: int = 8,
     irreversible: bool = False, delta: float = 1.0 / 32.0,
+    tiles: tuple[int, int] | None = None, tile_parts: int = 1,
 ) -> bytes:
-    """Raw JPEG2000 codestream (SOC..EOC): single tile, one layer, LRCP.
-    Default: 5/3 reversible (lossless), RCT for 3-component input.
+    """Raw JPEG2000 codestream (SOC..EOC): one layer, LRCP. Default:
+    5/3 reversible (lossless), RCT for 3-component input, single tile.
     irreversible=True: the 9/7 float wavelet with scalar-expounded
     quantization (QCD style 2) at nominal step `delta`, ICT for RGB —
-    the photographic/lossy profile real JPX crawl assets use. img: uint
-    gray (H,W) or RGB (H,W,3)."""
+    the photographic/lossy profile real JPX crawl assets use.
+    tiles=(th, tw) tiles the image (the layout scanners use for large
+    masters); tile_parts > 1 additionally splits each tile's packets
+    across several SOT segments. img: uint gray (H,W) or RGB (H,W,3)."""
     img = np.asarray(img)
     if irreversible:
-        return _jp2k_encode_lossy(img, levels, bitdepth, delta)
+        return _jp2k_encode_lossy(img, levels, bitdepth, delta, tiles,
+                                  tile_parts)
     if img.ndim == 2:
         comps_in = [img.astype(np.int64)]
         mct = 0
@@ -1143,17 +1191,23 @@ def jp2k_encode(
             comps.append(c)  # Cb/Cr already signed
         else:
             comps.append(c - dc)
-    # forward transform + per-band Mb (shared across components per band
-    # position: QCD applies to all components via one marker)
-    all_bands = [_component_bands(c, levels) for c in comps]
+    # forward transform per tile + per-band Mb (shared across components
+    # AND tiles per band position: one QCD marker governs the image)
+    (gth, gtw), grid = _tile_grid(h, w, tiles, levels)
+    tile_bands = [
+        [_component_bands(c[y0 : y0 + th_, x0 : x0 + tw_], levels)
+         for c in comps]
+        for (y0, x0, th_, tw_) in grid
+    ]
     n_res = levels + 1
     mbs: list[list[int]] = []  # per resolution, per band: Mb
     for r in range(n_res):
         row = []
-        for bi in range(len(all_bands[0][r])):
+        for bi in range(len(tile_bands[0][0][r])):
             maxa = max(
                 int(np.abs(ab[r][bi][1]).max()) if ab[r][bi][1].size else 0
-                for ab in all_bands
+                for tb in tile_bands
+                for ab in tb
             )
             row.append(max(1, maxa.bit_length()))
         mbs.append(row)
@@ -1162,7 +1216,7 @@ def jp2k_encode(
     # SIZ
     ncomp = len(comps)
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp
+        ">HIIIIIIIIH", 0, w, h, 0, 0, gtw, gth, 0, 0, ncomp
     )
     for ci in range(ncomp):
         signed = 0x80 if (mct and ci > 0) else 0
@@ -1182,24 +1236,24 @@ def jp2k_encode(
     sqcd = bytes([(_GUARD_BITS << 5) | 0])
     out += b"\xff\x5c" + struct.pack(">H", len(sqcd) + len(eps_bytes) + 2)
     out += sqcd + eps_bytes
-    # tile: SOT + SOD + packets (LRCP: layer->res->comp)
-    packets = bytearray()
-    for r in range(n_res):
-        for ab in all_bands:
-            bands = [
-                (orient, coeffs, mbs[r][bi])
-                for bi, (orient, coeffs) in enumerate(ab[r])
-            ]
-            packets += _encode_packet(bands)
-    psot = 12 + 2 + len(packets)
-    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-    out += b"\xff\x93" + packets
+    # tiles: SOT + SOD + packets (LRCP: layer->res->comp), raster order
+    for ti, tb in enumerate(tile_bands):
+        packets = []
+        for r in range(n_res):
+            for ab in tb:
+                bands = [
+                    (orient, coeffs, mbs[r][bi])
+                    for bi, (orient, coeffs) in enumerate(ab[r])
+                ]
+                packets.append(_encode_packet(bands))
+        out += _emit_tile(ti, packets, tile_parts)
     out += b"\xff\xd9"  # EOC
     return bytes(out)
 
 
 def _jp2k_encode_lossy(
     img: np.ndarray, levels: int, bitdepth: int, delta: float,
+    tiles: tuple[int, int] | None = None, tile_parts: int = 1,
 ) -> bytes:
     """The irreversible twin of jp2k_encode: 9/7 forward DWT, deadzone
     scalar quantization with the E.1 (εb, μb)-coded step per band (QCD
@@ -1226,27 +1280,34 @@ def _jp2k_encode_lossy(
     ncomp = len(comps)
     n_res = levels + 1
 
-    # forward 9/7 per component, arranged like _component_bands
-    all_bands = []
-    for c in comps:
-        ll, hbands = dwt97_forward(c, levels)
-        out = [[("LL", ll)]]
-        for r in range(1, levels + 1):
-            hl, lh, hh = hbands[levels - r]
-            out.append([("HL", hl), ("LH", lh), ("HH", hh)])
-        all_bands.append(out)
+    # forward 9/7 per tile per component, arranged like _component_bands
+    (gth, gtw), grid = _tile_grid(h, w, tiles, levels)
+    tile_bands = []
+    for (y0, x0, th_, tw_) in grid:
+        per_comp = []
+        for c in comps:
+            ll, hbands = dwt97_forward(c[y0 : y0 + th_, x0 : x0 + tw_], levels)
+            ob = [[("LL", ll)]]
+            for r in range(1, levels + 1):
+                hl, lh, hh = hbands[levels - r]
+                ob.append([("HL", hl), ("LH", lh), ("HH", hh)])
+            per_comp.append(ob)
+        tile_bands.append(per_comp)
 
     # per-band coded quantization step + quantized indices; the step is
-    # shared across components (one QCD marker governs all of them)
+    # shared across components AND tiles (one QCD marker governs all)
     qcodes: list[list[tuple[int, int]]] = []
     quantized = [
-        [[None] * len(all_bands[0][r]) for r in range(n_res)]
-        for _ in range(ncomp)
+        [
+            [[None] * len(tile_bands[0][0][r]) for r in range(n_res)]
+            for _ in range(ncomp)
+        ]
+        for _ in grid
     ]
     min_mb_slack = None
     for r in range(n_res):
         row = []
-        for bi, (orient, _a) in enumerate(all_bands[0][r]):
+        for bi, (orient, _a) in enumerate(tile_bands[0][0][r]):
             rb = bitdepth + _BAND_GAIN[orient]
             # delta may be a callable (orient, resolution) -> step, the
             # shape gain-scaled/derived-profile encoders use
@@ -1254,17 +1315,18 @@ def _jp2k_encode_lossy(
             eps, mu = _qstep_to_code(d, rb)
             dlt = _qstep(rb, eps, mu)
             row.append((eps, mu))
-            for ci in range(ncomp):
-                coeffs = all_bands[ci][r][bi][1]
-                q = np.sign(coeffs) * np.floor(np.abs(coeffs) / dlt)
-                q = q.astype(np.int64)
-                quantized[ci][r][bi] = q
-                maxa = int(np.abs(q).max()) if q.size else 0
-                nb = max(1, maxa.bit_length())
-                # Mb = guard + eps - 1 must be >= nb
-                slack = eps - 1 - nb
-                if min_mb_slack is None or slack < min_mb_slack:
-                    min_mb_slack = slack
+            for ti in range(len(grid)):
+                for ci in range(ncomp):
+                    coeffs = tile_bands[ti][ci][r][bi][1]
+                    q = np.sign(coeffs) * np.floor(np.abs(coeffs) / dlt)
+                    q = q.astype(np.int64)
+                    quantized[ti][ci][r][bi] = q
+                    maxa = int(np.abs(q).max()) if q.size else 0
+                    nb = max(1, maxa.bit_length())
+                    # Mb = guard + eps - 1 must be >= nb
+                    slack = eps - 1 - nb
+                    if min_mb_slack is None or slack < min_mb_slack:
+                        min_mb_slack = slack
         qcodes.append(row)
     guard = max(_GUARD_BITS, -(min_mb_slack if min_mb_slack is not None else 0))
     if guard > 7:
@@ -1275,7 +1337,7 @@ def _jp2k_encode_lossy(
 
     out = bytearray()
     out += b"\xff\x4f"  # SOC
-    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp)
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, gtw, gth, 0, 0, ncomp)
     for _ci in range(ncomp):
         siz += bytes([bitdepth - 1, 1, 1])  # unsigned; ICT keeps depths
     out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
@@ -1289,17 +1351,17 @@ def _jp2k_encode_lossy(
         for eps, mu in qcodes[r]:
             qbody += struct.pack(">H", (eps << 11) | mu)
     out += b"\xff\x5c" + struct.pack(">H", len(qbody) + 2) + bytes(qbody)
-    packets = bytearray()
-    for r in range(n_res):
-        for ci in range(ncomp):
-            bands = [
-                (orient, quantized[ci][r][bi], guard + qcodes[r][bi][0] - 1)
-                for bi, (orient, _a) in enumerate(all_bands[ci][r])
-            ]
-            packets += _encode_packet(bands)
-    psot = 12 + 2 + len(packets)
-    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-    out += b"\xff\x93" + packets
+    for ti in range(len(grid)):
+        packets = []
+        for r in range(n_res):
+            for ci in range(ncomp):
+                bands = [
+                    (orient, quantized[ti][ci][r][bi],
+                     guard + qcodes[r][bi][0] - 1)
+                    for bi, (orient, _a) in enumerate(tile_bands[ti][ci][r])
+                ]
+                packets.append(_encode_packet(bands))
+        out += _emit_tile(ti, packets, tile_parts)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1350,7 +1412,7 @@ def _jp2k_decode_inner(data: bytes) -> np.ndarray:
     guard = _GUARD_BITS
     qstyle = 0
     irreversible = False
-    tile_data = None
+    tiles_acc: dict[int, list[bytes]] = {}
     while pos + 4 <= len(data):
         marker = data[pos : pos + 2]
         if marker == b"\xff\xd9":
@@ -1363,8 +1425,10 @@ def _jp2k_decode_inner(data: bytes) -> np.ndarray:
             (_rsiz, w, h, x0, y0, tw, th, tx0, ty0, ncomp) = struct.unpack_from(
                 ">HIIIIIIIIH", body, 0
             )
-            if x0 or y0 or tx0 or ty0 or tw != w or th != h:
-                raise ValueError("multi-tile / offset grids not supported")
+            if x0 or y0 or tx0 or ty0:
+                raise ValueError("offset reference grids not supported")
+            if tw < 1 or th < 1:
+                raise ValueError("invalid tile size")
             if w * h > _MAX_PIXELS:
                 raise ValueError(f"implausible image dims {w}x{h}")
             if not 1 <= ncomp <= 4:
@@ -1420,12 +1484,10 @@ def _jp2k_decode_inner(data: bytes) -> np.ndarray:
                 f"{names[marker[1]]} marker (per-component/packed coding "
                 "overrides) not supported"
             )
-        elif marker == b"\xff\x90":  # SOT
-            (_isot, psot, tpsot, _tnsot) = struct.unpack_from(
+        elif marker == b"\xff\x90":  # SOT (any tile, any tile-part)
+            (isot, psot, tpsot, _tnsot) = struct.unpack_from(
                 ">HIBB", body, 0
             )
-            if tpsot != 0 or tile_data is not None:
-                raise ValueError("multiple tile-parts not supported")
             sod_at = pos + 2 + ln
             if data[sod_at : sod_at + 2] != b"\xff\x93":
                 raise ValueError("expected SOD after SOT")
@@ -1435,24 +1497,29 @@ def _jp2k_decode_inner(data: bytes) -> np.ndarray:
                 end = data.rfind(b"\xff\xd9")
                 if end < sod_at:
                     raise ValueError("Psot=0 stream missing EOC")
-            tile_data = data[sod_at + 2 : end]
+            parts = tiles_acc.setdefault(isot, [])
+            if tpsot != len(parts):
+                raise ValueError(
+                    f"tile {isot}: tile-part {tpsot} out of order "
+                    f"(expected {len(parts)})"
+                )
+            parts.append(data[sod_at + 2 : end])
             pos = end
             continue
         pos += 2 + ln
-    if w is None or levels is None or tile_data is None:
+    if w is None or levels is None or not tiles_acc:
         raise ValueError("missing SIZ/COD/tile data")
     if irreversible and qstyle == 0:
         raise ValueError("9/7 stream without quantization signalling (QCD style 0)")
     if not irreversible and qstyle != 0:
         raise ValueError("reversible 5/3 stream with quantized subbands")
     n_res = levels + 1
-    shapes = _band_shapes(h, w, levels)
     qs = []  # per resolution, per band: (eps, mu)
     mbs = []
     ei = 0
     for r in range(n_res):
         qrow, row = [], []
-        for _ in shapes[r]:
+        for _ in range(1 if r == 0 else 3):
             if qstyle == 1:
                 # scalar derived (E-5): eps_b = eps0 - r + 1 below res 0
                 e0, m0 = eps_list[0]
@@ -1468,55 +1535,81 @@ def _jp2k_decode_inner(data: bytes) -> np.ndarray:
             row.append(guard + e - 1)
         qs.append(qrow)
         mbs.append(row)
-    # band buffers per component
-    comp_bands = [
-        [
-            [(orient, np.zeros(shape, np.int64), mbs[r][bi])
-             for bi, (orient, shape) in enumerate(shapes[r])]
-            for r in range(n_res)
-        ]
-        for _ in range(ncomp)
-    ]
-    tpos = 0
-    for r in range(n_res):
-        for ci in range(ncomp):
-            tpos = _decode_packet(tile_data, tpos, comp_bands[ci][r])
     if depths[0] > 8 or (not mct and any(signeds)):
         raise ValueError(
             f"bit depth {depths[0]}/signed components beyond the 8-bit "
             "unsigned output contract not supported"
         )
-    comps = []
-    for ci in range(ncomp):
-        if irreversible:
-            # E.1 dequantization with midpoint reconstruction (r = 0.5,
-            # the Annex E recommended value for nonzero indices)
-            def _deq(r_i: int, bi: int, arr: np.ndarray, orient: str):
-                e, m = qs[r_i][bi]
-                dlt = _qstep(depths[ci] + _BAND_GAIN[orient], e, m)
-                return np.where(
-                    arr == 0, 0.0, (np.abs(arr) + 0.5) * dlt * np.sign(arr)
-                )
-
-            ll = _deq(0, 0, comp_bands[ci][0][0][1], "LL")
-            hbands = []
-            for r in range(n_res - 1, 0, -1):
-                hbands.append(
-                    tuple(
-                        _deq(r, bi, comp_bands[ci][r][bi][1], orient)
-                        for bi, orient in enumerate(("HL", "LH", "HH"))
+    # tile grid (B.3): tiles are independent codestream segments decoded
+    # into their raster-order slot. Tile dims must be multiples of
+    # 2^levels so every tile origin is even at every DWT level (the
+    # shape/phase formulas assume origin-0 parity; real encoders use
+    # power-of-two tiles)
+    ntx = (w + tw - 1) // tw
+    nty = (h + th - 1) // th
+    ntiles = ntx * nty
+    if ntiles > 1 and (tw % (1 << levels) or th % (1 << levels)):
+        raise ValueError(
+            f"tile size {tw}x{th} not a multiple of 2^levels={1 << levels}"
+        )
+    if set(tiles_acc) != set(range(ntiles)):
+        raise ValueError(
+            f"tile data mismatch: expected {ntiles} tiles, "
+            f"got indices {sorted(tiles_acc)}"
+        )
+    comps = [
+        np.zeros((h, w), np.float64 if irreversible else np.int64)
+        for _ in range(ncomp)
+    ]
+    for ti in range(ntiles):
+        ty, tx = divmod(ti, ntx)
+        y0, x0 = ty * th, tx * tw
+        th_, tw_ = min(th, h - y0), min(tw, w - x0)
+        tile_data = b"".join(tiles_acc[ti])
+        shapes = _band_shapes(th_, tw_, levels)
+        comp_bands = [
+            [
+                [(orient, np.zeros(shape, np.int64), mbs[r][bi])
+                 for bi, (orient, shape) in enumerate(shapes[r])]
+                for r in range(n_res)
+            ]
+            for _ in range(ncomp)
+        ]
+        tpos = 0
+        for r in range(n_res):
+            for ci in range(ncomp):
+                tpos = _decode_packet(tile_data, tpos, comp_bands[ci][r])
+        for ci in range(ncomp):
+            if irreversible:
+                # E.1 dequantization with midpoint reconstruction (r = 0.5,
+                # the Annex E recommended value for nonzero indices)
+                def _deq(r_i: int, bi: int, arr: np.ndarray, orient: str):
+                    e, m = qs[r_i][bi]
+                    dlt = _qstep(depths[ci] + _BAND_GAIN[orient], e, m)
+                    return np.where(
+                        arr == 0, 0.0, (np.abs(arr) + 0.5) * dlt * np.sign(arr)
                     )
-                )
-            comps.append(dwt97_inverse(ll, hbands))
-        else:
-            ll = comp_bands[ci][0][0][1]
-            hbands = []
-            for r in range(n_res - 1, 0, -1):
-                hl = comp_bands[ci][r][0][1]
-                lh = comp_bands[ci][r][1][1]
-                hh = comp_bands[ci][r][2][1]
-                hbands.append((hl, lh, hh))
-            comps.append(dwt53_inverse(ll, hbands))
+
+                ll = _deq(0, 0, comp_bands[ci][0][0][1], "LL")
+                hbands = []
+                for r in range(n_res - 1, 0, -1):
+                    hbands.append(
+                        tuple(
+                            _deq(r, bi, comp_bands[ci][r][bi][1], orient)
+                            for bi, orient in enumerate(("HL", "LH", "HH"))
+                        )
+                    )
+                tile_out = dwt97_inverse(ll, hbands)
+            else:
+                ll = comp_bands[ci][0][0][1]
+                hbands = []
+                for r in range(n_res - 1, 0, -1):
+                    hl = comp_bands[ci][r][0][1]
+                    lh = comp_bands[ci][r][1][1]
+                    hh = comp_bands[ci][r][2][1]
+                    hbands.append((hl, lh, hh))
+                tile_out = dwt53_inverse(ll, hbands)
+            comps[ci][y0 : y0 + th_, x0 : x0 + tw_] = tile_out
     maxv = (1 << depths[0]) - 1
     if mct and ncomp == 3:
         if irreversible:
@@ -1599,9 +1692,10 @@ def jp2_decode(data: bytes) -> np.ndarray:
     return jp2k_decode(jp2_unwrap(data))
 
 
-def jp2_encode(img: np.ndarray, levels: int = 2) -> bytes:
-    """Encode to a JP2 box file (lossless reversible profile)."""
+def jp2_encode(img: np.ndarray, levels: int = 2, **kw) -> bytes:
+    """Encode to a JP2 box file. Keyword args pass through to
+    jp2k_encode (irreversible/delta/tiles/tile_parts)."""
     img = np.asarray(img, np.uint8)
-    cs = jp2k_encode(img, levels=levels)
+    cs = jp2k_encode(img, levels=levels, **kw)
     ncomp = 1 if img.ndim == 2 else img.shape[2]
     return jp2_wrap(cs, img.shape[1], img.shape[0], ncomp)

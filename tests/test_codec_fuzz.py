@@ -143,6 +143,17 @@ def test_fuzz_jp2_irreversible():
     _sweep(jp2k_decode, jp2k_encode(img, levels=1, irreversible=True), 121)
 
 
+def test_fuzz_jp2_tiled():
+    # multi-tile + tile-part streams: SOT bookkeeping (Isot/Psot/TPsot)
+    # under corruption must stay inside the ValueError contract
+    from ocr_spark.operators.jp2_codec import jp2k_decode, jp2k_encode
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (40, 40), dtype=np.uint8)
+    _sweep(jp2k_decode, jp2k_encode(img, levels=1, tiles=(32, 32),
+                                    tile_parts=2), 122)
+
+
 # -- pre-existing decoders: same contract, older code ----------------------
 
 

@@ -268,12 +268,15 @@ class TestReviewHardening:
         with pytest.raises(ValueError, match="bit depth"):
             jp2k_decode(bytes(cs))
 
-    def test_multi_tile_part_named_error(self):
+    def test_out_of_order_tile_part_named_error(self):
+        # tile-parts are supported since session 12, but a first part with
+        # TPsot=1 means part 0 is missing — ordering error, never a
+        # silent partial decode
         img = np.zeros((8, 8), np.uint8)
         cs = bytearray(jp2k_encode(img))
         i = cs.find(b"\xff\x90")
         cs[i + 10] = 1  # TPsot = 1 (a later tile-part)
-        with pytest.raises(ValueError, match="tile-part"):
+        with pytest.raises(ValueError, match="tile-part 1 out of order"):
             jp2k_decode(bytes(cs))
 
     def test_coc_marker_named_error(self):
@@ -444,3 +447,97 @@ class TestIrreversible97:
         cs = jp2k_encode(img, levels=2, irreversible=True, delta=1 / 256)
         dec = jp2k_decode(cs)
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+class TestMultiTile:
+    """Round-5 session-12 layer: tile grids (B.3) + tile-parts (A.4.2),
+    the layout large scanned masters ship with."""
+
+    def _page(self, h, w):
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        return (128 + 60 * np.sin(x / 9.0) * np.cos(y / 7.0)).astype(np.uint8)
+
+    @pytest.mark.parametrize("tiles", [(64, 64), (128, 64), (64, 128)])
+    def test_lossless_tiled_roundtrip(self, tiles):
+        img = self._page(160, 200)  # edge tiles are partial both ways
+        cs = jp2k_encode(img, levels=2, tiles=tiles)
+        assert np.array_equal(jp2k_decode(cs), img)
+
+    def test_tiled_stream_really_has_tiles(self):
+        img = self._page(160, 200)
+        cs = jp2k_encode(img, levels=2, tiles=(64, 64))
+        # 3x4 grid -> 12 SOT markers with Isot 0..11
+        import struct
+
+        isots = []
+        pos = 0
+        while True:
+            i = cs.find(b"\xff\x90", pos)
+            if i < 0:
+                break
+            isots.append(struct.unpack_from(">H", cs, i + 4)[0])
+            pos = i + 2
+        assert isots == list(range(12))
+
+    def test_rgb_tiled_roundtrip(self):
+        g = self._page(96, 128)
+        rgb = np.stack([g, 255 - g, np.roll(g, 3, 1)], -1)
+        cs = jp2k_encode(rgb, levels=2, tiles=(64, 64))
+        assert np.array_equal(jp2k_decode(cs), rgb)
+
+    @pytest.mark.parametrize("tile_parts", [2, 3])
+    def test_tile_parts_concatenate(self, tile_parts):
+        img = self._page(96, 96)
+        one = jp2k_encode(img, levels=2, tiles=(64, 64))
+        many = jp2k_encode(img, levels=2, tiles=(64, 64),
+                           tile_parts=tile_parts)
+        assert many.count(b"\xff\x93") > one.count(b"\xff\x93")
+        assert np.array_equal(jp2k_decode(many), jp2k_decode(one))
+
+    def test_lossy_tiled_roundtrip_bounded(self):
+        img = self._page(160, 200)
+        cs = jp2k_encode(img, levels=2, irreversible=True, delta=0.5,
+                         tiles=(64, 64), tile_parts=2)
+        dec = jp2k_decode(cs)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+    def test_single_column_tiles(self):
+        # tile grid degenerate in one dimension
+        img = self._page(200, 48)
+        cs = jp2k_encode(img, levels=2, tiles=(64, 64))
+        assert np.array_equal(jp2k_decode(cs), img)
+
+    def test_unaligned_tile_size_named_error(self):
+        img = self._page(100, 100)
+        with pytest.raises(ValueError, match="multiple of 2\\^levels"):
+            jp2k_encode(img, levels=2, tiles=(50, 50))
+        # and the decoder enforces the same constraint on foreign streams
+        import struct
+
+        cs = bytearray(jp2k_encode(img, levels=2, tiles=(64, 64)))
+        i = cs.find(b"\xff\x51")
+        cs[i + 22 : i + 26] = struct.pack(">I", 63)  # XTsiz -> 63
+        with pytest.raises(ValueError):
+            jp2k_decode(bytes(cs))
+
+    def test_missing_tile_named_error(self):
+        img = self._page(96, 96)
+        cs = jp2k_encode(img, levels=1, tiles=(64, 64))
+        # chop the last tile (find its SOT, cut to EOC)
+        import struct
+
+        pos, last = 0, -1
+        while True:
+            i = cs.find(b"\xff\x90", pos)
+            if i < 0:
+                break
+            last = i
+            pos = i + 2
+        bad = cs[:last] + b"\xff\xd9"
+        with pytest.raises(ValueError, match="tile data mismatch"):
+            jp2k_decode(bad)
+
+    def test_jp2_container_tiled(self):
+        img = self._page(96, 128)
+        data = jp2_encode(img, levels=2, tiles=(64, 64))
+        assert np.array_equal(jp2_decode(data), img)
