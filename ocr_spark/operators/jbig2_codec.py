@@ -22,9 +22,14 @@ Also implemented: arithmetic SYMBOL-DICTIONARY + TEXT-REGION coding (the
 mode real scanner streams use) — the IAx/IAID arithmetic integer
 decoders (Annex A), height-class symbol decoding with shared generic
 contexts, export-flag runs, and strip-based symbol placement with the
-four combination ops. Out of scope (named ValueError envelopes):
-Huffman-coded variants, refinement/aggregate coding, halftone regions,
-transposed text regions.
+four combination ops — and, since round 5 session 12, HALFTONE coding
+(the mode scanned dithered/screened photos use): pattern dictionaries
+(§6.7, one collective generic bitmap), halftone regions (§6.6) with
+Annex C gray-coded bitplane decoding over a single shared arithmetic
+decoder, and the 8.8 fixed-point (possibly skewed) rendering grid.
+Out of scope (named ValueError envelopes): Huffman-coded variants,
+refinement/aggregate coding, HENABLESKIP/MMR halftones, transposed
+text regions.
 
 Coding domain: 1 = black (JBIG2 pixel value 1), matching fax_codec;
 callers map to gray. Cost: one context lookup + one MQ DECODE per pixel,
@@ -485,10 +490,20 @@ def generic_region_decode(
     if at is None or at == _TEMPLATES[template][1]:
         return _generic_decode_fast(data, width, height, template, tpgdon)
     pixels = _template_pixels(template, at)
-    nbits = len(pixels)
     dec = MQDecoder(data)
     # one [index, mps] state per context value
-    cx = [[0, 0] for _ in range(1 << nbits)]
+    cx = [[0, 0] for _ in range(1 << len(pixels))]
+    return _generic_decode_with(dec, cx, width, height, template, pixels,
+                                tpgdon)
+
+
+def _generic_decode_with(
+    dec: "MQDecoder", cx: list, width: int, height: int, template: int,
+    pixels: list, tpgdon: bool,
+) -> np.ndarray:
+    """Gather-loop generic decode over a CALLER-OWNED decoder + context
+    set — the sharing the halftone grayscale bitplanes require (C.5: all
+    planes run through one arithmetic decoder and one GB stats set)."""
     bitmap = np.zeros((height, width), dtype=np.uint8)
     ltp = 0
     tp_cx = cx[_TPGD_CTX[template]] if tpgdon else None
@@ -517,11 +532,19 @@ def generic_region_encode(
     img = (np.asarray(img) > 0).astype(np.uint8)
     if img.ndim != 2:
         raise ValueError("expected a 2-D bilevel array")
-    height, width = img.shape
     pixels = _template_pixels(template, at)
-    nbits = len(pixels)
     enc = MQEncoder()
-    cx = [[0, 0] for _ in range(1 << nbits)]
+    cx = [[0, 0] for _ in range(1 << len(pixels))]
+    _generic_encode_with(enc, cx, img, template, pixels, tpgdon)
+    return enc.flush()
+
+
+def _generic_encode_with(
+    enc: "MQEncoder", cx: list, img: np.ndarray, template: int,
+    pixels: list, tpgdon: bool,
+) -> None:
+    """Mirror of _generic_decode_with over a caller-owned encoder state."""
+    height, width = img.shape
     tp_cx = cx[_TPGD_CTX[template]] if tpgdon else None
     ltp = 0
     for y in range(height):
@@ -537,7 +560,6 @@ def generic_region_encode(
             for dx, dy in pixels:
                 ctx = (ctx << 1) | _region_pixel(img, x + dx, y + dy)
             enc.encode(cx[ctx], int(img[y, x]))
-    return enc.flush()
 
 
 # ---------------------------------------------------------------------------
@@ -605,6 +627,7 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     page_default = 0
     regions: list[tuple[int, int, np.ndarray]] = []
     symbols: list[np.ndarray] = []
+    patterns: list[np.ndarray] = []
     while pos < len(stream):
         if len(stream) - pos < 11:
             break  # trailing pad
@@ -658,12 +681,24 @@ def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             # dictionary (the layout scanner streams use)
             x, y, comb, bmp = text_region_decode(body, symbols)
             regions.append((x, y, comb, bmp))
+        elif seg_type == 16:  # pattern dictionary
+            if patterns:
+                # same single-dictionary scoping simplification as the
+                # symbol dictionary above: fail by name, never desync
+                raise ValueError(
+                    "multiple pattern dictionaries (referred-segment "
+                    "scoping) not supported"
+                )
+            patterns.extend(pattern_dict_decode(body))
+        elif seg_type in (20, 22, 23):  # (intermediate/)immediate halftone
+            x, y, comb, bmp = halftone_region_decode(body, patterns)
+            regions.append((x, y, comb, bmp))
         elif seg_type in (49, 50, 51, 62):  # end-of-page/stripe/file, ext
             continue
-        elif seg_type in (16, 20, 22, 23, 40, 42, 43, 53):
+        elif seg_type in (40, 42, 43, 53):
             raise ValueError(
-                f"JBIG2 segment type {seg_type} (halftone/refinement/"
-                "tables) not supported"
+                f"JBIG2 segment type {seg_type} (refinement/tables) "
+                "not supported"
             )
         else:
             raise ValueError(f"unknown JBIG2 segment type {seg_type}")
@@ -1221,6 +1256,240 @@ def text_region_encode(
             curs += symbols[sid].shape[1] - 1
         _ia_encode(enc, iads, _OOB)
     return out + enc.flush()
+
+
+# ---------------------------------------------------------------------------
+# halftone coding (T.88 §6.6 halftone region, §6.7 pattern dictionary,
+# Annex C grayscale image decoding) — the mode scanned dithered/screened
+# photos inside bilevel documents use
+# ---------------------------------------------------------------------------
+
+_MAX_PATTERN_PIXELS = 1 << 22  # pattern dictionary budget (DoS guard)
+
+
+def _gray_at(template: int) -> list[tuple[int, int]]:
+    """Annex C.5 adaptive pixels for grayscale bitplane decoding."""
+    at = [((3 if template <= 1 else 2), -1), (-3, -1), (2, -2), (-2, -2)]
+    return at if template == 0 else at[:1]
+
+
+def _pattern_at(template: int, hdpw: int) -> list[tuple[int, int]]:
+    """§6.7.5 adaptive pixels for the collective pattern bitmap."""
+    at = [(-hdpw, 0), (-3, -1), (2, -2), (-2, -2)]
+    return at if template == 0 else at[:1]
+
+
+def pattern_dict_decode(body: bytes) -> list[np.ndarray]:
+    """Pattern dictionary segment (type 16): one collective generic
+    bitmap of (GRAYMAX+1) patterns side by side, split on decode."""
+    if len(body) < 7:
+        raise ValueError("truncated JBIG2 pattern dictionary")
+    flags = body[0]
+    if flags & 1:
+        raise ValueError("MMR-coded pattern dictionary not supported")
+    template = (flags >> 1) & 3
+    hdpw, hdph = body[1], body[2]
+    (graymax,) = struct.unpack_from(">I", body, 3)
+    if hdpw < 1 or hdph < 1:
+        raise ValueError("invalid pattern size")
+    n = graymax + 1
+    if n * hdpw * hdph > _MAX_PATTERN_PIXELS:
+        raise ValueError(
+            f"implausible pattern dictionary ({n} patterns of {hdpw}x{hdph})"
+        )
+    collective = generic_region_decode(
+        body[7:], n * hdpw, hdph, template=template,
+        at=_pattern_at(template, hdpw),
+    )
+    return [collective[:, k * hdpw : (k + 1) * hdpw] for k in range(n)]
+
+
+def pattern_dict_encode(
+    patterns: list[np.ndarray], template: int = 0
+) -> bytes:
+    """Fixture writer: the exact mirror of pattern_dict_decode."""
+    if not patterns:
+        raise ValueError("empty pattern list")
+    hdph, hdpw = patterns[0].shape
+    if any(p.shape != (hdph, hdpw) for p in patterns):
+        raise ValueError("patterns must share one size")
+    collective = np.hstack([(np.asarray(p) > 0).astype(np.uint8)
+                            for p in patterns])
+    data = generic_region_encode(
+        collective, template=template, at=_pattern_at(template, hdpw)
+    )
+    return (
+        bytes([template << 1, hdpw, hdph])
+        + struct.pack(">I", len(patterns) - 1)
+        + data
+    )
+
+
+def _compose_at(page: np.ndarray, bmp: np.ndarray, x: int, y: int,
+                op: int) -> None:
+    """Composite bmp onto page at (x, y) with clipping on all four sides
+    and the five §6.6.5.1 combination operators."""
+    ph, pw = page.shape
+    bh, bw = bmp.shape
+    sx, sy = max(0, -x), max(0, -y)
+    ex = min(bw, pw - x)
+    ey = min(bh, ph - y)
+    if ex <= sx or ey <= sy:
+        return
+    src = bmp[sy:ey, sx:ex]
+    tgt = page[y + sy : y + ey, x + sx : x + ex]
+    if op == 0:
+        tgt |= src
+    elif op == 1:
+        tgt &= src
+    elif op == 2:
+        tgt ^= src
+    elif op == 3:
+        tgt ^= src ^ 1  # XNOR
+    else:  # 4 = REPLACE
+        tgt[:] = src
+
+
+def halftone_region_decode(
+    body: bytes, patterns: list[np.ndarray]
+) -> tuple[int, int, int, np.ndarray]:
+    """Halftone region segment (types 20/22/23): decode the grayscale
+    index image (Annex C, gray-coded bitplanes over ONE shared arithmetic
+    decoder/context set) and stamp patterns along the 8.8 fixed-point
+    grid (x = HGX + mg·HRY + ng·HRX, y = HGY + mg·HRX − ng·HRY).
+    Returns (x, y, external_comb_op, bitmap)."""
+    if not patterns:
+        raise ValueError("halftone region without a pattern dictionary")
+    w, h, x, y, comb, bpos = _parse_region_info(body, 0)
+    if len(body) < bpos + 21:
+        raise ValueError("truncated JBIG2 halftone region")
+    flags = body[bpos]
+    bpos += 1
+    if flags & 1:
+        raise ValueError("MMR-coded halftone region not supported")
+    template = (flags >> 1) & 3
+    if (flags >> 3) & 1:
+        raise ValueError("HENABLESKIP halftone regions not supported")
+    hcomb = (flags >> 4) & 7
+    defpix = (flags >> 7) & 1
+    hgw, hgh = struct.unpack_from(">II", body, bpos)
+    bpos += 8
+    hgx, hgy = struct.unpack_from(">ii", body, bpos)
+    bpos += 8
+    hrx, hry = struct.unpack_from(">HH", body, bpos)
+    bpos += 4
+    if w < 1 or h < 1 or w * h > _MAX_PIXELS:
+        raise ValueError(f"implausible halftone region dims {w}x{h}")
+    if hgw < 1 or hgh < 1 or hgw * hgh > _MAX_PIXELS:
+        raise ValueError(f"implausible halftone grid {hgw}x{hgh}")
+    if hcomb > 4:
+        raise ValueError(f"unknown halftone combination operator {hcomb}")
+    npats = len(patterns)
+    bpp = (npats - 1).bit_length()
+    gi = np.zeros((hgh, hgw), np.int64)
+    if bpp:
+        dec = MQDecoder(body[bpos:])
+        pixels = _template_pixels(template, _gray_at(template))
+        cx = [[0, 0] for _ in range(1 << len(pixels))]
+        prev = np.zeros((hgh, hgw), np.uint8)
+        for j in range(bpp - 1, -1, -1):
+            plane = _generic_decode_with(
+                dec, cx, hgw, hgh, template, pixels, False
+            )
+            bit = plane ^ prev  # gray-code: bit_j = plane_j XOR bit_{j+1}
+            gi |= bit.astype(np.int64) << j
+            prev = bit
+    region = np.full((h, w), defpix, np.uint8)
+    np.minimum(gi, npats - 1, out=gi)  # spec: clamp out-of-range indices
+    for mg in range(hgh):
+        xx = hgx + mg * hry
+        yy = hgy + mg * hrx
+        for ng in range(hgw):
+            _compose_at(region, patterns[gi[mg, ng]], xx >> 8, yy >> 8,
+                        hcomb)
+            xx += hrx
+            yy -= hry
+    return x, y, comb, region
+
+
+def halftone_region_encode(
+    gi: np.ndarray,
+    patterns: list[np.ndarray],
+    region_size: tuple[int, int],
+    origin: tuple[int, int] = (0, 0),
+    grid: tuple[int, int, int, int] | None = None,
+    template: int = 0,
+    comb: int = 0,
+    hcomb: int = 0,
+    defpix: int = 0,
+) -> bytes:
+    """Fixture writer: the exact mirror of halftone_region_decode.
+    gi = (HGH, HGW) pattern indices; region_size = (w, h); grid =
+    (HGX, HGY, HRX, HRY) in 8.8 fixed point (default: regular grid with
+    the pattern width as the cell)."""
+    gi = np.asarray(gi, np.int64)
+    hgh, hgw = gi.shape
+    npats = len(patterns)
+    if npats < 1 or int(gi.max(initial=0)) >= npats or int(gi.min(initial=0)) < 0:
+        raise ValueError("grayscale indices out of pattern range")
+    hdph, hdpw = patterns[0].shape
+    if grid is None:
+        grid = (0, 0, hdpw << 8, 0)
+    hgx, hgy, hrx, hry = grid
+    w, h = region_size
+    bpp = (npats - 1).bit_length()
+    enc = MQEncoder()
+    pixels = _template_pixels(template, _gray_at(template))
+    cx = [[0, 0] for _ in range(1 << len(pixels))]
+    prev = np.zeros((hgh, hgw), np.uint8)
+    for j in range(bpp - 1, -1, -1):
+        bit = ((gi >> j) & 1).astype(np.uint8)
+        plane = bit ^ prev  # gray-code: plane_j = bit_j XOR bit_{j+1}
+        _generic_encode_with(enc, cx, plane, template, pixels, False)
+        prev = bit
+    data = enc.flush() if bpp else b""
+    flags = (template << 1) | (hcomb << 4) | (defpix << 7)
+    return (
+        struct.pack(">IIIIB", w, h, origin[0], origin[1], comb)
+        + bytes([flags])
+        + struct.pack(">IIii", hgw, hgh, hgx, hgy)
+        + struct.pack(">HH", hrx, hry)
+        + data
+    )
+
+
+def jbig2_encode_halftone(
+    gi: np.ndarray,
+    patterns: list[np.ndarray],
+    template: int = 0,
+) -> bytes:
+    """Fixture writer: embedded stream with page info, ONE pattern
+    dictionary and ONE immediate halftone region on a regular grid."""
+    gi = np.asarray(gi, np.int64)
+    hgh, hgw = gi.shape
+    hdph, hdpw = patterns[0].shape
+    pw = (hgw - 1) * hdpw + hdpw
+    ph = (hgh - 1) * hdpw + hdph  # row step is HRX>>8 = hdpw
+
+    def seg(number: int, seg_type: int, body: bytes) -> bytes:
+        return (
+            struct.pack(">IB", number, seg_type)
+            + b"\x00\x01"
+            + struct.pack(">I", len(body))
+            + body
+        )
+
+    page_info = struct.pack(">IIIIB", pw, ph, 0, 0, 0) + b"\x00\x00"
+    dict_body = pattern_dict_encode(patterns, template=template)
+    ht_body = halftone_region_encode(
+        gi, patterns, (pw, ph), template=template
+    )
+    return (
+        seg(0, 48, page_info)
+        + seg(1, 16, dict_body)
+        + seg(2, 22, ht_body)  # immediate halftone region
+        + seg(3, 49, b"")
+    )
 
 
 def jbig2_encode_text(

@@ -1343,9 +1343,10 @@ def extract_pdf_batch(payloads: list[str]) -> list[str]:
 #     T.4/T.6): /K selects G4 (<0), 1-D MH (0) or G3 2-D (>0); /Columns,
 #     /Rows, /BlackIs1, /EncodedByteAlign and /Decode [1 0] honored;
 #     output re-encoded as PNG like every other raster path;
-#   * JBIG2Decode — REAL generic-region decode (jbig2_codec.py, ITU-T
-#     T.88 MQ coder + templates 0-3 + TPGDON + MMR-over-T.6); symbol/
-#     text/halftone-coded streams degrade to named per-image error rows;
+#   * JBIG2Decode — REAL decode (jbig2_codec.py, ITU-T T.88): generic
+#     regions (MQ coder, templates 0-3, TPGDON, MMR-over-T.6), symbol
+#     dictionary + text regions, and pattern-dictionary + halftone
+#     regions; Huffman/refinement streams keep named error rows;
 #   * JPXDecode — REAL JPEG2000 decode (jp2_codec.py, ITU-T T.800:
 #     MQ-coded T1 passes, tag-tree packets, reversible 5/3 DWT + RCT,
 #     irreversible 9/7 DWT + E.1 dequantization + ICT, JP2 boxes);
@@ -1597,7 +1598,8 @@ def pdf_write_images(
     'ccitt' (REAL CCITTFaxDecode G4, K=-1) / 'ccitt_g3' (K=0 1-D MH) /
     'jbig2' (REAL JBIG2Decode generic region) / 'jbig2_text' (REAL
     symbol-dictionary + text-region stream) with input thresholded at
-    128, 'jbig2_halftone' (halftone-coded JBIG2 -> named envelope), 'jpx'
+    128, 'jbig2_halftone' (REAL pattern-dict + halftone-region stream,
+    Bayer-dithered 5-level quantization), 'jpx'
     (REAL lossless JPXDecode JP2), 'jpx_lossy' (a REAL 9/7 irreversible
     quantized codestream, decoded lossily)."""
     import zlib
@@ -1683,14 +1685,25 @@ def pdf_write_images(
             )
             filt, bpc = b"/Filter /JBIG2Decode ", 1
         elif codec == "jbig2_halftone":
-            # a halftone-region segment header (type 20): legal JBIG2 this
-            # decoder must reject with a NAMED error
-            import struct as _struct
+            # a REAL halftone-coded stream: the input is quantized to 5
+            # density levels and coded as a pattern dictionary + halftone
+            # region (4x4 ordered-dither patterns, regular grid)
+            from ocr_spark.operators.jbig2_codec import jbig2_encode_halftone
 
-            body = (
-                _struct.pack(">IB", 0, 20) + b"\x00\x01"
-                + _struct.pack(">I", 4) + b"\x00\x00\x00\x00"
+            g = img if img.ndim == 2 else img[..., 0]
+            # Bayer 4x4 ordered-dither pattern bank: level k = first k
+            # threshold cells black
+            bayer = np.array(
+                [[0, 8, 2, 10], [12, 4, 14, 6],
+                 [3, 11, 1, 9], [15, 7, 13, 5]]
             )
+            pats = [(bayer < 4 * lvl).astype(np.uint8) for lvl in range(5)]
+            gh, gw = (g.shape[0] + 3) // 4, (g.shape[1] + 3) // 4
+            pad = np.full((gh * 4, gw * 4), 255, np.uint8)
+            pad[: g.shape[0], : g.shape[1]] = g
+            cells = pad.reshape(gh, 4, gw, 4).mean(axis=(1, 3))
+            gi = np.clip(((255.0 - cells) / 51.0).round(), 0, 4).astype(int)
+            body = jbig2_encode_halftone(gi, pats)
             filt, bpc = b"/Filter /JBIG2Decode ", 1
         elif codec == "jpx":
             from ocr_spark.operators.jp2_codec import jp2_encode

@@ -154,6 +154,23 @@ def test_fuzz_jp2_tiled():
                                     tile_parts=2), 122)
 
 
+def test_fuzz_jbig2_halftone():
+    # pattern-dictionary + halftone-region streams: grid arithmetic,
+    # gray-plane decode and pattern stamping under corruption stay inside
+    # the ValueError contract
+    from ocr_spark.operators.jbig2_codec import (
+        jbig2_decode,
+        jbig2_encode_halftone,
+    )
+
+    rng = np.random.default_rng(11)
+    bayer = np.array([[0, 8, 2, 10], [12, 4, 14, 6],
+                      [3, 11, 1, 9], [15, 7, 13, 5]])
+    pats = [(bayer < 4 * lvl).astype(np.uint8) for lvl in range(5)]
+    gi = rng.integers(0, 5, (6, 8))
+    _sweep(jbig2_decode, jbig2_encode_halftone(gi, pats), 123)
+
+
 # -- pre-existing decoders: same contract, older code ----------------------
 
 

@@ -167,14 +167,16 @@ class TestEmbeddedStream:
         with pytest.raises(ValueError, match="symbol dictionary"):
             jbig2_decode(seg)
 
-    def test_halftone_segment_named_error(self):
+    def test_halftone_region_without_dictionary_named_error(self):
+        # halftone decodes for real since session 12; a bare region with
+        # no pattern dictionary is the remaining named case here
         import struct
 
         seg = (
             struct.pack(">IB", 0, 20)  # type 20 = halftone region
             + b"\x00\x01" + struct.pack(">I", 2) + b"\x00\x00"
         )
-        with pytest.raises(ValueError, match="halftone"):
+        with pytest.raises(ValueError, match="without a pattern dictionary"):
             jbig2_decode(seg)
 
     def test_truncated_segment_raises(self):
@@ -594,3 +596,169 @@ class TestSymbolTextHardening:
         patched = bytes(stream[:insert_at]) + extra + bytes(stream[insert_at:])
         with pytest.raises(ValueError, match="multiple symbol"):
             jbig2_decode(patched)
+
+
+class TestHalftone:
+    """Round-5 session-12 layer: pattern dictionary (T.88 6.7) + halftone
+    region (6.6) with Annex C gray-coded bitplane decoding."""
+
+    def _pats(self, n=5, size=4):
+        bayer = np.array(
+            [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]]
+        )
+        t = np.kron(bayer, np.ones((size // 4, size // 4), int)) if size != 4 else bayer
+        return [(t < (16 * lvl) // (n - 1)).astype(np.uint8) for lvl in range(n)]
+
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    def test_pattern_dict_roundtrip(self, template):
+        from ocr_spark.operators.jbig2_codec import (
+            pattern_dict_decode,
+            pattern_dict_encode,
+        )
+
+        pats = self._pats()
+        out = pattern_dict_decode(pattern_dict_encode(pats, template=template))
+        assert len(out) == len(pats)
+        for a, b in zip(out, pats):
+            np.testing.assert_array_equal(a, b)
+
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    def test_halftone_e2e_regular_grid(self, template):
+        from ocr_spark.operators.jbig2_codec import jbig2_encode_halftone
+
+        rng = np.random.default_rng(template)
+        pats = self._pats()
+        gi = rng.integers(0, len(pats), (9, 13))
+        page = jbig2_decode(jbig2_encode_halftone(gi, pats, template=template))
+        want = np.zeros((9 * 4, 13 * 4), np.uint8)
+        for m in range(9):
+            for n in range(13):
+                want[4 * m : 4 * m + 4, 4 * n : 4 * n + 4] |= pats[gi[m, n]]
+        np.testing.assert_array_equal(page, want)
+
+    def test_gray_code_is_really_gray(self):
+        # adjacent density levels differ in ONE coded bitplane: a smooth
+        # ramp must compress far better than a bit-packed binary coding
+        # would — pin the gray mapping directly instead
+        from ocr_spark.operators.jbig2_codec import (
+            halftone_region_decode,
+            halftone_region_encode,
+        )
+
+        pats = self._pats(8)
+        gi = np.tile(np.arange(8), (4, 1))  # ramp hits every adjacent pair
+        body = halftone_region_encode(gi, pats, (8 * 4, 4 * 4))
+        x, y, comb, bmp = halftone_region_decode(body, pats)
+        assert (x, y) == (0, 0)
+        want = np.zeros((16, 32), np.uint8)
+        for m in range(4):
+            for n in range(8):
+                want[4 * m : 4 * m + 4, 4 * n : 4 * n + 4] |= pats[gi[m, n]]
+        np.testing.assert_array_equal(bmp, want)
+
+    def test_skewed_grid_vectors(self):
+        # (HRX, HRY) = (4<<8, 1<<8): columns advance (+4, -1), rows (+1, +4)
+        # in pixels — the 8.8 fixed-point skewed-grid formula of 6.6.5.1
+        from ocr_spark.operators.jbig2_codec import (
+            halftone_region_decode,
+            halftone_region_encode,
+        )
+
+        pats = self._pats(2)
+        gi = np.ones((3, 3), int)
+        w, h = 24, 24
+        body = halftone_region_encode(
+            gi, pats, (w, h), grid=(0, 8 << 8, 4 << 8, 1 << 8)
+        )
+        _x, _y, _c, bmp = halftone_region_decode(body, pats)
+        want = np.zeros((h, w), np.uint8)
+        pat = pats[1]
+        for mg in range(3):
+            xx, yy = 0 + mg * (1 << 8), (8 << 8) + mg * (4 << 8)
+            for ng in range(3):
+                px, py = xx >> 8, yy >> 8
+                want[max(0, py) : py + 4, max(0, px) : px + 4] |= pat[
+                    max(0, -py) : h - py, max(0, -px) : w - px
+                ]
+                xx += 4 << 8
+                yy -= 1 << 8
+        np.testing.assert_array_equal(bmp, want)
+
+    def test_default_pixel_and_combops(self):
+        from ocr_spark.operators.jbig2_codec import (
+            halftone_region_decode,
+            halftone_region_encode,
+        )
+
+        pats = self._pats(2)
+        gi = np.zeros((2, 2), int)  # all pattern 0 (empty)
+        body = halftone_region_encode(gi, pats, (8, 8), defpix=1, hcomb=1)
+        _x, _y, _c, bmp = halftone_region_decode(body, pats)
+        # AND of empty patterns onto an all-1 region clears the stamped
+        # cells and keeps the default elsewhere
+        assert bmp[:8, :8].sum() == 0
+
+    def test_out_of_range_index_clamped(self):
+        # spec: a grayscale value beyond HNUMPATS-1 uses the last pattern
+        from ocr_spark.operators.jbig2_codec import (
+            halftone_region_decode,
+            halftone_region_encode,
+        )
+
+        pats3 = self._pats(3)
+        pats2 = pats3[:2]
+        gi = np.full((2, 2), 2)
+        body = halftone_region_encode(gi, pats3, (8, 8))
+        _x, _y, _c, bmp = halftone_region_decode(body, pats2)
+        want = np.zeros((8, 8), np.uint8)
+        for m in range(2):
+            for n in range(2):
+                want[4 * m : 4 * m + 4, 4 * n : 4 * n + 4] |= pats2[1]
+        np.testing.assert_array_equal(bmp, want)
+
+    def test_named_errors(self):
+        import struct
+
+        from ocr_spark.operators.jbig2_codec import (
+            halftone_region_decode,
+            halftone_region_encode,
+            jbig2_encode_halftone,
+            pattern_dict_decode,
+        )
+
+        pats = self._pats(2)
+        # MMR pattern dictionary
+        with pytest.raises(ValueError, match="MMR-coded pattern"):
+            pattern_dict_decode(bytes([1, 4, 4]) + b"\x00\x00\x00\x01")
+        # implausible pattern count
+        with pytest.raises(ValueError, match="implausible pattern"):
+            pattern_dict_decode(bytes([0, 255, 255]) + b"\x00\x01\x00\x00")
+        # MMR halftone region
+        body = bytearray(halftone_region_encode(np.zeros((2, 2), int), pats, (8, 8)))
+        body[17] |= 1
+        with pytest.raises(ValueError, match="MMR-coded halftone"):
+            halftone_region_decode(bytes(body), pats)
+        # HENABLESKIP
+        body = bytearray(halftone_region_encode(np.zeros((2, 2), int), pats, (8, 8)))
+        body[17] |= 8
+        with pytest.raises(ValueError, match="HENABLESKIP"):
+            halftone_region_decode(bytes(body), pats)
+        # second pattern dictionary in one stream
+        stream = jbig2_encode_halftone(np.zeros((2, 2), int), pats)
+        # duplicate the dict segment (number 1, type 16)
+        i = stream.find(struct.pack(">IB", 1, 16))
+        j = stream.find(struct.pack(">IB", 2, 22))
+        with pytest.raises(ValueError, match="multiple pattern dictionaries"):
+            jbig2_decode(stream[:j] + stream[i:j] + stream[j:])
+
+    def test_single_pattern_needs_no_planes(self):
+        # HNUMPATS == 1 -> bpp 0: no arithmetic data at all
+        from ocr_spark.operators.jbig2_codec import (
+            halftone_region_decode,
+            halftone_region_encode,
+        )
+
+        pats = [np.ones((4, 4), np.uint8)]
+        body = halftone_region_encode(np.zeros((2, 3), int), pats, (12, 8))
+        _x, _y, _c, bmp = halftone_region_decode(body, pats)
+        assert bmp[:8, :12].all()

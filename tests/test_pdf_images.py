@@ -110,11 +110,31 @@ def test_jbig2_text_region_decode():
     assert np.array_equal(got, ((1 - want) * 255).astype(np.uint8))
 
 
-def test_jbig2_halftone_named_envelope():
+def test_jbig2_halftone_decodes():
+    # halftone-coded JBIG2 decodes for REAL since session 12: the fixture
+    # quantizes to 5 density levels through a Bayer 4x4 pattern bank —
+    # reproduce that rendering independently and compare exactly
     pdf = pdf_write_images([], [(GRAY, "jbig2_halftone"), (GRAY, "jbig2")])
     imgs = pdf_images(pdf)
-    assert imgs[0]["error"] is not None and "halftone" in imgs[0]["error"]
-    assert imgs[1]["error"] is None  # peers survive
+    assert imgs[0]["error"] is None
+    assert imgs[1]["error"] is None
+    bayer = np.array(
+        [[0, 8, 2, 10], [12, 4, 14, 6], [3, 11, 1, 9], [15, 7, 13, 5]]
+    )
+    h, w = GRAY.shape
+    gh, gw = (h + 3) // 4, (w + 3) // 4
+    pad = np.full((gh * 4, gw * 4), 255, np.uint8)
+    pad[:h, :w] = GRAY
+    cells = pad.reshape(gh, 4, gw, 4).mean(axis=(1, 3))
+    gi = np.clip(((255.0 - cells) / 51.0).round(), 0, 4).astype(int)
+    want = np.zeros((gh * 4, gw * 4), np.uint8)
+    for m in range(gh):
+        for n in range(gw):
+            want[4 * m : 4 * m + 4, 4 * n : 4 * n + 4] = (
+                bayer < 4 * gi[m, n]
+            )
+    got = decode_image(imgs[0]["content"])
+    assert np.array_equal(got, ((1 - want) * 255).astype(np.uint8))
 
 
 def test_ccitt_fax_decode():
