@@ -491,10 +491,20 @@ def generic_region_decode(
         return _generic_decode_fast(data, width, height, template, tpgdon)
     pixels = _template_pixels(template, at)
     dec = MQDecoder(data)
-    # one [index, mps] state per context value
-    cx = [[0, 0] for _ in range(1 << len(pixels))]
+    # one [index, mps] state per context value, allocated on first touch:
+    # a 16-pixel template addresses 64k contexts but a small bitmap only
+    # visits a handful — eager allocation dominated tiny-region decode
+    cx = _lazy_cx()
     return _generic_decode_with(dec, cx, width, height, template, pixels,
                                 tpgdon)
+
+
+def _lazy_cx():
+    """Context store for the gather paths: defaultdict keyed by context
+    value, materializing [index, mps] pairs on first touch."""
+    from collections import defaultdict
+
+    return defaultdict(lambda: [0, 0])
 
 
 def _generic_decode_with(
@@ -534,7 +544,7 @@ def generic_region_encode(
         raise ValueError("expected a 2-D bilevel array")
     pixels = _template_pixels(template, at)
     enc = MQEncoder()
-    cx = [[0, 0] for _ in range(1 << len(pixels))]
+    cx = _lazy_cx()
     _generic_encode_with(enc, cx, img, template, pixels, tpgdon)
     return enc.flush()
 
@@ -617,10 +627,11 @@ def _parse_region_info(data: bytes, pos: int):
 def jbig2_decode(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     """Embedded-organization JBIG2 (the PDF /JBIG2Decode layout: bare
     segment sequence, no file header). Supports page-info, generic-region,
-    symbol-dictionary (one per stream) and text-region segments;
-    halftone/refinement/Huffman layouts raise a NAMED ValueError (the
-    per-image envelope upstream keeps accounting honest). Returns uint8
-    (H,W), 1=black."""
+    symbol-dictionary + text-region, and pattern-dictionary + halftone-
+    region segments (one dictionary of each kind per stream);
+    refinement/Huffman layouts raise a NAMED ValueError (the per-image
+    envelope upstream keeps accounting honest). Returns uint8 (H,W),
+    1=black."""
     stream = bytes(globals_data) + bytes(data)
     pos = 0
     page_w = page_h = None
@@ -1390,7 +1401,7 @@ def halftone_region_decode(
     if bpp:
         dec = MQDecoder(body[bpos:])
         pixels = _template_pixels(template, _gray_at(template))
-        cx = [[0, 0] for _ in range(1 << len(pixels))]
+        cx = _lazy_cx()
         prev = np.zeros((hgh, hgw), np.uint8)
         for j in range(bpp - 1, -1, -1):
             plane = _generic_decode_with(
@@ -1440,7 +1451,7 @@ def halftone_region_encode(
     bpp = (npats - 1).bit_length()
     enc = MQEncoder()
     pixels = _template_pixels(template, _gray_at(template))
-    cx = [[0, 0] for _ in range(1 << len(pixels))]
+    cx = _lazy_cx()
     prev = np.zeros((hgh, hgw), np.uint8)
     for j in range(bpp - 1, -1, -1):
         bit = ((gi >> j) & 1).astype(np.uint8)

@@ -367,17 +367,33 @@ def _v5_file_key(enc: dict, password: bytes) -> bytes:
 def _v4_methods(enc: dict) -> tuple[str, str]:
     """Resolve /StmF and /StrF through /CF for V4/V5 → ('rc4'|'aes'|'identity')."""
     cfm_by_name = {"Identity": "identity"}
-    for name, cfm in re.findall(r"/(\w+)\s*<<[^<>]*?/CFM\s*/(\w+)", enc["raw"]):
-        cfm_by_name[name] = {"V2": "rc4", "AESV2": "aes", "AESV3": "aes",
-                             "None": "identity"}.get(cfm)
-        if cfm_by_name[name] is None:
+    for name, sub in enc.get("CF", {}).items():
+        cfm = sub.get("CFM")
+        method = {"V2": "rc4", "AESV2": "aes", "AESV3": "aes",
+                  "None": "identity"}.get(cfm)
+        if method is None:
             raise ValueError(f"encrypted PDF: unsupported crypt filter /CFM /{cfm}")
+        cfm_by_name[name] = method
     stmf = enc.get("StmF", "Identity")
     strf = enc.get("StrF", "Identity")
     for f in (stmf, strf):
         if f not in cfm_by_name:
             raise ValueError(f"encrypted PDF: crypt filter /{f} not defined in /CF")
     return cfm_by_name[stmf], cfm_by_name[strf]
+
+
+def _v4_key_bytes(enc: dict) -> int:
+    """File-key length for V4: the top-level /Length (bits) when present;
+    otherwise the stream crypt filter's /Length — written in BYTES per
+    ISO 32000-1 Table 25, but real producers also write bits, so values
+    >= 40 are read as bits; otherwise the /CFM default (128-bit)."""
+    if "Length" in enc:
+        return enc["Length"] // 8
+    sub = enc.get("CF", {}).get(enc.get("StmF", "Identity"))
+    if sub and sub.get("Length"):
+        cfl = sub["Length"]
+        return cfl // 8 if cfl >= 40 else cfl
+    return 16
 
 
 def _file_key_and_methods(enc: dict, id0: bytes, password: bytes
@@ -392,7 +408,12 @@ def _file_key_and_methods(enc: dict, id0: bytes, password: bytes
     if v == 5:
         key = _v5_file_key(enc, password)
         return key, methods[0], methods[1], v
-    n = 5 if r == 2 else enc.get("Length", 40) // 8
+    if r == 2:
+        n = 5
+    elif v == 4:
+        n = _v4_key_bytes(enc)
+    else:
+        n = enc.get("Length", 40) // 8
     if not 5 <= n <= 16:
         raise ValueError(f"encrypted PDF: invalid key length {n * 8}")
     em = enc.get("EncryptMetadata", True)
@@ -452,40 +473,126 @@ def _crypt(method: str, filekey: bytes, v: int, num: int, gen: int,
 # ---------------------------------------------------------------------------
 
 
-def _balanced_dict(text: str, i: int) -> str:
-    """The '<< ... >>' substring starting at index i (balanced nesting)."""
+def _scan_dict(text: str, i: int) -> tuple[str, int]:
+    """The balanced '<< ... >>' substring starting at index i, STRING-
+    AWARE: literal and hex strings are skipped atomically, so binary
+    /O //U ciphertext containing '>>' or '<<' bytes (the form Acrobat
+    writes as escaped literal strings) can never corrupt the balance.
+    Returns (substring, index past the closing '>>')."""
+    from ocr_spark.operators.pdf_layout import _parse_hex_string, _parse_pdf_string
+
     assert text[i : i + 2] == "<<"
     depth, j, n = 0, i, len(text)
     while j < n:
-        two = text[j : j + 2]
-        if two == "<<":
+        c = text[j]
+        if c == "<" and text[j + 1 : j + 2] == "<":
             depth += 1
             j += 2
-        elif two == ">>":
+        elif c == ">" and text[j + 1 : j + 2] == ">":
             depth -= 1
             j += 2
             if depth == 0:
-                return text[i:j]
+                return text[i:j], j
+        elif c == "(":
+            _s, j = _parse_pdf_string(text, j)
+        elif c == "<":
+            _b, j = _parse_hex_string(text, j)
+        elif c == "%":  # comment runs to end of line
+            k = text.find("\n", j)
+            j = n if k < 0 else k + 1
         else:
             j += 1
     raise ValueError("encrypted PDF: unbalanced /Encrypt dictionary")
 
 
-def _dict_string(d: str, key: str) -> bytes | None:
-    """A string-valued entry from a dict body, literal or hex form."""
+_NAME_RE = re.compile(r"/([^\s/<>\[\]()%]*)")
+_TOK_RE = re.compile(r"[^\s/<>\[\]()%]+")
+
+
+def _skip_array(text: str, i: int) -> int:
+    """Index past the balanced '[ ... ]' at i (string/dict aware)."""
     from ocr_spark.operators.pdf_layout import _parse_hex_string, _parse_pdf_string
 
-    m = re.search(rf"/{key}\s*(?=[(<])", d)
-    if not m:
-        return None
-    i = m.end()
-    if d[i] == "(":
-        s, _ = _parse_pdf_string(d, i)
-        return s.encode("latin-1")
-    if d[i : i + 2] != "<<":
-        raw, _ = _parse_hex_string(d, i)
-        return raw
-    return None
+    assert text[i] == "["
+    depth, j, n = 0, i, len(text)
+    while j < n:
+        c = text[j]
+        if c == "[":
+            depth += 1
+            j += 1
+        elif c == "]":
+            depth -= 1
+            j += 1
+            if depth == 0:
+                return j
+        elif c == "(":
+            _s, j = _parse_pdf_string(text, j)
+        elif c == "<" and text[j + 1 : j + 2] == "<":
+            _d, j = _scan_dict(text, j)
+        elif c == "<":
+            _b, j = _parse_hex_string(text, j)
+        else:
+            j += 1
+    raise ValueError("encrypted PDF: unbalanced array")
+
+
+def _dict_entries(body: str) -> dict[str, tuple[str, object]]:
+    """TOP-LEVEL entries of a '<< ... >>' body as {key: (kind, value)}:
+    kind 'name' (str), 'str' (bytes), 'dict' (raw text), 'arr' (raw
+    text), 'tok' (numbers/booleans/refs as text). Sequential and
+    string-aware — a key name can never be matched inside a string value
+    or a nested dictionary (the flat-regex bugs this replaces)."""
+    from ocr_spark.operators.pdf_layout import _parse_hex_string, _parse_pdf_string
+
+    assert body[:2] == "<<" and body.rstrip().endswith(">>")
+    out: dict[str, tuple[str, object]] = {}
+    i, n = 2, len(body.rstrip()) - 2
+    key: str | None = None
+    while i < n:
+        c = body[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "%":
+            k = body.find("\n", i)
+            i = n if k < 0 else k + 1
+            continue
+        if c == "/":
+            m = _NAME_RE.match(body, i)
+            if key is None:
+                key = m.group(1)
+            else:
+                out[key] = ("name", m.group(1))
+                key = None
+            i = m.end()
+            continue
+        if body.startswith("<<", i):
+            sub, j = _scan_dict(body, i)
+            val: tuple[str, object] = ("dict", sub)
+        elif c == "(":
+            s, j = _parse_pdf_string(body, i)
+            val = ("str", s.encode("latin-1"))
+        elif c == "<":
+            b, j = _parse_hex_string(body, i)
+            val = ("str", b)
+        elif c == "[":
+            j = _skip_array(body, i)
+            val = ("arr", body[i:j])
+        else:
+            m = _TOK_RE.match(body, i)
+            j = m.end() if m else i + 1
+            tok = body[i:j]
+            # fold 'N G R' indirect references into one token
+            rm = re.match(r"\s+(\d+)\s+R\b", body[j:]) if tok.isdigit() else None
+            if rm:
+                tok = f"{tok} {rm.group(1)} R"
+                j += rm.end()
+            val = ("tok", tok)
+        if key is not None:
+            out[key] = val
+            key = None
+        i = j
+    return out
 
 
 def _mask_stream_bodies(data: bytes) -> bytes:
@@ -529,32 +636,59 @@ def _parse_encrypt_dict(data: bytes) -> tuple[dict, bytes, int | None] | None:
         k = text.find("<<", om.end())
         if k < 0:
             raise ValueError("encrypted PDF: /Encrypt object has no dictionary")
-        body = _balanced_dict(text, k)
+        body, _ = _scan_dict(text, k)
     else:
-        body = _balanced_dict(text, m.end())
+        body, _ = _scan_dict(text, m.end())
+
+    entries = _dict_entries(body)
+
+    def _int(key: str):
+        kv = entries.get(key)
+        if kv and kv[0] == "tok":
+            try:
+                return int(kv[1])
+            except ValueError:
+                return None
+        return None
 
     fields: dict = {"raw": body}
     for key in ("V", "R", "Length", "P"):
-        im = re.search(rf"/{key}\s+(-?\d+)", body)
-        if im:
-            fields[key] = int(im.group(1))
+        v = _int(key)
+        if v is not None:
+            fields[key] = v
     if "P" in fields:
         # /P is a 32-bit signed field (ISO 32000-1 Table 21); fold malformed
         # out-of-range values instead of letting struct.pack raise later
         fields["P"] = ((fields["P"] & 0xFFFFFFFF) ^ 0x80000000) - 0x80000000
-    fm = re.search(r"/Filter\s*/([\w.]+)", body)
-    fields["Filter"] = fm.group(1) if fm else None
-    for key in ("StmF", "StrF"):
-        nm = re.search(rf"/{key}\s*/(\w+)", body)
-        if nm:
-            fields[key] = nm.group(1)
-    bm = re.search(r"/EncryptMetadata\s+(true|false)", body)
-    if bm:
-        fields["EncryptMetadata"] = bm.group(1) == "true"
+    for key in ("Filter", "StmF", "StrF"):
+        kv = entries.get(key)
+        if kv and kv[0] == "name":
+            fields[key] = kv[1]
+    fields.setdefault("Filter", None)
+    kv = entries.get("EncryptMetadata")
+    if kv and kv[0] == "tok":
+        fields["EncryptMetadata"] = kv[1] == "true"
     for key in ("O", "U", "OE", "UE", "Perms"):
-        s = _dict_string(body, key)
-        if s is not None:
-            fields[key] = s
+        kv = entries.get(key)
+        if kv and kv[0] == "str":
+            fields[key] = kv[1]
+    # /CF: named crypt filters -> {"CFM": name, "Length": int|None}
+    cf: dict[str, dict] = {}
+    kv = entries.get("CF")
+    if kv and kv[0] == "dict":
+        for name, sub in _dict_entries(kv[1]).items():
+            if sub[0] != "dict":
+                continue
+            se = _dict_entries(sub[1])
+            cfm = se.get("CFM")
+            ln = se.get("Length")
+            cf[name] = {
+                "CFM": cfm[1] if cfm and cfm[0] == "name" else None,
+                "Length": int(ln[1])
+                if ln and ln[0] == "tok" and str(ln[1]).lstrip("-").isdigit()
+                else None,
+            }
+    fields["CF"] = cf
 
     # /ID [ <...> <...> ] from the last trailer that carries one
     id0 = b""
@@ -610,50 +744,104 @@ def _segments(data: bytes):
     return pending
 
 
-def _rewrite_strings(gap: bytes, transform, enc_num: int | None) -> bytes:
-    """Apply `transform(num, gen, plaintext_bytes) -> bytes` to every string
-    that sits INSIDE an object body (between 'N G obj' and 'endobj'), writing
-    results back as hex strings. Strings outside objects (trailer /ID) and
-    inside the /Encrypt object are left alone."""
+_SIG_RE = re.compile(r"/Type\s*/(?:Sig|DocTimeStamp)\b|/ByteRange\b")
+
+
+def _object_span_end(text: str, i: int) -> int:
+    """Walk from i (just past an 'N G obj' header) to just past its
+    'endobj', string-aware so an 'endobj' INSIDE a literal/hex string
+    can't terminate the span early."""
     from ocr_spark.operators.pdf_layout import _parse_hex_string, _parse_pdf_string
 
-    text = gap.decode("latin-1")
-    out: list[str] = []
-    i, n = 0, len(text)
-    cur: tuple[int, int] | None = None
+    n = len(text)
     while i < n:
-        hm = _OBJ_RE.match(gap, i)
-        if hm:
-            cur = (int(hm.group(1)), int(hm.group(2)))
-            out.append(text[i : hm.end()])
-            i = hm.end()
-            continue
         c = text[i]
-        if text.startswith("endobj", i):
-            cur = None
-            out.append("endobj")
-            i += 6
+        if c == "(":
+            try:
+                _s, i = _parse_pdf_string(text, i)
+            except ValueError:
+                i += 1
             continue
-        if cur is not None and cur[0] != enc_num and c in "(<" and text[i : i + 2] != "<<":
+        if c == "<" and text[i + 1 : i + 2] != "<":
+            try:
+                _b, i = _parse_hex_string(text, i)
+            except ValueError:
+                i += 1
+            continue
+        if text.startswith("endobj", i):
+            return i + 6
+        i += 1
+    return n
+
+
+def _rewrite_span(span: str, num: int, gen: int, transform) -> str:
+    """Rewrite every string in one object span via `transform(num, gen,
+    raw) -> bytes` (emitted as hex). Exempt per ISO 32000-1 §7.6.2:
+    empty strings (writers leave bare '()' markers; an empty AES payload
+    is structurally impossible anyway) and a signature dictionary's
+    /Contents (kept plaintext so /ByteRange digests stay computable)."""
+    from ocr_spark.operators.pdf_layout import _parse_hex_string, _parse_pdf_string
+
+    is_sig = bool(_SIG_RE.search(span))
+    out: list[str] = []
+    i, n = 0, len(span)
+    last_name: str | None = None
+    while i < n:
+        c = span[i]
+        if c == "/":
+            m = _NAME_RE.match(span, i)
+            last_name = m.group(1)
+            out.append(span[i : m.end()])
+            i = m.end()
+            continue
+        if c in "(<" and not span.startswith("<<", i):
             try:
                 if c == "(":
-                    s, j = _parse_pdf_string(text, i)
+                    s, j = _parse_pdf_string(span, i)
                     raw = s.encode("latin-1")
                 else:
-                    raw, j = _parse_hex_string(text, i)
+                    raw, j = _parse_hex_string(span, i)
             except ValueError:
                 out.append(c)
                 i += 1
                 continue
-            out.append("<" + transform(cur[0], cur[1], raw).hex() + ">")
+            if not raw or (is_sig and last_name == "Contents"):
+                out.append(span[i:j])
+            else:
+                out.append("<" + transform(num, gen, raw).hex() + ">")
             i = j
             continue
-        if text.startswith("<<", i):
+        if span.startswith("<<", i):
             out.append("<<")
             i += 2
             continue
         out.append(c)
         i += 1
+    return "".join(out)
+
+
+def _rewrite_strings(gap: bytes, transform, enc_num: int | None) -> bytes:
+    """Apply `transform(num, gen, plaintext_bytes) -> bytes` to every string
+    that sits INSIDE an object body (between 'N G obj' and 'endobj'), writing
+    results back as hex strings. Strings outside objects (trailer /ID) and
+    inside the /Encrypt object are left alone."""
+    text = gap.decode("latin-1")
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        hm = _OBJ_RE.search(gap, i)
+        if not hm:
+            out.append(text[i:])
+            break
+        out.append(text[i : hm.end()])
+        num, gen = int(hm.group(1)), int(hm.group(2))
+        span_end = _object_span_end(text, hm.end())
+        span = text[hm.end() : span_end]
+        if num == enc_num:
+            out.append(span)
+        else:
+            out.append(_rewrite_span(span, num, gen, transform))
+        i = span_end
     return "".join(out).encode("latin-1")
 
 
@@ -713,7 +901,7 @@ def decrypt_pdf(data: bytes, password: bytes = b"") -> bytes:
             out.append(gap)
         else:
             _, ddict, raw, num, gen = seg
-            if "/Crypt" in ddict:
+            if _CRYPT_FILTER_RE.search(ddict):
                 raise ValueError(
                     "encrypted PDF: per-stream /Crypt filter chains are not "
                     "supported"
@@ -726,11 +914,25 @@ def decrypt_pdf(data: bytes, password: bytes = b"") -> bytes:
                         "encrypted PDF: stream without an enclosing object header"
                     )
                 body = _crypt(stm_m, filekey, v, num, gen or 0, raw, decrypt=True)
+                if str_m != "identity":
+                    # strings inside the stream's own dictionary (embedded-
+                    # file /Params dates, say) are encrypted like any other
+                    ddict = _rewrite_span(
+                        ddict, num, gen or 0,
+                        lambda n_, g_, r_: _crypt(
+                            str_m, filekey, v, n_, g_, r_, decrypt=True
+                        ),
+                    )
             out.append(
                 _set_length(ddict, len(body)).encode("latin-1")
                 + b"\nstream\n" + body + b"\nendstream"
             )
     return b"".join(out)
+
+
+# a REAL /Crypt entry in the /Filter value (name or array), not the bytes
+# '/Crypt' appearing in some unrelated name like /Subtype /CryptoSig
+_CRYPT_FILTER_RE = re.compile(r"/Filter\s*(?:/Crypt\b|\[[^\]]*/Crypt\b)")
 
 
 # ---------------------------------------------------------------------------
@@ -835,6 +1037,9 @@ def encrypt_pdf(
                 body = raw
             else:
                 body = enc_bytes(num, gen or 0, raw)
+                # symmetric with decrypt_pdf: stream-dict strings are
+                # encrypted alongside the body
+                ddict = _rewrite_span(ddict, num, gen or 0, enc_bytes)
             pieces.append(
                 _set_length(ddict, len(body)).encode("latin-1")
                 + b"\nstream\n" + body + b"\nendstream"

