@@ -1130,7 +1130,37 @@ def document_sniff(data: bytes) -> str | None:
     head = data[:4096].decode("utf-8", errors="replace")
     if "\\documentclass" in head or "\\begin{document}" in head:
         return "tex"
+    # RFC 5322 message: at least two standard headers at line starts in
+    # the head (guards against HTTP responses and random 'Key: value' text)
+    n_hdrs = len(
+        re.findall(
+            r"^(?:From|To|Subject|Date|Message-ID|Received|MIME-Version|"
+            r"Return-Path|Delivered-To):",
+            head,
+            re.M | re.I,
+        )
+    )
+    if n_hdrs >= 2:
+        return "eml"
     return None
+
+
+def eml_document_extract(data: bytes) -> dict:
+    """Adapter: sources.mail.eml_extract -> the document-text row shape
+    (title=Subject, creator=From, n_blocks=MIME parts)."""
+    from ocr_spark.sources.mail import eml_extract
+
+    info = eml_extract(data)
+    text = info["text"]
+    return {
+        "title": info["subject"],
+        "creator": info["sender"],
+        "lang": None,
+        "date": info["date"],
+        "text": text,
+        "n_chars": len(text),
+        "n_blocks": info["n_parts"],
+    }
 
 
 _EXTRACTORS = {
@@ -1142,6 +1172,7 @@ _EXTRACTORS = {
     "pdf": pdf_text_extract,
     "xlsx": xlsx_extract,
     "pptx": pptx_extract,
+    "eml": eml_document_extract,
 }
 
 DOC_TEXT_SCHEMA = T.StructType(
