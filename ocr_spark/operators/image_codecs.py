@@ -1122,14 +1122,119 @@ def tiff_decode(data: bytes) -> np.ndarray:
         raise ValueError(f"corrupt TIFF: {type(e).__name__}: {e}") from None
 
 
-def _tiff_decode_inner(data: bytes) -> np.ndarray:
+_MAX_TIFF_PAGES = 512  # multi-page chain budget (fax archives run ~100s)
+
+
+def tiff_decode_pages(data: bytes, max_pages: int = _MAX_TIFF_PAGES) -> list[np.ndarray]:
+    """Decode EVERY page of a (possibly multi-page) TIFF by following the
+    IFD chain — the standard scanned-document/fax-archive container shape
+    that single-IFD decoding silently truncates to page 1. Cycle-proof
+    (seen-offset set), page- and aggregate-pixel-budgeted. Returns a list
+    of uint8 arrays (pages may differ in size)."""
+    import zlib
+
+    try:
+        bo = _tiff_byte_order(data)
+        (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+        pages: list[np.ndarray] = []
+        seen: set[int] = set()
+        total_px = 0
+        while ifd_off:
+            if ifd_off in seen:
+                raise ValueError("TIFF IFD chain cycle")
+            seen.add(ifd_off)
+            if len(pages) >= max_pages:
+                raise ValueError(
+                    f"TIFF has more than {max_pages} pages (chain budget)"
+                )
+            tags, ifd_off = _tiff_parse_ifd(data, bo, ifd_off)
+            img = _tiff_decode_tags(data, tags)
+            total_px += img.shape[0] * img.shape[1]
+            if total_px > 64_000_000:
+                raise ValueError("implausible multi-page TIFF (pixel budget)")
+            pages.append(img)
+        if not pages:
+            raise ValueError("TIFF has no IFD")
+        return pages
+    except (struct.error, IndexError, MemoryError, zlib.error) as e:
+        raise ValueError(f"corrupt TIFF: {type(e).__name__}: {e}") from None
+
+
+def _tiff_rebase(page: bytes, delta: int) -> tuple[bytes, int]:
+    """Shift every file-offset in a standalone single-page little-endian
+    TIFF by `delta` and drop its 8-byte header, so the fragment can be
+    appended at (original position + delta) in a multi-page file. Offsets
+    live in two places: each IFD entry's out-of-line value pointer, and
+    the VALUES of the offset-valued tags (273 StripOffsets, 324
+    TileOffsets) whether inline or out-of-line."""
+    bo = _tiff_byte_order(page)
+    if bo != "<":
+        raise ValueError("tiff_encode_pages: little-endian pages only")
+    buf = bytearray(page)
+    (ifd_off,) = struct.unpack("<I", buf[4:8])
+    (n_entries,) = struct.unpack("<H", buf[ifd_off : ifd_off + 2])
+    for i in range(n_entries):
+        at = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", buf, at)
+        if typ not in _TIFF_TYPES:
+            continue
+        fmt, sz = _TIFF_TYPES[typ]
+        total = sz * cnt
+        if total > 4:
+            # out-of-line payload: shift the entry's value pointer …
+            (ptr,) = struct.unpack_from("<I", buf, at + 8)
+            struct.pack_into("<I", buf, at + 8, ptr + delta)
+            val_at = ptr
+        else:
+            val_at = at + 8
+        if tag in (273, 324):  # values ARE file offsets
+            for k in range(cnt):
+                (v,) = struct.unpack_from("<" + fmt, buf, val_at + k * sz)
+                struct.pack_into("<" + fmt, buf, val_at + k * sz, v + delta)
+    return bytes(buf[8:]), ifd_off + delta
+
+
+def tiff_encode_pages(
+    pages: list[np.ndarray], compression: str = "none", **kw
+) -> bytes:
+    """Multi-page little-endian TIFF: each page encoded by the single-page
+    writer, rebased, and chained through the next-IFD pointers — real
+    fax-archive layout, offset-exact."""
+    if not pages:
+        raise ValueError("no pages")
+    singles = [tiff_encode(np.asarray(p, np.uint8), compression, **kw)
+               for p in pages]
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    prev_next_ptr: int | None = None  # position of the pointer to patch
+    for s in singles:
+        delta = len(out) - 8
+        frag, ifd_abs = _tiff_rebase(s, delta)
+        if prev_next_ptr is None:
+            struct.pack_into("<I", out, 4, ifd_abs)  # header -> first IFD
+        else:
+            struct.pack_into("<I", out, prev_next_ptr, ifd_abs)
+        out += frag
+        # the fragment's IFD ends with its (zero) next pointer
+        (n_entries,) = struct.unpack_from("<H", out, ifd_abs)
+        prev_next_ptr = ifd_abs + 2 + 12 * n_entries
+    return bytes(out)
+
+
+def _tiff_byte_order(data: bytes) -> str:
     if data[:4] == b"II*\x00":
-        bo = "<"
-    elif data[:4] == b"MM\x00*":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF")
-    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+        return "<"
+    if data[:4] == b"MM\x00*":
+        return ">"
+    raise ValueError("not a TIFF")
+
+
+def _tiff_parse_ifd(
+    data: bytes, bo: str, ifd_off: int
+) -> tuple[dict[int, list[int]], int]:
+    """Parse one IFD -> (tags, next_ifd_offset). next == 0 ends the
+    subfile chain (TIFF 6.0 §2: multi-page scans are chained IFDs)."""
+    if ifd_off <= 0 or ifd_off + 2 > len(data):
+        raise ValueError(f"TIFF IFD offset {ifd_off} out of bounds")
     (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
     tags: dict[int, list[int]] = {}
     for i in range(n_entries):
@@ -1147,6 +1252,22 @@ def _tiff_decode_inner(data: bytes) -> np.ndarray:
             struct.unpack(bo + "I", e[8:12])[0] :
         ][:total]
         tags[tag] = list(struct.unpack(bo + fmt * cnt, raw[:total]))
+    next_at = ifd_off + 2 + 12 * n_entries
+    if next_at + 4 <= len(data):
+        (next_off,) = struct.unpack(bo + "I", data[next_at : next_at + 4])
+    else:
+        next_off = 0
+    return tags, next_off
+
+
+def _tiff_decode_inner(data: bytes) -> np.ndarray:
+    bo = _tiff_byte_order(data)
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    tags, _next = _tiff_parse_ifd(data, bo, ifd_off)
+    return _tiff_decode_tags(data, tags)
+
+
+def _tiff_decode_tags(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
     try:
         w, h = tags[256][0], tags[257][0]
     except KeyError:

@@ -472,15 +472,19 @@ FRAME_SCHEMA = T.StructType(
 
 
 def frame_sample(assets: DataFrame, every_n: int = 2) -> DataFrame:
-    """Video frame sampling through a REAL decoder (GIF/LZW — the one
-    multi-frame container expressible in pure stdlib/numpy; mp4/webm need a
-    real codec library and keep the same row contract): decode the frame
-    sequence inside the Arrow stage, keep every `every_n`-th frame (always
-    including frame 0), emit one row per sampled frame with per-frame
-    features. Per-asset error envelope, batch never dies."""
+    """Multi-frame sampling through REAL decoders: GIF frame sequences
+    and multi-page TIFFs (the scanned-document/fax-archive container —
+    each IFD page is a "frame"), sniffed by magic bytes; mp4/webm need a
+    real codec library and keep the same row contract. Decodes inside the
+    Arrow stage, keeps every `every_n`-th frame (always including frame
+    0), emits one row per sampled frame with per-frame features.
+    Per-asset error envelope, batch never dies."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ocr_spark.operators.image_codecs import gif_decode_frames
+        from ocr_spark.operators.image_codecs import (
+            gif_decode_frames,
+            tiff_decode_pages,
+        )
         from ocr_spark.operators.media_kernels import to_grayscale
 
         for pdf in batches:
@@ -497,7 +501,11 @@ def frame_sample(assets: DataFrame, every_n: int = 2) -> DataFrame:
 
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 try:
-                    frames = gif_decode_frames(bytes(content))
+                    head = bytes(content)[:4]
+                    if head in (b"II*\x00", b"MM\x00*"):
+                        frames = tiff_decode_pages(bytes(content))
+                    else:
+                        frames = gif_decode_frames(bytes(content))
                 except Exception as e:
                     emit(ref, error=f"{type(e).__name__}: {e}")
                     continue

@@ -271,3 +271,26 @@ def test_fuzz_pdf_decrypt():
             except ValueError:
                 err += 1
         assert ok + err == N_FLIPS + N_TRUNC + 6
+
+
+def test_fuzz_tiff_multipage():
+    # IFD chain walking: corrupt next pointers / entry counts must stay
+    # inside the ValueError contract (cycle + budget guards, no hangs)
+    from ocr_spark.operators.image_codecs import (
+        tiff_decode_pages,
+        tiff_encode_pages,
+    )
+
+    rng = np.random.default_rng(12)
+    pages = [rng.integers(0, 256, (10, 14), dtype=np.uint8) for _ in range(3)]
+    payload = tiff_encode_pages(pages, compression="lzw")
+    rng = np.random.default_rng(124)
+    ok = err = 0
+    for cand in _corruptions(rng, payload):
+        try:
+            out = tiff_decode_pages(cand)
+            assert isinstance(out, list)
+            ok += 1
+        except ValueError:
+            err += 1
+    assert ok + err == N_FLIPS + N_TRUNC + 6

@@ -1145,3 +1145,121 @@ class TestTiffTiled:
                 data[off + 8:off + 10] = struct.pack("<H", 60)  # not %16
         with pytest.raises(ValueError, match="tile size"):
             tiff_decode(bytes(data))
+
+
+class TestTiffMultiPage:
+    """Round-5 session-12: the IFD chain (TIFF 6.0 §2) — multi-page
+    scanned-document/fax archives previously truncated silently to page 1."""
+
+    def _pages(self, n=4):
+        rng = np.random.default_rng(42)
+        return [
+            rng.integers(0, 256, (20 + 3 * i, 30 + 2 * i), dtype=np.uint8)
+            for i in range(n)
+        ]
+
+    @pytest.mark.parametrize("comp", ["none", "lzw", "packbits", "jpeg"])
+    def test_chain_roundtrip(self, comp):
+        from ocr_spark.operators.image_codecs import (
+            tiff_decode,
+            tiff_decode_pages,
+            tiff_encode_pages,
+        )
+
+        pages = self._pages()
+        data = tiff_encode_pages(pages, compression=comp)
+        dec = tiff_decode_pages(data)
+        assert len(dec) == len(pages)
+        for a, b in zip(dec, pages):
+            if comp == "jpeg":
+                assert a.shape == b.shape
+                assert np.abs(a.astype(int) - b.astype(int)).mean() < 20
+            else:
+                np.testing.assert_array_equal(a, b)
+        # the single-page API still reads page 1 (back-compat)
+        np.testing.assert_array_equal(tiff_decode(data), dec[0])
+
+    def test_g4_fax_archive(self):
+        # the canonical case: a multi-page G4 fax archive
+        from ocr_spark.operators.image_codecs import (
+            tiff_decode_pages,
+            tiff_encode_pages,
+        )
+
+        pages = [np.where(p > 127, np.uint8(255), np.uint8(0))
+                 for p in self._pages(5)]
+        dec = tiff_decode_pages(tiff_encode_pages(pages, compression="g4"))
+        assert len(dec) == 5
+        for a, b in zip(dec, pages):
+            np.testing.assert_array_equal(a, b)
+
+    def test_rgb_out_of_line_pointer_shift(self):
+        # RGB pages carry an out-of-line BitsPerSample array: the rebase
+        # must shift the entry's value pointer, not just tag 273 values
+        from ocr_spark.operators.image_codecs import (
+            tiff_decode_pages,
+            tiff_encode_pages,
+        )
+
+        rng = np.random.default_rng(7)
+        rgb = [rng.integers(0, 256, (12, 17, 3), dtype=np.uint8) for _ in range(3)]
+        dec = tiff_decode_pages(tiff_encode_pages(rgb, compression="lzw"))
+        assert len(dec) == 3
+        for a, b in zip(dec, rgb):
+            np.testing.assert_array_equal(a, b)
+
+    def test_single_page_has_one_entry(self):
+        from ocr_spark.operators.image_codecs import (
+            tiff_decode_pages,
+            tiff_encode,
+        )
+
+        img = self._pages(1)[0]
+        pages = tiff_decode_pages(tiff_encode(img))
+        assert len(pages) == 1
+        np.testing.assert_array_equal(pages[0], img)
+
+    def test_cycle_and_budget_named_errors(self):
+        import struct
+
+        from ocr_spark.operators.image_codecs import (
+            tiff_decode_pages,
+            tiff_encode_pages,
+        )
+
+        data = bytearray(tiff_encode_pages(self._pages(2)))
+        # point the second IFD's next pointer back at the first (cycle)
+        (first_ifd,) = struct.unpack_from("<I", data, 4)
+        (n1,) = struct.unpack_from("<H", data, first_ifd)
+        (second_ifd,) = struct.unpack_from("<I", data, first_ifd + 2 + 12 * n1)
+        (n2,) = struct.unpack_from("<H", data, second_ifd)
+        struct.pack_into("<I", data, second_ifd + 2 + 12 * n2, first_ifd)
+        with pytest.raises(ValueError, match="cycle"):
+            tiff_decode_pages(bytes(data))
+        # page budget
+        pages = [np.zeros((2, 2), np.uint8)] * 3
+        with pytest.raises(ValueError, match="chain budget"):
+            tiff_decode_pages(tiff_encode_pages(pages), max_pages=2)
+
+    def test_frame_sample_over_tiff_pages(self, spark):
+        from ocr_spark.operators.image_codecs import tiff_encode_pages
+        from ocr_spark.operators.multimodal import frame_sample
+
+        pages = self._pages(5)
+        payload = tiff_encode_pages(pages, compression="lzw")
+        assets = spark.createDataFrame(
+            [("scan#0", bytearray(payload)), ("bad#1", bytearray(b"II*\x00junk"))],
+            "media_ref string, content binary",
+        )
+        rows = frame_sample(assets, every_n=2).collect()
+        good = [r for r in rows if r["media_ref"] == "scan#0"]
+        assert [r["frame_idx"] for r in good] == [0, 2, 4]
+        assert all(r["n_frames"] == 5 for r in good)
+        for r in good:
+            assert (r["height"], r["width"]) == pages[r["frame_idx"]].shape
+            exp = float(
+                np.mean(pages[r["frame_idx"]].astype(np.float64))
+            )
+            assert abs(r["mean_intensity"] - exp) < 1e-6
+        bad = [r for r in rows if r["media_ref"] == "bad#1"]
+        assert len(bad) == 1 and bad[0]["error"] is not None
