@@ -845,17 +845,25 @@ def latex_extract(data: bytes | str) -> dict:
 
 
 def pdf_text_extract(data: bytes) -> dict:
-    """PDF bytes -> {text, title, n_blocks}: XY-cut-ordered text layer via
-    pdf_layout.pdf_parse_blocks, /Info /Title when the trailer carries a
-    literal string (escapes handled by the spec parser)."""
+    """PDF bytes -> {text, title, creator, date, n_blocks}: XY-cut-ordered
+    text layer via pdf_layout.pdf_parse_blocks plus document metadata from
+    the trailer /Info dictionary (pdf_layout.pdf_info — UTF-16 strings and
+    D:-date conversion handled there; encrypted docs are decrypted first
+    so /Info strings come out plaintext)."""
     import re as _re
 
     from ocr_spark.operators.pdf_layout import (
-        _parse_pdf_string,
+        pdf_info,
         pdf_parse_blocks,
         xy_cut_order,
     )
 
+    if isinstance(data, str):
+        data = data.encode("latin-1")
+    if _re.search(rb"/Encrypt\s*(\d+\s+\d+\s*R|<<)", data):
+        from ocr_spark.operators.pdf_crypt import decrypt_pdf
+
+        data = decrypt_pdf(data)
     blocks, _, _ = pdf_parse_blocks(data)
     text = ""
     if blocks:
@@ -867,20 +875,13 @@ def pdf_text_extract(data: bytes) -> dict:
         h = _np.array([float(b["h"]) for b in blocks])
         order = xy_cut_order(x, y, w, h)
         text = "\n".join(str(blocks[i].get("text", "")) for i in order)
-    title = None
-    head = data.decode("latin-1", "replace")
-    tm = _re.search(r"/Title\s*\(", head)
-    if tm:
-        try:
-            title = _parse_pdf_string(head, tm.end() - 1)[0].strip() or None
-        except Exception:
-            title = None
+    meta = pdf_info(data)
     return {
         "text": text,
-        "title": title,
-        "creator": None,
+        "title": meta.get("title"),
+        "creator": meta.get("author"),
         "lang": None,
-        "date": None,
+        "date": meta.get("date"),
         "n_blocks": len(blocks),
     }
 

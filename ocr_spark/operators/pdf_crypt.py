@@ -1076,6 +1076,9 @@ def encrypt_pdf(
     if not rm:
         raise ValueError("encrypt_pdf: trailer has no /Root")
     root = rm.group(0).decode()
+    im = re.search(rb"/Info\s+\d+\s+\d+\s+R", rewritten[tail:])
+    if im:  # preserve the document-information reference (§14.3.3)
+        root += " " + im.group(0).decode()
 
     out = bytearray(body_part)
     if not out.endswith(b"\n"):

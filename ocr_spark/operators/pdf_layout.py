@@ -25,6 +25,7 @@ recursion frame).
 from __future__ import annotations
 
 import json
+import re
 
 import numpy as np
 
@@ -1293,6 +1294,89 @@ def pdf_parse_blocks(data: bytes | str) -> tuple[list[dict], float, float]:
         else:  # Tj/TJ and any other T-op (Tc/Tw/Tz/Ts/Tr): operands consumed
             stack.clear()
     return blocks, page_w, page_h
+
+
+def _pdf_text_string(raw: bytes) -> str:
+    """A PDF text-string per §7.9.2.2: UTF-16BE with BOM, else
+    PDFDocEncoding (latin-1 is the right superset for the printable part)."""
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", errors="replace")
+    if raw[:3] == b"\xef\xbb\xbf":  # PDF 2.0 allows UTF-8 with BOM
+        return raw[3:].decode("utf-8", errors="replace")
+    return raw.decode("latin-1")
+
+
+def _pdf_date_iso(s: str) -> str | None:
+    """'D:YYYYMMDDHHmmSS+HH'mm'' (§7.9.4) -> ISO 8601 (fields optional)."""
+    m = re.match(
+        r"D:(\d{4})(\d{2})?(\d{2})?(\d{2})?(\d{2})?(\d{2})?"
+        r"(?:([+\-Z])(?:(\d{2})'?(\d{2})?'?)?)?",
+        s.strip(),
+    )
+    if not m:
+        return None
+    y, mo, d, hh, mm, ss, tzs, tzh, tzm = m.groups()
+    out = f"{y}-{mo or '01'}-{d or '01'}T{hh or '00'}:{mm or '00'}:{ss or '00'}"
+    if tzs == "Z":
+        out += "+00:00"
+    elif tzs in ("+", "-") and tzh:
+        out += f"{tzs}{tzh}:{tzm or '00'}"
+    return out
+
+
+def pdf_info(data: bytes) -> dict:
+    """Document metadata from the trailer /Info dictionary (§14.3.3):
+    {title, author, subject, creator, date (ISO), moddate (ISO)} — any
+    subset may be None. Structural: the last trailer's /Info wins
+    (incremental updates), indirect or inline; stream bodies are masked
+    before scanning so binary payloads can't fake a trailer key. Never
+    raises — metadata absence is normal, not an error."""
+    from ocr_spark.operators.pdf_crypt import (
+        _dict_entries,
+        _mask_stream_bodies,
+        _scan_dict,
+    )
+
+    try:
+        text = _mask_stream_bodies(data).decode("latin-1")
+        matches = list(
+            re.finditer(r"/Info\s*(?:(\d+)\s+(\d+)\s+R|(?=<<))", text)
+        )
+        if not matches:
+            return {}
+        m = matches[-1]
+        if m.group(1) is not None:
+            om = None
+            for om_c in re.finditer(
+                rf"(?<![0-9]){int(m.group(1))}\s+{int(m.group(2))}\s+obj\b",
+                text,
+            ):
+                om = om_c
+            if om is None:
+                return {}
+            k = text.find("<<", om.end())
+            if k < 0:
+                return {}
+            body, _ = _scan_dict(text, k)
+        else:
+            body, _ = _scan_dict(text, m.end())
+        entries = _dict_entries(body)
+        out: dict = {}
+        for key, field in (
+            ("Title", "title"), ("Author", "author"), ("Subject", "subject"),
+            ("Creator", "creator"),
+        ):
+            kv = entries.get(key)
+            if kv and kv[0] == "str":
+                v = _pdf_text_string(kv[1]).strip()
+                out[field] = v or None
+        for key, field in (("CreationDate", "date"), ("ModDate", "moddate")):
+            kv = entries.get(key)
+            if kv and kv[0] == "str":
+                out[field] = _pdf_date_iso(_pdf_text_string(kv[1]))
+        return out
+    except ValueError:
+        return {}
 
 
 def extract_pdf_text(payload: str) -> str:

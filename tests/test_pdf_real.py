@@ -309,3 +309,80 @@ class TestMultiPage:
             ]
         )
         assert extract_pdf_text(pdf.decode("latin-1")) == "P1 footer\nP2 header"
+
+
+class TestPdfInfoMetadata:
+    """Round-5 session-12: trailer /Info document metadata (§14.3.3)."""
+
+    def _doc(self, info_body: bytes) -> bytes:
+        from ocr_spark.operators.pdf_layout import pdf_write
+
+        plain = pdf_write([{"x": 40, "y": 50, "text": "hello world"}])
+        obj = b"6 0 obj\n" + info_body + b"\nendobj\n"
+        return plain.replace(b"xref\n", obj + b"xref\n", 1).replace(
+            b"/Root 1 0 R", b"/Root 1 0 R /Info 6 0 R", 1
+        )
+
+    def test_info_fields_and_utf16(self):
+        from ocr_spark.operators.pdf_layout import pdf_info
+
+        doc = self._doc(
+            b"<< /Title (My Report) "
+            b"/Author (\xfe\xff\x00J\x00 \x00D\x00o\x00e) "
+            b"/Subject (testing) "
+            b"/CreationDate (D:20260821120000+02'00') "
+            b"/ModDate (D:20260821) >>"
+        )
+        meta = pdf_info(doc)
+        assert meta["title"] == "My Report"
+        assert meta["author"] == "J Doe"  # UTF-16BE with BOM
+        assert meta["subject"] == "testing"
+        assert meta["date"] == "2026-08-21T12:00:00+02:00"
+        assert meta["moddate"] == "2026-08-21T00:00:00"  # partial date
+
+    def test_absent_info_is_empty_not_error(self):
+        from ocr_spark.operators.pdf_layout import pdf_info, pdf_write
+
+        assert pdf_info(pdf_write([{"x": 1, "y": 1, "text": "t"}])) == {}
+        assert pdf_info(b"%PDF-1.4\ngarbage") == {}
+
+    def test_doc_formats_surface_carries_metadata(self):
+        from ocr_spark.operators.doc_formats import pdf_text_extract
+
+        r = pdf_text_extract(
+            self._doc(b"<< /Title (T1) /Author (A1) "
+                      b"/CreationDate (D:20250101120000Z) >>")
+        )
+        assert (r["title"], r["creator"], r["date"]) == (
+            "T1", "A1", "2025-01-01T12:00:00+00:00"
+        )
+        assert r["text"] == "hello world"
+
+    @pytest.mark.parametrize("variant", ["rc4-128", "aesv2", "aesv3"])
+    def test_metadata_survives_encryption(self, variant):
+        # /Info strings are encrypted like any others; the decrypt path
+        # and the trailer /Info preservation must both hold
+        from ocr_spark.operators.doc_formats import pdf_text_extract
+        from ocr_spark.operators.pdf_crypt import encrypt_pdf
+
+        doc = self._doc(b"<< /Title (Secret Title) /Author (Anon) >>")
+        enc = encrypt_pdf(doc, variant=variant)
+        assert b"Secret Title" not in enc  # actually hidden at rest
+        r = pdf_text_extract(enc)
+        assert (r["title"], r["creator"]) == ("Secret Title", "Anon")
+        assert r["text"] == "hello world"
+
+    def test_binary_stream_cannot_fake_info(self):
+        # '/Info 9 0 R' BYTES inside a compressed stream body are masked
+        import zlib
+
+        from ocr_spark.operators.pdf_layout import pdf_info
+
+        payload = zlib.compress(b"fake /Info 9 0 R marker")
+        doc = (
+            b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+            + str(len(payload)).encode()
+            + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n"
+            b"trailer\n<< /Size 2 /Root 1 0 R >>\n%%EOF\n"
+        )
+        assert pdf_info(doc) == {}
