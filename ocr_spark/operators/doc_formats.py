@@ -1131,6 +1131,14 @@ def document_sniff(data: bytes) -> str | None:
     head = data[:4096].decode("utf-8", errors="replace")
     if "\\documentclass" in head or "\\begin{document}" in head:
         return "tex"
+    if data.lstrip()[:5] == b"From " and re.search(
+        r"^[A-Za-z-]+:", head, re.M
+    ):
+        # MBOX envelope framing BEFORE the bare-message check: an archive
+        # parsed as one eml would embed later messages' raw headers in the
+        # text (the mail_messages surface gives the per-message rows; this
+        # surface gives the archive-level document view)
+        return "mbox"
     # RFC 5322 message: at least two standard headers at line starts in
     # the head (guards against HTTP responses and random 'Key: value' text)
     n_hdrs = len(
@@ -1164,6 +1172,44 @@ def eml_document_extract(data: bytes) -> dict:
     }
 
 
+def mbox_document_extract(data: bytes) -> dict:
+    """Archive-level view of an MBOX: every message's body concatenated
+    (subject headings preserved), title/creator/date from the first
+    message, n_blocks = message count. Per-message failures are skipped —
+    the remaining messages still extract (the per-message row surface is
+    `sources.mail.mail_messages`)."""
+    from ocr_spark.sources.mail import eml_extract, mbox_split
+
+    blocks: list[str] = []
+    first: dict | None = None
+    n_ok = 0
+    for raw in mbox_split(data):
+        try:
+            info = eml_extract(raw)
+        except ValueError:
+            continue
+        n_ok += 1
+        if first is None:
+            first = info
+        part = info["text"]
+        if info["subject"]:
+            part = f"{info['subject']}\n\n{part}" if part else info["subject"]
+        if part:
+            blocks.append(part)
+    if first is None:
+        raise ValueError("MBOX archive contains no parseable message")
+    text = "\n\n".join(blocks)
+    return {
+        "title": first["subject"],
+        "creator": first["sender"],
+        "lang": None,
+        "date": first["date"],
+        "text": text,
+        "n_chars": len(text),
+        "n_blocks": n_ok,
+    }
+
+
 _EXTRACTORS = {
     "docx": docx_extract,
     "epub": epub_extract,
@@ -1174,6 +1220,7 @@ _EXTRACTORS = {
     "xlsx": xlsx_extract,
     "pptx": pptx_extract,
     "eml": eml_document_extract,
+    "mbox": mbox_document_extract,
 }
 
 DOC_TEXT_SCHEMA = T.StructType(

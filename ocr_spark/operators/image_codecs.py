@@ -1123,6 +1123,10 @@ def tiff_decode(data: bytes) -> np.ndarray:
 
 
 _MAX_TIFF_PAGES = 512  # multi-page chain budget (fax archives run ~100s)
+# aggregate decode budget across the chain: 512 Mpx (uint8 = 512 MB) covers
+# a 100-page A4 fax archive at 200 dpi (~400 Mpx) while still bounding a
+# DoS chain of maximum-size pages; the per-page 64 Mpx cap applies on top
+_MAX_TOTAL_PIXELS = 512_000_000
 
 
 def tiff_decode_pages(data: bytes, max_pages: int = _MAX_TIFF_PAGES) -> list[np.ndarray]:
@@ -1150,7 +1154,7 @@ def tiff_decode_pages(data: bytes, max_pages: int = _MAX_TIFF_PAGES) -> list[np.
             tags, ifd_off = _tiff_parse_ifd(data, bo, ifd_off)
             img = _tiff_decode_tags(data, tags)
             total_px += img.shape[0] * img.shape[1]
-            if total_px > 64_000_000:
+            if total_px > _MAX_TOTAL_PIXELS:
                 raise ValueError("implausible multi-page TIFF (pixel budget)")
             pages.append(img)
         if not pages:

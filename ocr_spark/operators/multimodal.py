@@ -501,11 +501,11 @@ def frame_sample(assets: DataFrame, every_n: int = 2) -> DataFrame:
 
             for ref, content in zip(pdf["media_ref"], pdf["content"]):
                 try:
-                    head = bytes(content)[:4]
-                    if head in (b"II*\x00", b"MM\x00*"):
-                        frames = tiff_decode_pages(bytes(content))
+                    raw = bytes(content)
+                    if raw[:4] in (b"II*\x00", b"MM\x00*"):
+                        frames = tiff_decode_pages(raw)
                     else:
-                        frames = gif_decode_frames(bytes(content))
+                        frames = gif_decode_frames(raw)
                 except Exception as e:
                     emit(ref, error=f"{type(e).__name__}: {e}")
                     continue

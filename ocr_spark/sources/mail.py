@@ -111,13 +111,19 @@ def _walk(msg: EmailMessage, out: list[str], stats: dict, depth: int) -> None:
         parts = msg.get_payload()
         if ctype == "multipart/alternative":
             # prefer the LAST alternative we can use, text/plain first
-            # (RFC 2046: alternatives ordered by increasing faithfulness)
+            # (RFC 2046: alternatives ordered by increasing faithfulness) —
+            # but a preferred part that CONTRIBUTES NOTHING (whitespace-only
+            # text/plain stubs are common in newsletter mail) falls through
+            # to the next preference instead of suppressing real content
+            before = len(out)
             for want in ("text/plain", "text/html"):
                 for p in reversed(parts):
                     if p.get_content_type() == want:
                         _walk(p, out, stats, depth)
-                        return
-            if parts:
+                        if len(out) > before:
+                            return
+                        break  # empty: try the next preference
+            if len(out) == before and parts:
                 _walk(parts[-1], out, stats, depth)
             return
         for p in parts:
@@ -203,7 +209,9 @@ def mbox_split(data: bytes) -> list[bytes]:
     starts: list[int] = []
     for m in _FROM_LINE.finditer(data):
         i = m.start()
-        if i == 0 or data[:i].endswith((b"\n\n", b"\r\n\r\n")):
+        # bounded endswith: the prefix-slice form copies the whole prefix
+        # per candidate (O(n * messages) on an Enron-class archive)
+        if i == 0 or data.endswith((b"\n\n", b"\r\n\r\n"), 0, i):
             starts.append(i)
     if not starts or starts[0] != 0:
         starts.insert(0, 0)

@@ -195,3 +195,70 @@ class TestSparkSurface:
             out._jdf.queryExecution(), "formatted"
         )
         assert "Exchange" not in plan
+
+
+class TestReviewHardening:
+    """Regressions for the session-12 second review pass."""
+
+    def test_mbox_routes_as_archive_not_single_message(self):
+        from ocr_spark.operators.doc_formats import (
+            document_sniff,
+            extract_document_bytes,
+        )
+
+        box = synth_mbox(
+            [synth_eml("First", text="body one"),
+             synth_eml("Second", text="body two")]
+        )
+        assert document_sniff(box) == "mbox"
+        info = extract_document_bytes(box)
+        assert info["format"] == "mbox"
+        assert info["n_blocks"] == 2
+        assert "body one" in info["text"] and "body two" in info["text"]
+        # raw RFC headers must NOT leak into the corpus text
+        assert "Message-ID" not in info["text"]
+        assert "From corpus@example" not in info["text"]
+        assert info["title"] == "First"
+
+    def test_empty_plain_alternative_falls_through_to_html(self):
+        from email.message import EmailMessage
+
+        msg = EmailMessage()
+        msg["Subject"] = "stub"
+        msg["From"] = "x@example.com"
+        msg.set_content("   \n  ")  # whitespace-only plain stub
+        msg.add_alternative(
+            "<html><body><p>the real content here</p></body></html>",
+            subtype="html",
+        )
+        info = eml_extract(msg.as_bytes())
+        assert "the real content here" in info["text"]
+
+    def test_mbox_split_scales_without_prefix_copies(self):
+        # behavioral guard for the bounded-endswith boundary check: a
+        # body line starting 'From ' mid-paragraph still never splits
+        import time
+
+        msgs = [synth_eml(f"S{i}", text=f"b{i}\nFrom line {i}") for i in range(300)]
+        box = synth_mbox(msgs)
+        t0 = time.time()
+        parts = mbox_split(box)
+        assert time.time() - t0 < 2.0
+        assert len(parts) == 300
+
+    def test_multipage_fax_archive_pixel_budget(self):
+        # a 17-page 2000x2000 archive (68 Mpx) exceeds the OLD single-page
+        # aggregate cap but is a legitimate scan — must decode
+        import numpy as np
+
+        from ocr_spark.operators.image_codecs import (
+            tiff_decode_pages,
+            tiff_encode_pages,
+        )
+
+        page = np.zeros((2000, 2000), np.uint8)
+        page[::7, ::3] = 255
+        data = tiff_encode_pages([page] * 17, compression="g4")
+        pages = tiff_decode_pages(data)
+        assert len(pages) == 17
+        np.testing.assert_array_equal(pages[16], page)
